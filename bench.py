@@ -1,0 +1,99 @@
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the total wall time of the benchmark suite (lower is
+better). Each query is fully executed (collect for small results, count for
+large ones) so the timing covers scan→shuffle→result, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from ddataframeoperation_spark.queries import QUERIES  # noqa: E402
+from ddataframeoperation_spark.session import get_spark  # noqa: E402
+
+#: Queries timed by the bench — the heavy/representative slice of the
+#: surface: scans, the join family, aggregation, windows, dedup/similarity,
+#: text analysis, and the flagship. (Streaming + rows-only stubs are covered
+#: by correctness, not timed here.)
+BENCH_QUERIES = [
+    "b01_scan_project_filter",
+    "b05_join_inner",
+    "b06_join_left_agg",
+    "b08_star_join_broadcast",
+    "b09_range_join",
+    "b11_agg_pricing_summary",
+    "b13_cube",
+    "b16_top_k",
+    "b17_window_rank",
+    "b19_window_running_sum",
+    "b20_latest_per_key",
+    "b35_sessionize",
+    "b23_string_funcs",
+    "b25_math_conditional",
+    "b26_json_funcs",
+    "b27_array_funcs",
+    "b31_dedup_fingerprint",
+    "b32_minhash_candidates",
+    "b33_cosine_topk",
+    "b34_word_stats",
+    "b10_flagship_q3",
+]
+
+#: Large row-count results are counted, not collected — timing should measure
+#: the engine, not driver-side result transfer.
+COUNT_ONLY = {
+    "b01_scan_project_filter",
+    "b05_join_inner",
+    "b17_window_rank",
+    "b19_window_running_sum",
+    "b23_string_funcs",
+    "b25_math_conditional",
+    "b27_array_funcs",
+}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers with a trivial action so per-query times
+    # measure steady-state execution.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        if name in COUNT_ONLY:
+            df.count()
+        else:
+            df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

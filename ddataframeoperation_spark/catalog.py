@@ -1,0 +1,150 @@
+"""Named-table catalog — the Spark rendering of the reference's table list.
+
+The reference builds a named list ``table_name -> data.frame`` by asking a
+REST orchestrator for table locations and loading each from HDFS
+(``PerformLoadData``, reference ``R/DataFrameOperationR.R:53-95``; upstream
+DAG outputs merged by ``LoadOtherData``, ``:96-204``). Here the catalog is a
+thin dict of *lazy* DataFrames that are also registered as temp views, so
+both the DataFrame API and ``spark.sql`` can reach every table by name.
+
+Scale note: registration is metadata-only; nothing is read until an action
+runs, and Catalyst prunes columns/partitions per query — the reference's
+eager whole-table materialization (``read.csv`` per part-file, ``:37-49``)
+is exactly what we avoid.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "FIXTURE_TABLES",
+    "Catalog",
+    "load_fixture_tables",
+    "read_fixture_table",
+]
+
+#: The ten driver fixture tables (TESTDATA.md) — TPC-H-ish star schema plus
+#: events / documents / embeddings for the LLM-pipeline operators.
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should broadcast in joins at any scale.
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+
+class Catalog:
+    """Named catalog of DataFrames (reference: the ``newlist`` named list,
+    ``R/DataFrameOperationR.R:84``, ``:163-165``).
+
+    Keys behave like the reference's: REST ``TABLE_NAME`` or
+    ``{NodeCaption}_{i}`` for upstream-node split outputs.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, DataFrame] = {}
+
+    def register(self, name: str, df: DataFrame) -> DataFrame:
+        """Add/overwrite a named table and expose it to SQL as a temp view."""
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def load(
+        self,
+        name: str,
+        path: str,
+        fmt: str = "parquet",
+        schema: StructType | str | None = None,
+        **options,
+    ) -> DataFrame:
+        """Load a dataset directory into the catalog.
+
+        Mirrors ``LoadDataFrameFromPath`` (reference
+        ``R/DataFrameOperationR.R:19-51``): a *directory* of part-files is
+        one table; ``_SUCCESS``/metadata files are skipped; an external
+        schema overrides any embedded one. Spark's file index does the part
+        discovery natively (the reference's hand-rolled WebHDFS LISTSTATUS
+        loop, and its last-part-wins accumulator bug at ``:36-45``, are both
+        replaced by a correct distributed multi-file scan → UNION ALL of
+        parts, which is what the commented-out SparkR ``read.df`` at
+        ``:161`` always intended).
+        """
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        if fmt == "csv":
+            # Reference CSVs are headerless with externally-supplied column
+            # names (``read.csv(header=FALSE)`` + ``colnames<-``, :43-44).
+            options.setdefault("header", "false")
+        df = reader.format(fmt).options(**options).load(path)
+        return self.register(name, df)
+
+    def get(self, name: str) -> DataFrame:
+        return self._tables[name]
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self._tables[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._tables
+
+    def names(self) -> list[str]:
+        return sorted(self._tables)
+
+    def as_dict(self) -> Mapping[str, DataFrame]:
+        return dict(self._tables)
+
+
+def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
+    """Convert nanosecond-precision timestamp columns read as long (via
+    ``spark.sql.legacy.parquet.nanosAsLong``) back into µs timestamps.
+
+    The fixture generator writes ``events.ts`` as parquet ``timestamp[ns]``,
+    which Spark's vectorized reader refuses (PARQUET_TYPE_ILLEGAL). With the
+    legacy conf the column surfaces as epoch-nanos long; ``ts div 1000`` is
+    lossless because the fixtures carry no sub-µs precision. The DuckDB
+    oracle applies the matching ``CAST(ts AS TIMESTAMP)``.
+    """
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver fixture table, normalizing ns timestamps (events)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _normalize_ns_timestamps(df)
+
+
+def load_fixture_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: Iterable[str] = FIXTURE_TABLES,
+) -> Catalog:
+    """Register the driver fixture tables under ``sf_dir`` as a catalog.
+
+    One ``spark.read.parquet`` per table — lazy, schema from parquet footers,
+    columnar + predicate pushdown for free.
+    """
+    cat = Catalog(spark)
+    for name in tables:
+        cat.register(name, read_fixture_table(spark, sf_dir, name))
+    return cat

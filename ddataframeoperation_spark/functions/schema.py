@@ -1,0 +1,96 @@
+"""Schema <-> metadata-string conversion.
+
+The reference platform carries schemas as two comma-joined strings:
+``MetaData`` (column names) and ``MetaDataType`` (type names) — parsed at
+``R/DataFrameOperationR.R:148-153`` / ``:179-184`` and emitted at
+``:232-246``. The emit side had a bug (it introspected a global ``dfset``
+instead of its argument, ``:237-246``); we implement the intent: introspect
+the DataFrame that is passed in.
+
+Types ride in a small vocabulary; the reference used R ``typeof`` names
+(logical/integer/double/character). We map both those and Spark DDL names
+into a canonical set so round-tripping is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = ["schema_from_metadata", "metadata_from_schema", "manifest_for"]
+
+# R-typeof / loose names → Spark types (reference vocabulary:
+# R/DataFrameOperationR.R:237-246 `sapply(df, typeof)` output values).
+_NAME_TO_TYPE: dict[str, T.DataType] = {
+    "logical": T.BooleanType(),
+    "boolean": T.BooleanType(),
+    "integer": T.IntegerType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "bigint": T.LongType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "numeric": T.DoubleType(),
+    "character": T.StringType(),
+    "string": T.StringType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "binary": T.BinaryType(),
+}
+
+
+def schema_from_metadata(metadata: str, metadata_type: str) -> T.StructType:
+    """Build a StructType from (MetaData, MetaDataType) comma-strings.
+
+    ``schema_from_metadata("a, b", "integer, character")`` →
+    ``StructType([a int, b string])``. Unknown type names fall back to
+    string, matching the reference's behavior of never enforcing types on
+    read (``read.csv`` inference, ``:43``) — but unlike the reference we
+    *apply* the schema at scan so Catalyst can push down and prune.
+    """
+    names = [n.strip() for n in metadata.split(",") if n.strip()]
+    type_names = [t.strip().lower() for t in metadata_type.split(",") if t.strip()]
+    if len(type_names) < len(names):
+        type_names += ["string"] * (len(names) - len(type_names))
+    fields = [
+        T.StructField(name, _NAME_TO_TYPE.get(tn, T.StringType()), True)
+        for name, tn in zip(names, type_names)
+    ]
+    return T.StructType(fields)
+
+
+def _canonical_type_name(dt: T.DataType) -> str:
+    return dt.simpleString()
+
+
+def metadata_from_schema(df: DataFrame) -> tuple[str, str]:
+    """DataFrame → (MetaData, MetaDataType) strings, comma-joined.
+
+    The Spark form of the reference's ``paste(colnames, collapse=", ")`` +
+    ``sapply(df, typeof)`` (``R/DataFrameOperationR.R:234-246``), with the
+    global-variable bug fixed: we introspect the argument.
+    """
+    names = ", ".join(f.name for f in df.schema.fields)
+    types = ", ".join(_canonical_type_name(f.dataType) for f in df.schema.fields)
+    return names, types
+
+
+def manifest_for(
+    df: DataFrame,
+    data_location: str,
+    model_location: str = "",
+    pmml_location: str = "",
+) -> dict[str, str]:
+    """Result manifest (reference A21, ``R/DataFrameOperationR.R:290-296``)
+    as a plain dict; the backtick/bracket wire-escaping of the reference is
+    a REST-boundary quirk that callers apply only when talking to the
+    orchestrator (see compat.update_job).
+    """
+    metadata, metadata_type = metadata_from_schema(df)
+    return {
+        "MetaData": metadata,
+        "MetaDataType": metadata_type,
+        "DataLocation": data_location,
+        "ModelLocation": model_location,
+        "PMMLLocation": pmml_location,
+    }

@@ -1,0 +1,352 @@
+"""Deduplication operators for training-data pipelines.
+
+SURVEY.md §2 B31 (exact) / B32 (near-dup). North-star mandated (LLM-data
+pipeline); no reference seed beyond ``dropDuplicates`` semantics being the
+relational cousin of A5's part-union intent.
+
+Scale notes (100 TB):
+- exact dedup is one hash shuffle on the dedup key; dedup by a *digest* of
+  a wide column (md5 of normalized text) instead of the raw column so the
+  shuffle carries 16 bytes, not document bodies;
+- MinHash/LSH near-dup is the scale path: candidate generation via
+  band-bucket join touches only colliding pairs (~linear), never the O(n²)
+  cross join. Exact pairwise Jaccard is provided for verification at test
+  scale and as the refinement step applied to LSH candidates;
+- all hashing is Spark's builtin xxhash64/murmur3 (JVM, codegen'd) — no
+  Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.operators.windows import latest_per_key
+
+__all__ = [
+    "dedup_exact",
+    "dedup_by_key",
+    "normalized_text",
+    "fingerprint",
+    "dedup_by_fingerprint",
+    "shingles",
+    "minhash_signature",
+    "minhash_candidates",
+    "jaccard_pairs",
+    "simhash",
+    "simhash_table",
+    "simhash_candidates",
+]
+
+
+def dedup_exact(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """B31 — exact dedup on full row or column subset. Nondeterministic
+    about *which* duplicate survives (fine when rows are identical on
+    ``cols`` and you only keep ``cols``); use :func:`dedup_by_key` for a
+    deterministic keep-first."""
+    return df.dropDuplicates(list(cols) if cols else None)
+
+
+def dedup_by_key(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str]
+) -> DataFrame:
+    """B31 — deterministic keep-first dedup: of all rows sharing ``keys``,
+    keep the first under ``order_by`` (e.g. earliest ts, lowest id). The
+    reference's latest-run pick (A10) pointed the same direction."""
+    return latest_per_key(df, keys, order_by)
+
+
+def normalized_text(col: str | Column = "text") -> Column:
+    """Canonical text normalization for fingerprinting: lowercase, strip
+    non-alphanumerics to spaces, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """B31/B34 — document fingerprint: md5 of the normalized text. Two
+    documents with the same fingerprint are near-certain duplicates modulo
+    case/punctuation/whitespace. 16-byte shuffle key regardless of doc size."""
+    return F.md5(normalized_text(col))
+
+
+def dedup_by_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """B31 — exact near-normalization dedup: group by fingerprint, keep the
+    lowest id (deterministic). Returns the surviving rows."""
+    with_fp = df.withColumn("fp", fingerprint(text_col))
+    return latest_per_key(with_fp, ["fp"], [F.col(id_col)])
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>: tokenize the normalized
+    text, slide an n-window. Pure builtin higher-order functions — JVM-side."""
+    toks = F.split(normalized_text(col), " ")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature as array<bigint>: for seed s in 0..k-1,
+    min over shingles of xxhash64(shingle, s). Entirely
+    ``transform``/``array_min`` builtins — codegen'd, no UDF."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda sh: F.xxhash64(sh, F.lit(s)))
+            )
+            for s in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """B32 — LSH candidate pairs via banded MinHash.
+
+    signature[k] → ``bands`` bands of k/bands rows; documents colliding on
+    any (band_index, band_hash) bucket become a candidate pair. The
+    band-bucket self-join is an equi-join on the bucket key — shuffle on
+    16-byte keys, cost proportional to collisions, not n². This is the
+    100 TB path; follow with :func:`jaccard_pairs`-style exact refinement
+    on the candidates only.
+
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    # Explode shingles, then one hash-aggregate with k min() columns — a
+    # map-side-combining shuffle on id, every hash inside whole-stage
+    # codegen. (The closed-form alternative — one giant nested
+    # transform/array_min expression per row — falls out of codegen and
+    # re-evaluates the shingle expression per hash: ~100× slower measured.)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, shingle_n)).alias("sh"),
+    )
+    sig = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(s))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """B32 — exact token-set Jaccard similarity via explode + equi-join on
+    token (the sparse-inverted-index formulation: only pairs sharing at
+    least one token are ever materialized — never a cross join).
+
+    intersection(a,b) = count of shared distinct tokens (join on token);
+    union(a,b) = |a| + |b| - intersection. ``group_col`` optionally
+    restricts pairs to the same group (blocking key), the standard
+    scale-reduction; at 100 TB you'd also drop ultra-frequent tokens
+    (stopword-like) before the join to bound the inverted-index skew.
+
+    Returns (id_a, id_b, jacc) for pairs with jacc >= threshold.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(group_col).alias("grp")] if group_col else [] ),
+        F.explode(F.array_distinct(F.split(normalized_text(text_col), " "))).alias(
+            "tok"
+        ),
+    )
+    sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
+    join_on = ["tok"] + (["grp"] if group_col else [])
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, on=join_on)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jacc",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jacc") >= threshold)
+        .select("id_a", "id_b", F.round("jacc", 4).alias("jacc"))
+    )
+
+
+def simhash(col: str | Column = "text", bits: int = 64) -> Column:
+    """B32 — 64-bit SimHash over word tokens: for each bit position, sum
+    +1/-1 votes of token-hash bits, bit = sign. Expressed with
+    aggregate/transform builtins over xxhash64 token hashes (no UDF).
+
+    Returned as bigint; near-duplicates have small Hamming distance."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(normalized_text(c), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def mask(i: int) -> Column:
+        # Two's-complement fold: bit 63 is the long sign bit (1<<63 would
+        # overflow a JVM long literal).
+        v = 1 << i
+        return F.lit(v - (1 << 64) if v >= (1 << 63) else v).cast("long")
+
+    # For each bit i: votes = sum over tokens of (2*bit_i - 1); bit = votes > 0.
+    def bit_of(i: int) -> Column:
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(mask(i)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        return F.when(votes > 0, mask(i)).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(bit_of(i))
+    return out
+
+
+def simhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, sh) SimHash table via explode + hash-aggregate — the scalable
+    form of :func:`simhash`: one shuffle on id with ``bits`` sum() columns,
+    all codegen'd (the closed-form per-row expression re-evaluates the token
+    hash array per bit and falls out of codegen on wide bit widths)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalized_text(text_col), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+
+    def mask(i: int) -> "Column":
+        v = 1 << i
+        return F.lit(v - (1 << 64) if v >= (1 << 63) else v).cast("long")
+
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(mask(i)) != 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
+    )
+    sh = F.lit(0).cast("long")
+    for i in range(bits):
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, mask(i)).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("id", sh.alias("sh"))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """B32 — SimHash near-dup candidates via the block-permutation trick:
+    split the 64-bit hash into ``blocks`` chunks; pairs within Hamming
+    distance < blocks must agree on >= 1 chunk, so an equi-join per chunk
+    finds all candidates — again no cross join. Exact Hamming filter after.
+    """
+    bits_per = 64 // blocks
+    sh = simhash_table(df, id_col=id_col, text_col=text_col)
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned(F.col("sh"), b * bits_per)
+                        .bitwiseAND(F.lit((1 << bits_per) - 1))
+                        .alias("chunk"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", "c.blk", "c.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")

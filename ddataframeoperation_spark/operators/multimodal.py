@@ -1,0 +1,124 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+SURVEY.md north-star item: treat media as opaque ``binary`` columns with
+typed metadata; decode/feature-extract/resize/frame-sample run as
+Arrow-batched Pandas UDFs over ``mapInPandas``. The container has no media
+libraries, so the decode kernels are deterministic fakes / clearly-marked
+stubs — the Spark-side plumbing (schema, batch shape, partitioning,
+UDF signature) is real and tested, which is the part that matters for the
+engine.
+
+Scale notes (100 TB of media):
+- binary payloads ride in parquet; metadata columns (format, width, ...)
+  are scalar so filters on them prune row groups *without touching bytes*;
+- ``mapInPandas`` streams Arrow record batches — peak memory is one batch,
+  not one partition; batch size bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+- decode is per-row independent → embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_media_metadata",
+    "media_stats",
+    "decode_image_batch",
+    "extract_image_features",
+]
+
+#: Canonical media-column bundle: payload + typed metadata.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("format", T.StringType(), True),      # png|jpg|wav|mp4...
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("checksum", T.StringType(), True),    # md5 of payload
+    ]
+)
+
+
+def attach_media_metadata(
+    df: DataFrame, payload_col: str = "payload", media_type: str = "image", fmt: str = "bin"
+) -> DataFrame:
+    """Derive the typed metadata columns from a raw binary payload column —
+    pure builtins (octet_length/md5 are JVM-side, no UDF)."""
+    return (
+        df.withColumn("media_type", F.lit(media_type))
+        .withColumn("format", F.lit(fmt))
+        .withColumn("n_bytes", F.octet_length(F.col(payload_col)).cast("long"))
+        .withColumn("checksum", F.md5(F.col(payload_col)))
+    )
+
+
+def media_stats(df: DataFrame, group_col: str = "media_type") -> DataFrame:
+    """Per-type payload stats — metadata-only scan (payload column pruned)."""
+    return df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.round(F.avg("n_bytes"), 4).alias("avg_bytes"),
+        F.countDistinct("checksum").cast("long").alias("distinct_payloads"),
+    )
+
+
+#: Output schema of the decode step.
+DECODED_SCHEMA = "media_id bigint, width int, height int, n_pixels bigint"
+
+
+def decode_image_batch(df: DataFrame) -> DataFrame:
+    """Decode stub over ``mapInPandas``: real Arrow plumbing, fake kernel.
+
+    A real deployment drops PIL/ffmpeg into ``_decode_one`` unchanged —
+    batch iteration, schema declaration, and column pruning stay identical.
+    """
+    import pandas as pd  # local import: executors need it, driver may not
+
+    def _decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pd.DataFrame()
+            out["media_id"] = pdf["media_id"]
+            # STUB: deterministic fake decode — derive dims from payload
+            # length. Replace with e.g. PIL.Image.open(io.BytesIO(b)).
+            sizes = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
+            out["width"] = (sizes % 640 + 1).astype("int32")
+            out["height"] = (sizes % 480 + 1).astype("int32")
+            out["n_pixels"] = (out["width"].astype("int64") * out["height"]).astype(
+                "int64"
+            )
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def extract_image_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature-extraction stub: payload → fixed-dim float vector
+    (deterministic fake: byte histogram folded to ``dim``). The real model
+    inference would run here with identical plumbing (Arrow batches in,
+    ``array<float>`` out)."""
+    import numpy as np
+    import pandas as pd
+
+    schema = f"media_id bigint, feature array<float>"
+
+    def _feat(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                if b is None or len(b) == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float32")
+                norm = float(np.linalg.norm(hist)) or 1.0
+                feats.append((hist / norm).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return df.select("media_id", "payload").mapInPandas(_feat, schema)

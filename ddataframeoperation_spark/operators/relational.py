@@ -1,0 +1,204 @@
+"""Relational core: projection, filter, joins, aggregation, set ops, sort.
+
+SURVEY.md §2 B3–B16, B21–B26. The reference implements only a single row
+filter (``R/DataFrameOperationR.R:135``) and projections (``:117-118``,
+``:71-72``) — everything else here is the declared engine surface (EXT
+provenance). All functions are declarative DataFrame ops: Catalyst does
+pushdown/pruning/join selection; AQE fixes partition counts and skew at
+runtime.
+
+Scale posture (100 TB):
+- joins against known dimension tables take an explicit ``broadcast`` hint
+  (`join_star`), everything else trusts stats + AQE;
+- aggregations rely on partial (map-side) aggregation — automatic for all
+  ``groupBy().agg()`` of algebraic aggregates used here;
+- top-k uses ``orderBy().limit(k)`` which Spark executes as per-partition
+  TakeOrdered + driver merge of k rows — no global sort shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "project",
+    "rename",
+    "filter_rows",
+    "join",
+    "join_broadcast",
+    "join_star",
+    "group_agg",
+    "distinct_rows",
+    "rollup_agg",
+    "cube_agg",
+    "having",
+    "sort",
+    "top_k",
+    "union_all",
+    "union_distinct",
+    "intersect",
+    "except_all",
+    "random_split",
+    "pivot_agg",
+]
+
+
+def project(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """B3 — projection (reference A9: ``bcd$DataLocation`` style column
+    extraction, ``R/DataFrameOperationR.R:136``). Column pruning reaches the
+    parquet scan via Catalyst."""
+    return df.select(*cols)
+
+
+def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """B3 — positional/aliased rename (reference A4:
+    ``colnames(data) <- tableschema``, ``R/DataFrameOperationR.R:44``)."""
+    return df.withColumnsRenamed(mapping)
+
+
+def filter_rows(df: DataFrame, predicate: Column | str) -> DataFrame:
+    """B4 — row filter (reference A8, the one genuine relational selection:
+    ``which(Status == 2 & JobNodeID == nodeid & JobNodeID != "0")``,
+    ``R/DataFrameOperationR.R:135``). Conjunctive/disjunctive/range/IN/LIKE
+    predicates all arrive as one Column expression; Catalyst splits and
+    pushes the parquet-eligible conjuncts down to the scan."""
+    return df.filter(predicate)
+
+
+def join(
+    df: DataFrame,
+    other: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """B5–B7, B9 — equi/outer/semi/anti/theta join. Catalyst picks
+    broadcast-hash vs sort-merge vs shuffle-hash from stats; AQE rewrites
+    skewed sort-merge joins at runtime. Theta joins (Column condition with
+    range predicates) should carry at least one equi-conjunct to avoid a
+    broadcast-nested-loop plan at scale."""
+    return df.join(other, on=on, how=how)
+
+
+def join_broadcast(
+    df: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """B8 — explicit broadcast join: ship the small side to every executor,
+    no shuffle of the big side. At 100 TB this is the difference between a
+    map-side join and a full fact-table shuffle."""
+    return df.join(F.broadcast(dim), on=on, how=how)
+
+
+def join_star(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, str | Sequence[str] | Column, bool]],
+) -> DataFrame:
+    """B10 — multi-way star join: chain the fact table through its
+    dimensions. ``dims`` is (dim_df, on, broadcast?) — mark the genuinely
+    small sides broadcast so the fact table is never shuffled for them."""
+    out = fact
+    for dim, on, bcast in dims:
+        out = out.join(F.broadcast(dim) if bcast else dim, on=on)
+    return out
+
+
+def group_agg(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """B11 — hash aggregation with map-side partial aggregation. Every agg
+    Column must be aliased by the caller (oracle-name contract)."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def distinct_rows(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """B12 — distinct (full row or on a column subset)."""
+    return (df.select(*cols) if cols else df).distinct()
+
+
+def rollup_agg(
+    df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]
+) -> DataFrame:
+    """B13 — hierarchical grouping sets (rollup)."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """B13 — all grouping-set combinations (cube)."""
+    return df.cube(*keys).agg(*aggs)
+
+
+def having(
+    df: DataFrame,
+    keys: Sequence[str | Column],
+    aggs: Sequence[Column],
+    predicate: Column,
+) -> DataFrame:
+    """B14 — post-aggregation filter (HAVING)."""
+    return df.groupBy(*keys).agg(*aggs).filter(predicate)
+
+
+def sort(df: DataFrame, *order: Column | str) -> DataFrame:
+    """B15 — global sort (range-partitioned exchange + per-partition sort)."""
+    return df.orderBy(*order)
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """B16 — top-k (reference A10 generalization: positional last-pick at
+    ``R/DataFrameOperationR.R:136-140`` becomes order-by + limit). Spark
+    plans this as TakeOrderedAndProject: per-partition heap of k, driver
+    merge — O(k) memory, no global sort shuffle. Callers should include a
+    unique tiebreaker column for determinism."""
+    return df.orderBy(*order).limit(k)
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """B21 — UNION ALL (reference A5's *intended* semantics: concatenate all
+    part-files; the reference's accumulator bug kept only the last part,
+    ``R/DataFrameOperationR.R:36-45`` — we implement the intent)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def union_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
+    """B21 — UNION (distinct)."""
+    return a.unionByName(b).distinct()
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    """B21 — INTERSECT (distinct semantics)."""
+    return a.intersect(b)
+
+
+def except_all(a: DataFrame, b: DataFrame, distinct: bool = True) -> DataFrame:
+    """B21 — EXCEPT / EXCEPT ALL."""
+    return a.exceptAll(b) if not distinct else a.subtract(b)
+
+
+def random_split(
+    df: DataFrame, weights: Sequence[float], seed: int = 42
+) -> list[DataFrame]:
+    """B22 — train/test split (reference: upstream SplitData node outputs
+    loaded as ``{NodeCaption}_{i}`` entries, ``R/DataFrameOperationR.R:144-168``).
+    Seeded for reproducibility; per-partition Bernoulli sampling, no shuffle."""
+    return df.randomSplit(list(weights), seed=seed)
+
+
+def pivot_agg(
+    df: DataFrame,
+    key: str,
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """B11 adjunct — pivot with an explicit value list (never let Spark scan
+    for distinct pivot values at 100 TB; pass them)."""
+    return df.groupBy(key).pivot(pivot_col, list(pivot_values)).agg(agg)

@@ -1,0 +1,108 @@
+"""Text analysis operators for training-data pipelines.
+
+SURVEY.md §2 B34 (north-star mandated): tokenization, token/word counting,
+quality scoring, language identification, fingerprinting (fingerprint lives
+in dedup.py next to its dedup consumer). Reference seeds: the string-verb
+family A13–A17 (split/concat/regex/trim/substring-search,
+``R/DataFrameOperationR.R:148-149``, ``:234``, ``:26``, ``:346``,
+``:297-299``) generalized from driver-side plumbing to column-level verbs.
+
+Everything is builtin ``pyspark.sql.functions`` — JVM-side regex/string
+kernels inside whole-stage codegen. No Python in the hot path; at 100 TB
+these run at parquet-scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.operators.dedup import normalized_text
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "word_stats",
+    "quality_score",
+    "language_scores",
+    "language_id",
+    "STOPWORDS",
+]
+
+# Tiny per-language marker-word lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and deterministic; a production pipeline
+# would swap in fastText/CLD3 behind the same column signature.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "con"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour"),
+}
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """B34 — whitespace tokenization of normalized text → array<string>."""
+    return F.split(normalized_text(col), " ")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    """B34 — token count. BPE-ish proxy: whitespace tokens; a real BPE pass
+    would be a Pandas-UDF batch op with the same column signature."""
+    return F.size(tokens(col))
+
+
+def word_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang") -> DataFrame:
+    """B34 — per-group corpus stats: docs, token totals, avg tokens/chars."""
+    t = df.withColumn("n_tokens", token_count(text_col)).withColumn(
+        "n_chars_calc", F.length(text_col)
+    )
+    return t.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars_calc"), 4).alias("avg_chars"),
+    )
+
+
+def quality_score(col: str | Column = "text") -> Column:
+    """B34 — cheap document quality heuristic in [0,1]: combination of
+    length band, alphabetic ratio, and mean word length band. Deterministic,
+    pure builtins, so it is DuckDB-oracle-able."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z ]", ""))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    ntok = token_count(c)
+    mean_wlen = F.when(ntok > 0, F.length(normalized_text(c)) / ntok).otherwise(
+        F.lit(0.0)
+    )
+    len_band = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).otherwise(F.lit(0.3))
+    wlen_band = F.when((mean_wlen >= 2.0) & (mean_wlen <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.4)
+    )
+    return F.round(0.4 * len_band + 0.4 * alpha_ratio + 0.2 * wlen_band, 4)
+
+
+def _marker_count(c: Column, words: tuple[str, ...]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(pat), 0))
+
+
+def language_scores(col: str | Column = "text") -> dict[str, Column]:
+    """Per-language marker-word hit counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {lang: _marker_count(c, words) for lang, words in STOPWORDS.items()}
+
+
+def language_id(col: str | Column = "text") -> Column:
+    """B34 — language-ID heuristic: argmax of marker-word counts, 'und' when
+    all zero. Fixed lang iteration order makes ties deterministic."""
+    scores = language_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(STOPWORDS):  # fixed order: later langs win only on >
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang

@@ -1,0 +1,146 @@
+"""Window functions and event-time idioms.
+
+SURVEY.md §2 B17–B20 and B35. The reference's only seed here is the
+"latest completed run" positional pick (``bcd$DataLocation[dtlocationlength]``,
+``R/DataFrameOperationR.R:136-140``) — generalized to the deterministic
+``row_number() == 1`` top-1-per-group idiom.
+
+Scale posture: all windows below are PARTITION BY'd on a key (user,
+customer) — one shuffle on the partition key, then per-partition sort; no
+global-ordering windows (an un-partitioned window is a single-task
+bottleneck at any scale and never appears here). Skewed partition keys are
+AQE's problem for joins but NOT for windows — if a key is pathologically
+hot, pre-aggregate or salt upstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_row_number",
+    "ranked",
+    "with_lag_lead",
+    "running_agg",
+    "latest_per_key",
+    "top_n_per_group",
+    "sessionize",
+]
+
+
+def _w(partition_by: Sequence[str], order_by: Sequence[Column | str]):
+    return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def with_row_number(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    name: str = "rn",
+) -> DataFrame:
+    """B17 — row_number over a partitioned, ordered window."""
+    return df.withColumn(name, F.row_number().over(_w(partition_by, order_by)))
+
+
+def ranked(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """B17 — the ranking family side by side (row_number/rank/dense_rank)."""
+    w = _w(partition_by, order_by)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("dense_rnk", F.dense_rank().over(w))
+    )
+
+
+def with_lag_lead(
+    df: DataFrame,
+    col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    offset: int = 1,
+) -> DataFrame:
+    """B18 — lag/lead analytics (reference A10 family: neighbors in an
+    ordered-by-completion sequence)."""
+    w = _w(partition_by, order_by)
+    return df.withColumn(f"{col}_lag", F.lag(col, offset).over(w)).withColumn(
+        f"{col}_lead", F.lead(col, offset).over(w)
+    )
+
+
+def running_agg(
+    df: DataFrame,
+    agg_col: str,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    frame_rows: tuple[int, int] = (Window.unboundedPreceding, Window.currentRow),
+    name: str = "running_sum",
+) -> DataFrame:
+    """B19 — framed window aggregate (running sum / moving average).
+    ROWS frames need a total order inside the partition — callers must pass
+    a tiebreaking order_by for determinism."""
+    w = _w(partition_by, order_by).rowsBetween(*frame_rows)
+    return df.withColumn(name, F.sum(agg_col).over(w))
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """B20 — top-1-per-group: the Spark form of the reference's
+    latest-completed-output resolution (``R/DataFrameOperationR.R:136-140``,
+    last element of the filtered status list). Deterministic when order_by
+    ends with a unique tiebreaker."""
+    return top_n_per_group(df, keys, order_by, 1).drop("rn")
+
+
+def top_n_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    n: int,
+) -> DataFrame:
+    """B17/B20 — keep the first n rows per key under the given order.
+    One shuffle on keys; filter happens before any downstream join, so the
+    reduced cardinality propagates."""
+    w = _w(keys, order_by)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= n)
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: float,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """B35 — gap-based sessionization (batch form): a new session starts
+    when the gap to the previous event of the same user exceeds
+    ``gap_minutes``. Classic two-window formulation: lag → boundary flag →
+    running sum of flags = session id. Both windows share one partitioning
+    (user) and one sort (ts) — a single shuffle+sort serves both.
+
+    Streaming twin: streaming.windows.session_window_agg (F.session_window).
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap_sec = gap_minutes * 60.0
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (
+            (F.col(ts_col).cast("double") - prev_ts.cast("double")) > gap_sec
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn("session_seq", F.sum(is_new).over(w)).withColumn(
+        "session_id",
+        F.concat_ws("-", F.col(user_col).cast("string"), F.col("session_seq").cast("string")),
+    )

@@ -1,0 +1,1104 @@
+"""Declared query surface — one named query per SURVEY.md §2 operator.
+
+Each entry pairs a Spark implementation (built from the operator library)
+with an ANSI-SQL oracle that DuckDB runs on the same parquet fixtures
+(driver contract, ``/root/repo/__spark_entry__.py``). Conventions that make
+the cross-engine hash comparison stable:
+
+- every computed column is aliased identically on both sides;
+- double aggregates are ``round(x, 4)`` on both sides (partial-agg order
+  differs between engines at 1e-12 relative — rounding absorbs it);
+- integer-typed SQL results are cast so DuckDB's bigint/hugeint widths
+  match Spark's (count → long both; sum(int) → CAST AS BIGINT; year() etc.
+  → CAST AS INTEGER);
+- ``events.ts`` is timestamp[ns] in parquet: DuckDB reads TIMESTAMP_NS,
+  Spark truncates to µs — oracles CAST(ts AS TIMESTAMP); the fixture has
+  no sub-µs precision so the cast is lossless;
+- order-sensitive queries (top-k, windows) always carry a unique
+  tiebreaker in the ORDER BY.
+
+Queries whose semantics are not SQL-expressible or not deterministic across
+engines (LSH candidates, random split, streaming with state) register
+without an oracle → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.catalog import load_fixture_tables, read_fixture_table
+from ddataframeoperation_spark.operators import (
+    dedup,
+    multimodal,
+    relational as R,
+    similarity,
+    text as TX,
+    windows as W,
+)
+from ddataframeoperation_spark import streaming as STR
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_fixture_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# B1/B3/B4 — scan, projection, filter (pushdown-eligible)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b01_scan_project_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_quantity > 25
+    """,
+)
+def b01(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    filtered = R.filter_rows(
+        li,
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 25),
+    )
+    return R.project(
+        filtered, "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@_q(
+    "b04_filter_predicates",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+      AND (o_totalprice BETWEEN 50000 AND 200000 OR o_orderpriority LIKE '1-%')
+      AND o_custkey IS NOT NULL
+    """,
+)
+def b04(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    pred = (
+        F.col("o_orderstatus").isin("F", "O")
+        & (
+            F.col("o_totalprice").between(50000, 200000)
+            | F.col("o_orderpriority").like("1-%")
+        )
+        & F.col("o_custkey").isNotNull()
+    )
+    return R.project(
+        R.filter_rows(o, pred),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5–B10 — joins
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b05_join_inner",
+    """
+    SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 0
+    """,
+)
+def b05(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    c = R.filter_rows(_t(spark, sf, "customer"), F.col("c_acctbal") > 0)
+    j = R.join(o, c, on=F.col("o_custkey") == F.col("c_custkey"))
+    return R.project(j, "o_orderkey", "c_custkey", "c_mktsegment", "o_totalprice")
+
+
+@_q(
+    "b06_join_left_agg",
+    """
+    SELECT c.c_custkey,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 4) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def b06(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    j = R.join(c, o, on=F.col("o_custkey") == F.col("c_custkey"), how="left")
+    return R.group_agg(
+        j,
+        ["c_custkey"],
+        [
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
+                "total_spend"
+            ),
+        ],
+    )
+
+
+@_q(
+    "b07_join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def b07(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = R.filter_rows(_t(spark, sf, "orders"), F.col("o_orderstatus") == "F")
+    j = R.join(c, o, on=F.col("o_custkey") == F.col("c_custkey"), how="left_semi")
+    return R.project(j, "c_custkey", "c_name")
+
+
+@_q(
+    "b07_join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def b07a(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    j = R.join(c, o, on=F.col("o_custkey") == F.col("c_custkey"), how="left_anti")
+    return R.project(j, "c_custkey", "c_name")
+
+
+@_q(
+    "b08_star_join_broadcast",
+    """
+    SELECT r.r_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def b08(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    j = R.join_star(
+        li,
+        [
+            (_t(spark, sf, "orders"), F.col("l_orderkey") == F.col("o_orderkey"), False),
+            (_t(spark, sf, "customer"), F.col("o_custkey") == F.col("c_custkey"), True),
+            (_t(spark, sf, "nation"), F.col("c_nationkey") == F.col("n_nationkey"), True),
+            (_t(spark, sf, "region"), F.col("n_regionkey") == F.col("r_regionkey"), True),
+        ],
+    )
+    return R.group_agg(
+        j,
+        ["r_name"],
+        [
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        ],
+    )
+
+
+@_q(
+    "b09_range_join",
+    """
+    SELECT e1.user_id, count(*) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    GROUP BY e1.user_id
+    """,
+)
+def b09(spark: SparkSession, sf: str) -> DataFrame:
+    e1 = _t(spark, sf, "events").alias("e1")
+    e2 = _t(spark, sf, "events").alias("e2")
+    j = R.join(
+        e1,
+        e2,
+        on=[
+            F.col("e1.user_id") == F.col("e2.user_id"),
+            F.col("e2.ts") > F.col("e1.ts"),
+            F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES"),
+        ],
+    )
+    return j.groupBy(F.col("e1.user_id").alias("user_id")).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B11–B16 — aggregation, distinct, rollup, having, sort, top-k
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b11_agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def b11(spark: SparkSession, sf: str) -> DataFrame:
+    li = R.filter_rows(
+        _t(spark, sf, "lineitem"),
+        F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"),
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return R.group_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        ],
+    )
+
+
+@_q(
+    "b12_distinct",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def b12(spark: SparkSession, sf: str) -> DataFrame:
+    return R.distinct_rows(_t(spark, sf, "customer"), ["c_mktsegment", "c_nationkey"])
+
+
+@_q(
+    "b12_count_distinct",
+    """
+    SELECT c_mktsegment,
+           count(DISTINCT c_nationkey) AS n_nations,
+           count(*) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def b12cd(spark: SparkSession, sf: str) -> DataFrame:
+    return R.group_agg(
+        _t(spark, sf, "customer"),
+        ["c_mktsegment"],
+        [
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count("*").alias("n_customers"),
+        ],
+    )
+
+
+@_q("b12_approx_count_distinct")  # rows-only: HLL sketches differ across engines
+def b12ad(spark: SparkSession, sf: str) -> DataFrame:
+    return R.group_agg(
+        _t(spark, sf, "orders"),
+        ["o_orderstatus"],
+        [F.approx_count_distinct("o_custkey").alias("approx_custs")],
+    )
+
+
+@_q(
+    "b13_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+           CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def b13(spark: SparkSession, sf: str) -> DataFrame:
+    return R.rollup_agg(
+        _t(spark, sf, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        ],
+    )
+
+
+@_q(
+    "b13_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def b13c(spark: SparkSession, sf: str) -> DataFrame:
+    return R.cube_agg(
+        _t(spark, sf, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        ],
+    )
+
+
+@_q(
+    "b14_having",
+    """
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_spend
+    FROM orders GROUP BY o_custkey HAVING count(*) > 5
+    """,
+)
+def b14(spark: SparkSession, sf: str) -> DataFrame:
+    return R.having(
+        _t(spark, sf, "orders"),
+        ["o_custkey"],
+        [
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        ],
+        F.col("n_orders") > 5,
+    )
+
+
+@_q(
+    "b16_top_k",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+def b16(spark: SparkSession, sf: str) -> DataFrame:
+    return R.top_k(
+        _t(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        20,
+    )
+
+
+@_q(
+    "b11_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS F,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b11p(spark: SparkSession, sf: str) -> DataFrame:
+    p = R.pivot_agg(
+        _t(spark, sf, "lineitem"),
+        "l_returnflag",
+        "l_linestatus",
+        ["F", "O"],
+        F.sum("l_quantity"),
+    )
+    return p.select(
+        "l_returnflag",
+        F.round(F.col("F"), 4).alias("F"),
+        F.round(F.col("O"), 4).alias("O"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B17–B20, B35 — windows
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b17_window_rank",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER w AS rn,
+             CAST(rank() OVER w AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def b17(spark: SparkSession, sf: str) -> DataFrame:
+    ranked = W.ranked(
+        _t(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+    )
+    return ranked.filter(F.col("rn") <= 3).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        "rn",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("dense_rnk").cast("long").alias("dense_rnk"),
+    )
+
+
+@_q(
+    "b18_window_lag_lead",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER w, 4) AS delta_prev,
+           round(lead(value) OVER w - value, 4) AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def b18(spark: SparkSession, sf: str) -> DataFrame:
+    e = W.with_lag_lead(
+        _t(spark, sf, "events"),
+        "value",
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.col("value_lag"), 4).alias("delta_prev"),
+        F.round(F.col("value_lead") - F.col("value"), 4).alias("delta_next"),
+    )
+
+
+@_q(
+    "b19_window_running_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_sum
+    FROM events
+    """,
+)
+def b19(spark: SparkSession, sf: str) -> DataFrame:
+    e = W.running_agg(
+        _t(spark, sf, "events"),
+        "value",
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+    )
+    return e.select(
+        "event_id", "user_id", F.round("running_sum", 4).alias("running_sum")
+    )
+
+
+@_q(
+    "b20_latest_per_key",
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def b20(spark: SparkSession, sf: str) -> DataFrame:
+    latest = W.latest_per_key(
+        _t(spark, sf, "events"),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return latest.select("user_id", "event_id", "ts", "value")
+
+
+@_q(
+    "b35_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+                  THEN 1 ELSE 0 END AS is_new,
+             ts, event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def b35(spark: SparkSession, sf: str) -> DataFrame:
+    s = W.sessionize(
+        _t(spark, sf, "events"), "user_id", "ts", 30.0, tiebreak=["event_id"]
+    )
+    return s.groupBy(
+        "user_id", F.col("session_seq").cast("long").alias("session_seq")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B21–B22 — set ops, random split
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b21_union_distinct",
+    """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    UNION
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def b21u(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    high = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return R.union_distinct(high, bld)
+
+
+@_q(
+    "b21_intersect_except",
+    """
+    SELECT 'both' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    UNION ALL
+    SELECT 'only_high' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def b21ie(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    high = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = R.intersect(high, bld).withColumn("tag", F.lit("both"))
+    only = R.except_all(high, bld).withColumn("tag", F.lit("only_high"))
+    return R.union_all(both, only).select("tag", "c_custkey")
+
+
+@_q("b22_random_split")  # rows-only: engine-specific sampling
+def b22(spark: SparkSession, sf: str) -> DataFrame:
+    train, test = R.random_split(_t(spark, sf, "customer"), [0.8, 0.2], seed=42)
+    return R.union_all(
+        train.agg(F.lit("train").alias("split"), F.count("*").alias("n_rows")),
+        test.agg(F.lit("test").alias("split"), F.count("*").alias("n_rows")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B23–B27 — scalar function families
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b23_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substring(p_type, 1, 5) AS type_prefix,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+           CAST(len(string_split(p_name, ' ')) AS INTEGER) AS n_words,
+           CAST(strpos(p_name, 'a') AS INTEGER) AS first_a,
+           ltrim(p_name) AS trimmed,
+           (p_type LIKE '%BRASS%') AS is_brass
+    FROM part
+    """,
+)
+def b23(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("consonants"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.ltrim("p_name").alias("trimmed"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+    )
+
+
+@_q(
+    "b24_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+           CAST(day(o_orderdate) AS INTEGER) AS o_day,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01') AS INTEGER)
+             AS days_to_98,
+           CAST(o_orderdate AS DATE) AS o_date
+    FROM orders
+    """,
+)
+def b24(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_98"
+        ),
+        F.to_date("o_orderdate").alias("o_date"),
+    )
+
+
+@_q(
+    "b25_math_conditional",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price,
+           round(abs(l_discount - 0.05), 4) AS disc_dev,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS qty_bucket,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+           CAST(l_quantity AS INTEGER) AS qty_int
+    FROM lineitem
+    """,
+)
+def b25(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "net_price"
+        ),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+        .alias("qty_bucket"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+        F.col("l_quantity").cast("int").alias("qty_int"),
+    )
+
+
+@_q(
+    "b26_json_funcs",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def b26(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return R.group_agg(
+        e,
+        ["event_type"],
+        [
+            F.sum("k").cast("long").alias("sum_k"),
+            F.count("*").alias("n_events"),
+        ],
+    )
+
+
+@_q(
+    "b27_array_funcs",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS n_dims,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_dim,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 4) AS l2_norm,
+           label
+    FROM embeddings
+    """,
+)
+def b27(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_dim"),
+        F.round(similarity.l2_norm(F.col("embedding")), 4).alias("l2_norm"),
+        "label",
+    )
+
+
+# ---------------------------------------------------------------------------
+# B28 — schema introspection / manifest
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b28_schema_manifest",
+    """
+    SELECT * FROM (VALUES
+      (1, 'l_orderkey', 'bigint'), (2, 'l_partkey', 'bigint'),
+      (3, 'l_suppkey', 'bigint'), (4, 'l_linenumber', 'int'),
+      (5, 'l_quantity', 'double'), (6, 'l_extendedprice', 'double'),
+      (7, 'l_discount', 'double'), (8, 'l_tax', 'double'),
+      (9, 'l_returnflag', 'string'), (10, 'l_linestatus', 'string'),
+      (11, 'l_shipdate', 'timestamp_ntz')
+    ) AS t(pos, col_name, type_name)
+    """,
+)
+def b28(spark: SparkSession, sf: str) -> DataFrame:
+    from ddataframeoperation_spark.functions.schema import metadata_from_schema
+
+    names, types = metadata_from_schema(_t(spark, sf, "lineitem"))
+    rows = [
+        (i + 1, n.strip(), t.strip())
+        for i, (n, t) in enumerate(zip(names.split(","), types.split(",")))
+    ]
+    return spark.createDataFrame(rows, "pos int, col_name string, type_name string")
+
+
+# ---------------------------------------------------------------------------
+# B31–B34 — dedup, near-dup, similarity, text analysis
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b31_dedup_fingerprint",
+    """
+    SELECT doc_id, fp FROM (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+             row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def b31(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.dedup_by_fingerprint(_t(spark, sf, "documents")).select(
+        "doc_id", "fp"
+    )
+
+
+@_q(
+    "b31_dedup_by_key",
+    """
+    SELECT user_id, event_type, event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def b31k(spark: SparkSession, sf: str) -> DataFrame:
+    d = dedup.dedup_by_key(
+        _t(spark, sf, "events"),
+        ["user_id", "event_type"],
+        [F.col("ts"), F.col("event_id")],
+    )
+    return d.select("user_id", "event_type", "event_id")
+
+
+@_q(
+    "b32_jaccard_pairs",
+    """
+    WITH norm AS (
+      SELECT doc_id AS id, source AS grp,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT id, grp, unnest(list_distinct(string_split(t, ' '))) AS tok FROM norm
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM tok GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.grp = b.grp AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(i / (sa.sz + sb.sz - i), 4) AS jacc
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def b32j(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.jaccard_pairs(
+        _t(spark, sf, "documents"), group_col="source", threshold=0.5
+    )
+
+
+@_q("b32_minhash_candidates")  # rows-only: hash family is engine-specific
+def b32m(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_candidates(_t(spark, sf, "documents"))
+
+
+@_q("b32_simhash_candidates")  # rows-only: hash family is engine-specific
+def b32s(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_candidates(_t(spark, sf, "documents"), max_hamming=3)
+
+
+@_q(
+    "b33_cosine_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 4) AS cos_sim
+    FROM embeddings, q
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe) DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def b33(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.cosine_topk(emb, qvec, k=10)
+
+
+@_q("b33_lsh_topk")  # rows-only: LSH plane family is engine-specific
+def b33l(spark: SparkSession, sf: str) -> DataFrame:
+    import numpy as np
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    rng = np.random.RandomState(42)
+    planes = rng.randn(16, len(qvec)).tolist()
+    return similarity.lsh_topk(emb, qvec, planes, k=10, max_hamming=4)
+
+
+@_q(
+    "b34_word_stats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))) AS BIGINT)
+             AS total_tokens,
+           round(avg(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))), 4)
+             AS avg_tokens,
+           round(avg(length(text)), 4) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def b34w(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.word_stats(_t(spark, sf, "documents"))
+
+
+@_q(
+    "b34_quality_score",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n, alpha,
+             len(string_split(norm, ' ')) AS ntok,
+             length(norm) AS nlen
+      FROM base
+    )
+    SELECT doc_id,
+           round(0.4 * (CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.3 END)
+                 + 0.4 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+                 + 0.2 * (CASE WHEN ntok > 0 AND (nlen / ntok) >= 2.0
+                                    AND (nlen / ntok) <= 12.0
+                               THEN 1.0 ELSE 0.4 END), 4) AS quality
+    FROM m
+    """,
+)
+def b34q(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "documents").select(
+        "doc_id", TX.quality_score("text").alias("quality")
+    )
+
+
+@_q(
+    "b34_language_id",
+    r"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS sde,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|with)\b')) AS sen,
+             len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|una|por|con)\b')) AS ses,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|des|est|une|dans|pour)\b')) AS sfr
+      FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
+                WHEN sde = greatest(sde, sen, ses, sfr) THEN 'de'
+                WHEN sen = greatest(sde, sen, ses, sfr) THEN 'en'
+                WHEN ses = greatest(sde, sen, ses, sfr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM s
+    """,
+)
+def b34l(spark: SparkSession, sf: str) -> DataFrame:
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        TX.language_id("text").alias("pred_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (north star) — binary columns with typed metadata
+# ---------------------------------------------------------------------------
+
+@_q(
+    "bmm_media_stats",
+    """
+    SELECT source,
+           count(*) AS n_items,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           round(avg(octet_length(encode(text))), 4) AS avg_bytes,
+           count(DISTINCT md5(text)) AS distinct_payloads
+    FROM documents GROUP BY source
+    """,
+)
+def bmm(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        "source",
+    )
+    meta = multimodal.attach_media_metadata(docs)
+    return multimodal.media_stats(meta, group_col="source")
+
+
+@_q("bmm_decode_stub")  # rows-only: decode kernel is a deterministic stub
+def bmmd(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return multimodal.decode_image_batch(docs)
+
+
+# ---------------------------------------------------------------------------
+# B36–B38 — Structured Streaming (availableNow replay of events)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b36_stream_tumbling",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def b36(spark: SparkSession, sf: str) -> DataFrame:
+    stream = STR.events_as_stream(spark, sf)
+    return STR.run_to_memory(STR.tumbling_counts(stream))
+
+
+@_q("b37_stream_session")  # rows-only: session merge state is streaming-only
+def b37(spark: SparkSession, sf: str) -> DataFrame:
+    stream = STR.events_as_stream(spark, sf)
+    return STR.run_to_memory(STR.session_window_agg(stream))
+
+
+@_q("b38_stream_dedup")  # rows-only: watermark-scoped state
+def b38(spark: SparkSession, sf: str) -> DataFrame:
+    stream = STR.events_as_stream(spark, sf)
+    deduped = STR.stream_dedup(stream)
+    out = STR.run_to_memory(deduped.select("user_id", "event_type", "event_id"),
+                            output_mode="append")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Flagship (entry smoke): TPC-H Q3 shape — filter + star join + agg + top-k
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b10_flagship_q3",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def flagship(spark: SparkSession, sf: str) -> DataFrame:
+    c = R.filter_rows(
+        _t(spark, sf, "customer"), F.col("c_mktsegment") == "BUILDING"
+    )
+    o = R.filter_rows(
+        _t(spark, sf, "orders"),
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+    )
+    li = R.filter_rows(
+        _t(spark, sf, "lineitem"),
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"),
+    )
+    j = R.join_broadcast(
+        R.join(li, o, on=F.col("l_orderkey") == F.col("o_orderkey")),
+        c,
+        on=F.col("o_custkey") == F.col("c_custkey"),
+    )
+    agg = R.group_agg(
+        j,
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        [
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        ],
+    )
+    return R.top_k(
+        agg.select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        [F.col("revenue").desc(), F.col("o_orderkey").asc()],
+        10,
+    )

@@ -1,0 +1,17 @@
+from ddataframeoperation_spark.streaming.windows import (
+    events_as_stream,
+    tumbling_counts,
+    sliding_counts,
+    session_window_agg,
+    stream_dedup,
+    run_to_memory,
+)
+
+__all__ = [
+    "events_as_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_window_agg",
+    "stream_dedup",
+    "run_to_memory",
+]

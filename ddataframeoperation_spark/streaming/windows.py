@@ -1,0 +1,143 @@
+"""Structured Streaming forms of the event-time operators.
+
+SURVEY.md §2 B36–B38. The reference is batch-only (eager R, §4), so these
+are pure engine surface: watermarked tumbling/sliding windows, session
+windows, and stateful dedup over the ``events`` table replayed as a stream.
+
+Test/verification strategy (SURVEY.md §5.4): replay the parquet fixture
+with ``availableNow`` + a memory sink and check batch-equivalence — the
+windowed streaming aggregate over the full replay must equal the batch
+``groupBy(window)`` on the same data. That also powers the driver's
+rows-only correctness entries.
+
+Scale notes: state store size is bounded by the watermark horizon ×
+key cardinality; keys here are (window) or (window, user) — at 100 TB of
+events the shuffle partitions the state by key so state is distributed; the
+watermark is what keeps it finite. ``availableNow`` processes a backlog in
+rate-limited batches — the same code serves backfill and live tailing.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "events_as_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_window_agg",
+    "stream_dedup",
+    "run_to_memory",
+]
+
+
+def events_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events fixture as a file-source stream (one-file-per-batch
+    keeps the replay deterministic enough for equivalence checks)."""
+    from ddataframeoperation_spark.catalog import _normalize_ns_timestamps
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source requires a *directory*; select just the events
+    # file out of the fixture dir with a glob filter.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # ns→µs conversion mirrors the batch catalog (events.ts arrives as
+    # epoch-nanos long under the nanosAsLong legacy conf).
+    return _normalize_ns_timestamps(stream)
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """B36 — watermarked tumbling-window aggregate: count + sum(value) per
+    (window, event_type)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """B36 — sliding-window variant (each event lands in window/slide panes)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "n_events")
+    )
+
+
+def session_window_agg(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """B37 — native session windows (gap-close semantics) per user; late
+    data beyond the watermark is dropped by the engine. Batch twin:
+    operators.windows.sessionize."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sess.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """B38 — stateful streaming dedup by key within the watermark horizon
+    (state for a key is dropped once the watermark passes it, keeping state
+    bounded — the 100 TB requirement)."""
+    keys = keys or ["user_id", "event_type"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame with trigger=availableNow into a memory
+    sink and return the materialized table — the batch-equivalence harness.
+    Uses a unique sink name per call; blocks until the backlog is drained."""
+    name = "s" + _uuid.uuid4().hex[:12]
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)

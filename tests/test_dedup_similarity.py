@@ -1,0 +1,88 @@
+"""Dedup (B31/B32) and similarity (B33) operator tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.catalog import read_fixture_table
+from ddataframeoperation_spark.operators import dedup, similarity
+
+
+def _docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog", "a"),
+        (2, "The quick brown fox jumps over the lazy dog!", "a"),  # near-dup of 1
+        (3, "the QUICK brown fox jumps over the lazy dog", "a"),  # normalized dup of 1
+        (4, "Completely different content about spark engines", "a"),
+        (5, "Totally unrelated text with other words entirely", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_fingerprint_dedup_keeps_lowest_id(spark):
+    d = dedup.dedup_by_fingerprint(_docs(spark))
+    ids = sorted(r["doc_id"] for r in d.collect())
+    # 1/2/3 normalize identically -> keep 1; 4 and 5 survive.
+    assert ids == [1, 4, 5]
+
+
+def test_jaccard_pairs_finds_near_dups(spark):
+    pairs = dedup.jaccard_pairs(_docs(spark), threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert all(a < b for a, b in got)
+    assert (4, 5) not in got
+
+
+def test_minhash_candidates_cover_exact_dups(spark):
+    """Identical normalized docs always collide in every band."""
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_candidates(_docs(spark)).collect()
+    }
+    assert (1, 2) in cand and (1, 3) in cand
+
+
+def test_simhash_zero_distance_for_dups(spark):
+    cand = dedup.simhash_candidates(_docs(spark), max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in cand.collect()}
+    assert got.get((1, 3)) == 0  # identical after normalization
+
+
+def test_dedup_by_key_deterministic(spark, sf_dir):
+    e = read_fixture_table(spark, sf_dir, "events")
+    d1 = dedup.dedup_by_key(e, ["user_id"], [F.col("ts"), F.col("event_id")])
+    d2 = dedup.dedup_by_key(e, ["user_id"], [F.col("ts"), F.col("event_id")])
+    assert sorted(r["event_id"] for r in d1.collect()) == sorted(
+        r["event_id"] for r in d2.collect()
+    )
+
+
+def test_cosine_known_vectors(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [2.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = similarity.cosine_topk(df, [1.0, 0.0], k=4).collect()
+    by_id = {r["vec_id"]: r["cos_sim"] for r in top}
+    assert by_id[1] == 1.0 and by_id[4] == 1.0
+    assert abs(by_id[3] - round(1 / math.sqrt(2), 4)) < 1e-9
+    assert by_id[2] == 0.0
+    # Order: descending score, id tiebreak.
+    assert [r["vec_id"] for r in top] == [1, 4, 3, 2]
+
+
+def test_lsh_recovers_exact_topk_with_loose_budget(spark, sf_dir):
+    """With a generous hamming budget the LSH path converges to exact."""
+    import numpy as np
+
+    emb = read_fixture_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=5).collect()]
+    rng = np.random.RandomState(42)
+    planes = rng.randn(16, len(q)).tolist()
+    approx = [
+        r["vec_id"]
+        for r in similarity.lsh_topk(emb, q, planes, k=5, max_hamming=16).collect()
+    ]
+    assert approx == exact

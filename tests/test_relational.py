@@ -1,0 +1,88 @@
+"""Relational-core invariants (SURVEY.md §5.4 property checks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.catalog import read_fixture_table
+from ddataframeoperation_spark.operators import relational as R
+
+
+def test_filter_partitions_table(spark, sf_dir):
+    """filter(p) + filter(!p) partitions the table (no rows lost/duplicated)."""
+    o = read_fixture_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice") > 100000
+    n = o.count()
+    assert R.filter_rows(o, p).count() + R.filter_rows(o, ~p).count() == n
+
+
+def test_union_all_counts(spark, sf_dir):
+    c = read_fixture_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 0)
+    b = c.filter(F.col("c_acctbal") <= 0)
+    assert R.union_all(a, b).count() == a.count() + b.count()
+
+
+def test_join_project_commutes(spark, sf_dir):
+    """Projection pushed through a key-preserving join gives the same rows."""
+    o = read_fixture_table(spark, sf_dir, "orders")
+    c = read_fixture_table(spark, sf_dir, "customer")
+    j1 = (
+        R.join(o, c, on=F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "c_custkey")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    j2 = (
+        R.join(
+            o.select("o_orderkey", "o_custkey"),
+            c.select("c_custkey"),
+            on=F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "c_custkey")
+        .orderBy("o_orderkey")
+        .collect()
+    )
+    assert j1 == j2
+
+
+def test_semi_plus_anti_partitions(spark, sf_dir):
+    c = read_fixture_table(spark, sf_dir, "customer")
+    o = read_fixture_table(spark, sf_dir, "orders")
+    on = F.col("c_custkey") == F.col("o_custkey")
+    semi = R.join(c, o, on=on, how="left_semi").count()
+    anti = R.join(c, o, on=on, how="left_anti").count()
+    assert semi + anti == c.count()
+
+
+def test_top_k_deterministic(spark, sf_dir):
+    o = read_fixture_table(spark, sf_dir, "orders")
+    order = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    a = R.top_k(o.select("o_orderkey", "o_totalprice"), order, 5).collect()
+    b = R.top_k(o.select("o_orderkey", "o_totalprice"), order, 5).collect()
+    assert a == b and len(a) == 5
+
+
+def test_repartition_invariance(spark, sf_dir):
+    """Single-partition vs repartitioned aggregation agree (shuffle-safety)."""
+    li = read_fixture_table(spark, sf_dir, "lineitem")
+    agg = lambda d: {
+        (r["l_returnflag"], r["n"])
+        for r in d.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    assert agg(li.coalesce(1)) == agg(li.repartition(16))
+
+
+def test_empty_input(spark, sf_dir):
+    li = read_fixture_table(spark, sf_dir, "lineitem").filter(F.lit(False))
+    out = R.group_agg(li, ["l_returnflag"], [F.count("*").alias("n")])
+    assert out.count() == 0
+
+
+def test_random_split_partitions(spark, sf_dir):
+    c = read_fixture_table(spark, sf_dir, "customer")
+    train, test = R.random_split(c, [0.8, 0.2], seed=42)
+    assert train.count() + test.count() == c.count()
+    # Seeded split is reproducible.
+    train2, _ = R.random_split(c, [0.8, 0.2], seed=42)
+    assert train.count() == train2.count()

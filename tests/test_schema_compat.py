@@ -1,0 +1,95 @@
+"""Schema metadata round-trip (B28) and reference-surface compat layer."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import types as T
+
+from ddataframeoperation_spark import compat
+from ddataframeoperation_spark.functions.schema import (
+    manifest_for,
+    metadata_from_schema,
+    schema_from_metadata,
+)
+
+
+def test_schema_from_metadata_vocab():
+    st = schema_from_metadata("a, b, c, d", "integer, character, double, logical")
+    assert [f.dataType for f in st.fields] == [
+        T.IntegerType(),
+        T.StringType(),
+        T.DoubleType(),
+        T.BooleanType(),
+    ]
+    assert [f.name for f in st.fields] == ["a", "b", "c", "d"]
+
+
+def test_metadata_roundtrip(spark):
+    df = spark.createDataFrame([(1, "x", 2.0)], "a int, b string, c double")
+    names, types = metadata_from_schema(df)
+    assert names == "a, b, c" and types == "int, string, double"
+    st = schema_from_metadata(names, types)
+    assert st == df.schema
+
+
+def test_unknown_type_falls_back_to_string():
+    st = schema_from_metadata("a", "wibble")
+    assert st.fields[0].dataType == T.StringType()
+
+
+def test_final_output_csv_and_manifest(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, name string")
+    statuses = []
+    manifest = compat.final_output(
+        df,
+        str(tmp_path),
+        job_reporter=lambda loc, status: statuses.append(status),
+        write_pmml=True,
+        script="out = dfs['t']",
+    )
+    assert statuses == [2]
+    assert manifest["MetaData"] == "id, name"
+    assert manifest["MetaDataType"] == "int, string"
+    # Data directory holds comma-separated headerless CSV (intent of A20).
+    files = glob.glob(os.path.join(manifest["DataLocation"], "part-*"))
+    assert files
+    content = "".join(open(f).read() for f in files)
+    assert "1,x" in content and "2,y" in content
+    # PMML exists and includes every FieldRef + the DataDictionary (A24 fixed).
+    pmml = open(os.path.join(manifest["PMMLLocation"], "part-00000")).read()
+    assert pmml.count("<FieldRef") == 2
+    assert "<DataDictionary" in pmml
+
+
+def test_perform_load_data_catalog(spark, sf_dir):
+    cat = compat.perform_load_data(
+        spark,
+        table_specs=[
+            {
+                "TABLE_NAME": "cust",
+                "DataLocation": f"{sf_dir}/customer.parquet",
+            }
+        ],
+    )
+    assert "cust" in cat
+    assert cat["cust"].count() > 0
+    assert spark.table("cust").columns == cat["cust"].columns
+
+
+def test_update_job_payload():
+    calls = []
+    compat.update_job(
+        lambda url, payload: calls.append((url, payload)),
+        "http://svc/",
+        "abc",
+        "exp1",
+        "n1",
+        "/out",
+        2,
+    )
+    (url, payload), = calls
+    assert url == "http://svc/Updatejob"
+    assert payload["ParameterValue"]["JobID"] == "application_abc"
+    assert payload["ParameterValue"]["Status"] == 2

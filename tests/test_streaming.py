@@ -1,0 +1,42 @@
+"""Streaming batch-equivalence checks (SURVEY.md §5.4, B36-B38)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark import streaming as STR
+from ddataframeoperation_spark.catalog import read_fixture_table
+
+
+def test_tumbling_equals_batch(spark, sf_dir):
+    stream = STR.events_as_stream(spark, sf_dir)
+    got = STR.run_to_memory(STR.tumbling_counts(stream))
+    batch = read_fixture_table(spark, sf_dir, "events")
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w
+
+
+def test_stream_dedup_counts(spark, sf_dir):
+    stream = STR.events_as_stream(spark, sf_dir)
+    out = STR.run_to_memory(
+        STR.stream_dedup(stream).select("user_id", "event_type", "event_id"),
+        output_mode="append",
+    )
+    batch = read_fixture_table(spark, sf_dir, "events")
+    # One survivor per (user_id, event_type) key over the whole replay
+    # (single batch => watermark never expires state mid-run).
+    assert out.count() == batch.select("user_id", "event_type").distinct().count()

@@ -1,0 +1,61 @@
+"""Text analysis (B34) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.catalog import read_fixture_table
+from ddataframeoperation_spark.operators import multimodal, text as TX
+
+
+def test_language_id_markers(spark):
+    rows = [
+        (1, "the cat and the dog sat in the house with a hat"),
+        (2, "el gato y la casa de los perros que juegan por la calle con"),
+        (3, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", TX.language_id("text").alias("lang")).collect()}
+    assert got[1] == "en" and got[2] == "es" and got[3] == "und"
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = read_fixture_table(spark, sf_dir, "documents")
+    q = docs.select(TX.quality_score("text").alias("q"))
+    assert q.filter((F.col("q") < 0) | (F.col("q") > 1)).count() == 0
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "Hello,   World! one-two")], "id long, text string")
+    n = df.select(TX.token_count("text").alias("n")).head()["n"]
+    assert n == 4  # hello world one two
+
+
+def test_decode_stub_schema_and_determinism(spark):
+    rows = [(1, bytearray(b"abcd")), (2, bytearray(b"")), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = multimodal.decode_image_batch(df)
+    assert out.columns == ["media_id", "width", "height", "n_pixels"]
+    got = {r["media_id"]: (r["width"], r["height"]) for r in out.collect()}
+    assert got[1] == (5, 5)  # len 4 -> 4%640+1
+    assert got[2] == (1, 1) and got[3] == (1, 1)
+
+
+def test_media_metadata_prunes_payload(spark):
+    rows = [(1, bytearray(b"abc")), (2, bytearray(b"abc"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = multimodal.attach_media_metadata(df)
+    stats = multimodal.media_stats(meta).collect()
+    assert stats[0]["n_items"] == 2
+    assert stats[0]["distinct_payloads"] == 1
+    assert stats[0]["total_bytes"] == 6
+
+
+def test_feature_extraction_shape(spark):
+    rows = [(1, bytearray(bytes(range(64))))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = multimodal.extract_image_features(df, dim=8).head()
+    assert len(out["feature"]) == 8
+    norm = sum(x * x for x in out["feature"]) ** 0.5
+    assert abs(norm - 1.0) < 1e-5

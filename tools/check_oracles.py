@@ -1,0 +1,105 @@
+"""Local mimic of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() twin on DuckDB at sf0.01; compare row count,
+column names, and an order-insensitive value multiset.
+
+Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from collections import Counter
+from pathlib import Path
+
+import duckdb
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from ddataframeoperation_spark.queries import ORACLES, QUERIES  # noqa: E402
+from ddataframeoperation_spark.session import get_spark  # noqa: E402
+from ddataframeoperation_spark.catalog import FIXTURE_TABLES  # noqa: E402
+
+
+def norm_cell(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}" if v == int(v) and abs(v) < 1e15 else repr(round(v, 6))
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def row_multiset(cols: list[str], rows: list[tuple]) -> Counter:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracles")
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in ORACLES:
+            print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s, rows-only)")
+            continue
+        try:
+            rel = con.execute(ORACLES[name])
+            ocols = [d[0] for d in rel.description]
+            orows = rel.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        ok = True
+        if sorted(scols) != sorted(ocols):
+            ok = False
+            print(f"FAIL  {name}: columns spark={scols} duck={ocols}")
+        elif len(srows) != len(orows):
+            ok = False
+            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(orows)}")
+        else:
+            sm = row_multiset(scols, srows)
+            om = row_multiset(ocols, orows)
+            if sm != om:
+                ok = False
+                diff_s = list((sm - om).items())[:3]
+                diff_o = list((om - sm).items())[:3]
+                print(f"FAIL  {name}: value mismatch; spark-only={diff_s} duck-only={diff_o}")
+        if ok:
+            print(f"ok    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+        else:
+            failures.append(name)
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL GREEN")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
