@@ -28,6 +28,7 @@ __all__ = [
     "l2_norm",
     "cosine",
     "cosine_topk",
+    "cosine_neardup_pairs",
     "hyperplane_signature",
     "lsh_topk",
 ]
@@ -74,6 +75,54 @@ def cosine_topk(
         scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
         .limit(k)
         .select(F.col(id_col), F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    block_col: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: Sequence[Sequence[float]] | None = None,
+) -> DataFrame:
+    """B33/north-star — embedding-cosine near-duplicate pairs.
+
+    Candidate generation is an equi-join on a blocking key — never a cross
+    join: either a caller-supplied ``block_col`` (e.g. a cluster/label/
+    partition id) or, for unblocked corpora, the random-hyperplane LSH
+    signature from ``planes`` (pairs within a bucket share all sign bits;
+    raise recall by passing several independent plane sets and unioning).
+    Exact cosine re-scores candidates; only pairs >= threshold survive.
+
+    At 100 TB: precompute the signature as a stored column partitioned by
+    its prefix, so the self-join is co-partitioned and shuffle-free.
+    """
+    if block_col is not None:
+        blocked = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            F.col(block_col).alias("blk"),
+        )
+    elif planes is not None:
+        blocked = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            hyperplane_signature(F.col(vec_col), planes).alias("blk"),
+        )
+    else:
+        raise ValueError("pass block_col or planes — unblocked pairwise "
+                         "cosine is a cross join and does not scale")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = a.join(
+        b,
+        on=[F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")],
+    )
+    scored = cand.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("_cos"),
+    )
+    return scored.filter(F.col("_cos") >= threshold).select(
+        "id_a", "id_b", F.round("_cos", 4).alias("cos_sim")
     )
 
 

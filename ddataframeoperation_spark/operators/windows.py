@@ -81,12 +81,14 @@ def running_agg(
     order_by: Sequence[Column | str],
     frame_rows: tuple[int, int] = (Window.unboundedPreceding, Window.currentRow),
     name: str = "running_sum",
+    agg=F.sum,
 ) -> DataFrame:
-    """B19 — framed window aggregate (running sum / moving average).
-    ROWS frames need a total order inside the partition — callers must pass
-    a tiebreaking order_by for determinism."""
+    """B19 — framed window aggregate (running sum / moving average via
+    ``agg=F.avg`` + a bounded frame). ROWS frames need a total order inside
+    the partition — callers must pass a tiebreaking order_by for
+    determinism."""
     w = _w(partition_by, order_by).rowsBetween(*frame_rows)
-    return df.withColumn(name, F.sum(agg_col).over(w))
+    return df.withColumn(name, agg(agg_col).over(w))
 
 
 def latest_per_key(

@@ -1051,6 +1051,227 @@ def b38(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B2 — catalog + SQL surface
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b02_catalog_sql",
+    """
+    SELECT n.n_name,
+           round(sum(o.o_totalprice), 4) AS total_revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def b02(spark: SparkSession, sf: str) -> DataFrame:
+    # The catalog registers every fixture table as a temp view (B2:
+    # reference PerformLoadData's named-list contract) so plain SQL works.
+    load_fixture_tables(spark, sf)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               round(sum(o.o_totalprice), 4) AS total_revenue,
+               count(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# B18/B19 — more window variants
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b18_first_last",
+    """
+    SELECT event_id, user_id,
+           round(first_value(value) OVER w, 4) AS first_val,
+           round(last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) AS last_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def b18fl(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w), 4).alias("first_val"),
+        F.round(F.last("value").over(w_full), 4).alias("last_val"),
+    )
+
+
+@_q(
+    "b19_moving_avg",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg
+    FROM events
+    """,
+)
+def b19ma(spark: SparkSession, sf: str) -> DataFrame:
+    e = W.running_agg(
+        _t(spark, sf, "events"),
+        "value",
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+        frame_rows=(-2, Window.currentRow),
+        name="moving_avg",
+        agg=F.avg,
+    )
+    return e.select(
+        "event_id", "user_id", F.round("moving_avg", 4).alias("moving_avg")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B26/B27 — structured JSON + array explode variants
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b26_from_json_struct",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def b26fj(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+
+
+@_q(
+    "b27_posexplode_dims",
+    """
+    SELECT label, CAST(gs.i - 1 AS INTEGER) AS pos,
+           round(avg(CAST(embedding[gs.i] AS DOUBLE)), 4) AS avg_val,
+           round(min(CAST(embedding[gs.i] AS DOUBLE)), 4) AS min_val,
+           round(max(CAST(embedding[gs.i] AS DOUBLE)), 4) AS max_val
+    FROM embeddings, generate_series(1, 4) gs(i)
+    GROUP BY label, gs.i
+    """,
+)
+def b27pe(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "embeddings").select(
+        "label", F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "dim")
+    )
+    return e.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("dim").cast("double")), 4).alias("avg_val"),
+        F.round(F.min(F.col("dim").cast("double")), 4).alias("min_val"),
+        F.round(F.max(F.col("dim").cast("double")), 4).alias("max_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B29 — sinks (write → read-back)
+# ---------------------------------------------------------------------------
+
+@_q("b29_sink_roundtrip")  # rows-only: verified by read-back counts
+def b29(spark: SparkSession, sf: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    src = _t(spark, sf, "nation")
+    out_root = tempfile.mkdtemp(prefix="ddfo_sink_")
+    try:
+        pq_dir = f"{out_root}/nation_pq"
+        csv_dir = f"{out_root}/nation_csv"
+        src.write.mode("overwrite").parquet(pq_dir)
+        src.write.mode("overwrite").option("header", "false").csv(csv_dir)
+        pq_n = spark.read.parquet(pq_dir).count()
+        csv_n = (
+            spark.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+            .csv(csv_dir)
+            .count()
+        )
+        rows = [("parquet", pq_n), ("csv", csv_n), ("source", src.count())]
+        return spark.createDataFrame(rows, "sink string, n_rows long")
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# B30 — script-transform surface (applyInPandas)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b30_script_zscore",
+    """
+    SELECT user_id, round(value, 4) AS value,
+           round(coalesce((value - avg(value) OVER w)
+                          / nullif(stddev_samp(value) OVER w, 0), 0.0), 4) AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def b30(spark: SparkSession, sf: str) -> DataFrame:
+    from ddataframeoperation_spark.operators.script import zscore_per_group
+
+    z = zscore_per_group(_t(spark, sf, "events"), ["user_id"], "value")
+    return z.select(
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round("zscore", 4).alias("zscore"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# B33 — embedding-cosine near-dup pairs (north star dedup family)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b33_embedding_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    """,
+)
+def b33nd(spark: SparkSession, sf: str) -> DataFrame:
+    return similarity.cosine_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.35, block_col="label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# B36 — sliding-window streaming (batch-equivalent oracle)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b36_stream_sliding",
+    """
+    WITH starts AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ws FROM events
+      UNION ALL
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR FROM events
+    )
+    SELECT ws AS window_start, count(*) AS n_events FROM starts GROUP BY ws
+    """,
+)
+def b36s(spark: SparkSession, sf: str) -> DataFrame:
+    stream = STR.events_as_stream(spark, sf)
+    return STR.run_to_memory(STR.sliding_counts(stream))
+
+
+# ---------------------------------------------------------------------------
 # Flagship (entry smoke): TPC-H Q3 shape — filter + star join + agg + top-k
 # ---------------------------------------------------------------------------
 

@@ -72,6 +72,27 @@ def test_cosine_known_vectors(spark):
     assert [r["vec_id"] for r in top] == [1, 4, 3, 2]
 
 
+def test_cosine_neardup_pairs_blocked(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.99, 0.01], 0),   # near-dup of 1 (same block)
+        (3, [0.0, 1.0], 0),     # same block, dissimilar
+        (4, [1.0, 0.0], 1),     # identical to 1 but different block -> not paired
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    pairs = similarity.cosine_neardup_pairs(df, threshold=0.9, block_col="label")
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_cosine_neardup_requires_blocking(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        similarity.cosine_neardup_pairs(df)
+
+
 def test_lsh_recovers_exact_topk_with_loose_budget(spark, sf_dir):
     """With a generous hamming budget the LSH path converges to exact."""
     import numpy as np
