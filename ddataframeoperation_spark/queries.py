@@ -1252,6 +1252,57 @@ def b33nd(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew toolkit — salted aggregation must be result-identical to plain groupBy
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b11_salted_agg",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity), 4) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b11salt(spark: SparkSession, sf: str) -> DataFrame:
+    from ddataframeoperation_spark.operators import skew
+
+    out = skew.salted_group_agg(
+        _t(spark, sf, "lineitem").select("l_returnflag", "l_quantity"),
+        ["l_returnflag"],
+        partials=[
+            F.sum("l_quantity").alias("p_sum"),
+            F.count("*").alias("p_cnt"),
+        ],
+        finals=[
+            F.round(F.sum("p_sum"), 4).alias("sum_qty"),
+            F.sum("p_cnt").alias("n_rows"),
+        ],
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# B38 — custom stateful streaming (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b38_stateful_totals",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def b38st(spark: SparkSession, sf: str) -> DataFrame:
+    # Single-file availableNow replay => one micro-batch => each key emits
+    # exactly one update equal to the batch totals (the equivalence oracle).
+    stream = STR.events_as_stream(spark, sf)
+    return STR.run_to_memory(
+        STR.running_totals_per_user(stream), output_mode="update"
+    )
+
+
+# ---------------------------------------------------------------------------
 # B36 — sliding-window streaming (batch-equivalent oracle)
 # ---------------------------------------------------------------------------
 

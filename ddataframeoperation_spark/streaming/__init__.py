@@ -1,3 +1,4 @@
+from ddataframeoperation_spark.streaming.stateful import running_totals_per_user
 from ddataframeoperation_spark.streaming.windows import (
     events_as_stream,
     tumbling_counts,
@@ -14,4 +15,5 @@ __all__ = [
     "session_window_agg",
     "stream_dedup",
     "run_to_memory",
+    "running_totals_per_user",
 ]

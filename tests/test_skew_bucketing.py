@@ -1,0 +1,65 @@
+"""Skew toolkit tests: salted agg/join equivalence, bucketed join layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.catalog import read_fixture_table
+from ddataframeoperation_spark.operators import skew
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    li = read_fixture_table(spark, sf_dir, "lineitem")
+    plain = {
+        (r["l_returnflag"], round(r["s"], 4), r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"], round(r["s"], 4), r["n"])
+        for r in skew.salted_group_agg(
+            li.select("l_returnflag", "l_quantity"),
+            ["l_returnflag"],
+            partials=[F.sum("l_quantity").alias("ps"), F.count("*").alias("pc")],
+            finals=[F.sum("ps").alias("s"), F.sum("pc").alias("n")],
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    o = read_fixture_table(spark, sf_dir, "orders")
+    c = read_fixture_table(spark, sf_dir, "customer")
+    plain = (
+        o.join(c, on=o["o_custkey"] == c["c_custkey"])
+        .groupBy()
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("s"))
+        .head()
+    )
+    salted_j = skew.salted_join(o, c, "o_custkey", "c_custkey", salt_buckets=8)
+    got = salted_j.groupBy().agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("s")
+    ).head()
+    assert got["n"] == plain["n"]
+    assert abs(got["s"] - plain["s"]) < 1e-6
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    o = read_fixture_table(spark, sf_dir, "orders")
+    c = read_fixture_table(spark, sf_dir, "customer")
+    skew.write_bucketed(o, "orders_b", ["o_custkey"], num_buckets=8)
+    skew.write_bucketed(c, "cust_b", ["c_custkey"], num_buckets=8)
+    ob = skew.bucketed_table(spark, "orders_b")
+    cb = skew.bucketed_table(spark, "cust_b")
+    # Disable auto-broadcast so the join would normally need a shuffle.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = ob.join(cb, on=ob["o_custkey"] == cb["c_custkey"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == o.join(c, o["o_custkey"] == c["c_custkey"]).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS cust_b")
