@@ -45,12 +45,44 @@ from ddataframeoperation_spark.functions.schema import (
 
 __all__ = [
     "perform_load_data",
+    "parse_action_xml",
     "final_output",
     "update_job",
     "generate_pmml",
     "save_text_file",
     "DataframeOpr",
 ]
+
+
+def parse_action_xml(xml_text: str) -> dict[str, str]:
+    """Parse the platform's Action XML into its orchestration fields — the
+    Spark-side twin of the reference's XPath extraction in ``UpdateJob``
+    (``R/DataFrameOperationR.R:207-211``: UUID, ExperimentId, NodeId,
+    ServiceUrl) plus the user script payload (``ApplyTransformationTo``
+    CDATA property read at ``:330-334``).
+
+    Returns keys: ``uuid``, ``experiment_id``, ``node_id``, ``service_url``,
+    ``script`` (empty string when absent).
+    """
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+
+    def first_text(tag: str) -> str:
+        el = root.find(f".//{tag}")
+        return (el.text or "").strip() if el is not None else ""
+
+    script = ""
+    for prop in root.iter("Property"):
+        if prop.get("Name") == "ApplyTransformationTo":
+            script = (prop.text or "").strip()
+    return {
+        "uuid": first_text("UUID"),
+        "experiment_id": first_text("ExperimentId"),
+        "node_id": first_text("NodeId"),
+        "service_url": first_text("ServiceUrl"),
+        "script": script,
+    }
 
 # Wire-format quirk of the platform: JSON payloads ride inside JSON strings
 # with double-quotes swapped to backticks (reference gsub('"','`',...) at

@@ -31,6 +31,8 @@ __all__ = [
     "media_stats",
     "decode_image_batch",
     "extract_image_features",
+    "resize_images",
+    "sample_video_frames",
 ]
 
 #: Canonical media-column bundle: payload + typed metadata.
@@ -96,6 +98,58 @@ def decode_image_batch(df: DataFrame) -> DataFrame:
             yield out
 
     return df.select("media_id", "payload").mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize stub over ``mapInPandas``: payload in → resized payload +
+    target dims out. The kernel is a clearly-marked stub (no PIL in this
+    container) that passes bytes through; a real deployment replaces ONLY
+    the inner function — schema, Arrow batching, and partitioning stay.
+    """
+    import pandas as pd
+
+    schema = "media_id bigint, payload binary, width int, height int"
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pd.DataFrame()
+            out["media_id"] = pdf["media_id"]
+            # STUB: real kernel = PIL resize; plumbing identical.
+            out["payload"] = pdf["payload"]
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(_resize, schema)
+
+
+def sample_video_frames(df: DataFrame, every_nth: int = 10, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stub: one input row (video payload) → up to
+    ``max_frames`` output rows (frame payloads) — the 1:N explode shape of
+    real frame extraction, with a deterministic fake splitter standing in
+    for ffmpeg. Output rows stay on the executor that held the input row
+    (no shuffle); downstream per-frame ops parallelize naturally."""
+    import pandas as pd
+
+    schema = "media_id bigint, frame_no int, frame binary"
+
+    def _sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None or len(b) == 0:
+                    continue
+                # STUB: treat every `every_nth` byte offset as a "frame";
+                # real kernel = ffmpeg keyframe extraction.
+                n = min(max_frames, max(1, len(b) // every_nth))
+                step = max(1, len(b) // n)
+                for i in range(n):
+                    ids.append(mid)
+                    nos.append(i)
+                    frames.append(bytes(b[i * step : (i + 1) * step]))
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame": frames})
+
+    return df.select("media_id", "payload").mapInPandas(_sample, schema)
 
 
 def extract_image_features(df: DataFrame, dim: int = 8) -> DataFrame:

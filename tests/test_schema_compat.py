@@ -78,6 +78,22 @@ def test_perform_load_data_catalog(spark, sf_dir):
     assert spark.table("cust").columns == cat["cust"].columns
 
 
+def test_parse_action_xml():
+    xml = """<Action>
+      <UUID>u-123</UUID><ExperimentId>e-9</ExperimentId>
+      <NodeId>n-4</NodeId><ServiceUrl>http://svc</ServiceUrl>
+      <Property Name='ApplyTransformationTo'><![CDATA[out = dfs['t']]]></Property>
+    </Action>"""
+    got = compat.parse_action_xml(xml)
+    assert got == {
+        "uuid": "u-123",
+        "experiment_id": "e-9",
+        "node_id": "n-4",
+        "service_url": "http://svc",
+        "script": "out = dfs['t']",
+    }
+
+
 def test_update_job_payload():
     calls = []
     compat.update_job(
