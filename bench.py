@@ -42,10 +42,15 @@ BENCH_QUERIES = [
     "b25_math_conditional",
     "b26_json_funcs",
     "b27_array_funcs",
+    "b30_script_zscore",
     "b31_dedup_fingerprint",
     "b32_minhash_candidates",
+    "b32_jaccard_pairs",
+    "b32_simhash_candidates",
     "b33_cosine_topk",
+    "b33_embedding_neardup",
     "b34_word_stats",
+    "b11_salted_agg",
     "b10_flagship_q3",
 ]
 
@@ -59,6 +64,8 @@ COUNT_ONLY = {
     "b23_string_funcs",
     "b25_math_conditional",
     "b27_array_funcs",
+    "b30_script_zscore",
+    "b32_jaccard_pairs",
 }
 
 

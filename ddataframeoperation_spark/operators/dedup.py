@@ -133,13 +133,16 @@ def minhash_candidates(
     # codegen. (The closed-form alternative — one giant nested
     # transform/array_min expression per row — falls out of codegen and
     # re-evaluates the shingle expression per hash: ~100× slower measured.)
+    # Hash the variable-length shingle to a long ONCE; the k hash family
+    # then re-hashes the 8-byte long per seed (cheaper than k string hashes
+    # when shingles are long).
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles(text_col, shingle_n)).alias("sh"),
-    )
+    ).select("id", F.xxhash64("sh").alias("h0"))
     sig = exploded.groupBy("id").agg(
         *[
-            F.min(F.xxhash64("sh", F.lit(s))).alias(f"h{s}")
+            F.min(F.xxhash64("h0", F.lit(s))).alias(f"h{s}")
             for s in range(num_hashes)
         ]
     )

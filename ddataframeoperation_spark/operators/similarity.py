@@ -99,18 +99,23 @@ def cosine_neardup_pairs(
     its prefix, so the self-join is co-partitioned and shuffle-free.
     """
     if block_col is not None:
-        blocked = df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-            F.col(block_col).alias("blk"),
-        )
+        blk = F.col(block_col)
     elif planes is not None:
-        blocked = df.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-            hyperplane_signature(F.col(vec_col), planes).alias("blk"),
-        )
+        blk = hyperplane_signature(F.col(vec_col), planes)
     else:
         raise ValueError("pass block_col or planes — unblocked pairwise "
                          "cosine is a cross join and does not scale")
+    # Pre-normalize each vector ONCE per row so a candidate pair costs one
+    # dot product instead of dot + two norms (3× fewer per-pair array
+    # traversals; per-pair work dominates since candidates >> rows).
+    norm = l2_norm(F.col(vec_col))
+    blocked = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / norm
+        ).alias("v"),
+        blk.alias("blk"),
+    )
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = a.join(
         b,
@@ -119,7 +124,7 @@ def cosine_neardup_pairs(
     scored = cand.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        cosine(F.col("a.v"), F.col("b.v")).alias("_cos"),
+        dot(F.col("a.v"), F.col("b.v")).alias("_cos"),
     )
     return scored.filter(F.col("_cos") >= threshold).select(
         "id_a", "id_b", F.round("_cos", 4).alias("cos_sim")
