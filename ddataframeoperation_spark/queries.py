@@ -1051,6 +1051,51 @@ def b38(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B1/A3 — headerless CSV source with external (MetaData, MetaDataType) schema
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b01_csv_external_schema",
+    """
+    SELECT n_regionkey, count(*) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def b01csv(spark: SparkSession, sf: str) -> DataFrame:
+    # The reference's core read path (A1-A5): a directory of headerless CSV
+    # part-files + an externally-supplied schema. Round-trip the nation
+    # fixture through that exact contract, then aggregate — the oracle runs
+    # on the original parquet, so a hash match proves the CSV path is
+    # lossless.
+    import tempfile
+
+    from ddataframeoperation_spark.compat import perform_load_data
+
+    src = _t(spark, sf, "nation")
+    # NOT deleted here: the returned DataFrame is lazy and reads the CSV at
+    # collect time; the OS owns /tmp cleanup.
+    out = tempfile.mkdtemp(prefix="ddfo_csv_")
+    src.write.mode("overwrite").option("header", "false").csv(out)
+    cat = perform_load_data(
+        spark,
+        table_specs=[
+            {
+                "TABLE_NAME": "nation_csv",
+                "DataLocation": out,
+                "MetaData": "n_nationkey, n_name, n_regionkey",
+                "MetaDataType": "integer, character, integer",
+                "Format": "csv",
+            }
+        ],
+    )
+    return (
+        cat["nation_csv"]
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # B2 — catalog + SQL surface
 # ---------------------------------------------------------------------------
 

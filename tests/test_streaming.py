@@ -30,6 +30,38 @@ def test_tumbling_equals_batch(spark, sf_dir):
     assert g == w
 
 
+def test_tumbling_multi_batch_replay(spark, sf_dir, tmp_path):
+    """4-file replay => 4 micro-batches; complete-mode result must still
+    equal the batch aggregate (incremental state merge correctness)."""
+    batch = read_fixture_table(spark, sf_dir, "events")
+    replay_dir = str(tmp_path / "events_parts")
+    # Range-partition by ts so files arrive roughly in event-time order
+    # (keeps late data within the 2h watermark).
+    batch.repartitionByRange(4, "ts").write.mode("overwrite").parquet(replay_dir)
+
+    schema = spark.read.parquet(replay_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+    )
+    got = STR.run_to_memory(STR.tumbling_counts(stream))
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
 def test_stream_dedup_counts(spark, sf_dir):
     stream = STR.events_as_stream(spark, sf_dir)
     out = STR.run_to_memory(
