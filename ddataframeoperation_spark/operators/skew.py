@@ -31,6 +31,7 @@ __all__ = [
     "salted_join",
     "write_bucketed",
     "bucketed_table",
+    "write_partitioned",
 ]
 
 
@@ -109,3 +110,19 @@ def write_bucketed(
 
 def bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """Hive-style partitioned layout (``path/col=value/...``). Filters on
+    ``partition_cols`` become directory pruning — at 100 TB a date filter
+    on date-partitioned events skips whole directories without opening a
+    footer. Partition columns must be low-cardinality (date, region, type);
+    a high-cardinality partition column creates a small-files problem
+    instead. Pruning is asserted in tests via ``PartitionFilters`` in the
+    scan node."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)

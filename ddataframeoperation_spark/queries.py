@@ -1297,6 +1297,72 @@ def b33nd(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B11 adjunct — exact percentiles (interpolating, cross-engine comparable)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b11_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b11pct(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact interpolating percentile (not approx_percentile) so the result
+    # is engine-independent. At 100 TB switch to percentile_approx with a
+    # bounded accuracy parameter — same call shape, sketch-mergeable.
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries — scalar-correlated and IN (engine surface beyond the reference)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b05_correlated_subquery",
+    """
+    SELECT p_type, p_partkey, p_retailprice FROM part p
+    WHERE p_retailprice = (SELECT max(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_type = p.p_type)
+    """,
+)
+def b05sq(spark: SparkSession, sf: str) -> DataFrame:
+    load_fixture_tables(spark, sf, tables=["part"])
+    return spark.sql(
+        """
+        SELECT p_type, p_partkey, p_retailprice FROM part p
+        WHERE p_retailprice = (SELECT max(p2.p_retailprice) FROM part p2
+                               WHERE p2.p_type = p.p_type)
+        """
+    )
+
+
+@_q(
+    "b05_in_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    """,
+)
+def b05in(spark: SparkSession, sf: str) -> DataFrame:
+    load_fixture_tables(spark, sf, tables=["orders", "customer"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Skew toolkit — salted aggregation must be result-identical to plain groupBy
 # ---------------------------------------------------------------------------
 

@@ -45,6 +45,19 @@ def test_salted_join_equals_plain(spark, sf_dir):
     assert abs(got["s"] - plain["s"]) < 1e-6
 
 
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    e = read_fixture_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_type")
+    skew.write_partitioned(e, path, ["event_type"])
+    back = spark.read.parquet(path)
+    q = back.filter(F.col("event_type") == "purchase")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert q.count() == e.filter(F.col("event_type") == "purchase").count()
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     o = read_fixture_table(spark, sf_dir, "orders")
     c = read_fixture_table(spark, sf_dir, "customer")
