@@ -1297,6 +1297,41 @@ def b33nd(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join — custom point-in-time operator (oracle: DuckDB native ASOF)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b09_asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           round(p.value, 4) AS purchase_value,
+           s.event_id AS prior_click_id,
+           round(s.value, 4) AS prior_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') s
+      ON p.user_id = s.user_id AND s.ts <= p.ts
+    """,
+)
+def b09asof(spark: SparkSession, sf: str) -> DataFrame:
+    from ddataframeoperation_spark.operators.asof import asof_join
+
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    j = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "value"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("purchase_value"),
+        F.col("event_id_asof").alias("prior_click_id"),
+        F.round("value_asof", 4).alias("prior_click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # B11 adjunct — exact percentiles (interpolating, cross-engine comparable)
 # ---------------------------------------------------------------------------
 

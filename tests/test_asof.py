@@ -1,0 +1,50 @@
+"""As-of join operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return F.col(s).cast("timestamp")
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "a"),
+            (1, "2024-01-01 12:00:00", "b"),
+            (2, "2024-01-01 11:00:00", "c"),
+            (3, "2024-01-01 11:00:00", "d"),  # key with no right rows
+        ],
+        "k long, ts string, tag string",
+    ).withColumn("ts", _ts("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:30:00", 10.0),
+            (1, "2024-01-01 11:59:00", 20.0),
+            (2, "2024-01-01 11:00:00", 30.0),  # exact tie -> inclusive
+            (2, "2024-01-01 11:30:00", 40.0),  # later than left -> excluded
+        ],
+        "k long, ts string, v double",
+    ).withColumn("ts", _ts("ts"))
+    return left, right
+
+
+def test_asof_backward_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", "ts", "ts", ["v"])
+    got = {r["tag"]: r["v_asof"] for r in out.collect()}
+    assert got == {"a": 10.0, "b": 20.0, "c": 30.0, "d": None}
+    assert out.count() == left.count()  # left-join cardinality preserved
+
+
+def test_asof_tolerance(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", "ts", "ts", ["v"],
+                    tolerance_seconds=600)  # 10 minutes
+    got = {r["tag"]: r["v_asof"] for r in out.collect()}
+    # 'a' matched a 30-min-old row -> voided; 'b' (1 min) and 'c' (0) kept.
+    assert got == {"a": None, "b": 20.0, "c": 30.0, "d": None}
