@@ -26,6 +26,8 @@ __all__ = [
     "quality_score",
     "language_scores",
     "language_id",
+    "vocabulary",
+    "prepare_training_corpus",
     "STOPWORDS",
 ]
 
@@ -81,6 +83,53 @@ def quality_score(col: str | Column = "text") -> Column:
         F.lit(0.4)
     )
     return F.round(0.4 * len_band + 0.4 * alpha_ratio + 0.2 * wlen_band, 4)
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """B34 — corpus vocabulary: per token, total term frequency and document
+    frequency, filtered to ``df >= min_df``. One explode + one aggregate;
+    the df filter is the classic vocabulary-pruning step (and the hot-token
+    guard for anything that later joins on token)."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.countDistinct("id").cast("long").alias("doc_freq"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
+    )
+
+
+def prepare_training_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] = (),
+) -> DataFrame:
+    """North-star composition: the standard LLM training-data prep chain —
+    quality filter → optional language filter → exact near-normalization
+    dedup (keep lowest id) — as one declarative pipeline. Deterministic,
+    hence oracle-able; each stage reduces cardinality before the only
+    shuffle (the dedup hash on the 16-byte fingerprint)."""
+    from ddataframeoperation_spark.operators.dedup import dedup_by_fingerprint
+
+    scored = df.withColumn("quality", quality_score(text_col)).filter(
+        F.col("quality") >= min_quality
+    )
+    if languages:
+        scored = scored.withColumn("pred_lang", language_id(text_col)).filter(
+            F.col("pred_lang").isin(*languages)
+        )
+    return dedup_by_fingerprint(scored, text_col=text_col, id_col=id_col)
 
 
 def _marker_count(c: Column, words: tuple[str, ...]) -> Column:

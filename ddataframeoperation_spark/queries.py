@@ -983,6 +983,110 @@ def b34l(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series rollup (hypertable-style, one scan for all granularities)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b11_time_rollup",
+    """
+    SELECT 'hour' AS granularity, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket_start,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', date_trunc('day', CAST(ts AS TIMESTAMP)),
+           count(*), round(sum(value), 4)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'month', date_trunc('month', CAST(ts AS TIMESTAMP)),
+           count(*), round(sum(value), 4)
+    FROM events GROUP BY 2
+    """,
+)
+def b11tr(spark: SparkSession, sf: str) -> DataFrame:
+    from ddataframeoperation_spark.operators.timeseries import (
+        multi_granularity_rollup,
+    )
+
+    return multi_granularity_rollup(
+        _t(spark, sf, "events"),
+        "ts",
+        ["hour", "day", "month"],
+        [
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# B34 — vocabulary + full corpus-prep pipeline
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b34_vocabulary",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM tok WHERE token <> ''
+    GROUP BY token HAVING count(DISTINCT doc_id) >= 3
+    """,
+)
+def b34v(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.vocabulary(_t(spark, sf, "documents"), min_df=3)
+
+
+@_q(
+    "b34_prepare_corpus",
+    """
+    WITH scored AS (
+      SELECT doc_id, text,
+             length(text) AS n,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    ), q AS (
+      SELECT doc_id, norm,
+             round(0.4 * (CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.3 END)
+                   + 0.4 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+                   + 0.2 * (CASE WHEN len(string_split(norm, ' ')) > 0
+                                  AND (length(norm) / len(string_split(norm, ' '))) >= 2.0
+                                  AND (length(norm) / len(string_split(norm, ' '))) <= 12.0
+                                 THEN 1.0 ELSE 0.4 END), 4) AS quality
+      FROM scored
+    ), kept AS (
+      SELECT doc_id, quality, md5(norm) AS fp FROM q WHERE quality >= 0.5
+    )
+    SELECT doc_id, quality FROM (
+      SELECT doc_id, quality,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM kept
+    ) WHERE rn = 1
+    """,
+)
+def b34pc(spark: SparkSession, sf: str) -> DataFrame:
+    out = TX.prepare_training_corpus(
+        _t(spark, sf, "documents"), min_quality=0.5
+    )
+    return out.select("doc_id", "quality")
+
+
+# ---------------------------------------------------------------------------
+# B22 adjunct — stratified sampling (training-data class balancing)
+# ---------------------------------------------------------------------------
+
+@_q("b22_stratified_sample")  # rows-only: engine-specific sampling
+def b22s(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    sampled = d.sampleBy("lang", fractions={"en": 0.5, "de": 1.0}, seed=42)
+    return sampled.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (north star) — binary columns with typed metadata
 # ---------------------------------------------------------------------------
 

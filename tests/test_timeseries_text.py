@@ -1,0 +1,62 @@
+"""Time-series rollup and corpus-prep pipeline tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.operators import text as TX
+from ddataframeoperation_spark.operators.timeseries import (
+    multi_granularity_rollup,
+    time_bucket,
+)
+
+
+def test_rollup_levels_consistent(spark):
+    rows = [
+        ("2024-03-01 10:15:00", 1.0),
+        ("2024-03-01 10:45:00", 2.0),
+        ("2024-03-01 11:15:00", 4.0),
+        ("2024-03-02 09:00:00", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = multi_granularity_rollup(
+        df, "ts", ["hour", "day", "month"],
+        [F.round(F.sum("value"), 4).alias("s"), F.count("*").alias("n")],
+    )
+    by_g = {}
+    for r in out.collect():
+        by_g.setdefault(r["granularity"], []).append((str(r["bucket_start"]), r["s"], r["n"]))
+    # Every level totals the same mass.
+    for g in ("hour", "day", "month"):
+        assert sum(s for _, s, _ in by_g[g]) == 15.0
+        assert sum(n for _, _, n in by_g[g]) == 4
+    assert len(by_g["hour"]) == 3 and len(by_g["day"]) == 2 and len(by_g["month"]) == 1
+
+
+def test_time_bucket_rejects_unknown():
+    with pytest.raises(ValueError):
+        time_bucket("ts", "fortnight")
+
+
+def test_vocabulary_df_filter(spark):
+    rows = [(1, "apple banana apple"), (2, "banana cherry"), (3, "banana")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    v = {r["token"]: (r["tf"], r["doc_freq"])
+         for r in TX.vocabulary(df, min_df=2).collect()}
+    assert v == {"banana": (3, 3)}  # apple df=1, cherry df=1 pruned
+
+
+def test_prepare_corpus_filters_and_dedups(spark):
+    good = "The quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, good),
+        (2, good + "!"),          # near-normalization dup of 1 -> dropped
+        (3, "x@@@###"),           # junk -> quality-filtered
+        (4, "Another perfectly reasonable document with plenty of normal words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in TX.prepare_training_corpus(df).collect())
+    assert kept == [1, 4]
