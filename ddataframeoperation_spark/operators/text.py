@@ -27,6 +27,7 @@ __all__ = [
     "language_scores",
     "language_id",
     "vocabulary",
+    "tf_idf",
     "prepare_training_corpus",
     "STOPWORDS",
 ]
@@ -105,6 +106,39 @@ def vocabulary(
             F.countDistinct("id").cast("long").alias("doc_freq"),
         )
         .filter(F.col("doc_freq") >= min_df)
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """B34 — per-(doc, token) tf-idf: tf(d,t) × ln(N / df(t)).
+
+    Two aggregates over one exploded token table (per-doc tf, corpus df)
+    joined back on token; N rides in as a literal computed once. The df
+    join side is token-level (vocabulary-sized) — broadcastable at any
+    corpus scale after ``min_df`` pruning.
+    """
+    n_docs = df.select(id_col).distinct().count()
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("id", "token").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = (
+        tok.groupBy("token")
+        .agg(F.countDistinct("id").cast("long").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_df)
+    )
+    return tf.join(F.broadcast(dfreq), "token").select(
+        F.col("id").alias(id_col),
+        "token",
+        "tf",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq"))).alias(
+            "tf_idf"
+        ),
     )
 
 

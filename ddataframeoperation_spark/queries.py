@@ -1075,6 +1075,71 @@ def b34pc(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "quality")
 
 
+@_q(
+    "b34_tfidf",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM tok WHERE token <> '' GROUP BY token
+      HAVING count(DISTINCT doc_id) >= 5
+    ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 4) AS tf_idf
+    FROM tf JOIN dfreq USING (token), n
+    """,
+)
+def b34ti(spark: SparkSession, sf: str) -> DataFrame:
+    out = TX.tf_idf(_t(spark, sf, "documents"), min_df=5)
+    return out.select(
+        "doc_id", "token", "tf", F.round("tf_idf", 4).alias("tf_idf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B15 — sort with explicit null ordering (encoded as rank for hash compare)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b15_sort_null_ordering",
+    """
+    SELECT o_orderkey, flag_price,
+           CAST(row_number() OVER (ORDER BY flag_price DESC NULLS LAST, o_orderkey) AS BIGINT)
+             AS sort_rank
+    FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE round(o_totalprice, 4) END
+               AS flag_price
+      FROM orders
+    ) WHERE o_orderkey <= 2000
+    """,
+)
+def b15no(spark: SparkSession, sf: str) -> DataFrame:
+    # Global order is encoded into a rank column so the driver's
+    # order-insensitive hash still verifies the ordering. The un-partitioned
+    # window is deliberate here: the input is pre-limited (<=2000 keys);
+    # never do this on an unbounded table (single-task sort).
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    flagged = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.round("o_totalprice", 4))
+        .alias("flag_price"),
+    )
+    w = Window.orderBy(F.col("flag_price").desc_nulls_last(), F.col("o_orderkey"))
+    return flagged.select(
+        "o_orderkey",
+        "flag_price",
+        F.row_number().over(w).cast("long").alias("sort_rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B22 adjunct — stratified sampling (training-data class balancing)
 # ---------------------------------------------------------------------------
