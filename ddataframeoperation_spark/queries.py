@@ -768,6 +768,143 @@ def b27(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b23_string_funcs2",
+    r"""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           translate(p_brand, '#', '-') AS brand_dash,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           rpad(p_brand, 12, '.') AS brand_padded,
+           reverse(p_name) AS name_rev,
+           repeat(p_brand, 2) AS brand_twice,
+           split_part(p_type, ' ', 2) AS type_word2,
+           left(p_name, 6) AS name_l6,
+           right(p_name, 6) AS name_r6
+    FROM part
+    """,
+)
+def b23s2(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("last_word"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.reverse("p_name").alias("name_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.split_part("p_type", F.lit(" "), F.lit(2)).alias("type_word2"),
+        F.left("p_name", F.lit(6)).alias("name_l6"),
+        F.right("p_name", F.lit(6)).alias("name_r6"),
+    )
+
+
+@_q(
+    "b27_array_set_ops",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS toks
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           list_sort(list_intersect(a.toks, b.toks)) AS common,
+           CAST(len(list_intersect(a.toks, b.toks)) AS INTEGER) AS n_common
+    FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def b27as(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    t = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.split(dedup.normalized_text("text"), " ")
+        ).alias("toks"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    j = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    inter = F.array_intersect(F.col("a.toks"), F.col("b.toks"))
+    return j.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.array_sort(inter).alias("common"),
+        F.size(inter).alias("n_common"),
+    )
+
+
+@_q(
+    "b27_map_roundtrip",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def b27mr(spark: SparkSession, sf: str) -> DataFrame:
+    # MapType round-trip: aggregate -> map_from_entries -> explode back.
+    # Proves map construction/flattening preserves content (oracle is the
+    # plain aggregate).
+    e = _t(spark, sf, "events")
+    counts = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    as_map = counts.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    return as_map.select(F.explode("m").alias("event_type", "n"))
+
+
+@_q(
+    "b21_intersect_all",
+    """
+    SELECT c_nationkey FROM customer WHERE c_acctbal > 1000
+    INTERSECT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def b21ia(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    a = c.filter(F.col("c_acctbal") > 1000).select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    return a.intersectAll(b)
+
+
+@_q(
+    "b30_udtf_tokens",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS arr
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id, CAST(gs - 1 AS INTEGER) AS pos, arr[gs] AS token
+    FROM (SELECT doc_id, arr, generate_subscripts(arr, 1) AS gs FROM t)
+    """,
+)
+def b30udtf(spark: SparkSession, sf: str) -> DataFrame:
+    # Python UDTF (Spark 4): one input row -> N output rows with declared
+    # schema; the modern table-function form of the script surface (B30).
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class Tokenize:
+        def eval(self, text: str):
+            import re
+
+            norm = re.sub(r"[^a-z0-9]+", " ", (text or "").lower()).strip()
+            for i, tok in enumerate(norm.split(" ")):
+                yield i, tok
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM docs_for_udtf d, LATERAL tokenize_udtf(d.text) t
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # B28 — schema introspection / manifest
 # ---------------------------------------------------------------------------
