@@ -1,0 +1,71 @@
+"""Plan-shape regression tests — the 100 TB contract, asserted.
+
+Correctness says the answer is right; these tests pin HOW it runs: filters
+reach the scan, projections prune columns, dimensions broadcast, top-k
+avoids global sorts, windows/as-of pay exactly one shuffle. A regression
+here is a silent 100× at scale even when results stay correct.
+"""
+
+from __future__ import annotations
+
+from ddataframeoperation_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return str(QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan())
+
+
+def test_scan_gets_pushdown_and_pruning(spark):
+    p = _plan(spark, "b01_scan_project_filter")
+    assert "PushedFilters: [" in p and "GreaterThan" in p
+    # Projection pruned to the 4 selected + filter column.
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_returnflag" not in read
+
+
+def test_flagship_broadcasts_and_takeordered(spark):
+    p = _plan(spark, "b10_flagship_q3")
+    assert "TakeOrderedAndProject" in p  # no global sort for top-k
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # fact table never shuffled at this size
+
+
+def test_star_join_fact_never_shuffled(spark):
+    p = _plan(spark, "b08_star_join_broadcast")
+    assert p.count("BroadcastHashJoin") == 4
+    # Only the final aggregation exchanges data.
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_window_queries_single_shuffle(spark):
+    for name in ("b17_window_rank", "b35_sessionize", "b20_latest_per_key"):
+        p = _plan(spark, name)
+        assert p.count("Exchange hashpartitioning") == 1, name
+
+
+def test_asof_join_single_shuffle(spark):
+    p = _plan(spark, "b09_asof_join")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_topk_is_takeordered(spark):
+    p = _plan(spark, "b16_top_k")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p  # no global sort shuffle
+
+
+def test_agg_has_partial_phase(spark):
+    p = _plan(spark, "b11_agg_pricing_summary")
+    # Map-side partial + final aggregate around one exchange.
+    assert p.count("HashAggregate") >= 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_keeps_equi_conjunct(spark):
+    p = _plan(spark, "b09_range_join")
+    # The user_id equality must be a join key (hash/broadcast/sort-merge),
+    # never a nested-loop over the range condition alone.
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
