@@ -46,6 +46,8 @@ from ddataframeoperation_spark.functions.schema import (
 __all__ = [
     "perform_load_data",
     "parse_action_xml",
+    "parse_graph_json",
+    "latest_completed_output",
     "final_output",
     "update_job",
     "generate_pmml",
@@ -123,7 +125,6 @@ def perform_load_data(
     cat = Catalog(spark)
     for spec in specs:
         name = spec["TABLE_NAME"]
-        path = spec["DataLocation"]
         schema = None
         if "ColumnList" in spec:
             names = ", ".join(c["MappedAliasName"] for c in spec["ColumnList"])
@@ -136,8 +137,55 @@ def perform_load_data(
                 spec["MetaData"], spec.get("MetaDataType", "")
             )
         table_fmt = spec.get("Format", fmt)
-        cat.load(name, path, fmt=table_fmt, schema=schema)
+        if "SplitData" in spec:
+            # Split-dataset node output (e.g. train/test split): one catalog
+            # entry per partition, keyed "{name}_{i}" (1-based) — reference
+            # SplitData branch, R/DataFrameOperationR.R:144-168.
+            for i, path in enumerate(spec["SplitData"], start=1):
+                cat.load(f"{name}_{i}", path, fmt=table_fmt, schema=schema)
+        else:
+            cat.load(name, spec["DataLocation"], fmt=table_fmt, schema=schema)
     return cat
+
+
+def latest_completed_output(
+    job_status: "DataFrame", node_id: str
+) -> str | None:
+    """The reference's latest-completed-run resolution (A8+A10): from the
+    orchestrator's JobsStatus records, keep ``Status == 2`` (success) for
+    this node and take the LAST DataLocation — the positional pick at
+    ``R/DataFrameOperationR.R:135-140`` made deterministic with an explicit
+    order (the reference relied on REST response order)."""
+    from pyspark.sql import functions as F
+
+    order_col = (
+        "JobId" if "JobId" in job_status.columns else F.monotonically_increasing_id()
+    )
+    rows = (
+        job_status.filter(
+            (F.col("Status") == 2)
+            & (F.col("JobNodeID") == node_id)
+            & (F.col("JobNodeID") != "0")
+        )
+        .withColumn("_ord", F.col(order_col) if isinstance(order_col, str) else order_col)
+        .orderBy(F.col("_ord").desc())
+        .select("DataLocation")
+        .head(1)
+    )
+    return rows[0][0] if rows else None
+
+
+def parse_graph_json(graph_json: str) -> dict[str, str]:
+    """Experiment-DAG decode (A11): keep JointJS cells with
+    ``type == 'devs.Model'`` and return the ``id -> NodeCaption`` map
+    (reference ``R/DataFrameOperationR.R:109-123``). Driver-side: DAG
+    metadata is orchestration, not data-plane."""
+    cells = json.loads(graph_json).get("cells", [])
+    return {
+        c["id"]: c.get("NodeCaption", "")
+        for c in cells
+        if c.get("type") == "devs.Model" and "id" in c
+    }
 
 
 def final_output(

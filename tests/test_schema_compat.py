@@ -94,6 +94,46 @@ def test_parse_action_xml():
     }
 
 
+def test_split_data_catalog_entries(spark, sf_dir, tmp_path):
+    src = spark.createDataFrame([(1,), (2,), (3,), (4,)], "x int")
+    train, test = src.randomSplit([0.5, 0.5], seed=7)
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    train.write.parquet(p1)
+    test.write.parquet(p2)
+    cat = compat.perform_load_data(
+        spark,
+        table_specs=[
+            {"TABLE_NAME": "Split", "SplitData": [p1, p2]},
+        ],
+    )
+    assert "Split_1" in cat and "Split_2" in cat
+    assert cat["Split_1"].count() + cat["Split_2"].count() == 4
+
+
+def test_latest_completed_output(spark):
+    rows = [
+        ("1", 2, "n1", "/run1"),
+        ("2", 3, "n1", "/failed"),
+        ("3", 2, "n1", "/run3"),
+        ("4", 2, "n2", "/other"),
+        ("5", 2, "0", "/zero"),
+    ]
+    js = spark.createDataFrame(
+        rows, "JobId string, Status int, JobNodeID string, DataLocation string"
+    )
+    assert compat.latest_completed_output(js, "n1") == "/run3"
+    assert compat.latest_completed_output(js, "missing") is None
+
+
+def test_parse_graph_json():
+    gj = """{"cells": [
+      {"type": "devs.Model", "id": "a", "NodeCaption": "Load"},
+      {"type": "link", "id": "x"},
+      {"type": "devs.Model", "id": "b", "NodeCaption": "Split"}
+    ]}"""
+    assert compat.parse_graph_json(gj) == {"a": "Load", "b": "Split"}
+
+
 def test_update_job_payload():
     calls = []
     compat.update_job(
