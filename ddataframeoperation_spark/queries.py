@@ -402,6 +402,27 @@ def b14(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b11_conditional_aggs",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'P') AS any_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def b11ca(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+    )
+
+
+@_q(
     "b16_top_k",
     """
     SELECT o_orderkey, o_totalprice FROM orders

@@ -124,6 +124,81 @@ def test_incremental_materialization_with_resume(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_session_window_drops_late_data(spark, tmp_path):
+    """Append-mode session windows: an event arriving behind the watermark
+    must be dropped, and a session is emitted only once the watermark
+    passes its close. Two availableNow runs over a shared checkpoint give
+    deterministic batch order."""
+    import os
+
+    incoming = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(incoming)
+    schema = "user_id long, ts timestamp, value double"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "user_id long, ts string, value double") \
+            .withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{incoming}/../stage_{name}")
+        import glob
+        import shutil
+
+        src = glob.glob(f"{incoming}/../stage_{name}/part-*")[0]
+        shutil.copy(src, f"{incoming}/{name}.parquet")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(incoming)
+        )
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .select("user_id", F.col("sess.start").alias("session_start"), "n_events")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Run 1: session A (2 events) + a 13:00 event pushing the watermark
+    # to 11:00 at batch end.
+    write_file(
+        "f1",
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-01 10:10:00", 1.0),
+            (1, "2024-01-01 13:00:00", 1.0),
+        ],
+    )
+    run()
+    # Run 2: one event 19 min behind the watermark (dropped), one extending
+    # the live 13:00 session (stays in state, never emitted).
+    write_file(
+        "f2",
+        [
+            (1, "2024-01-01 10:41:00", 1.0),  # late: < watermark 11:00
+            (1, "2024-01-01 13:05:00", 1.0),
+        ],
+    )
+    run()
+
+    got = [
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    ]
+    # Only session A was finalized; the late event did NOT reopen/extend it.
+    assert got == [(1, "2024-01-01 10:00:00", 2)]
+
+
 def test_stream_dedup_counts(spark, sf_dir):
     stream = STR.events_as_stream(spark, sf_dir)
     out = STR.run_to_memory(
