@@ -1334,7 +1334,17 @@ def bmm(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.media_stats(meta, group_col="source")
 
 
-@_q("bmm_decode_stub")  # rows-only: decode kernel is a deterministic stub
+@_q(
+    "bmm_decode_stub",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+           CAST((octet_length(encode(text)) % 640 + 1)
+                * (octet_length(encode(text)) % 480 + 1) AS BIGINT) AS n_pixels
+    FROM documents
+    """,
+)
 def bmmd(spark: SparkSession, sf: str) -> DataFrame:
     docs = _t(spark, sf, "documents").select(
         F.col("doc_id").alias("media_id"),
@@ -1362,7 +1372,27 @@ def b36(spark: SparkSession, sf: str) -> DataFrame:
     return STR.run_to_memory(STR.tumbling_counts(stream))
 
 
-@_q("b37_stream_session")  # rows-only: session merge state is streaming-only
+@_q(
+    "b37_stream_session",
+    """
+    WITH flagged AS (
+      SELECT user_id, value, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, value, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM sessions GROUP BY user_id, seq
+    """,
+)
 def b37(spark: SparkSession, sf: str) -> DataFrame:
     stream = STR.events_as_stream(spark, sf)
     return STR.run_to_memory(STR.session_window_agg(stream))
@@ -1552,7 +1582,13 @@ def b27pe(spark: SparkSession, sf: str) -> DataFrame:
 # B29 — sinks (write → read-back)
 # ---------------------------------------------------------------------------
 
-@_q("b29_sink_roundtrip")  # rows-only: verified by read-back counts
+@_q(
+    "b29_sink_roundtrip",
+    """
+    SELECT s.sink, (SELECT count(*) FROM nation) AS n_rows
+    FROM (VALUES ('parquet'), ('csv'), ('source')) s(sink)
+    """,
+)
 def b29(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
