@@ -60,6 +60,19 @@ def test_dedup_by_key_deterministic(spark, sf_dir):
     )
 
 
+def test_dedup_pipeline_survives_empty_text(spark):
+    """Empty/whitespace/punctuation-only docs must flow through normalize,
+    shingle, minhash, and simhash without size-0 array crashes."""
+    rows = [(1, ""), (2, "   "), (3, "!!!"), (4, "real words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # All-empty normalized texts share a fingerprint -> one survivor.
+    kept = sorted(r["doc_id"] for r in dedup.dedup_by_fingerprint(df).collect())
+    assert kept == [1, 4]
+    assert dedup.minhash_candidates(df).count() >= 1  # 1-2-3 collide
+    assert dedup.simhash_candidates(df, max_hamming=0).count() >= 1
+    assert dedup.jaccard_pairs(df, threshold=0.9).count() >= 0  # no crash
+
+
 def test_cosine_known_vectors(spark):
     rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [2.0, 0.0])]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
