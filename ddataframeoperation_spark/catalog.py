@@ -96,10 +96,15 @@ class Catalog:
         return self.register(name, df)
 
     def get(self, name: str) -> DataFrame:
-        return self._tables[name]
+        try:
+            return self._tables[name]
+        except KeyError:
+            raise KeyError(
+                f"table {name!r} not in catalog; available: {self.names()}"
+            ) from None
 
     def __getitem__(self, name: str) -> DataFrame:
-        return self._tables[name]
+        return self.get(name)
 
     def __contains__(self, name: str) -> bool:
         return name in self._tables

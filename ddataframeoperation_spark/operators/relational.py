@@ -41,6 +41,8 @@ __all__ = [
     "union_distinct",
     "intersect",
     "except_all",
+    "profile",
+    "fk_violations",
     "random_split",
     "pivot_agg",
 ]
@@ -181,6 +183,54 @@ def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
 def except_all(a: DataFrame, b: DataFrame, distinct: bool = True) -> DataFrame:
     """B21 — EXCEPT / EXCEPT ALL."""
     return a.exceptAll(b) if not distinct else a.subtract(b)
+
+
+def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """B28 adjunct — per-column data profile: nulls, distinct count, min,
+    max (as strings for heterogeneous columns). One pass over the data;
+    all aggregates map-side-combined. The first thing a training-data
+    pipeline runs on a new source."""
+    rows = []
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            F.count("*").alias(f"{c}__rows"),
+        ]
+    wide = df.agg(*aggs)
+    # One output row per column: unpivot the single wide row.
+    stack_args = []
+    for c in cols:
+        stack_args.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+        )
+    return wide.select(F.explode(F.array(*stack_args)).alias("p")).select("p.*")
+
+
+def fk_violations(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+) -> DataFrame:
+    """Referential-integrity check: child rows whose ``fk`` has no match in
+    ``parent.pk`` — a left-anti join (B7 applied to validation). At scale
+    the parent key column is usually broadcastable after projection."""
+    return child.join(
+        parent.select(F.col(pk)).distinct(),
+        on=child[fk] == F.col(pk),
+        how="left_anti",
+    )
 
 
 def random_split(

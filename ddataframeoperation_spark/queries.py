@@ -926,6 +926,46 @@ def b30udtf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b28_profile",
+    """
+    SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_custkey) AS VARCHAR) AS min_val,
+           CAST(max(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    """,
+)
+def b28p(spark: SparkSession, sf: str) -> DataFrame:
+    return R.profile(_t(spark, sf, "orders"), ["o_custkey", "o_orderstatus"])
+
+
+@_q(
+    "b07_fk_validation",
+    """
+    SELECT o_orderkey, o_custkey FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_acctbal >= 0)
+    """,
+)
+def b07fk(spark: SparkSession, sf: str) -> DataFrame:
+    # Validation form of the anti join: orders whose customer fails the
+    # parent predicate (here: non-negative balance) are "violations".
+    orders = _t(spark, sf, "orders")
+    good_customers = _t(spark, sf, "customer").filter(F.col("c_acctbal") >= 0)
+    return R.fk_violations(orders, good_customers, "o_custkey", "c_custkey").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
 # ---------------------------------------------------------------------------
 # B28 — schema introspection / manifest
 # ---------------------------------------------------------------------------

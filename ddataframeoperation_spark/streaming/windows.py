@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "events_as_stream",
+    "stage_multi_batch_replay",
     "tumbling_counts",
     "sliding_counts",
     "session_window_agg",
@@ -51,6 +52,29 @@ def events_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ns→µs conversion mirrors the batch catalog (events.ts arrives as
     # epoch-nanos long under the nanosAsLong legacy conf).
     return _normalize_ns_timestamps(stream)
+
+
+def stage_multi_batch_replay(
+    batch_df: DataFrame,
+    stage_dir: str,
+    n_batches: int = 4,
+    ts_col: str = "ts",
+):
+    """Write a batch table as ``n_batches`` event-time-ordered parquet files
+    and return a file-source stream over them with one-file-per-trigger —
+    a deterministic multi-micro-batch replay for equivalence testing
+    (range partitioning keeps late-vs-watermark behavior realistic: files
+    arrive roughly in event-time order)."""
+    batch_df.repartitionByRange(n_batches, ts_col).write.mode(
+        "overwrite"
+    ).parquet(stage_dir)
+    spark = batch_df.sparkSession
+    schema = spark.read.parquet(stage_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
 
 
 def tumbling_counts(

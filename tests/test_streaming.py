@@ -33,18 +33,10 @@ def test_tumbling_equals_batch(spark, sf_dir):
 def test_tumbling_multi_batch_replay(spark, sf_dir, tmp_path):
     """4-file replay => 4 micro-batches; complete-mode result must still
     equal the batch aggregate (incremental state merge correctness)."""
-    batch = read_fixture_table(spark, sf_dir, "events")
-    replay_dir = str(tmp_path / "events_parts")
-    # Range-partition by ts so files arrive roughly in event-time order
-    # (keeps late data within the 2h watermark).
-    batch.repartitionByRange(4, "ts").write.mode("overwrite").parquet(replay_dir)
+    from ddataframeoperation_spark.streaming.windows import stage_multi_batch_replay
 
-    schema = spark.read.parquet(replay_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(replay_dir)
-    )
+    batch = read_fixture_table(spark, sf_dir, "events")
+    stream = stage_multi_batch_replay(batch, str(tmp_path / "events_parts"), 4)
     got = STR.run_to_memory(STR.tumbling_counts(stream))
     want = (
         batch.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
