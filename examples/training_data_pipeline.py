@@ -1,0 +1,63 @@
+"""Runnable demo: an LLM training-data prep pipeline on this engine.
+
+The north-star workload: profile a raw corpus, score quality, identify
+language, drop near-duplicates (exact fingerprint + MinHash LSH), build a
+vocabulary, and attach embedding-similarity metadata — all declarative
+Spark, all of it scale-shaped (see SCALE.md).
+
+Run: python examples/training_data_pipeline.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.catalog import read_fixture_table
+from ddataframeoperation_spark.operators import dedup, relational as R, similarity
+from ddataframeoperation_spark.operators import text as TX
+from ddataframeoperation_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    spark = get_spark("pipeline-demo")
+    docs = read_fixture_table(spark, SF_DIR, "documents")
+    emb = read_fixture_table(spark, SF_DIR, "embeddings")
+
+    print("== 1. profile the raw corpus")
+    R.profile(docs, ["lang", "source", "n_chars"]).show(truncate=False)
+
+    print("== 2. quality + language scoring")
+    scored = docs.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.language_id("text").alias("pred_lang"),
+    )
+    scored.groupBy("pred_lang").agg(
+        F.count("*").alias("n"), F.round(F.avg("quality"), 3).alias("avg_q")
+    ).show()
+
+    print("== 3. cleaned + deduped corpus (quality>=0.5, keep-first)")
+    corpus = TX.prepare_training_corpus(docs, min_quality=0.5)
+    print("   kept", corpus.count(), "of", docs.count(), "docs")
+
+    print("== 4. MinHash LSH near-duplicate candidates")
+    cands = dedup.minhash_candidates(docs)
+    print("   candidate pairs:", cands.count())
+
+    print("== 5. vocabulary (df >= 5)")
+    TX.vocabulary(docs, min_df=5).orderBy(F.desc("tf")).show(5)
+
+    print("== 6. embedding similarity: top-5 neighbors of vec 0")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    similarity.cosine_topk(emb, q, k=5).show()
+
+
+if __name__ == "__main__":
+    main()
