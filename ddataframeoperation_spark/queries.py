@@ -1413,6 +1413,33 @@ def b36(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b36_stream_static_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def b36ssj(spark: SparkSession, sf: str) -> DataFrame:
+    # Stream-static join: each micro-batch joins against the (broadcastable)
+    # static dimension — the standard streaming enrichment pattern. The
+    # static side is re-resolved per batch, so slowly-changing dims refresh
+    # without restarting the query.
+    stream = STR.events_as_stream(spark, sf)
+    static_cust = _t(spark, sf, "customer")
+    enriched = stream.join(
+        F.broadcast(static_cust),
+        stream["user_id"] == static_cust["c_custkey"],
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return STR.run_to_memory(agg)
+
+
+@_q(
     "b37_stream_session",
     """
     WITH flagged AS (
