@@ -1899,6 +1899,62 @@ def b36s(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B10 — TPC-H Q7 shape: nation-pair trade volume (supplier⋈lineitem⋈orders⋈
+# customer⋈nation×2 — the two-fact multi-dimension join with a self-aliased
+# dimension)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b10_q7_nation_volume",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def b10q7(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            F.col("supp_nation").isin("NATION_1", "NATION_2")
+            & F.col("cust_nation").isin("NATION_1", "NATION_2")
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("volume")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship (entry smoke): TPC-H Q3 shape — filter + star join + agg + top-k
 # ---------------------------------------------------------------------------
 
