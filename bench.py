@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "b33_embedding_neardup",
     "b34_word_stats",
     "b11_salted_agg",
+    "b09_asof_join",
+    "b11_time_rollup",
+    "b34_tfidf",
+    "b28_profile",
+    "b10_q7_nation_volume",
     "b10_flagship_q3",
 ]
 
@@ -66,6 +71,9 @@ COUNT_ONLY = {
     "b27_array_funcs",
     "b30_script_zscore",
     "b32_jaccard_pairs",
+    "b09_asof_join",
+    "b11_time_rollup",
+    "b34_tfidf",
 }
 
 

@@ -134,7 +134,14 @@ def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
 
 
 def read_fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver fixture table, normalizing ns timestamps (events)."""
+    """Read one driver fixture table, normalizing ns timestamps (events).
+
+    Self-sufficient w.r.t. session config: ``nanosAsLong`` is ensured at
+    runtime so callers with their own SparkSession (e.g. the driver's
+    harness) don't hit PARQUET_TYPE_ILLEGAL on the ns-timestamp fixture.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     return _normalize_ns_timestamps(df)
 
