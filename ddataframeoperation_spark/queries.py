@@ -382,6 +382,27 @@ def b13c(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b13_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def b13gs(spark: SparkSession, sf: str) -> DataFrame:
+    load_fixture_tables(spark, sf, tables=["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@_q(
     "b14_having",
     """
     SELECT o_custkey, count(*) AS n_orders,
@@ -707,6 +728,33 @@ def b24(spark: SparkSession, sf: str) -> DataFrame:
             "days_to_98"
         ),
         F.to_date("o_orderdate").alias("o_date"),
+    )
+
+
+@_q(
+    "b24_date_funcs2",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS week_no,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+)
+def b24d2(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3m"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.weekofyear("o_orderdate").alias("week_no"),
+        # Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday.
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
 
 
