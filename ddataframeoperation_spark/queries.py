@@ -516,6 +516,26 @@ def b17(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b17_window_ntile",
+    """
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+             AS balance_quartile
+    FROM customer
+    """,
+)
+def b17nt(spark: SparkSession, sf: str) -> DataFrame:
+    # Quartile assignment over a global order — acceptable only because the
+    # key space (customers) is the small side; at 100 TB bucket via
+    # percentile boundaries instead of a global-order window.
+    c = _t(spark, sf, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return c.select(
+        "c_custkey", F.ntile(4).over(w).cast("long").alias("balance_quartile")
+    )
+
+
+@_q(
     "b18_window_lag_lead",
     """
     SELECT event_id, user_id,
