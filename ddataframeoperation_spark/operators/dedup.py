@@ -28,6 +28,7 @@ from ddataframeoperation_spark.operators.windows import latest_per_key
 __all__ = [
     "dedup_exact",
     "dedup_by_key",
+    "dedup_increment",
     "normalized_text",
     "fingerprint",
     "dedup_by_fingerprint",
@@ -56,6 +57,31 @@ def dedup_by_key(
     keep the first under ``order_by`` (e.g. earliest ts, lowest id). The
     reference's latest-run pick (A10) pointed the same direction."""
     return latest_per_key(df, keys, order_by)
+
+
+def dedup_increment(
+    new_docs: DataFrame,
+    corpus_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """B31 at production shape — dedup a NEW batch against an existing
+    corpus without re-reading the corpus bodies: the corpus side is just
+    its fingerprint column (16 bytes/doc; at 100 TB that's a ~1–2 TB
+    lookup table, joinable or broadcastable per increment).
+
+    Two stages: (1) drop new docs whose fingerprint already exists in the
+    corpus (left-anti join on fp); (2) dedup within the increment itself
+    (keep lowest id). Returns the surviving new rows with their ``fp``.
+    """
+    with_fp = new_docs.withColumn(fp_col, fingerprint(text_col))
+    fresh = with_fp.join(
+        corpus_fingerprints.select(F.col(fp_col)).distinct(),
+        on=fp_col,
+        how="left_anti",
+    )
+    return latest_per_key(fresh, [fp_col], [F.col(id_col)])
 
 
 def normalized_text(col: str | Column = "text") -> Column:

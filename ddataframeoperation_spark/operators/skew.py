@@ -32,6 +32,8 @@ __all__ = [
     "write_bucketed",
     "bucketed_table",
     "write_partitioned",
+    "merge_upsert",
+    "compact",
 ]
 
 
@@ -126,3 +128,66 @@ def write_partitioned(
     instead. Pruning is asserted in tests via ``PartitionFilters`` in the
     scan node."""
     df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """MERGE-style upsert onto a plain parquet table: rows in ``updates``
+    replace target rows with the same key; new keys append.
+
+    Implementation: anti-join the target against the update keys (keep
+    unaffected rows), union the updates, rewrite. On plain parquet this
+    rewrites the table (the write is staged to a temp dir first, so a
+    mid-rewrite failure never destroys the target); a table format with
+    transaction support (Delta/Iceberg) turns the same logical MERGE into
+    a metadata operation — this operator is the format-independent
+    fallback and the semantic contract.
+
+    At 100 TB: partition the target (write_partitioned) and call this per
+    affected partition — the update key set prunes the rewrite.
+    """
+    from pyspark.sql import functions as SF
+
+    target = spark.read.format(fmt).load(target_path)
+    kept = target.join(
+        updates.select(*key_cols).distinct(), on=list(key_cols), how="left_anti"
+    )
+    merged = kept.unionByName(updates)
+    staging = target_path.rstrip("/") + "__staging"
+    merged.write.mode("overwrite").format(fmt).save(staging)
+    # Atomic-ish swap via filesystem rename (same Hadoop FS both sides).
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(target_path)
+    src = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = dst.getFileSystem(conf)
+    fs.delete(dst, True)
+    fs.rename(src, dst)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    fmt: str = "parquet",
+) -> None:
+    """Small-files compaction: rewrite a table directory into
+    ``target_files`` files. Streaming sinks and per-batch upserts
+    accumulate small files; periodic compaction restores scan efficiency
+    (fewer tasks, better columnar compression). Same staged-rewrite safety
+    as :func:`merge_upsert`."""
+    df = spark.read.format(fmt).load(path).coalesce(target_files)
+    staging = path.rstrip("/") + "__staging"
+    df.write.mode("overwrite").format(fmt).save(staging)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(path)
+    src = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = dst.getFileSystem(conf)
+    fs.delete(dst, True)
+    fs.rename(src, dst)

@@ -1106,6 +1106,36 @@ def b31k(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b31_dedup_increment",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents
+    ), corpus AS (
+      SELECT DISTINCT fp FROM fp WHERE doc_id < 250
+    ), fresh AS (
+      SELECT f.doc_id, f.fp FROM fp f
+      WHERE f.doc_id >= 250
+        AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = f.fp)
+    )
+    SELECT doc_id, fp FROM (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fresh
+    ) WHERE rn = 1
+    """,
+)
+def b31inc(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    corpus_fp = d.filter(F.col("doc_id") < 250).select(
+        dedup.fingerprint("text").alias("fp")
+    )
+    new_batch = d.filter(F.col("doc_id") >= 250)
+    return dedup.dedup_increment(new_batch, corpus_fp).select("doc_id", "fp")
+
+
+@_q(
     "b32_jaccard_pairs",
     """
     WITH norm AS (
@@ -1964,6 +1994,75 @@ def b38st(spark: SparkSession, sf: str) -> DataFrame:
 def b36s(spark: SparkSession, sf: str) -> DataFrame:
     stream = STR.events_as_stream(spark, sf)
     return STR.run_to_memory(STR.sliding_counts(stream))
+
+
+@_q(
+    "b10_q14_promo_ratio",
+    """
+    SELECT CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY year(l.l_shipdate)
+    """,
+)
+def b10q14(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return j.groupBy(F.year("l_shipdate").alias("l_year")).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev),
+            4,
+        ).alias("promo_pct")
+    )
+
+
+@_q(
+    "b10_q19_disjunctive",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def b10q19(spark: SparkSession, sf: str) -> DataFrame:
+    # Q19 shape: disjunction of conjunctive band predicates across both
+    # join sides — Catalyst splits the part-only conjuncts to the build
+    # side and evaluates the residual disjunction post-join.
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#9")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
 
 
 # ---------------------------------------------------------------------------
