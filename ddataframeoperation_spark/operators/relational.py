@@ -42,6 +42,7 @@ __all__ = [
     "intersect",
     "except_all",
     "profile",
+    "observed",
     "fk_violations",
     "random_split",
     "pivot_agg",
@@ -231,6 +232,21 @@ def fk_violations(
         on=child[fk] == F.col(pk),
         how="left_anti",
     )
+
+
+def observed(df: DataFrame, metrics: Sequence[Column]):
+    """Attach observable data-quality metrics to a DataFrame.
+
+    The metrics are computed as a side-effect of whatever action later
+    runs the plan — counters for free, with NO extra pass over the data
+    (contrast with ``profile``, which is its own job). Returns
+    ``(df, observation)``; after any action on ``df``, ``observation.get``
+    yields the metric dict. At 100 TB this is how a pipeline asserts
+    null-rates/row-counts on every run without doubling its I/O."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    return df.observe(obs, *metrics), obs
 
 
 def random_split(

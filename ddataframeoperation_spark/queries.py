@@ -1997,6 +1997,38 @@ def b36s(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b10_q22_global_sales_opp",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_custs,
+           round(sum(c.c_acctbal), 4) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def b10q22(spark: SparkSession, sf: str) -> DataFrame:
+    # Q22 shape: scalar subquery (global average) + anti join (customers
+    # with no orders) + aggregate. The scalar aggregates to one row and
+    # broadcasts; the anti join needs only the orders key column.
+    load_fixture_tables(spark, sf, tables=["customer", "orders"])
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               count(*) AS n_custs,
+               round(sum(c.c_acctbal), 4) AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@_q(
     "b10_q14_promo_ratio",
     """
     SELECT CAST(year(l.l_shipdate) AS INTEGER) AS l_year,

@@ -86,3 +86,21 @@ def test_random_split_partitions(spark, sf_dir):
     # Seeded split is reproducible.
     train2, _ = R.random_split(c, [0.8, 0.2], seed=42)
     assert train.count() == train2.count()
+
+
+def test_observed_metrics_free_ride(spark, sf_dir):
+    from ddataframeoperation_spark.operators.relational import observed
+
+    o = read_fixture_table(spark, sf_dir, "orders")
+    df, obs = observed(
+        o,
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+                "null_keys"
+            ),
+        ],
+    )
+    n = df.filter(F.col("o_totalprice") > 0).count()  # the real action
+    got = obs.get
+    assert got["n_rows"] >= n and got["null_keys"] == 0
