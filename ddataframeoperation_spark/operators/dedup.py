@@ -35,6 +35,8 @@ __all__ = [
     "shingles",
     "minhash_signature",
     "minhash_candidates",
+    "connected_components",
+    "cluster_dedup",
     "jaccard_pairs",
     "simhash",
     "simhash_table",
@@ -206,6 +208,91 @@ def minhash_candidates(
         .distinct()
     )
     return pairs
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list (id_a, id_b) —
+    the clustering step that turns near-dup candidate PAIRS into dup
+    GROUPS. Iterative min-label propagation:
+
+        label(v) <- min(label(v), min over neighbors of label(n))
+
+    converges in O(component diameter) rounds; near-dup components are
+    shallow (dups of dups of one original), so a handful of iterations
+    closes them. Each round is two hash joins + an aggregate;
+    ``localCheckpoint`` truncates the growing lineage so round N doesn't
+    re-execute rounds 1..N-1 (the standard iterative-algorithm pattern;
+    on a cluster use ``checkpoint`` with a reliable dir instead).
+
+    Returns (id, component) with component = min id in the component.
+    """
+    from pyspark.sql import functions as SF
+
+    edges = (
+        pairs.select(SF.col("id_a").alias("src"), SF.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(SF.col("id_b").alias("src"), SF.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(SF.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", SF.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(SF.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                SF.least(
+                    SF.col("component"), SF.coalesce("nbr_min", SF.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(SF.col("u.component") != SF.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The near-dup dedup endgame: given candidate/confirmed pairs, cluster
+    them (connected components) and keep ONE row per cluster — the lowest
+    id — plus every row that appears in no pair. The complete pipeline is
+    minhash_candidates → (optional jaccard refinement) → cluster_dedup."""
+    from pyspark.sql import functions as SF
+
+    comp = connected_components(pairs)
+    keep_of_cluster = comp.groupBy("component").agg(SF.min("id").alias("keep_id"))
+    drop_ids = (
+        comp.join(
+            keep_of_cluster, comp["id"] == keep_of_cluster["keep_id"], "left_anti"
+        )
+        .select(SF.col("id").alias(id_col))
+        .distinct()
+    )
+    return df.join(drop_ids, on=id_col, how="left_anti")
 
 
 def jaccard_pairs(

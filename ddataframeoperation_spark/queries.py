@@ -88,6 +88,35 @@ def b01(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b03_pandas_api",
+    """
+    SELECT c_mktsegment,
+           round(avg(c_acctbal), 4) AS avg_bal,
+           count(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def b03ps(spark: SparkSession, sf: str) -> DataFrame:
+    # Pandas-on-Spark API surface: same engine, pandas ergonomics — the
+    # dataframe-operations twin for pandas-minded users. Plans compile to
+    # the identical Catalyst pipeline (verified by the shared oracle).
+    import pyspark.pandas as ps
+
+    psdf = ps.read_parquet(f"{sf}/customer.parquet")
+    out = (
+        psdf.groupby("c_mktsegment")
+        .agg(avg_bal=("c_acctbal", "mean"), n=("c_custkey", "count"))
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "c_mktsegment",
+        F.round("avg_bal", 4).alias("avg_bal"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@_q(
     "b04_filter_predicates",
     """
     SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
@@ -1163,6 +1192,53 @@ def b32j(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.jaccard_pairs(
         _t(spark, sf, "documents"), group_col="source", threshold=0.5
     )
+
+
+@_q(
+    "b32_cluster_dedup",
+    """
+    WITH norm AS (
+      SELECT doc_id AS id, source AS grp,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT id, grp, unnest(list_distinct(string_split(t, ' '))) AS tok FROM norm
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM tok GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.grp = b.grp AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      -- transitive closure via recursive CTE = connected components
+      WITH RECURSIVE r(id, v) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON r.v = e.src
+      ) SELECT id, min(v) AS component FROM r GROUP BY id
+    ), drops AS (
+      SELECT id FROM reach WHERE id <> component
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.id = d.doc_id)
+    """,
+)
+def b32cd(spark: SparkSession, sf: str) -> DataFrame:
+    # End-to-end near-dup dedup, every stage verifiable: exact jaccard
+    # pairs (inverted index) -> connected components (iterative label
+    # propagation) -> keep lowest id per cluster. At 100 TB the pair
+    # source swaps to minhash_candidates + jaccard refinement — identical
+    # downstream.
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(docs, group_col="source", threshold=0.5)
+    return dedup.cluster_dedup(docs, pairs.select("id_a", "id_b")).select("doc_id")
 
 
 @_q("b32_minhash_candidates")  # rows-only: hash family is engine-specific
