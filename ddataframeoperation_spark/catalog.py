@@ -109,6 +109,20 @@ class Catalog:
     def __contains__(self, name: str) -> bool:
         return name in self._tables
 
+    def cache(self, name: str, storage_level: str = "MEMORY_AND_DISK") -> DataFrame:
+        """Persist a hot catalog table (deserialized columns in memory,
+        spill to disk). Use for dimensions re-read by many queries in one
+        session; storage is lazy — materialized by the next action."""
+        from pyspark.storagelevel import StorageLevel
+
+        df = self.get(name).persist(getattr(StorageLevel, storage_level))
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def uncache(self, name: str) -> None:
+        self.get(name).unpersist()
+
     def names(self) -> list[str]:
         return sorted(self._tables)
 

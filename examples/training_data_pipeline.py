@@ -47,9 +47,11 @@ def main() -> None:
     corpus = TX.prepare_training_corpus(docs, min_quality=0.5)
     print("   kept", corpus.count(), "of", docs.count(), "docs")
 
-    print("== 4. MinHash LSH near-duplicate candidates")
+    print("== 4. MinHash LSH near-duplicate candidates -> clustered dedup")
     cands = dedup.minhash_candidates(docs)
     print("   candidate pairs:", cands.count())
+    survivors = dedup.cluster_dedup(docs, cands)
+    print("   after cluster dedup:", survivors.count(), "docs")
 
     print("== 5. vocabulary (df >= 5)")
     TX.vocabulary(docs, min_df=5).orderBy(F.desc("tf")).show(5)
