@@ -565,6 +565,26 @@ def b17nt(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b17_percent_rank",
+    """
+    SELECT c_custkey,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def b17pr(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@_q(
     "b18_window_lag_lead",
     """
     SELECT event_id, user_id,
@@ -1020,6 +1040,61 @@ def b30udtf(spark: SparkSession, sf: str) -> DataFrame:
         SELECT d.doc_id, t.pos, t.token
         FROM docs_for_udtf d, LATERAL tokenize_udtf(d.text) t
         """
+    )
+
+
+@_q(
+    "b27_explode_outer",
+    """
+    SELECT vec_id,
+           round(CAST(unnest(CASE WHEN len(big) = 0 THEN [NULL]
+                                  ELSE big END) AS DOUBLE), 4) AS big_dim
+    FROM (
+      SELECT vec_id,
+             list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.25) AS big
+      FROM embeddings
+    )
+    """,
+)
+def b27eo(spark: SparkSession, sf: str) -> DataFrame:
+    # explode_outer: rows with empty arrays survive with NULL — the
+    # null-preserving explode a pipeline needs when absence is a signal.
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id",
+        F.filter(
+            F.transform("embedding", lambda x: x.cast("double")),
+            lambda x: x > 0.25,
+        ).alias("big"),
+    )
+    return e.select("vec_id", F.explode_outer("big").alias("big_dim")).select(
+        "vec_id", F.round("big_dim", 4).alias("big_dim")
+    )
+
+
+@_q(
+    "b34_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INTEGER)
+             AS n_bpe_tokens,
+           CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS INTEGER)
+             AS n_ws_tokens
+    FROM documents
+    """,
+)
+def b34bpe(spark: SparkSession, sf: str) -> DataFrame:
+    # BPE-ish pre-tokenization (letters / digits / punctuation runs, the
+    # GPT-2-style split shape) vs plain whitespace tokens — the token-count
+    # pair a data pipeline tracks per document.
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), F.lit(0)
+            )
+        ).alias("n_bpe_tokens"),
+        TX.token_count("text").alias("n_ws_tokens"),
     )
 
 
