@@ -42,14 +42,18 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows + latest right ``right_cols`` values
-    at-or-before each left row's timestamp, matched within ``key``.
+    """As-of join: left rows + the nearest right ``right_cols`` values
+    at-or-before (``direction='backward'``, the default) or at-or-after
+    (``'forward'``) each left row's timestamp, matched within ``key``.
 
-    ``tolerance_seconds`` optionally voids matches older than the window
+    ``tolerance_seconds`` optionally voids matches farther than the window
     (pandas ``merge_asof(tolerance=...)`` semantics). Left rows with no
     qualifying right row keep nulls.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     lcols = left.columns
     l_tagged = left.select(
         F.col(key).alias("_k"),
@@ -69,9 +73,12 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
     # Right rows (_side=0) order before left rows at equal _ts => inclusive.
+    # Forward direction: scan event time in reverse so "last right seen"
+    # becomes "nearest right at-or-after".
+    ts_order = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
+        .orderBy(ts_order, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
@@ -84,9 +91,10 @@ def asof_join(
     )
     out = filled.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        within = (
-            F.col("_ts").cast("double") - F.col("_f_ts").cast("double")
-        ) <= tolerance_seconds
+        gap = F.col("_ts").cast("double") - F.col("_f_ts").cast("double")
+        if direction == "forward":
+            gap = -gap
+        within = gap <= tolerance_seconds
         out = out.select(
             "*",
             *[

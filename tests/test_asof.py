@@ -41,6 +41,23 @@ def test_asof_backward_semantics(spark):
     assert out.count() == left.count()  # left-join cardinality preserved
 
 
+def test_asof_forward(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "k", "ts", "ts", ["v"], direction="forward")
+    got = {r["tag"]: r["v_asof"] for r in out.collect()}
+    # 'a'@10:00 -> next right is 11:59 (20.0); 'b'@12:00 -> none after;
+    # 'c'@11:00 -> exact tie 30.0 (inclusive); 'd' -> no right rows.
+    assert got == {"a": 20.0, "b": None, "c": 30.0, "d": None}
+
+
+def test_asof_bad_direction(spark):
+    import pytest
+
+    left, right = _frames(spark)
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", "ts", "ts", ["v"], direction="sideways")
+
+
 def test_asof_tolerance(spark):
     left, right = _frames(spark)
     out = asof_join(left, right, "k", "ts", "ts", ["v"],
