@@ -2180,6 +2180,35 @@ def b10q22(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b10_q12_priority_lines",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def b10q12(spark: SparkSession, sf: str) -> DataFrame:
+    li = R.filter_rows(
+        _t(spark, sf, "lineitem"),
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")),
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+    )
+
+
+@_q(
     "b10_q14_promo_ratio",
     """
     SELECT CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
