@@ -44,7 +44,10 @@ BENCH_QUERIES = [
     "b27_array_funcs",
     "b30_script_zscore",
     "b31_dedup_fingerprint",
-    "b32_minhash_candidates",
+    # The raw banded-LSH candidate operator — identical work to what round 1
+    # benched under "b32_minhash_candidates" (that query name now carries the
+    # exact-Jaccard recall gate, which is correctness harness, not operator).
+    "b32_minhash_raw",
     "b32_jaccard_pairs",
     "b32_simhash_candidates",
     "b33_cosine_topk",

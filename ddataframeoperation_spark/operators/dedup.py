@@ -213,6 +213,7 @@ def minhash_candidates(
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list (id_a, id_b) —
     the clustering step that turns near-dup candidate PAIRS into dup
@@ -222,14 +223,27 @@ def connected_components(
 
     converges in O(component diameter) rounds; near-dup components are
     shallow (dups of dups of one original), so a handful of iterations
-    closes them. Each round is two hash joins + an aggregate;
-    ``localCheckpoint`` truncates the growing lineage so round N doesn't
-    re-execute rounds 1..N-1 (the standard iterative-algorithm pattern;
-    on a cluster use ``checkpoint`` with a reliable dir instead).
+    closes them. Each round is two hash joins + an aggregate; the
+    per-round checkpoint truncates the growing lineage so round N doesn't
+    re-execute rounds 1..N-1 (the standard iterative-algorithm pattern).
+
+    ``checkpoint_dir``: when given, rounds use reliable ``checkpoint``
+    into that directory — the cluster-production mode, where a lost
+    executor recomputes from the checkpoint file instead of replaying
+    every round (``localCheckpoint`` blocks are lost with their
+    executor). Defaults to ``localCheckpoint`` for single-node/test runs.
 
     Returns (id, component) with component = min id in the component.
     """
     from pyspark.sql import functions as SF
+
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
 
     edges = (
         pairs.select(SF.col("id_a").alias("src"), SF.col("id_b").alias("dst"))
@@ -257,8 +271,8 @@ def connected_components(
                     SF.col("component"), SF.coalesce("nbr_min", SF.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        updated = _truncate(updated)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "id")
@@ -301,6 +315,7 @@ def jaccard_pairs(
     text_col: str = "text",
     group_col: str | None = None,
     threshold: float = 0.5,
+    shingle_n: int | None = None,
 ) -> DataFrame:
     """B32 — exact token-set Jaccard similarity via explode + equi-join on
     token (the sparse-inverted-index formulation: only pairs sharing at
@@ -312,14 +327,22 @@ def jaccard_pairs(
     scale-reduction; at 100 TB you'd also drop ultra-frequent tokens
     (stopword-like) before the join to bound the inverted-index skew.
 
+    ``shingle_n`` switches the unit from single word tokens to word
+    n-gram shingles — the exact ground truth for
+    :func:`minhash_candidates` (which hashes the same shingles), used by
+    the recall gate in the query surface.
+
     Returns (id_a, id_b, jacc) for pairs with jacc >= threshold.
     """
+    units = (
+        shingles(text_col, shingle_n)
+        if shingle_n
+        else F.split(normalized_text(text_col), " ")
+    )
     tok = df.select(
         F.col(id_col).alias("id"),
         *( [F.col(group_col).alias("grp")] if group_col else [] ),
-        F.explode(F.array_distinct(F.split(normalized_text(text_col), " "))).alias(
-            "tok"
-        ),
+        F.explode(F.array_distinct(units)).alias("tok"),
     )
     sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
     join_on = ["tok"] + (["grp"] if group_col else [])

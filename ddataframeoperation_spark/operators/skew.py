@@ -33,6 +33,7 @@ __all__ = [
     "bucketed_table",
     "write_partitioned",
     "merge_upsert",
+    "merge_upsert_partitioned",
     "compact",
 ]
 
@@ -77,7 +78,17 @@ def salted_join(
     once per salt value, join on (key, salt). Use when one join key owns a
     disproportionate share of the big side and AQE's skew splitting is not
     enough (e.g. the hot key exceeds a single executor's memory). The small
-    side grows ×``salt_buckets`` — keep it genuinely small."""
+    side grows ×``salt_buckets`` — keep it genuinely small.
+
+    Only ``inner`` and ``left`` (outer) joins are supported: under a
+    right/full outer join every unmatched small-side key would surface
+    once per salt replica as spurious null-extended rows."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left', got {how!r}: "
+            "right/full outer would emit one null-extended row per salt "
+            "replica for unmatched small-side keys"
+        )
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast("int")
     )
@@ -160,14 +171,80 @@ def merge_upsert(
     merged = kept.unionByName(updates)
     staging = target_path.rstrip("/") + "__staging"
     merged.write.mode("overwrite").format(fmt).save(staging)
-    # Atomic-ish swap via filesystem rename (same Hadoop FS both sides).
+    _swap_staging(spark, staging, target_path)
+
+
+def _swap_staging(spark: SparkSession, staging: str, target: str) -> None:
+    """Swap a fully-written staging directory into place.
+
+    Rename the live table ASIDE first (never delete-then-rename: a crash
+    between those two steps would leave no table at the target path at
+    all). Order: target → target__old, staging → target, drop target__old.
+    A crash at any point leaves the data in a recoverable directory, and
+    every rename's boolean result is checked."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    dst = jvm.org.apache.hadoop.fs.Path(target_path)
+    dst = jvm.org.apache.hadoop.fs.Path(target)
     src = jvm.org.apache.hadoop.fs.Path(staging)
+    old = jvm.org.apache.hadoop.fs.Path(target.rstrip("/") + "__old")
     fs = dst.getFileSystem(conf)
-    fs.delete(dst, True)
-    fs.rename(src, dst)
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(dst) and not fs.rename(dst, old):
+        raise IOError(f"could not move {target} aside to {old}")
+    if not fs.rename(src, dst):
+        # Put the original back before failing — the table stays readable.
+        if fs.exists(old):
+            fs.rename(old, dst)
+        raise IOError(f"could not move staging {staging} into {target}")
+    fs.delete(old, True)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_col: str,
+    fmt: str = "parquet",
+) -> list:
+    """Partition-pruned MERGE onto a :func:`write_partitioned` table: only
+    the partitions that actually contain updated keys are rewritten; every
+    other partition's files are left byte-identical on disk.
+
+    This is the production shape of :func:`merge_upsert` at 100 TB — a
+    daily upsert into a date-partitioned events table touches a handful of
+    date directories, not the table. ``updates`` must carry
+    ``partition_col``. Returns the list of partition values rewritten.
+
+    The affected-partition list is collected driver-side: partition
+    columns are low-cardinality by layout contract (that's what makes
+    them partition columns), so this is a short list, not a data scan —
+    it prunes on the updates side, which is small by definition of an
+    upsert. Each rewritten partition is staged then swapped with the same
+    rename-aside discipline as :func:`merge_upsert`, so a crash
+    mid-partition leaves at most one partition in its __old/__staging
+    recovery state and idempotent re-runs converge.
+    """
+    affected = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    target = spark.read.format(fmt).load(target_path)
+    for pv in affected:
+        part_dir = f"{target_path.rstrip('/')}/{partition_col}={pv}"
+        part_updates = updates.filter(F.col(partition_col) == F.lit(pv))
+        # Partition filter on the scan → directory pruning: only this
+        # partition's files are read.
+        kept = target.filter(F.col(partition_col) == F.lit(pv)).join(
+            part_updates.select(*key_cols).distinct(),
+            on=list(key_cols),
+            how="left_anti",
+        )
+        merged = kept.unionByName(part_updates).drop(partition_col)
+        staging = part_dir + "__staging"
+        merged.write.mode("overwrite").format(fmt).save(staging)
+        _swap_staging(spark, staging, part_dir)
+    return affected
 
 
 def compact(
@@ -184,10 +261,4 @@ def compact(
     df = spark.read.format(fmt).load(path).coalesce(target_files)
     staging = path.rstrip("/") + "__staging"
     df.write.mode("overwrite").format(fmt).save(staging)
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    dst = jvm.org.apache.hadoop.fs.Path(path)
-    src = jvm.org.apache.hadoop.fs.Path(staging)
-    fs = dst.getFileSystem(conf)
-    fs.delete(dst, True)
-    fs.rename(src, dst)
+    _swap_staging(spark, staging, path)

@@ -355,12 +355,34 @@ def b12cd(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_q("b12_approx_count_distinct")  # rows-only: HLL sketches differ across engines
+@_q(
+    "b12_approx_count_distinct",
+    """
+    SELECT o_orderstatus, TRUE AS approx_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def b12ad(spark: SparkSession, sf: str) -> DataFrame:
-    return R.group_agg(
-        _t(spark, sf, "orders"),
+    # The HLL++ estimate can't hash-match DuckDB's exact count, so assert
+    # its error bound instead: per-group approx within 5% (+1) of exact —
+    # deterministic for fixed fixture data, red if the sketch breaks.
+    # rsd=0.01 makes the 5% bound a ~5σ margin (the default rsd=0.05
+    # sketch routinely misses 5% — observed at sf0.01).
+    o = _t(spark, sf, "orders")
+    approx = R.group_agg(
+        o,
         ["o_orderstatus"],
-        [F.approx_count_distinct("o_custkey").alias("approx_custs")],
+        [F.approx_count_distinct("o_custkey", 0.01).alias("approx_custs")],
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_custs")
+    )
+    return approx.join(exact, "o_orderstatus").select(
+        "o_orderstatus",
+        (
+            F.abs(F.col("approx_custs") - F.col("exact_custs"))
+            <= F.greatest(F.lit(1), F.col("exact_custs") * 0.05)
+        ).alias("approx_ok"),
     )
 
 
@@ -726,13 +748,41 @@ def b21ie(spark: SparkSession, sf: str) -> DataFrame:
     return R.union_all(both, only).select("tag", "c_custkey")
 
 
-@_q("b22_random_split")  # rows-only: engine-specific sampling
+@_q(
+    "b22_random_split",
+    """
+    SELECT 'train_frac' AS check_name, TRUE AS ok
+    UNION ALL SELECT 'test_frac', TRUE
+    UNION ALL SELECT 'row_conservation', TRUE
+    """,
+)
 def b22(spark: SparkSession, sf: str) -> DataFrame:
-    train, test = R.random_split(_t(spark, sf, "customer"), [0.8, 0.2], seed=42)
-    return R.union_all(
-        train.agg(F.lit("train").alias("split"), F.count("*").alias("n_rows")),
-        test.agg(F.lit("test").alias("split"), F.count("*").alias("n_rows")),
+    # Sampling is engine-specific, so assert the split's contract instead
+    # of its membership: train/test fractions within ±5% absolute of the
+    # requested 80/20 (≫4σ of Bernoulli noise at fixture sizes) and exact
+    # row conservation (randomSplit partitions, never drops/duplicates).
+    c = _t(spark, sf, "customer")
+    train, test = R.random_split(c, [0.8, 0.2], seed=42)
+    stats = (
+        train.agg(F.count("*").alias("n_tr"))
+        .crossJoin(test.agg(F.count("*").alias("n_te")))
+        .crossJoin(c.agg(F.count("*").alias("n_src")))
     )
+    checks = F.array(
+        F.struct(
+            F.lit("train_frac").alias("check_name"),
+            (F.abs(F.col("n_tr") / F.col("n_src") - 0.8) <= 0.05).alias("ok"),
+        ),
+        F.struct(
+            F.lit("test_frac").alias("check_name"),
+            (F.abs(F.col("n_te") / F.col("n_src") - 0.2) <= 0.05).alias("ok"),
+        ),
+        F.struct(
+            F.lit("row_conservation").alias("check_name"),
+            (F.col("n_tr") + F.col("n_te") == F.col("n_src")).alias("ok"),
+        ),
+    )
+    return stats.select(F.explode(checks).alias("c")).select("c.*")
 
 
 # ---------------------------------------------------------------------------
@@ -1105,20 +1155,49 @@ def b34bpe(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT 'o_custkey' AS "column", count(*) AS n_rows,
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           TRUE AS distinct_ok,
            CAST(min(o_custkey) AS VARCHAR) AS min_val,
            CAST(max(o_custkey) AS VARCHAR) AS max_val
     FROM orders
     UNION ALL
     SELECT 'o_orderstatus', count(*),
            CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           TRUE,
            min(o_orderstatus), max(o_orderstatus)
     FROM orders
     """,
 )
 def b28p(spark: SparkSession, sf: str) -> DataFrame:
-    return R.profile(_t(spark, sf, "orders"), ["o_custkey", "o_orderstatus"])
+    # Exercises the production (approx, no-Expand) profile path. The HLL++
+    # distinct estimate can't hash-match DuckDB's exact count, so the query
+    # asserts the estimate's error bound instead: per-column exact distincts
+    # are computed as separate single-distinct aggs (each a plain two-stage
+    # hash agg — no Expand; k extra scans are verification-only cost) and
+    # `distinct_ok` = approx within 5% of exact (rsd=0.01 → ~5σ margin,
+    # deterministic for fixed fixture data). Oracle emits TRUE per column.
+    o = _t(spark, sf, "orders")
+    cols = ["o_custkey", "o_orderstatus"]
+    prof = R.profile(o, cols)  # default approx path
+    exact = None
+    for c in cols:
+        one = o.agg(F.countDistinct(c).alias("exact_distinct")).select(
+            F.lit(c).alias("column"), "exact_distinct"
+        )
+        exact = one if exact is None else exact.unionAll(one)
+    return (
+        prof.join(F.broadcast(exact), "column")
+        .select(
+            "column",
+            "n_rows",
+            "n_nulls",
+            (
+                F.abs(F.col("n_distinct") - F.col("exact_distinct"))
+                <= F.greatest(F.lit(1), F.col("exact_distinct") * 0.05)
+            ).alias("distinct_ok"),
+            "min_val",
+            "max_val",
+        )
+    )
 
 
 @_q(
@@ -1318,13 +1397,63 @@ def b32cd(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.cluster_dedup(docs, pairs.select("id_a", "id_b")).select("doc_id")
 
 
-@_q("b32_minhash_candidates")  # rows-only: hash family is engine-specific
+@_q(
+    "b32_minhash_candidates",
+    """
+    WITH norm AS (
+      SELECT doc_id AS id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), toks AS (
+      SELECT id, string_split(t, ' ') AS tk FROM norm
+    ), sh AS (
+      SELECT id,
+             list_distinct([array_to_string(tk[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS shs
+      FROM toks
+    ), u AS (
+      SELECT id, unnest(shs) AS tok FROM sh
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM u GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM u a JOIN u b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 4) AS jacc
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.9
+    """,
+)
 def b32m(spark: SparkSession, sf: str) -> DataFrame:
+    # Recall gate for banded MinHash LSH: the oracle computes the EXACT
+    # 3-shingle-Jaccard ≥ 0.9 pair set (the same shingles the signatures
+    # hash); the query returns that exact set restricted to LSH candidates.
+    # A hash match therefore proves 100% candidate recall at this
+    # threshold — a missed near-dup pair turns the row set short and red.
+    # (8 bands × 4 rows ⇒ P(candidate | jacc=0.9) ≈ 0.9998 per pair;
+    # deterministic for the fixed fixture + seedless xxhash64 family.)
+    docs = _t(spark, sf, "documents")
+    high = dedup.jaccard_pairs(docs, threshold=0.9, shingle_n=3)
+    cands = dedup.minhash_candidates(docs)
+    return high.join(cands, ["id_a", "id_b"], "leftsemi")
+
+
+@_q("b32_minhash_raw")  # rows-only: hash family is engine-specific
+def b32mr(spark: SparkSession, sf: str) -> DataFrame:
+    # The raw operator (bench target): banded-LSH candidate pairs alone,
+    # without the exact-refinement pass the recall gate above adds.
     return dedup.minhash_candidates(_t(spark, sf, "documents"))
 
 
 @_q("b32_simhash_candidates")  # rows-only: hash family is engine-specific
 def b32s(spark: SparkSession, sf: str) -> DataFrame:
+    # Stays rows-only by design: the candidate set is exactly "pairs with
+    # simhash Hamming ≤ 3", and the 64-bit simhash is built from Spark's
+    # xxhash64 family, which DuckDB cannot reproduce. A token-Jaccard
+    # ground truth is NOT a valid oracle here — word-level simhash and
+    # shingle-Jaccard rank borderline pairs differently (measured: 21/27
+    # resp. 15/25 shingle-high pairs fall within Hamming 3 on the
+    # fixtures), which is inherent to the sketch, not a bug.
     return dedup.simhash_candidates(_t(spark, sf, "documents"), max_hamming=3)
 
 
@@ -1347,6 +1476,12 @@ def b33(spark: SparkSession, sf: str) -> DataFrame:
 
 @_q("b33_lsh_topk")  # rows-only: LSH plane family is engine-specific
 def b33l(spark: SparkSession, sf: str) -> DataFrame:
+    # Stays rows-only by design: the fixture embeddings are near-isotropic
+    # random vectors, where a 16-bit hyperplane prefilter at Hamming ≤ 4
+    # keeps ~4% of the corpus and true top-k recall is inherently low
+    # (measured 1-3/10 overlap with exact top-k) — LSH needs clustered
+    # data to shine. The plan shape (prefilter → exact rerank → TakeOrdered)
+    # is what's under test; exact results are covered by b33_cosine_topk.
     import numpy as np
 
     emb = _t(spark, sf, "embeddings")
@@ -1593,11 +1728,48 @@ def b15no(spark: SparkSession, sf: str) -> DataFrame:
 # B22 adjunct — stratified sampling (training-data class balancing)
 # ---------------------------------------------------------------------------
 
-@_q("b22_stratified_sample")  # rows-only: engine-specific sampling
+@_q(
+    "b22_stratified_sample",
+    """
+    SELECT 'en_frac' AS check_name, TRUE AS ok
+    UNION ALL SELECT 'de_complete', TRUE
+    UNION ALL SELECT 'others_absent', TRUE
+    """,
+)
 def b22s(spark: SparkSession, sf: str) -> DataFrame:
+    # Stratified-sampling contract, engine-independent: the fraction-1.0
+    # stratum is complete, the 0.5 stratum lands within ±10% relative
+    # (≫4σ at fixture sizes), and unlisted strata never leak through.
     d = _t(spark, sf, "documents")
     sampled = d.sampleBy("lang", fractions={"en": 0.5, "de": 1.0}, seed=42)
-    return sampled.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    stats = (
+        sampled.agg(
+            F.count(F.when(F.col("lang") == "en", 1)).alias("s_en"),
+            F.count(F.when(F.col("lang") == "de", 1)).alias("s_de"),
+            F.count(F.when(~F.col("lang").isin("en", "de"), 1)).alias("s_other"),
+        )
+        .crossJoin(
+            d.agg(
+                F.count(F.when(F.col("lang") == "en", 1)).alias("b_en"),
+                F.count(F.when(F.col("lang") == "de", 1)).alias("b_de"),
+            )
+        )
+    )
+    checks = F.array(
+        F.struct(
+            F.lit("en_frac").alias("check_name"),
+            (F.abs(F.col("s_en") / F.col("b_en") - 0.5) <= 0.1).alias("ok"),
+        ),
+        F.struct(
+            F.lit("de_complete").alias("check_name"),
+            (F.col("s_de") == F.col("b_de")).alias("ok"),
+        ),
+        F.struct(
+            F.lit("others_absent").alias("check_name"),
+            (F.col("s_other") == 0).alias("ok"),
+        ),
+    )
+    return stats.select(F.explode(checks).alias("c")).select("c.*")
 
 
 # ---------------------------------------------------------------------------
@@ -1716,13 +1888,24 @@ def b37(spark: SparkSession, sf: str) -> DataFrame:
     return STR.run_to_memory(STR.session_window_agg(stream))
 
 
-@_q("b38_stream_dedup")  # rows-only: watermark-scoped state
+@_q(
+    "b38_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
 def b38(spark: SparkSession, sf: str) -> DataFrame:
+    # Project the dedup KEY columns only: which physical row survives
+    # depends on arrival order, but the surviving key set is exactly the
+    # distinct keys (the fixture is one parquet file → one availableNow
+    # micro-batch, so no key outlives the watermark between batches and
+    # the streaming result equals batch DISTINCT — the batch-equivalence
+    # oracle).
     stream = STR.events_as_stream(spark, sf)
     deduped = STR.stream_dedup(stream)
-    out = STR.run_to_memory(deduped.select("user_id", "event_type", "event_id"),
-                            output_mode="append")
-    return out
+    return STR.run_to_memory(
+        deduped.select("user_id", "event_type"), output_mode="append"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,12 @@ def events_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the replay deterministic enough for equivalence checks)."""
     from ddataframeoperation_spark.catalog import _normalize_ns_timestamps
 
+    # The fixture stores timestamp[ns]; the batch schema probe below fails
+    # with PARQUET_TYPE_ILLEGAL on a vanilla session unless the legacy
+    # ns-as-long conf is set FIRST (read_fixture_table does the same — but
+    # streaming entry points must not depend on a batch query having run
+    # earlier in the session).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The file stream source requires a *directory*; select just the events
     # file out of the fixture dir with a glob filter.
