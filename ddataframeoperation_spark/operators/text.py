@@ -30,6 +30,9 @@ __all__ = [
     "tf_idf",
     "prepare_training_corpus",
     "STOPWORDS",
+    "BPE_MERGES",
+    "PRETOKEN_REGEX",
+    "bpe_subword_stats",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -52,6 +55,81 @@ def token_count(col: str | Column = "text") -> Column:
     """B34 — token count. BPE-ish proxy: whitespace tokens; a real BPE pass
     would be a Pandas-UDF batch op with the same column signature."""
     return F.size(tokens(col))
+
+
+#: GPT-2-style pre-tokenization: letter runs, digit runs, punctuation runs.
+PRETOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+#: Fixed byte-pair merge table, rank-ordered (rank 0 applies first). A
+#: hand-picked English-frequency table — deterministic, so the encode is
+#: oracle-able; a trained table drops in through the same parameter.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("in", "g"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "u"), ("r", "e"), ("o", "n"),
+    ("e", "n"), ("a", "t"), ("e", "s"), ("o", "r"), ("t", "i"),
+    ("s", "t"), ("a", "r"), ("a", "l"), ("l", "e"), ("i", "t"),
+    ("i", "s"), ("e", "d"), ("ou", "r"), ("the", "r"),
+)
+
+#: Symbol separator used during the merge loop — a control char that the
+#: pre-tokenizer guarantees never appears inside a pre-token.
+_BPE_SEP = "\x01"
+
+
+def bpe_subword_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+) -> DataFrame:
+    """B34 — byte-pair-merge subword encoding with actual merges (not a
+    whitespace proxy), as an Arrow-batched ``mapInPandas`` kernel.
+
+    Algorithm (the fast-encode formulation): pre-tokenize with
+    :data:`PRETOKEN_REGEX`; start each pre-token as its character symbols;
+    apply the merge table in rank order, each merge replacing all
+    occurrences greedy-leftmost. Deterministic given the table, and
+    reproducible in plain SQL as a chain of ``replace()`` calls — which is
+    exactly what the DuckDB oracle does, so the two implementations verify
+    each other merge-for-merge.
+
+    Python is the right tool here (B30 boundary): the per-symbol merge
+    loop has data-dependent iteration that Spark expressions can't fuse.
+    ``mapInPandas`` keeps it Arrow-batched and embarrassingly parallel —
+    no shuffle, scales linearly with partitions at 100 TB.
+
+    Returns (id_col, n_pretokens, n_subwords) per input row.
+    """
+    import re
+
+    import pandas as pd
+
+    # re.ASCII pins \s to ASCII whitespace — the semantics Java regex
+    # (Spark) and RE2 (DuckDB) use — so all three engines pre-tokenize
+    # identically on non-ASCII input.
+    pat = re.compile(PRETOKEN_REGEX, re.ASCII)
+    reps = [(a + _BPE_SEP + b, a + b) for a, b in merges]
+    out_schema = f"{id_col} long, n_pretokens int, n_subwords int"
+
+    def encode(batches):
+        for pdf in batches:
+            ids, npre, nsub = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                pts = pat.findall(t) if isinstance(t, str) else []
+                total = 0
+                for p in pts:
+                    s = _BPE_SEP.join(p)
+                    for old, new in reps:
+                        s = s.replace(old, new)
+                    total += s.count(_BPE_SEP) + 1
+                ids.append(i)
+                npre.append(len(pts))
+                nsub.append(total)
+            yield pd.DataFrame(
+                {id_col: ids, "n_pretokens": npre, "n_subwords": nsub}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode, schema=out_schema)
 
 
 def word_stats(df: DataFrame, text_col: str = "text", group_col: str = "lang") -> DataFrame:

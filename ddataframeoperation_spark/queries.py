@@ -1123,31 +1123,37 @@ def b27eo(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@_q(
-    "b34_bpe_tokens",
-    r"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS INTEGER)
-             AS n_bpe_tokens,
-           CAST(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS INTEGER)
-             AS n_ws_tokens
-    FROM documents
-    """,
-)
-def b34bpe(spark: SparkSession, sf: str) -> DataFrame:
-    # BPE-ish pre-tokenization (letters / digits / punctuation runs, the
-    # GPT-2-style split shape) vs plain whitespace tokens — the token-count
-    # pair a data pipeline tracks per document.
-    d = _t(spark, sf, "documents")
-    return d.select(
-        "doc_id",
-        F.size(
-            F.regexp_extract_all(
-                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), F.lit(0)
-            )
-        ).alias("n_bpe_tokens"),
-        TX.token_count("text").alias("n_ws_tokens"),
+def _bpe_oracle_sql() -> str:
+    """DuckDB twin of :func:`TX.bpe_subword_stats`: the same rank-ordered
+    global merges, expressed as a generated chain of ``replace()`` calls
+    over separator-joined character symbols. Generated from the SAME merge
+    table the Spark kernel uses, so the two stay in lockstep."""
+    sep = "\x01"
+    expr = f"rtrim(regexp_replace(pt, '(.)', '\\1{sep}', 'g'), '{sep}')"
+    for a, b in TX.BPE_MERGES:
+        expr = f"replace({expr}, '{a}{sep}{b}', '{a}{b}')"
+    return f"""
+    WITH pre AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '{TX.PRETOKEN_REGEX}')) AS pt
+      FROM documents
+    ), m AS (
+      SELECT doc_id, len(string_split({expr}, '{sep}')) AS nsub FROM pre
+    ), agg AS (
+      SELECT doc_id, count(*) AS np, sum(nsub) AS ns FROM m GROUP BY doc_id
     )
+    SELECT d.doc_id,
+           CAST(coalesce(a.np, 0) AS INTEGER) AS n_pretokens,
+           CAST(coalesce(a.ns, 0) AS INTEGER) AS n_subwords
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
+
+
+@_q("b34_bpe_tokens", _bpe_oracle_sql())
+def b34bpe(spark: SparkSession, sf: str) -> DataFrame:
+    # Real byte-pair merges (fixed rank-ordered table) via an Arrow-batched
+    # mapInPandas kernel; the oracle replays the identical merge chain in
+    # SQL, so every subword count is value-verified, not just row-counted.
+    return TX.bpe_subword_stats(_t(spark, sf, "documents"))
 
 
 @_q(

@@ -60,3 +60,23 @@ def test_prepare_corpus_filters_and_dedups(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kept = sorted(r["doc_id"] for r in TX.prepare_training_corpus(df).collect())
     assert kept == [1, 4]
+
+
+def test_bpe_merges_actually_merge(spark):
+    """'the' collapses to one subword via t+h -> th, th+e -> the; a word
+    with no table pairs stays at character count."""
+    from ddataframeoperation_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [(1, "the"), (2, "xq"), (3, "thermal units")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_pretokens"], r["n_subwords"])
+        for r in TX.bpe_subword_stats(df).collect()
+    }
+    assert got[1] == (1, 1)       # t h e -> th e -> the
+    assert got[2] == (1, 2)       # no merge pair for x,q
+    # 'thermal' = t h e r m a l -> the r m al -> ther m al (the+r rank 23)
+    # 'units'   = u n i t s -> u n it s  (i+t rank 19; no u+n pair)
+    assert got[3] == (2, 3 + 4)
