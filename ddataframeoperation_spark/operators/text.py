@@ -14,6 +14,7 @@ these run at parquet-scan speed.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -33,6 +34,9 @@ __all__ = [
     "BPE_MERGES",
     "PRETOKEN_REGEX",
     "bpe_subword_stats",
+    "kgram_hashes",
+    "winnow_fingerprints",
+    "fingerprint_overlap_pairs",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -267,3 +271,115 @@ def language_id(col: str | Column = "text") -> Column:
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(is_better, s).otherwise(best_score)
     return best_lang
+
+
+#: Polynomial rolling-hash parameters (Rabin–Karp / MOSS winnowing family).
+#: Small prime base, Mersenne-prime modulus — both arithmetic-only, so the
+#: identical hash is computable in any SQL engine (the DuckDB oracle twins
+#: use the same constants).
+_FP_BASE = 31
+_FP_MOD = 2147483647  # 2^31 - 1
+
+
+def kgram_hashes(codes, k: int = 5):
+    """B34 — per-position k-gram rolling hashes over a char-code vector
+    (numpy int64), the Rabin–Karp polynomial:
+
+        hash(i) = sum_{j<k} codes[i+j] * BASE^(k-1-j)  mod  2^31-1
+
+    Vectorized: k shifted multiply-adds over the whole document at once.
+    Host-side kernel for ``winnow_fingerprints``'s Arrow batches; also
+    usable standalone on any int sequence. Returns an empty vector when
+    the document is shorter than k.
+    """
+    import numpy as np
+
+    c = np.asarray(codes, dtype=np.int64)
+    n = c.shape[0]
+    if n < k:
+        return np.empty(0, dtype=np.int64)
+    acc = np.zeros(n - k + 1, dtype=np.int64)
+    for j in range(k):
+        acc += c[j : n - k + 1 + j] * pow(_FP_BASE, k - 1 - j, _FP_MOD)
+    return acc % _FP_MOD
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """B34 — winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm): slide a ``window`` over the k-gram rolling hashes
+    of the normalized text and keep the minimum of each window; the
+    distinct, sorted minima are the document's fingerprint set. Guarantees
+    every match of length >= k+window-1 shares a fingerprint, at
+    ~2/(window+1) sampling density.
+
+    Implemented as an Arrow-batched ``pandas_udf`` (numpy rolling hash +
+    sliding-window min), NOT builtin higher-order functions, deliberately:
+    Spark's higher-order array functions are CodegenFallback — interpreted,
+    boxed, per-element — and Catalyst freely re-inlines a multiply-
+    referenced normalize/split expression into nested lambda bodies,
+    turning the chain into O(len²·k) regex evaluations per document
+    (measured: 5 docs → 114 s interpreted vs milliseconds here). The
+    kernel is per-document local — embarrassingly parallel, no shuffle, at
+    100 TB it runs at scan speed inside the same stage as the parquet read.
+    """
+    import numpy as np
+
+    # Mirrors dedup.normalized_text exactly (lower → collapse non-alnum
+    # runs to one space → trim); the output alphabet is ASCII [a-z0-9 ].
+    import re
+
+    norm_re = re.compile(r"[^a-z0-9]+")
+
+    @F.pandas_udf("array<long>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = norm_re.sub(" ", (t or "").lower()).strip()
+            c = np.frombuffer(t.encode("ascii", "replace"), dtype=np.uint8)
+            hs = kgram_hashes(c, k=k)
+            m = hs.shape[0]
+            if m == 0:
+                out.append(np.empty(0, dtype=np.int64))
+            elif m < window:
+                out.append(hs.min(keepdims=True))
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
+                out.append(np.unique(mins))  # unique is sorted
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _winnow(F.col(text_col)))
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """B34/B32 — near-dup candidate pairs by shared winnowing fingerprints
+    (the MOSS report): explode each document's fingerprint set, self-join on
+    the fingerprint value (equi-join — candidates ∝ collisions, never the
+    O(n²) cross), count shared prints per pair, keep pairs sharing at least
+    ``min_shared``. Map-side combine applies to the count; at 100 TB the
+    exploded table is the inverted index and would be written bucketed by
+    fingerprint."""
+    fps = (
+        winnow_fingerprints(df, text_col=text_col, k=k, window=window)
+        .select(F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp"))
+        .distinct()
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, on=[F.col("a.fp") == F.col("b.fp"), F.col("a.id") < F.col("b.id")])
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

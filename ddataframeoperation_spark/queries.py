@@ -1498,6 +1498,32 @@ def b33l(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b33_ivf_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 4) AS cos_sim
+    FROM embeddings, q
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe) DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def b33ivf(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF (inverted-file) ANN, the trained-partitioning scale path beside
+    # the hyperplane LSH: spherical k-means coarse centroids (deterministic
+    # sample + init), Arrow-matmul cell assignment, probe-filtered exact
+    # rerank. Probing every cell is exact by construction — the oracle is
+    # the brute-force top-k, so a hash match proves the assignment
+    # partitions the corpus exactly (no row lost or duplicated) and the
+    # rerank math matches DuckDB's. The nprobe<cells approximate mode is
+    # recall-tested in tests/test_similarity_ivf.py.
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cents = similarity.kmeans_centroids(emb, k=8, iters=5)
+    return similarity.ivf_topk(emb, qvec, cents, k=10, nprobe=len(cents))
+
+
+@_q(
     "b34_word_stats",
     """
     SELECT lang,
@@ -1663,6 +1689,78 @@ def b34pc(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "documents"), min_quality=0.5
     )
     return out.select("doc_id", "quality")
+
+
+# Shared CTE prefix for the winnowing oracles: normalized text → ascii char
+# codes → Rabin–Karp k-gram hashes → per-window minima (the MOSS fingerprint
+# set). MATERIALIZED is load-bearing: DuckDB otherwise inlines the list
+# comprehensions into each other the same way Catalyst does, re-evaluating
+# the normalize per position. Coefficients are pow(31, k-1-j, 2^31-1) — the
+# identical constants the numpy kernel uses, so the hashes match bit-for-bit.
+def _winnow_oracle_sql(k: int, window: int) -> str:
+    coefs = [pow(31, k - 1 - j, 2147483647) for j in range(k)]
+    gram = " + ".join(f"cs[i+{j}] * {c}" if j else f"cs[i] * {c}"
+                      for j, c in enumerate(coefs))
+    return f"""
+    WITH norm AS MATERIALIZED (
+      SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), codes AS MATERIALIZED (
+      SELECT doc_id,
+             [CAST(ascii(t[i:i]) AS BIGINT) FOR i IN range(1, length(t)+1)] AS cs
+      FROM norm
+    ), grams AS MATERIALIZED (
+      SELECT doc_id,
+        [ ({gram}) % 2147483647
+          FOR i IN range(1, greatest(len(cs) - {k} + 1, 0) + 1) ] AS hs
+      FROM codes
+    ), fps AS MATERIALIZED (
+      SELECT doc_id,
+        CASE WHEN len(hs) >= {window} THEN list_sort(list_distinct(
+               [ list_min(hs[i:i+{window - 1}])
+                 FOR i IN range(1, len(hs) - {window} + 1 + 1) ]))
+             WHEN len(hs) > 0 THEN [list_min(hs)]
+             ELSE [] END AS fp_set
+      FROM grams
+    )
+    """
+
+
+@_q(
+    "b34_fingerprints",
+    _winnow_oracle_sql(k=5, window=4)
+    + "SELECT doc_id, unnest(fp_set) AS fp FROM fps",
+)
+def b34fp(spark: SparkSession, sf: str) -> DataFrame:
+    # Winnowing (MOSS) document fingerprints — rolling-hash k-grams,
+    # window-min sampling. The oracle recomputes the identical polynomial
+    # in DuckDB, so the hash match pins every selected fingerprint value.
+    docs = _t(spark, sf, "documents")
+    return TX.winnow_fingerprints(docs, k=5, window=4).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+
+
+@_q(
+    "b34_fingerprint_pairs",
+    _winnow_oracle_sql(k=12, window=8)
+    + """
+    , u AS (SELECT doc_id, unnest(fp_set) AS fp FROM fps)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+    FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def b34fpp(spark: SparkSession, sf: str) -> DataFrame:
+    # The MOSS report: candidate near-dup pairs by shared winnowing
+    # fingerprints (inverted-index equi-join — candidates ∝ collisions,
+    # never O(n²)). k=12 char-grams: long enough that shared prints mean
+    # shared phrases, not shared stopwords.
+    docs = _t(spark, sf, "documents")
+    return TX.fingerprint_overlap_pairs(
+        docs, k=12, window=8, min_shared=2
+    ).select("id_a", "id_b", F.col("shared_fps").cast("long").alias("shared_fps"))
 
 
 @_q(

@@ -1,0 +1,116 @@
+"""IVF ANN (B33 scale path) and winnowing fingerprint (B34) tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.catalog import read_fixture_table
+from ddataframeoperation_spark.operators import similarity, text as TX
+
+
+def _emb(spark, sf_dir):
+    return read_fixture_table(spark, sf_dir, "embeddings")
+
+
+def _query_vec(emb):
+    return emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+
+
+def test_ivf_full_probe_equals_exact_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(emb)
+    cents = similarity.kmeans_centroids(emb, k=4, iters=3)
+    exact = similarity.cosine_topk(emb, q, k=10).collect()
+    ivf = similarity.ivf_topk(emb, q, cents, k=10, nprobe=len(cents)).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in ivf] == [
+        (r["vec_id"], r["cos_sim"]) for r in exact
+    ]
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(emb)
+    cents = similarity.kmeans_centroids(emb, k=4, iters=3)
+    exact_ids = {r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()}
+    ivf_ids = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(emb, q, cents, k=10, nprobe=2).collect()
+    }
+    # Probing half the cells must keep most of the true neighborhood —
+    # the query vector's own cell is always ranked first.
+    assert len(ivf_ids & exact_ids) >= 6
+    assert 0 in ivf_ids  # the query vector itself can never be pruned
+
+
+def test_centroid_assign_column_matches_arrow_kernel(spark, sf_dir):
+    emb = _emb(spark, sf_dir).limit(64)
+    cents = similarity.kmeans_centroids(emb, k=3, iters=2)
+    arrow = similarity.ivf_assign(emb, cents).select("vec_id", "ivf_cell")
+    col = emb.select(
+        "vec_id",
+        similarity.centroid_assign(F.col("embedding"), cents).alias("ivf_cell"),
+    )
+    a = {r["vec_id"]: r["ivf_cell"] for r in arrow.collect()}
+    b = {r["vec_id"]: r["ivf_cell"] for r in col.collect()}
+    assert a == b
+
+
+def test_kmeans_centroids_deterministic_and_unit_norm(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    c1 = similarity.kmeans_centroids(emb, k=4, iters=3)
+    c2 = similarity.kmeans_centroids(emb, k=4, iters=3)
+    assert c1 == c2
+    for c in c1:
+        n = sum(v * v for v in c) ** 0.5
+        assert abs(n - 1.0) < 1e-9
+
+
+def _fp_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "THE QUICK BROWN FOX jumps over the lazy dog today"),  # long shared run
+        (3, "completely different words appear in this sentence"),
+        (4, ""),  # empty -> no fingerprints
+        (5, "abc"),  # shorter than k -> no fingerprints
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    # Winnowing guarantee: any match of length >= k+window-1 chars shares
+    # at least one fingerprint. Docs 1/2 share a 30+ char normalized run.
+    d = TX.winnow_fingerprints(_fp_docs(spark), k=5, window=4)
+    fps = {r["doc_id"]: set(r["fingerprints"]) for r in d.collect()}
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3])
+    assert fps[4] == set()
+    assert fps[5] == set()
+
+
+def test_winnow_fingerprints_sorted_distinct(spark):
+    d = TX.winnow_fingerprints(_fp_docs(spark), k=5, window=4)
+    for r in d.collect():
+        fp = list(r["fingerprints"])
+        assert fp == sorted(set(fp))
+
+
+def test_fingerprint_overlap_pairs_orders_ids(spark):
+    pairs = TX.fingerprint_overlap_pairs(
+        _fp_docs(spark), k=5, window=4, min_shared=1
+    ).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_kgram_hashes_matches_polynomial():
+    import numpy as np
+
+    codes = np.frombuffer(b"abcdef", dtype=np.uint8)
+    hs = TX.kgram_hashes(codes, k=3)
+    mod, base = 2147483647, 31
+    expect = [
+        (codes[i] * base**2 + codes[i + 1] * base + codes[i + 2]) % mod
+        for i in range(4)
+    ]
+    assert hs.tolist() == expect
+    assert TX.kgram_hashes(np.array([1, 2], dtype=np.int64), k=3).size == 0
