@@ -2622,6 +2622,175 @@ def b10q7(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b10_q5_regional_revenue",
+    """
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def b10q5(spark: SparkSession, sf: str) -> DataFrame:
+    # Q5 shape: the local-supplier join — supplier matches on BOTH the
+    # lineitem FK and the customer's nation (a two-column join condition
+    # spanning fact and dimension sides). Supplier/nation/region broadcast;
+    # the only shuffles are the two fact-fact joins, with the date filter
+    # pushed to the orders scan.
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+@_q(
+    "b10_q10_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def b10q10(spark: SparkSession, sf: str) -> DataFrame:
+    # Q10 shape: who returned the most revenue last quarter — fact-fact
+    # join under pushed filters on both fact scans, then top-k on the
+    # aggregate (TakeOrderedAndProject, no global sort). Tie-broken by
+    # c_custkey so the limit is deterministic.
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    n = _t(spark, sf, "nation")
+    agg = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+@_q(
+    "b10_q16_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+)
+def b10q16(spark: SparkSession, sf: str) -> DataFrame:
+    # Q16 shape: distinct-count aggregate under a NOT IN exclusion (the
+    # null-aware anti join; keys are non-null so it plans as a plain
+    # broadcast anti join) with the dimension filter pushed to the
+    # broadcast build side. partsupp does not exist in this schema — the
+    # lineitem (l_partkey, l_suppkey) edge carries the same shape.
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf, "part").filter(F.col("p_brand") != "Brand#1").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "b10_q18_large_orders",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           round(sum(l.l_quantity), 4) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def b10q18(spark: SparkSession, sf: str) -> DataFrame:
+    # Q18 shape: IN over a grouped-HAVING subquery on the same fact —
+    # expressed as an aggregate + semi join so the heavy lineitem scan
+    # feeds both the qualifier and the final sum through one shuffle key
+    # (l_orderkey).
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "leftsemi"
+    )
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship (entry smoke): TPC-H Q3 shape — filter + star join + agg + top-k
 # ---------------------------------------------------------------------------
