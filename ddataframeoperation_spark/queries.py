@@ -1967,6 +1967,31 @@ def b36ssj(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b36_stream_stream_join",
+    """
+    SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.ts AS l_ts, r.ts AS r_ts
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+)
+def b36ssx(spark: SparkSession, sf: str) -> DataFrame:
+    # Stream-stream interval join (click -> purchase attribution within 30
+    # minutes). availableNow replay of the single fixture file is one
+    # micro-batch, so the inner interval join emits exactly the batch
+    # self-join pair set — the hash-matched equivalence oracle. The
+    # two-sided time bound is what keeps join state finite on unbounded
+    # streams (see streaming/windows.py:stream_interval_join).
+    stream = STR.events_as_stream(spark, sf)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = STR.stream_interval_join(clicks, purchases, max_gap="30 minutes")
+    return STR.run_to_memory(joined, output_mode="append")
+
+
+@_q(
     "b37_stream_session",
     """
     WITH flagged AS (

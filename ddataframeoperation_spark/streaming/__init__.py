@@ -5,6 +5,7 @@ from ddataframeoperation_spark.streaming.windows import (
     sliding_counts,
     session_window_agg,
     stream_dedup,
+    stream_interval_join,
     run_to_memory,
 )
 
@@ -14,6 +15,7 @@ __all__ = [
     "sliding_counts",
     "session_window_agg",
     "stream_dedup",
+    "stream_interval_join",
     "run_to_memory",
     "running_totals_per_user",
 ]

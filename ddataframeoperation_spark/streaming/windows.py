@@ -31,6 +31,7 @@ __all__ = [
     "sliding_counts",
     "session_window_agg",
     "stream_dedup",
+    "stream_interval_join",
     "run_to_memory",
 ]
 
@@ -155,6 +156,49 @@ def stream_dedup(
     bounded — the 100 TB requirement)."""
     keys = keys or ["user_id", "event_type"]
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """B36 — stream-stream inner interval join: pair each left event with
+    the right-stream events of the same ``key`` that occur within
+    ``(l.ts, l.ts + max_gap]`` — the click→conversion attribution shape.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions, which is what lets the engine evict buffered rows:
+    a left row is droppable once the right watermark passes
+    ``l.ts + max_gap``, so state is bounded by rate × horizon regardless
+    of total stream length — the 100 TB-stream requirement. Without the
+    time bound Spark would have to buffer both streams forever (and
+    rejects the plan in append mode).
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap}")),
+    ).select(
+        F.col("l_key").alias("user_id"),
+        "l_event_id",
+        "r_event_id",
+        "l_ts",
+        "r_ts",
+    )
 
 
 def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame:

@@ -201,3 +201,63 @@ def test_stream_dedup_counts(spark, sf_dir):
     # One survivor per (user_id, event_type) key over the whole replay
     # (single batch => watermark never expires state mid-run).
     assert out.count() == batch.select("user_id", "event_type").distinct().count()
+
+
+def test_stream_interval_join_equals_batch(spark, sf_dir):
+    stream = STR.events_as_stream(spark, sf_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    got = STR.run_to_memory(
+        STR.stream_interval_join(clicks, purchases, max_gap="30 minutes"),
+        output_mode="append",
+    )
+    e = read_fixture_table(spark, sf_dir, "events")
+    l = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_uid"), F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    want = l.join(
+        r,
+        (l["user_id"] == r["r_uid"])
+        & (r["r_ts"] > l["l_ts"])
+        & (r["r_ts"] <= l["l_ts"] + F.expr("INTERVAL 30 MINUTES")),
+    ).select("user_id", "l_event_id", "r_event_id", "l_ts", "r_ts")
+    g = {tuple(x) for x in got.collect()}
+    w = {tuple(x) for x in want.collect()}
+    assert g == w
+    assert g  # non-empty: the fixture has click->purchase pairs in-gap
+
+
+def test_stream_interval_join_multi_batch(spark, sf_dir, tmp_path):
+    # Multi-micro-batch replay: pairs whose click and purchase land in
+    # DIFFERENT micro-batches must still be emitted exactly once (join
+    # state buffers the unmatched side across batches). The watermark is
+    # set wider than the whole fixture span because the file source does
+    # not guarantee batch order (modification-time ties) — a tight
+    # watermark would nondeterministically drop rows from out-of-order
+    # batches, which is late-data semantics, not join correctness.
+    from ddataframeoperation_spark.streaming.windows import stage_multi_batch_replay
+
+    batch = read_fixture_table(spark, sf_dir, "events")
+    stream = stage_multi_batch_replay(batch, str(tmp_path / "ev_parts"), 4)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    got = STR.run_to_memory(
+        STR.stream_interval_join(
+            clicks, purchases, max_gap="30 minutes", watermark="20000 hours"
+        ),
+        output_mode="append",
+    )
+    l = batch.filter(F.col("event_type") == "click")
+    r = batch.filter(F.col("event_type") == "purchase")
+    n_want = l.alias("l").join(
+        r.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") > F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).count()
+    assert got.count() == n_want
