@@ -2242,6 +2242,41 @@ def b29(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(out_root, ignore_errors=True)
 
 
+@_q(
+    "b29_jsonl_roundtrip",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def b29j(spark: SparkSession, sf: str) -> DataFrame:
+    # JSON-lines sink + source, content-verified: the oracle reads the
+    # ORIGINAL parquet, so a hash match proves the write->read cycle loses
+    # nothing — including exact double round-tripping (Spark's JSON writer
+    # emits shortest-round-trip doubles). Read back with an explicit
+    # schema: schema inference over JSONL costs a full extra pass at scale.
+    import shutil
+    import tempfile
+
+    src = _t(spark, sf, "customer")
+    out_root = tempfile.mkdtemp(prefix="ddfo_jsonl_")
+    try:
+        path = f"{out_root}/customer_jsonl"
+        src.write.mode("overwrite").json(path)
+        back = spark.read.schema(
+            "c_custkey LONG, c_name STRING, c_nationkey INT, "
+            "c_acctbal DOUBLE, c_mktsegment STRING"
+        ).json(path)
+        rows = back.collect()
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # B30 — script-transform surface (applyInPandas)
 # ---------------------------------------------------------------------------
