@@ -1745,9 +1745,14 @@ def b34fp(spark: SparkSession, sf: str) -> DataFrame:
     "b34_fingerprint_pairs",
     _winnow_oracle_sql(k=12, window=8)
     + """
-    , u AS (SELECT doc_id, unnest(fp_set) AS fp FROM fps)
+    , u AS (
+      SELECT doc_id, unnest(fp_set) AS fp FROM fps
+    ), uf AS (
+      SELECT doc_id, fp FROM u
+      QUALIFY count(*) OVER (PARTITION BY fp) BETWEEN 2 AND 64
+    )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
-    FROM u a JOIN u b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM uf a JOIN uf b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING count(*) >= 2
     """,
@@ -1756,10 +1761,12 @@ def b34fpp(spark: SparkSession, sf: str) -> DataFrame:
     # The MOSS report: candidate near-dup pairs by shared winnowing
     # fingerprints (inverted-index equi-join — candidates ∝ collisions,
     # never O(n²)). k=12 char-grams: long enough that shared prints mean
-    # shared phrases, not shared stopwords.
+    # shared phrases, not shared stopwords. max_df=64 is the boilerplate
+    # suppression (mirrored in the oracle's QUALIFY) that bounds every
+    # inverted-index bucket — the quadratic-blowup guard at scale.
     docs = _t(spark, sf, "documents")
     return TX.fingerprint_overlap_pairs(
-        docs, k=12, window=8, min_shared=2
+        docs, k=12, window=8, min_shared=2, max_df=64
     ).select("id_a", "id_b", F.col("shared_fps").cast("long").alias("shared_fps"))
 
 
