@@ -89,33 +89,40 @@ def main() -> int:
 
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        best = None
-        for _ in range(repeat):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            if name in COUNT_ONLY:
-                df.count()
-            else:
-                df.collect()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        # min over repeats: measures the engine, not co-tenant noise/JIT.
-        timings[name] = round(best, 3)
+        # A single broken query must never zero the whole suite (round 2's
+        # BENCH file was empty because one AnalysisException aborted the
+        # run) — record the failure and keep timing the rest.
+        try:
+            fn = QUERIES[name]
+            best = None
+            for _ in range(repeat):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                if name in COUNT_ONLY:
+                    df.count()
+                else:
+                    df.collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            # min over repeats: measures the engine, not co-tenant noise/JIT.
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_suite_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
+    payload = {
+        "metric": "bench_suite_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     return 0
 
 

@@ -130,21 +130,34 @@ class Catalog:
         return dict(self._tables)
 
 
-def _normalize_ns_timestamps(df: DataFrame) -> DataFrame:
-    """Convert nanosecond-precision timestamp columns read as long (via
-    ``spark.sql.legacy.parquet.nanosAsLong``) back into µs timestamps.
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize fixture timestamp columns to plain ``TIMESTAMP`` (LTZ).
 
-    The fixture generator writes ``events.ts`` as parquet ``timestamp[ns]``,
-    which Spark's vectorized reader refuses (PARQUET_TYPE_ILLEGAL). With the
-    legacy conf the column surfaces as epoch-nanos long; ``ts div 1000`` is
-    lossless because the fixtures carry no sub-µs precision. The DuckDB
-    oracle applies the matching ``CAST(ts AS TIMESTAMP)``.
+    Two fixture generations exist:
+
+    - ``timestamp[ns]`` (older): Spark's vectorized reader refuses
+      TIMESTAMP(NANOS); under ``spark.sql.legacy.parquet.nanosAsLong`` the
+      column surfaces as epoch-nanos long — ``div 1000`` to µs is lossless
+      (fixtures carry no sub-µs precision).
+    - ``timestamp[us]`` without tz metadata (current): Spark 4 infers
+      ``TIMESTAMP_NTZ``, which breaks watermarks
+      (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and numeric casts
+      (CAST TIMESTAMP_NTZ AS DOUBLE is illegal). Cast to session-tz
+      TIMESTAMP — value-preserving under the UTC session this engine pins
+      (session.py) and matching DuckDB's naive reading of the same files.
     """
     from pyspark.sql import functions as F
 
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for name, dtype in df.dtypes:
+        if name == "ts" and dtype == "bigint":
+            df = df.withColumn(name, F.timestamp_micros(F.expr(f"{name} div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df
+
+
+#: Back-compat alias (streaming.windows imported the old name).
+_normalize_ns_timestamps = _normalize_timestamps
 
 
 #: Memoized fixture DataFrames keyed by (applicationId, sf_dir, table).
@@ -157,11 +170,12 @@ _FIXTURE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def read_fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver fixture table, normalizing ns timestamps (events).
+    """Read one driver fixture table, normalizing timestamp columns
+    (ns-long and TIMESTAMP_NTZ generations both land on plain TIMESTAMP).
 
     Self-sufficient w.r.t. session config: ``nanosAsLong`` is ensured at
     runtime so callers with their own SparkSession (e.g. the driver's
-    harness) don't hit PARQUET_TYPE_ILLEGAL on the ns-timestamp fixture.
+    harness) don't hit PARQUET_TYPE_ILLEGAL on a ns-timestamp fixture.
     """
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _FIXTURE_CACHE.get(key)
@@ -170,7 +184,7 @@ def read_fixture_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    df = _normalize_ns_timestamps(df)
+    df = _normalize_timestamps(df)
     _FIXTURE_CACHE[key] = df
     return df
 

@@ -135,11 +135,14 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(*order)
     gap_sec = gap_minutes * 60.0
     prev_ts = F.lag(ts_col).over(w)
+    # TIMESTAMP_NTZ has no direct numeric cast; hop through TIMESTAMP (a
+    # no-op for LTZ inputs) — any tz shift cancels in the difference.
+    def _epoch(c: Column) -> Column:
+        return c.cast("timestamp").cast("double")
+
     is_new = F.when(
         prev_ts.isNull()
-        | (
-            (F.col(ts_col).cast("double") - prev_ts.cast("double")) > gap_sec
-        ),
+        | ((_epoch(F.col(ts_col)) - _epoch(prev_ts)) > gap_sec),
         F.lit(1),
     ).otherwise(F.lit(0))
     return df.withColumn("session_seq", F.sum(is_new).over(w)).withColumn(

@@ -1238,7 +1238,7 @@ def b07fk(spark: SparkSession, sf: str) -> DataFrame:
       (5, 'l_quantity', 'double'), (6, 'l_extendedprice', 'double'),
       (7, 'l_discount', 'double'), (8, 'l_tax', 'double'),
       (9, 'l_returnflag', 'string'), (10, 'l_linestatus', 'string'),
-      (11, 'l_shipdate', 'timestamp_ntz')
+      (11, 'l_shipdate', 'timestamp')
     ) AS t(pos, col_name, type_name)
     """,
 )

@@ -39,9 +39,9 @@ __all__ = [
 def events_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events fixture as a file-source stream (one-file-per-batch
     keeps the replay deterministic enough for equivalence checks)."""
-    from ddataframeoperation_spark.catalog import _normalize_ns_timestamps
+    from ddataframeoperation_spark.catalog import _normalize_timestamps
 
-    # The fixture stores timestamp[ns]; the batch schema probe below fails
+    # Older fixtures store timestamp[ns]; the batch schema probe below fails
     # with PARQUET_TYPE_ILLEGAL on a vanilla session unless the legacy
     # ns-as-long conf is set FIRST (read_fixture_table does the same — but
     # streaming entry points must not depend on a batch query having run
@@ -56,9 +56,9 @@ def events_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # ns→µs conversion mirrors the batch catalog (events.ts arrives as
-    # epoch-nanos long under the nanosAsLong legacy conf).
-    return _normalize_ns_timestamps(stream)
+    # Same normalization as the batch catalog: ns-long → µs timestamp, and
+    # TIMESTAMP_NTZ → TIMESTAMP (watermarks reject NTZ event-time columns).
+    return _normalize_timestamps(stream)
 
 
 def stage_multi_batch_replay(
