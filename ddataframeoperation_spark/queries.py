@@ -2913,6 +2913,504 @@ def flagship(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B10 (completion) — the remaining TPC-H query shapes, adapted to the fixture
+# star schema (no partsupp table: lineitem is the part↔supplier link, and
+# p_retailprice stands in for ps_supplycost where a cost is needed). With
+# these, all 22 TPC-H query archetypes have an analogue in the suite.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b10_q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l.l_partkey, s.s_suppkey, s.s_name, n.n_name,
+             min(l.l_extendedprice / l.l_quantity) AS unit_price
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey, s.s_suppkey, s.s_name, n.n_name
+    )
+    SELECT o.l_partkey AS p_partkey, p.p_name, o.s_name, o.n_name,
+           round(o.unit_price, 4) AS unit_price
+    FROM offers o
+    JOIN part p ON p.p_partkey = o.l_partkey
+    WHERE p.p_size <= 15
+      AND o.unit_price = (SELECT min(o2.unit_price) FROM offers o2
+                          WHERE o2.l_partkey = o.l_partkey)
+    """,
+)
+def b10q2(spark: SparkSession, sf: str) -> DataFrame:
+    # Q2 shape: min-cost supplier per part via a correlated min — expressed
+    # as a window min over the offers aggregate (one shuffle on l_partkey
+    # serves both the agg and the window; the min-equality filter replaces
+    # the correlated subquery without a second scan). All dims broadcast.
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    offers = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("best_price", F.min("unit_price").over(w)).filter(
+        F.col("unit_price") == F.col("best_price")
+    )
+    p = _t(spark, sf, "part").filter(F.col("p_size") <= 15).select(
+        "p_partkey", "p_name"
+    )
+    return best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"]).select(
+        F.col("l_partkey").alias("p_partkey"),
+        "p_name",
+        "s_name",
+        "n_name",
+        F.round("unit_price", 4).alias("unit_price"),
+    )
+
+
+@_q(
+    "b10_q4_priority_late",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def b10q4(spark: SparkSession, sf: str) -> DataFrame:
+    # Q4 shape: EXISTS → left-semi join with a cross-side predicate (the
+    # fixture lacks commit/receipt dates; "shipped >30 days after order"
+    # plays the late-delivery role). Semi join keeps orders un-duplicated,
+    # so no distinct is needed before the count.
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = R.join(
+        o,
+        li,
+        on=(F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        how="left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+@_q(
+    "b10_q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def b10q6(spark: SparkSession, sf: str) -> DataFrame:
+    # Q6 shape: pure scan-filter-aggregate — every predicate pushes to the
+    # parquet scan, and the global agg is a partial-agg + single-row
+    # exchange. The simplest query in the suite and the best pushdown demo.
+    li = _t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        )
+    )
+
+
+@_q(
+    "b10_q8_market_share",
+    """
+    WITH vols AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM vols
+    GROUP BY o_year
+    """,
+)
+def b10q8(spark: SparkSession, sf: str) -> DataFrame:
+    # Q8 shape: one nation's share of regional volume per year — a
+    # conditional-sum ratio over a 7-table star. Every dimension broadcasts;
+    # the only shuffles are the two fact-fact joins and the final 7-group agg.
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    vols = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vols.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+                    0.0
+                )
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@_q(
+    "b10_q9_profit_by_nation",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.4 * p.p_retailprice * l.l_quantity), 4) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%rod%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def b10q9(spark: SparkSession, sf: str) -> DataFrame:
+    # Q9 shape: profit per supplier-nation per year. The fixture has no
+    # ps_supplycost, so 0.4 × p_retailprice plays unit cost. part/supplier/
+    # nation broadcast; lineitem⋈orders is the one big shuffle.
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%rod%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+            ),
+            4,
+        ).alias("profit")
+    )
+
+
+@_q(
+    "b10_q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l.l_partkey, sum(l.l_extendedprice) AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_1', 'NATION_2')
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey, round(part_value, 4) AS part_value
+    FROM pv
+    WHERE part_value > (SELECT sum(part_value) * 0.002 FROM pv)
+    """,
+)
+def b10q11(spark: SparkSession, sf: str) -> DataFrame:
+    # Q11 shape: keep parts whose value exceeds a fraction of the GLOBAL
+    # total — a scalar subquery over the same aggregate. The single-row
+    # total is cross-joined back as a broadcast (never collected to the
+    # driver), so the pattern holds at any scale.
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).select("n_nationkey")
+    pv = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("part_value"))
+    )
+    total = pv.agg((F.sum("part_value") * 0.002).alias("threshold"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("part_value", 4).alias("part_value"),
+        )
+    )
+
+
+@_q(
+    "b10_q13_order_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def b10q13(spark: SparkSession, sf: str) -> DataFrame:
+    # Q13 shape: customers-per-order-count histogram — an outer join with a
+    # join-side predicate (NOT a post-filter: customers with only urgent
+    # orders must still appear with count 0), then a double aggregation.
+    c = _t(spark, sf, "customer").select("c_custkey")
+    o = _t(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@_q(
+    "b10_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-07-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def b10q15(spark: SparkSession, sf: str) -> DataFrame:
+    # Q15 shape: the view + max scalar subquery — rendered as an
+    # un-partitioned max window over the (tiny, post-agg) revenue relation.
+    # Rounding BEFORE the max-equality keeps the cross-engine comparison
+    # stable on summation order.
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    best = rev.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return best.join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"]).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@_q(
+    "b10_q17_small_qty_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < (SELECT 0.4 * avg(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def b10q17(spark: SparkSession, sf: str) -> DataFrame:
+    # Q17 shape: correlated per-part average → window avg over l_partkey
+    # (one shuffle replaces the per-row rescan a naive correlated plan
+    # would do). The brand filter broadcasts; quantities are small integers
+    # stored as doubles, so the avg is bit-identical across engines.
+    li = _t(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    li_avg = li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+    p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#12").select(
+        "p_partkey"
+    )
+    j = li_avg.join(F.broadcast(p), li_avg["l_partkey"] == p["p_partkey"]).filter(
+        F.col("l_quantity") < 0.4 * F.col("avg_qty")
+    )
+    return j.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly")
+    )
+
+
+@_q(
+    "b10_q20_excess_shippers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(l.l_quantity) > 75
+      )
+    """,
+)
+def b10q20(spark: SparkSession, sf: str) -> DataFrame:
+    # Q20 shape: IN over an aggregated subquery (suppliers who moved >75
+    # units of some part this year) — agg + semi join; the supplier/nation
+    # side broadcasts onto the aggregated keys.
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 75)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4"
+        )
+    ).select("n_nationkey")
+    sn = s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    return R.join(
+        sn, heavy, on=F.col("s_suppkey") == F.col("l_suppkey"), how="left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@_q(
+    "b10_q21_waiting_suppliers",
+    """
+    SELECT s.s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 20
+    """,
+)
+def b10q21(spark: SparkSession, sf: str) -> DataFrame:
+    # Q21 shape: EXISTS + NOT EXISTS correlated on the fact table — the
+    # supplier who shipped last in a multi-supplier failed order. Semi join
+    # (other supplier exists) then anti join (nobody shipped later), both
+    # on l_orderkey with cross-side predicates; self-join shuffles co-locate
+    # on the same key so AQE can reuse the exchange.
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    l1 = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+        F.col("l_shipdate").alias("o3_shipdate"),
+    )
+    with_other = R.join(
+        l1,
+        l2,
+        on=(F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        how="left_semi",
+    )
+    last_shipper = R.join(
+        with_other,
+        l3,
+        on=(F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey"))
+        & (F.col("o3_shipdate") > F.col("l_shipdate")),
+        how="left_anti",
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
+    agg = (
+        last_shipper.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+    )
+    return R.top_k(agg, [F.col("numwait").desc(), F.col("s_name").asc()], 20)
+
+
+# ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
 # The round-1 driver recorded correctness rows for only the FIRST 50
