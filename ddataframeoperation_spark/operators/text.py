@@ -37,6 +37,10 @@ __all__ = [
     "kgram_hashes",
     "winnow_fingerprints",
     "fingerprint_overlap_pairs",
+    "word_ngrams",
+    "ngram_contamination",
+    "repetition_stats",
+    "redact_pii",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -354,6 +358,135 @@ def winnow_fingerprints(
         return pd.Series(out)
 
     return df.withColumn(out_col, _winnow(F.col(text_col)))
+
+
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """B34 — word n-grams from a token-array COLUMN, entirely JVM-side
+    (transform over a sequence of start offsets + slice + concat_ws): no
+    shuffle, no Python — n-gram construction happens in the same stage as
+    the parquet scan.
+
+    Pass a materialized column (``withColumn("toks", tokens(...))`` first),
+    NOT the ``tokens()`` expression itself: Catalyst inlines a lambda-
+    referenced expression into the loop body, re-running the normalize+split
+    regex once per element (the O(len²) trap winnow_fingerprints documents).
+
+    Guard rail: Spark's ``sequence(1, stop)`` DESCENDS when stop < 1 (a doc
+    shorter than n would yield bogus offsets), hence the explicit
+    empty-array branch.
+    """
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """B34 — benchmark-contamination check: per document, the fraction of
+    its distinct word ``n``-grams that also occur anywhere in ``benchmark``
+    — the standard eval-set decontamination step for LLM training corpora.
+
+    Plan shape: both sides build n-grams at scan speed (word_ngrams),
+    explode to an inverted index, and meet in ONE equi-join on the n-gram
+    string. The benchmark side is distinct-reduced and broadcast — eval
+    sets are tiny relative to a 100 TB corpus. (At extreme benchmark sizes
+    the broadcast hint drops out and the same plan shuffle-joins on the
+    n-gram; production would first xxhash64 the n-gram to 8 bytes to
+    shrink the exchange.) Documents shorter than ``n`` words surface with
+    ``n_ngrams = 0`` and ratio 0.0 rather than vanishing.
+    """
+    tgt = (
+        df.withColumn("_toks", tokens(text_col))
+        .select(F.col(id_col), F.explode_outer(word_ngrams(F.col("_toks"), n)).alias("ng"))
+        .distinct()
+    )
+    bench = (
+        benchmark.withColumn("_toks", tokens(text_col))
+        .select(F.explode(word_ngrams(F.col("_toks"), n)).alias("ng"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = tgt.join(F.broadcast(bench), on="ng", how="left")
+    agg = joined.groupBy(id_col).agg(
+        F.count("ng").cast("long").alias("n_ngrams"),
+        F.count("_hit").cast("long").alias("n_contaminated"),
+    )
+    return agg.withColumn(
+        "contamination",
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.round(F.col("n_contaminated") / F.col("n_ngrams"), 4),
+        ).otherwise(F.lit(0.0)),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """B34 — intra-document repetition: 1 − distinct/total word n-grams —
+    the cheap "degenerate repeated text" quality gate. Zero shuffle, zero
+    Python: size + array_distinct on the per-row n-gram array, computed in
+    the scan stage. Ratio is 0.0 for docs shorter than ``n`` words.
+    """
+    grams = word_ngrams(F.col("_toks"), n)
+    t = (
+        df.withColumn("_toks", tokens(text_col))
+        .withColumn("_n_total", F.size(grams))
+        .withColumn("_n_distinct", F.size(F.array_distinct(grams)))
+    )
+    return t.select(
+        F.col(id_col),
+        F.col("_n_total").cast("long").alias("n_ngrams"),
+        F.col("_n_distinct").cast("long").alias("distinct_ngrams"),
+        F.when(
+            F.col("_n_total") > 0,
+            F.round(1.0 - F.col("_n_distinct") / F.col("_n_total"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repetition"),
+    )
+
+
+#: PII patterns — deliberately ASCII-explicit so Java regex (Spark) and RE2
+#: (DuckDB) agree byte-for-byte. Production would extend the table; the
+#: plumbing (chained regexp_replace, count-before-redact) is the operator.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{6,}", "<NUM>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """B34 — PII scrubbing: count then redact each pattern (emails, long
+    digit runs) via chained JVM-side ``regexp_replace``. Counts are taken
+    BEFORE redaction so downstream filtering ("drop docs with >k PII hits")
+    doesn't need a second scan. Scan-speed, no shuffle.
+    """
+    out = df
+    red = F.col(text_col)
+    for i, (pat, _) in enumerate(patterns):
+        out = out.withColumn(
+            f"pii_hits_{i}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast("long"),
+        )
+    for pat, repl in patterns:
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn(out_col, red)
 
 
 def fingerprint_overlap_pairs(

@@ -2913,6 +2913,128 @@ def flagship(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B34 (completion) — training-corpus hygiene: benchmark decontamination,
+# repetition scoring, PII redaction.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b34_contamination",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS ngs
+      FROM toks
+    ),
+    tgt AS (
+      SELECT DISTINCT doc_id, UNNEST(ngs) AS ng FROM grams WHERE doc_id % 20 <> 0
+    ),
+    bench AS (
+      SELECT DISTINCT UNNEST(ngs) AS ng FROM grams WHERE doc_id % 20 = 0
+    ),
+    agg AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_ngrams,
+             CAST(count(b.ng) AS BIGINT) AS n_contaminated
+      FROM tgt t LEFT JOIN bench b ON t.ng = b.ng
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_ngrams, 0) AS n_ngrams,
+           coalesce(a.n_contaminated, 0) AS n_contaminated,
+           coalesce(round(a.n_contaminated / a.n_ngrams, 4), 0.0) AS contamination
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+    LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def b34cont(spark: SparkSession, sf: str) -> DataFrame:
+    # Eval-set decontamination: docs with doc_id % 20 == 0 play the held-out
+    # benchmark; every other doc is scored by 5-gram overlap against it.
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    tgt = d.filter(F.col("doc_id") % 20 != 0)
+    return TX.ngram_contamination(tgt, bench, n=5)
+
+
+@_q(
+    "b34_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] AS ngs
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(ngs) AS BIGINT) AS n_ngrams,
+           CAST(len(list_distinct(ngs)) AS BIGINT) AS distinct_ngrams,
+           CASE WHEN len(ngs) > 0
+                THEN round(1.0 - len(list_distinct(ngs)) / len(ngs), 4)
+                ELSE 0.0 END AS repetition
+    FROM g
+    """,
+)
+def b34rep(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.repetition_stats(_t(spark, sf, "documents"), n=3)
+
+
+@_q(
+    "b34_pii_redaction",
+    """
+    WITH salted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example.com ref 1234567890'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS pii_hits_0,
+           CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS pii_hits_1,
+           CAST(length(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '[0-9]{6,}', '<NUM>', 'g')) AS BIGINT) AS redacted_len
+    FROM salted
+    """,
+)
+def b34pii(spark: SparkSession, sf: str) -> DataFrame:
+    # The synthetic corpus carries no natural PII, so a deterministic salt
+    # (every 7th doc gets an email + long number appended) gives the
+    # redaction a non-trivial target while staying oracle-reproducible.
+    d = _t(spark, sf, "documents")
+    salted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com ref 1234567890"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    r = TX.redact_pii(salted)
+    return r.select(
+        "doc_id",
+        "pii_hits_0",
+        "pii_hits_1",
+        F.length("redacted").cast("long").alias("redacted_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # B10 (completion) — the remaining TPC-H query shapes, adapted to the fixture
 # star schema (no partsupp table: lineitem is the part↔supplier link, and
 # p_retailprice stands in for ps_supplycost where a cost is needed). With

@@ -77,3 +77,62 @@ def test_feature_extraction_shape(spark):
     assert len(out["feature"]) == 8
     norm = sum(x * x for x in out["feature"]) ** 0.5
     assert abs(norm - 1.0) < 1e-5
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    # sequence(1, stop) descends for stop < 1 — the guard must yield [] for
+    # docs shorter than n, not bogus offsets.
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "")], "doc_id long, text string"
+    ).withColumn("toks", TX.tokens("text"))
+    out = {
+        r["doc_id"]: r["ngs"]
+        for r in df.withColumn("ngs", TX.word_ngrams(F.col("toks"), 3)).collect()
+    }
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []
+    assert out[3] == []
+
+
+def test_ngram_contamination_known_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps somewhere else entirely today"),
+            (2, "completely unrelated words with zero benchmark overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TX.ngram_contamination(tgt, bench, n=5).collect()
+    }
+    # doc 1 shares exactly one 5-gram ("the quick brown fox jumps") of its 5.
+    assert out[1]["n_contaminated"] == 1 and out[1]["n_ngrams"] == 5
+    assert out[2]["n_contaminated"] == 0
+    assert abs(out[1]["contamination"] - 0.2) < 1e-9
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"), (2, "all words here are unique")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.repetition_stats(df, n=3).collect()}
+    assert out[1]["distinct_ngrams"] == 1 and out[1]["repetition"] > 0.7
+    assert out[2]["repetition"] == 0.0
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at bob@example.com or call 5551234567"), (2, "clean")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TX.redact_pii(df).collect()}
+    assert out[1]["pii_hits_0"] == 1 and out[1]["pii_hits_1"] == 1
+    assert "<EMAIL>" in out[1]["redacted"] and "<NUM>" in out[1]["redacted"]
+    assert "bob@" not in out[1]["redacted"]
+    assert out[2]["redacted"] == "clean"
