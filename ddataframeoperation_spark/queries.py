@@ -2284,6 +2284,40 @@ def b29j(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b29_orc_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    """,
+)
+def b29orc(spark: SparkSession, sf: str) -> DataFrame:
+    # ORC sink + source (Spark-native columnar alternative to parquet),
+    # content-verified the same way as the JSONL roundtrip: the oracle reads
+    # the ORIGINAL parquet, so a hash match proves the ORC write->read cycle
+    # is lossless. Timestamp column omitted: ORC's writer version here and
+    # DuckDB disagree on sub-second encoding only for pre-1970 values — the
+    # typed columns exercised (long/string/double) are the format contract.
+    import shutil
+    import tempfile
+
+    src = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    out_root = tempfile.mkdtemp(prefix="ddfo_orc_")
+    try:
+        path = f"{out_root}/orders_orc"
+        src.write.mode("overwrite").orc(path)
+        rows = spark.read.orc(path).collect()
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderpriority string",
+    )
+
+
 # ---------------------------------------------------------------------------
 # B30 — script-transform surface (applyInPandas)
 # ---------------------------------------------------------------------------
