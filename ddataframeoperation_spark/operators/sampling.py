@@ -1,0 +1,114 @@
+"""Deterministic hash-based sampling — the reproducible form of B22.
+
+``randomSplit``/``sample`` are seed-deterministic only for a FIXED
+partitioning: the same data re-partitioned (different cluster size, AQE
+coalesce, a compaction) yields a different sample, which is fatal for
+training-data reproducibility ("which docs were in the train split of run
+417?"). The hash family here derives a uniform [0,1) per ROW from md5 of
+its key + a salt, so membership is a pure function of the data — stable
+across cluster sizes, partitionings, and engines (md5 is md5 everywhere,
+which also makes every operator below exactly DuckDB-oracle-able, unlike
+engine-seeded RNG sampling).
+
+Scale posture: all three operators are stateless row-local filters —
+no shuffle, no RNG state, embarrassingly parallel, pushdown-friendly
+(the filter sits directly on the scan). Cost is one md5 per row; at
+100 TB prefer a numeric key column (8-byte hash input) over hashing
+document bodies.
+
+Reference seed: SplitData's random train/test split
+(``R/DataFrameOperationR.R:144-168``) — generalized from R's
+``sample()`` (irreproducible across environments) to content-hash
+splitting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_uniform",
+    "hash_sample",
+    "hash_split",
+    "source_mix",
+]
+
+#: 2^32 — the md5-prefix domain size.
+_HASH_DOMAIN = float(1 << 32)
+
+
+def hash_uniform(keys: Sequence[str | Column], salt: str = "") -> Column:
+    """Uniform [0,1) double derived from md5 of the key columns + salt.
+
+    The first 8 hex chars of md5 → 32-bit int → divide by 2^32. Exactly
+    reproducible in any engine with md5 (DuckDB oracle:
+    ``('0x' || substring(md5(expr), 1, 8))::BIGINT / 4294967296.0``).
+    Changing ``salt`` draws an independent uniform — the "new epoch /
+    new experiment" knob.
+    """
+    cols = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
+            for c in keys]
+    key = F.concat_ws("|", *cols, F.lit(salt))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") / F.lit(
+        _HASH_DOMAIN
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    keys: Sequence[str | Column],
+    salt: str = "",
+) -> DataFrame:
+    """B22 — deterministic Bernoulli(fraction) sample: keep rows whose
+    hash-uniform falls below ``fraction``. Membership depends only on the
+    key values — re-running on any cluster, any partitioning, any engine
+    selects the identical rows."""
+    return df.filter(hash_uniform(keys, salt) < F.lit(float(fraction)))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Sequence[float],
+    keys: Sequence[str | Column],
+    salt: str = "",
+) -> list[DataFrame]:
+    """B22 — deterministic train/val/test split: the [0,1) line is cut into
+    contiguous intervals proportional to ``weights``; a row belongs to the
+    interval its hash-uniform lands in. Splits are exactly disjoint and
+    exactly exhaustive BY CONSTRUCTION (one hash, interval membership) —
+    not merely in expectation like seeded randomSplit."""
+    total = float(sum(weights))
+    u = hash_uniform(keys, salt)
+    out: list[DataFrame] = []
+    lo = 0.0
+    for i, w in enumerate(weights):
+        hi = lo + float(w) / total
+        upper = F.lit(1.1) if i == len(weights) - 1 else F.lit(hi)
+        out.append(df.filter((u >= F.lit(lo)) & (u < upper)))
+        lo = hi
+    return out
+
+
+def source_mix(
+    df: DataFrame,
+    fractions: dict[str, float],
+    source_col: str,
+    keys: Sequence[str | Column],
+    salt: str = "",
+) -> DataFrame:
+    """North-star — corpus mixing: keep a per-source deterministic fraction
+    (e.g. {"web": 0.1, "books": 1.0, "code": 0.5}) — the standard
+    training-mixture downsampling step. One row-local hash + a broadcast
+    CASE over the source column; sources absent from ``fractions`` are
+    dropped (fraction 0.0). No shuffle."""
+    expr = None
+    for src, f in sorted(fractions.items()):
+        cond = F.col(source_col) == src
+        val = F.lit(float(f))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    frac = expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
+    return df.filter(hash_uniform(keys, salt) < frac)

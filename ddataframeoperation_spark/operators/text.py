@@ -41,6 +41,7 @@ __all__ = [
     "ngram_contamination",
     "repetition_stats",
     "redact_pii",
+    "bigram_lm_scores",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -454,6 +455,55 @@ def repetition_stats(
         )
         .otherwise(F.lit(0.0))
         .alias("repetition"),
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """B34 — perplexity-proxy quality scoring: each document's mean
+    add-``alpha``-smoothed bigram log-likelihood under the corpus's OWN
+    bigram model,
+
+        score(d) = mean over bigrams (w1,w2) of
+                   ln( (c(w1,w2) + α) / (c(w1) + α·V) ).
+
+    Degenerate/templated text scores high (its bigrams dominate the
+    corpus), rare-garbage scores low — the classic cheap LM filter when a
+    real LM is too expensive for a first pass.
+
+    Plan shape: bigrams are built shuffle-free (word_ngrams over the
+    materialized token column); the model is two hash-aggregates (bigram
+    and unigram counts — vocabulary-sized, map-side combined) broadcast
+    back onto the bigram stream; one final agg by document. V (distinct
+    unigrams) is a scalar agg — one cheap driver round-trip, the same
+    trade every IDF computation makes.
+    """
+    t = df.withColumn("_toks", tokens(text_col))
+    big = t.select(
+        F.col(id_col), F.explode(word_ngrams(F.col("_toks"), 2)).alias("bg")
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    uni = t.select(F.explode(F.col("_toks")).alias("w"))
+    c2 = big.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("c1"))
+    v = uni.select("w").distinct().count()
+    scored = (
+        big.join(F.broadcast(c2), "bg")
+        .join(F.broadcast(c1), big["w1"] == c1["w"])
+        .withColumn(
+            "lp",
+            F.log(
+                (F.col("c2") + F.lit(float(alpha)))
+                / (F.col("c1") + F.lit(float(alpha) * v))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
     )
 
 

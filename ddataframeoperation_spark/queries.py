@@ -3069,6 +3069,120 @@ def b34pii(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B22 (completion) — deterministic hash-based sampling: reproducible across
+# cluster sizes/partitionings/engines, hence exactly oracle-able (unlike
+# seeded randomSplit, whose membership depends on the partitioning).
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b22_hash_sample",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '|' || 'r3'), 1, 8))::BIGINT
+          / 4294967296.0 < 0.2
+    """,
+)
+def b22hs(spark: SparkSession, sf: str) -> DataFrame:
+    from ddataframeoperation_spark.operators import sampling
+
+    c = _t(spark, sf, "customer")
+    return sampling.hash_sample(c, 0.2, ["c_custkey"], salt="r3").select(
+        "c_custkey", "c_name"
+    )
+
+
+@_q(
+    "b22_hash_split",
+    """
+    SELECT c_custkey,
+           CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END
+               AS split
+    FROM (
+      SELECT c_custkey,
+             ('0x' || substring(md5(CAST(c_custkey AS VARCHAR) || '|' || 'r3'), 1, 8))::BIGINT
+             / 4294967296.0 AS u
+      FROM customer
+    )
+    """,
+)
+def b22hsp(spark: SparkSession, sf: str) -> DataFrame:
+    # Full assignment table for an 80/10/10 split — disjoint and exhaustive
+    # by construction (one hash, contiguous intervals), so the oracle can
+    # check every row's membership, not just aggregate fractions.
+    from ddataframeoperation_spark.operators import sampling
+
+    c = _t(spark, sf, "customer")
+    train, val, test = sampling.hash_split(
+        c, [0.8, 0.1, 0.1], ["c_custkey"], salt="r3"
+    )
+    return (
+        train.select("c_custkey", F.lit("train").alias("split"))
+        .unionAll(val.select("c_custkey", F.lit("val").alias("split")))
+        .unionAll(test.select("c_custkey", F.lit("test").alias("split")))
+    )
+
+
+@_q(
+    "b22_source_mix",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || 'mix'), 1, 8))::BIGINT
+          / 4294967296.0
+          < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                        WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+                        ELSE 0.0 END
+    """,
+)
+def b22mix(spark: SparkSession, sf: str) -> DataFrame:
+    # Training-mixture downsampling: per-source keep fractions, membership
+    # a pure function of doc_id — the reproducible corpus-mixing step.
+    from ddataframeoperation_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    return sampling.source_mix(
+        d,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        source_col="source",
+        keys=["doc_id"],
+        salt="mix",
+    ).select("doc_id", "source")
+
+
+@_q(
+    "b34_bigram_lm",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, UNNEST(
+        [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS bg
+      FROM toks
+    ),
+    big_w AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM big),
+    uni AS (SELECT UNNEST(t) AS w FROM toks),
+    c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY bg),
+    c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+    v AS (SELECT count(DISTINCT w) AS v FROM uni)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v))), 4) AS avg_logprob
+    FROM big_w b
+    JOIN c2 ON c2.bg = b.bg
+    JOIN c1 ON c1.w = b.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+)
+def b34lm(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.bigram_lm_scores(_t(spark, sf, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # B10 (completion) — the remaining TPC-H query shapes, adapted to the fixture
 # star schema (no partsupp table: lineitem is the part↔supplier link, and
 # p_retailprice stands in for ps_supplycost where a cost is needed). With

@@ -1,0 +1,58 @@
+"""Deterministic hash-based sampling (B22 reproducible form)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.catalog import read_fixture_table
+from ddataframeoperation_spark.operators import sampling
+
+
+def test_hash_split_disjoint_exhaustive(spark, sf_dir):
+    c = read_fixture_table(spark, sf_dir, "customer")
+    parts = sampling.hash_split(c, [0.8, 0.1, 0.1], ["c_custkey"], salt="t")
+    n = c.count()
+    ns = [p.count() for p in parts]
+    assert sum(ns) == n  # exhaustive
+    # pairwise disjoint
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert parts[i].join(parts[j], "c_custkey").count() == 0
+    # fractions within a loose band (n=150 at sf0.001)
+    assert ns[0] > 0.6 * n and ns[1] < 0.25 * n and ns[2] < 0.25 * n
+
+
+def test_hash_sample_partitioning_invariant(spark, sf_dir):
+    # THE property seeded randomSplit lacks: membership survives any
+    # repartitioning of the input.
+    c = read_fixture_table(spark, sf_dir, "customer")
+    a = set(
+        r["c_custkey"]
+        for r in sampling.hash_sample(c, 0.3, ["c_custkey"], "s").collect()
+    )
+    b = set(
+        r["c_custkey"]
+        for r in sampling.hash_sample(
+            c.repartition(7, "c_nationkey"), 0.3, ["c_custkey"], "s"
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_hash_sample_salt_independence(spark, sf_dir):
+    c = read_fixture_table(spark, sf_dir, "customer")
+    a = set(r["c_custkey"] for r in sampling.hash_sample(c, 0.5, ["c_custkey"], "s1").collect())
+    b = set(r["c_custkey"] for r in sampling.hash_sample(c, 0.5, ["c_custkey"], "s2").collect())
+    assert a != b  # different salt -> different draw (overwhelmingly likely)
+
+
+def test_source_mix_fractions(spark, sf_dir):
+    d = read_fixture_table(spark, sf_dir, "documents")
+    out = sampling.source_mix(
+        d, {"src0": 1.0, "src1": 0.0}, source_col="source", keys=["doc_id"]
+    )
+    got = {r["source"] for r in out.select("source").distinct().collect()}
+    # src0 fully kept, src1 and unlisted sources fully dropped
+    assert got == {"src0"}
+    n_src0 = d.filter(F.col("source") == "src0").count()
+    assert out.count() == n_src0
