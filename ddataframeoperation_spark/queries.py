@@ -1999,6 +1999,44 @@ def b36ssx(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b36_stream_outer_join",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.ts AS l_ts, r.ts AS r_ts
+    FROM events l LEFT JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+     AND r.event_type = 'purchase'
+    CROSS JOIN mx
+    WHERE l.event_type = 'click'
+      AND l.ts < mx.m - INTERVAL 210 MINUTE
+    """,
+)
+def b36soj(spark: SparkSession, sf: str) -> DataFrame:
+    # LEFT OUTER interval join: click-without-conversion rows emit (with
+    # null right columns) once the right watermark passes l_ts + gap — the
+    # two-sided time bound defines when "no match" is FINAL, which is what
+    # makes outer results correct on an unbounded stream. Lefts younger
+    # than (max_ts − watermark − gap) are not yet finalized at end of
+    # replay, so BOTH sides restrict to a conservative cutoff
+    # (max_ts − 3.5 h) — the comparison then covers exactly the rows whose
+    # outer-ness the engine has committed to.
+    import datetime
+
+    stream = STR.events_as_stream(spark, sf)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = STR.stream_interval_join(
+        clicks, purchases, max_gap="30 minutes", how="left_outer"
+    )
+    out = STR.run_to_memory(joined, output_mode="append")
+    mx = _t(spark, sf, "events").agg(F.max("ts")).head()[0]
+    cutoff = mx - datetime.timedelta(minutes=210)
+    return out.filter(F.col("l_ts") < F.lit(cutoff))
+
+
+@_q(
     "b37_stream_session",
     """
     WITH flagged AS (

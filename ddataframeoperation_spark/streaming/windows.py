@@ -164,10 +164,14 @@ def stream_interval_join(
     key: str = "user_id",
     max_gap: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """B36 — stream-stream inner interval join: pair each left event with
-    the right-stream events of the same ``key`` that occur within
+    """B36 — stream-stream interval join: pair each left event with the
+    right-stream events of the same ``key`` that occur within
     ``(l.ts, l.ts + max_gap]`` — the click→conversion attribution shape.
+    ``how="left_outer"`` additionally emits click-without-conversion rows
+    (null right columns) once the right watermark passes ``l.ts + max_gap``
+    — i.e., when no future match is possible.
 
     Both sides carry watermarks and the join condition bounds event time
     in BOTH directions, which is what lets the engine evict buffered rows:
@@ -175,7 +179,8 @@ def stream_interval_join(
     ``l.ts + max_gap``, so state is bounded by rate × horizon regardless
     of total stream length — the 100 TB-stream requirement. Without the
     time bound Spark would have to buffer both streams forever (and
-    rejects the plan in append mode).
+    rejects the plan in append mode; for outer joins the bound is also
+    what *defines* when an unmatched row is final).
     """
     l = left.select(
         F.col(key).alias("l_key"),
@@ -192,6 +197,7 @@ def stream_interval_join(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap}")),
+        how,
     ).select(
         F.col("l_key").alias("user_id"),
         "l_event_id",
