@@ -60,6 +60,13 @@ BENCH_QUERIES = [
     "b28_profile",
     "b10_q7_nation_volume",
     "b10_flagship_q3",
+    # Round-3 additions: TPC-H completion + corpus-hygiene/sampling ops.
+    "b10_q2_min_cost_supplier",
+    "b10_q8_market_share",
+    "b10_q21_waiting_suppliers",
+    "b34_contamination",
+    "b34_bigram_lm",
+    "b22_hash_sample",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
@@ -77,6 +84,10 @@ COUNT_ONLY = {
     "b09_asof_join",
     "b11_time_rollup",
     "b34_tfidf",
+    "b10_q2_min_cost_supplier",
+    "b34_contamination",
+    "b34_bigram_lm",
+    "b22_hash_sample",
 }
 
 
