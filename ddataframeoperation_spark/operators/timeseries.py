@@ -15,10 +15,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["time_bucket", "multi_granularity_rollup"]
+__all__ = ["time_bucket", "multi_granularity_rollup", "resample_ffill"]
 
 _GRANULARITIES = ("hour", "day", "week", "month", "quarter", "year")
 
@@ -68,3 +68,61 @@ def multi_granularity_rollup(
         *df.columns,
     )
     return exploded.groupBy("granularity", "bucket_start", *extra_keys).agg(*aggs)
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    granularity: str = "day",
+    step: str = "1 day",
+    agg: Column | None = None,
+) -> DataFrame:
+    """Regularize an irregular series (hypertable ``time_bucket_gapfill`` +
+    ``locf``): per key, one row for EVERY ``step`` bucket between that
+    key's first and last observation, forward-filling gaps with the last
+    observed value.
+
+    Plan shape — three steps, each shuffling only on ``key_col`` so AQE
+    can reuse one exchange:
+
+    1. bucketize + aggregate observations (map-side combined);
+    2. per-key bounds → ``sequence(lo, hi, step)`` → explode = the dense
+       grid, built JVM-side (grid size = span/step per key — rows are
+       generated, never read);
+    3. left-join observations onto the grid and gap-fill with
+       ``last(value, ignorenulls=True)`` over the bucket order.
+
+    Output: (key, bucket, value, is_gap). Leading buckets before a key's
+    first observation cannot be filled and don't occur (the grid starts at
+    the key's own min).
+    """
+    if agg is None:
+        agg = F.max(value_col)
+    obs = (
+        df.withColumn("_bucket", F.date_trunc(granularity, F.col(ts_col)))
+        .groupBy(key_col, "_bucket")
+        .agg(agg.alias("_v"))
+    )
+    bounds = obs.groupBy(key_col).agg(
+        F.min("_bucket").alias("_lo"), F.max("_bucket").alias("_hi")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("_bucket"),
+    )
+    joined = grid.join(obs, on=[key_col, "_bucket"], how="left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col("_bucket").alias("bucket"),
+        F.last("_v", ignorenulls=True).over(w).alias("value"),
+        F.col("_v").isNull().alias("is_gap"),
+    )

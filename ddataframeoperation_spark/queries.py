@@ -3107,6 +3107,77 @@ def b34pii(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B24/B11 (completion) — gap-filled resampling (hypertable
+# time_bucket_gapfill + locf): dense per-key time grid, forward-filled.
+# ---------------------------------------------------------------------------
+
+@_q(
+    "b24_gapfill_locf",
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket, round(max(value), 4) AS v
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+      FROM bounds
+    )
+    SELECT g.user_id, g.bucket,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           o.v IS NULL AS is_gap
+    FROM grid g
+    LEFT JOIN obs o ON o.user_id = g.user_id AND o.bucket = g.bucket
+    """,
+)
+def b24gf(spark: SparkSession, sf: str) -> DataFrame:
+    from ddataframeoperation_spark.operators import timeseries as TS
+
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    return TS.resample_ffill(
+        e,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        granularity="day",
+        step="1 day",
+        agg=F.round(F.max("value"), 4),
+    )
+
+
+@_q(
+    "b11_approx_percentiles",
+    """
+    SELECT 'p50_rel_err_lt_1pct' AS check_name, TRUE AS ok
+    UNION ALL SELECT 'p90_rel_err_lt_1pct', TRUE
+    """,
+)
+def b11ap(spark: SparkSession, sf: str) -> DataFrame:
+    # Sketch-based percentiles with a verified error bound: like the exact
+    # b11_percentiles twin but via approx_percentile (KLL-style, mergeable
+    # partial sketches — the only form that scales: exact percentile
+    # materializes per-group value arrays). The oracle asserts the sketch's
+    # accuracy contract (≤1% relative error at accuracy=10000), not its
+    # engine-specific internals.
+    li = _t(spark, sf, "lineitem")
+    row = li.agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
+        ).alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("ex"),
+    ).head()
+    ap, ex = row["ap"], row["ex"]
+    checks = [
+        ("p50_rel_err_lt_1pct", bool(abs(ap[0] - ex[0]) / ex[0] < 0.01)),
+        ("p90_rel_err_lt_1pct", bool(abs(ap[1] - ex[1]) / ex[1] < 0.01)),
+    ]
+    return spark.createDataFrame(checks, "check_name string, ok boolean")
+
+
+# ---------------------------------------------------------------------------
 # B22 (completion) — deterministic hash-based sampling: reproducible across
 # cluster sizes/partitionings/engines, hence exactly oracle-able (unlike
 # seeded randomSplit, whose membership depends on the partitioning).
