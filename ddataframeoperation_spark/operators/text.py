@@ -42,6 +42,7 @@ __all__ = [
     "repetition_stats",
     "redact_pii",
     "bigram_lm_scores",
+    "pack_sequences",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -504,6 +505,45 @@ def bigram_lm_scores(
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 1024,
+    shard_col: str | None = None,
+    order_keys: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """North-star — sequence packing for pretraining batches: stream
+    documents in a deterministic order into fixed-token-budget bins; a
+    document belongs to the bin in which it STARTS (offset-based packing:
+    ``bin = floor(prev_cumulative_tokens / budget)``), so membership is a
+    pure window cumsum — deterministic, engine-independent, oracle-able.
+
+    Scale posture: a single global ordering would be an unpartitioned
+    window (one-task bottleneck), so pack within ``shard_col`` shards —
+    bins are independent across shards by construction, which is exactly
+    how production packing runs (per input shard/file). Global bin id is
+    (shard, bin). One shuffle on the shard key.
+
+    Returns the input plus (n_tokens, bin).
+    """
+    from collections.abc import Sequence as _Seq  # noqa: F401
+
+    order = [F.col(c) for c in (order_keys or [id_col])]
+    part = [shard_col] if shard_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = df.withColumn("n_tokens", token_count(text_col).cast("long"))
+    running = F.sum("n_tokens").over(w)
+    return t.withColumn(
+        "bin",
+        F.floor((running - F.col("n_tokens")) / F.lit(float(budget))).cast("long"),
     )
 
 

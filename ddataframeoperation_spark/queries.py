@@ -3106,6 +3106,91 @@ def b34pii(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b34_pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+                 AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS running
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((running - n_tokens) / 512.0) AS BIGINT) AS bin
+    FROM c
+    """,
+)
+def b34pack(spark: SparkSession, sf: str) -> DataFrame:
+    # Pretraining sequence packing: per-source shards, 512-token bins,
+    # deterministic doc_id order (see text.pack_sequences scale notes).
+    d = _t(spark, sf, "documents")
+    return TX.pack_sequences(
+        d, budget=512, shard_col="source"
+    ).select("doc_id", "source", "n_tokens", "bin")
+
+
+@_q(
+    "b34_curriculum",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n, alpha,
+             len(string_split(norm, ' ')) AS ntok,
+             length(norm) AS nlen
+      FROM base
+    ), q AS (
+      SELECT doc_id,
+             round(0.4 * (CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.3 END)
+                   + 0.4 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+                   + 0.2 * (CASE WHEN ntok > 0 AND (nlen / ntok) >= 2.0
+                                      AND (nlen / ntok) <= 12.0
+                                 THEN 1.0 ELSE 0.4 END), 4) AS quality
+      FROM m
+    ), staged AS (
+      SELECT doc_id, quality,
+             ntile(4) OVER (ORDER BY quality, doc_id) AS stage
+      FROM q
+    )
+    SELECT CAST(stage AS INTEGER) AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(quality), 4) AS min_q,
+           round(max(quality), 4) AS max_q,
+           round(avg(quality), 4) AS avg_q
+    FROM staged
+    GROUP BY stage
+    """,
+)
+def b34cur(spark: SparkSession, sf: str) -> DataFrame:
+    # Curriculum staging: quartile-bucket the corpus by quality score,
+    # easy→hard. Global ntile is fine for a 4-row diagnostic; a production
+    # assigner would use approx_percentile thresholds (mergeable, no global
+    # sort) — same output contract.
+    d = _t(spark, sf, "documents").select(
+        "doc_id", TX.quality_score("text").alias("quality")
+    )
+    staged = d.withColumn(
+        "stage",
+        F.ntile(4).over(Window.orderBy(F.col("quality"), F.col("doc_id"))),
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.min("quality"), 4).alias("min_q"),
+        F.round(F.max("quality"), 4).alias("max_q"),
+        F.round(F.avg("quality"), 4).alias("avg_q"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B24/B11 (completion) — gap-filled resampling (hypertable
 # time_bucket_gapfill + locf): dense per-key time grid, forward-filled.
