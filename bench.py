@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "b34_contamination",
     "b34_bigram_lm",
     "b22_hash_sample",
+    "b34_full_pipeline",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
@@ -88,6 +89,7 @@ COUNT_ONLY = {
     "b34_contamination",
     "b34_bigram_lm",
     "b22_hash_sample",
+    "b34_full_pipeline",
 }
 
 

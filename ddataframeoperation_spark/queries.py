@@ -3191,6 +3191,101 @@ def b34cur(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b34_full_pipeline",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    ),
+    tl AS (SELECT *, string_split(norm, ' ') AS t FROM toks),
+    grams AS (
+      SELECT doc_id,
+             [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] AS ngs
+      FROM tl
+    ),
+    tgt AS (SELECT DISTINCT doc_id, UNNEST(ngs) AS ng FROM grams WHERE doc_id % 20 <> 0),
+    bench AS (SELECT DISTINCT UNNEST(ngs) AS ng FROM grams WHERE doc_id % 20 = 0),
+    cont0 AS (
+      SELECT t.doc_id, round(count(b.ng) * 1.0 / count(*), 4) AS contamination
+      FROM tgt t LEFT JOIN bench b ON t.ng = b.ng GROUP BY t.doc_id
+    ),
+    cont AS (
+      SELECT d.doc_id, coalesce(c.contamination, 0.0) AS contamination
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+      LEFT JOIN cont0 c ON c.doc_id = d.doc_id
+    ),
+    q AS (
+      SELECT tl.doc_id, tl.source, tl.norm, tl.t,
+             round(0.4 * (CASE WHEN length(text) >= 50 AND length(text) <= 20000
+                               THEN 1.0 ELSE 0.3 END)
+                   + 0.4 * (CASE WHEN length(text) > 0
+                                 THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+                                      * 1.0 / length(text)
+                                 ELSE 0.0 END)
+                   + 0.2 * (CASE WHEN len(t) > 0
+                                      AND (length(norm) * 1.0 / len(t)) >= 2.0
+                                      AND (length(norm) * 1.0 / len(t)) <= 12.0
+                                 THEN 1.0 ELSE 0.4 END), 4) AS quality
+      FROM tl
+    ),
+    filt AS (
+      SELECT q.doc_id, q.source, q.norm, len(q.t) AS n_tokens
+      FROM q JOIN cont ON cont.doc_id = q.doc_id
+      WHERE q.quality >= 0.5 AND cont.contamination < 0.5
+    ),
+    dd AS (
+      SELECT doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+      FROM filt
+    ),
+    samp AS (
+      SELECT doc_id, source, n_tokens FROM dd
+      WHERE rn = 1
+        AND ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || 'pipe'), 1, 8))::BIGINT
+            / 4294967296.0 < 0.8
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS running
+      FROM samp
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((running - n_tokens) / 512.0) AS BIGINT) AS bin
+    FROM packed
+    """,
+)
+def b34pipe(spark: SparkSession, sf: str) -> DataFrame:
+    # North-star flagship composition — the full LLM training-data prep
+    # chain as ONE declarative pipeline: benchmark decontamination →
+    # quality gate → exact dedup (keep lowest id per fingerprint) →
+    # deterministic 80% subsample → per-shard sequence packing. Every
+    # stage cuts cardinality before the next shuffle; every stage is
+    # individually oracle'd elsewhere, and the composition is oracle'd
+    # here end-to-end.
+    from ddataframeoperation_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    tgt = d.filter(F.col("doc_id") % 20 != 0)
+    cont = TX.ngram_contamination(tgt, bench, n=5).select(
+        "doc_id", "contamination"
+    )
+    keep = (
+        tgt.join(cont, "doc_id")
+        .filter(F.col("contamination") < 0.5)
+        .withColumn("quality", TX.quality_score("text"))
+        .filter(F.col("quality") >= 0.5)
+    )
+    dd = dedup.dedup_by_fingerprint(keep, text_col="text", id_col="doc_id")
+    samp = sampling.hash_sample(dd, 0.8, ["doc_id"], salt="pipe")
+    packed = TX.pack_sequences(samp, budget=512, shard_col="source")
+    return packed.select("doc_id", "source", "n_tokens", "bin")
+
+
 # ---------------------------------------------------------------------------
 # B24/B11 (completion) — gap-filled resampling (hypertable
 # time_bucket_gapfill + locf): dense per-key time grid, forward-filled.

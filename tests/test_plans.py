@@ -69,3 +69,35 @@ def test_range_join_keeps_equi_conjunct(spark):
     # The user_id equality must be a join key (hash/broadcast/sort-merge),
     # never a nested-loop over the range condition alone.
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_q21_exists_shapes_no_cartesian(spark):
+    # EXISTS/NOT EXISTS render as semi/anti hash joins on the order key —
+    # never a nested-loop/cartesian fallback.
+    p = _plan(spark, "b10_q21_waiting_suppliers")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    # Packing shuffles once on the shard key (window partition); no global
+    # (un-partitioned) window anywhere in the plan.
+    p = _plan(spark, "b34_pack_sequences")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+
+
+def test_gapfill_shares_key_partitioning(spark):
+    # Obs-aggregate, bounds, grid join, and the forward-fill window all key
+    # on user_id; the dense grid is generated (sequence+explode), not read.
+    p = _plan(spark, "b24_gapfill_locf")
+    assert "Generate explode" in p
+    assert "CartesianProduct" not in p
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    # The benchmark n-gram set must broadcast onto the target inverted
+    # index — a shuffle join here would move the whole corpus by n-gram.
+    p = _plan(spark, "b34_contamination")
+    assert "BroadcastHashJoin" in p
