@@ -2001,7 +2001,11 @@ def b36ssx(spark: SparkSession, sf: str) -> DataFrame:
 @_q(
     "b36_stream_outer_join",
     """
-    WITH mx AS (SELECT max(ts) AS m FROM events)
+    WITH mx AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS m
+    )
     SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
            l.ts AS l_ts, r.ts AS r_ts
     FROM events l LEFT JOIN events r
@@ -2015,13 +2019,15 @@ def b36ssx(spark: SparkSession, sf: str) -> DataFrame:
 )
 def b36soj(spark: SparkSession, sf: str) -> DataFrame:
     # LEFT OUTER interval join: click-without-conversion rows emit (with
-    # null right columns) once the right watermark passes l_ts + gap — the
+    # null right columns) once the watermark passes l_ts + gap — the
     # two-sided time bound defines when "no match" is FINAL, which is what
-    # makes outer results correct on an unbounded stream. Lefts younger
-    # than (max_ts − watermark − gap) are not yet finalized at end of
-    # replay, so BOTH sides restrict to a conservative cutoff
-    # (max_ts − 3.5 h) — the comparison then covers exactly the rows whose
-    # outer-ness the engine has committed to.
+    # makes outer results correct on an unbounded stream. The GLOBAL
+    # watermark is the MIN across both input streams, so the sparse
+    # purchase stream is what binds finalization; lefts younger than
+    # (min-stream max_ts − watermark − gap) are not yet finalized at end
+    # of replay. BOTH sides therefore restrict to a conservative cutoff
+    # (that bound minus a 1 h margin) — the comparison covers exactly the
+    # rows whose outer-ness the engine has committed to.
     import datetime
 
     stream = STR.events_as_stream(spark, sf)
@@ -2031,7 +2037,17 @@ def b36soj(spark: SparkSession, sf: str) -> DataFrame:
         clicks, purchases, max_gap="30 minutes", how="left_outer"
     )
     out = STR.run_to_memory(joined, output_mode="append")
-    mx = _t(spark, sf, "events").agg(F.max("ts")).head()[0]
+    e = _t(spark, sf, "events")
+    mx = (
+        e.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+        )
+        .head()[0]
+    )
     cutoff = mx - datetime.timedelta(minutes=210)
     return out.filter(F.col("l_ts") < F.lit(cutoff))
 

@@ -69,12 +69,25 @@ def stage_multi_batch_replay(
 ):
     """Write a batch table as ``n_batches`` event-time-ordered parquet files
     and return a file-source stream over them with one-file-per-trigger —
-    a deterministic multi-micro-batch replay for equivalence testing
-    (range partitioning keeps late-vs-watermark behavior realistic: files
-    arrive roughly in event-time order)."""
+    a deterministic multi-micro-batch replay for equivalence testing.
+
+    Range partitioning guarantees every row of part i+1 ≥ every row of
+    part i, and the file source orders files by modification time (ties by
+    path are NOT deterministic across filesystems) — so the part files get
+    explicitly ascending mtimes in part order. The replay then advances
+    the watermark monotonically with no accidental late-data drops, which
+    outer joins / eviction-semantics tests depend on.
+    """
+    import glob
+    import os
+    import time as _time
+
     batch_df.repartitionByRange(n_batches, ts_col).write.mode(
         "overwrite"
     ).parquet(stage_dir)
+    now = _time.time()
+    for i, f in enumerate(sorted(glob.glob(f"{stage_dir}/part-*"))):
+        os.utime(f, (now + i, now + i))
     spark = batch_df.sparkSession
     schema = spark.read.parquet(stage_dir).schema
     return (

@@ -261,3 +261,71 @@ def test_stream_interval_join_multi_batch(spark, sf_dir, tmp_path):
         & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 30 MINUTES")),
     ).count()
     assert got.count() == n_want
+
+
+def test_outer_interval_join_multi_batch(spark, sf_dir, tmp_path):
+    """Left-outer interval join under a 4-file replay: for lefts old enough
+    that the final watermark has finalized them, the streamed result
+    (matches + null-matched unmatched rows) must equal the batch left
+    join restricted to the same cutoff."""
+    import datetime
+
+    from ddataframeoperation_spark.streaming.windows import stage_multi_batch_replay
+
+    batch = read_fixture_table(spark, sf_dir, "events")
+    stream = stage_multi_batch_replay(batch, str(tmp_path / "ev_outer"), 4)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    got = STR.run_to_memory(
+        STR.stream_interval_join(
+            clicks, purchases, max_gap="30 minutes", watermark="2 hours",
+            how="left_outer",
+        ),
+        output_mode="append",
+    )
+    # The global watermark is the MIN across both streams; the sparse
+    # purchase stream binds finalization, so the cutoff derives from it.
+    mx = (
+        batch.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+        )
+        .head()[0]
+    )
+    cutoff = mx - datetime.timedelta(minutes=210)
+    got_f = {tuple(r) for r in got.filter(F.col("l_ts") < F.lit(cutoff)).collect()}
+
+    l = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    want = (
+        l.join(
+            r,
+            (F.col("l_key") == F.col("r_key"))
+            & (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "left",
+        )
+        .select(
+            F.col("l_key").alias("user_id"),
+            "l_event_id",
+            "r_event_id",
+            "l_ts",
+            "r_ts",
+        )
+        .filter(F.col("l_ts") < F.lit(cutoff))
+    )
+    want_f = {tuple(r) for r in want.collect()}
+    assert got_f == want_f and len(got_f) > 0
+    # unmatched lefts really surface with null right columns
+    assert any(t[2] is None for t in got_f)
