@@ -223,7 +223,9 @@ def b07a(spark: SparkSession, sf: str) -> DataFrame:
     "b08_star_join_broadcast",
     """
     SELECT r.r_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2))))
+                AS DECIMAL(18,4)) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -248,9 +250,17 @@ def b08(spark: SparkSession, sf: str) -> DataFrame:
         j,
         ["r_name"],
         [
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            ),
+            # Exact decimal summation: at sf0.1 these sums reach ~6e9, where
+            # double partial-agg order noise (~1e-12 relative = ~6e-3 abs)
+            # exceeds the round(4) grid and flips last digits between
+            # engines. Decimal addition is exact, hence order- and
+            # engine-independent.
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+            )
+            .cast("decimal(18,4)")
+            .alias("revenue"),
             F.count("*").alias("n_items"),
         ],
     )
@@ -292,10 +302,17 @@ def b09(spark: SparkSession, sf: str) -> DataFrame:
     "b11_agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2))))
+                AS DECIMAL(18,4)) AS sum_disc_price,
+           -- scale 6, the product's natural scale: DuckDB TRUNCATES decimal
+           -- downscales while Spark rounds half-up, so never downscale.
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(8,2))))
+                AS DECIMAL(20,6)) AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
@@ -310,15 +327,27 @@ def b11(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "lineitem"),
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"),
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # ALL-decimal money arithmetic: the fixture's prices/discounts/taxes
+    # are clean 2-decimal values, so casting the INPUTS to decimal and
+    # multiplying/summing in decimal is exact end-to-end — identical on any
+    # engine and any partial-agg order (casting the double PRODUCT still
+    # diverged at sf0.1: engines disagree rounding doubles near a decimal
+    # boundary).
+    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    tax_d = F.lit(1) + F.col("l_tax").cast("decimal(8,2)")
     return R.group_agg(
         li,
         ["l_returnflag", "l_linestatus"],
         [
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,4)").alias("sum_qty"),
+            F.sum(price_d).cast("decimal(18,4)").alias("sum_base_price"),
+            F.sum(price_d * disc_d).cast("decimal(18,4)").alias("sum_disc_price"),
+            # scale 6 = the product's natural scale; a downscale would hit
+            # DuckDB's truncating rescale vs Spark's half-up rounding.
+            F.sum(price_d * disc_d * tax_d)
+            .cast("decimal(20,6)").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -939,7 +968,7 @@ def b26(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS n_dims,
-           round(CAST(embedding[1] AS DOUBLE), 4) AS first_dim,
+           round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_dim,
            round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                               x -> x * x))), 4) AS l2_norm,
            label
@@ -950,7 +979,11 @@ def b27(spark: SparkSession, sf: str) -> DataFrame:
     return _t(spark, sf, "embeddings").select(
         "vec_id",
         F.size("embedding").alias("n_dims"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_dim"),
+        # + 0.0 normalizes IEEE negative zero (round(-0.00001, 4) is -0.0
+        # in one engine, 0.0 in the other; they hash differently).
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + 0.0).alias(
+            "first_dim"
+        ),
         F.round(similarity.l2_norm(F.col("embedding")), 4).alias("l2_norm"),
         "label",
     )
@@ -2381,7 +2414,8 @@ def b29orc(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT user_id, round(value, 4) AS value,
            round(coalesce((value - avg(value) OVER w)
-                          / nullif(stddev_samp(value) OVER w, 0), 0.0), 4) AS zscore
+                          / nullif(stddev_samp(value) OVER w, 0), 0.0), 4) + 0.0
+               AS zscore
     FROM events
     WINDOW w AS (PARTITION BY user_id)
     """,
@@ -2393,7 +2427,9 @@ def b30(spark: SparkSession, sf: str) -> DataFrame:
     return z.select(
         "user_id",
         F.round("value", 4).alias("value"),
-        F.round("zscore", 4).alias("zscore"),
+        # + 0.0 normalizes IEEE negative zero (engines disagree on -0 vs 0
+        # for zscores that round to zero; they hash differently).
+        (F.round("zscore", 4) + 0.0).alias("zscore"),
     )
 
 
@@ -2732,7 +2768,9 @@ def b10q19(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2))))
+                AS DECIMAL(18,4)) AS volume
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -2771,16 +2809,22 @@ def b10q7(spark: SparkSession, sf: str) -> DataFrame:
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("volume")
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+        )
+        .cast("decimal(18,4)")
+        .alias("volume")
     )
 
 
 @_q(
     "b10_q5_regional_revenue",
     """
-    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2))))
+                AS DECIMAL(18,4)) AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2822,9 +2866,12 @@ def b10q5(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
     return j.groupBy("n_name").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("revenue")
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+        )
+        .cast("decimal(18,4)")
+        .alias("revenue")
     )
 
 
@@ -3508,7 +3555,7 @@ def b34lm(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY l.l_partkey, s.s_suppkey, s.s_name, n.n_name
     )
     SELECT o.l_partkey AS p_partkey, p.p_name, o.s_name, o.n_name,
-           round(o.unit_price, 4) AS unit_price
+           floor(o.unit_price * 10000 + 0.5) / 10000 AS unit_price
     FROM offers o
     JOIN part p ON p.p_partkey = o.l_partkey
     WHERE p.p_size <= 15
@@ -3546,7 +3593,12 @@ def b10q2(spark: SparkSession, sf: str) -> DataFrame:
         "p_name",
         "s_name",
         "n_name",
-        F.round("unit_price", 4).alias("unit_price"),
+        # floor(x*1e4+0.5)/1e4, NOT round(): both engines evaluate this
+        # identically (pure IEEE ops), whereas DuckDB's round()/decimal
+        # cast on doubles goes through a float multiply that mis-rounds
+        # values like 438.078749999... upward while Spark's BigDecimal
+        # path rounds down — six last-digit mismatches at sf0.1.
+        (F.floor(F.col("unit_price") * 10000 + 0.5) / 10000).alias("unit_price"),
     )
 
 
@@ -3588,7 +3640,9 @@ def b10q4(spark: SparkSession, sf: str) -> DataFrame:
 @_q(
     "b10_q6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(8,2)))
+                AS DECIMAL(18,4)) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -3608,9 +3662,12 @@ def b10q6(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-            "revenue"
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(8,2)")
         )
+        .cast("decimal(18,4)")
+        .alias("revenue")
     )
 
 
