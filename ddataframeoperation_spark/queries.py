@@ -2632,7 +2632,8 @@ def b36s(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT c.c_mktsegment,
            count(*) AS n_custs,
-           round(sum(c.c_acctbal), 4) AS total_bal
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,4))
+               AS total_bal
     FROM customer c
     WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -2649,7 +2650,8 @@ def b10q22(spark: SparkSession, sf: str) -> DataFrame:
         """
         SELECT c.c_mktsegment,
                count(*) AS n_custs,
-               round(sum(c.c_acctbal), 4) AS total_bal
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,4))
+               AS total_bal
         FROM customer c
         WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders o
@@ -2718,7 +2720,9 @@ def b10q14(spark: SparkSession, sf: str) -> DataFrame:
 @_q(
     "b10_q19_disjunctive",
     """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2))))
+                AS DECIMAL(18,4)) AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -2750,9 +2754,12 @@ def b10q19(spark: SparkSession, sf: str) -> DataFrame:
         & F.col("l_quantity").between(20, 50)
     )
     return j.filter(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("revenue"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+        )
+        .cast("decimal(18,4)")
+        .alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -3744,8 +3751,12 @@ def b10q8(spark: SparkSession, sf: str) -> DataFrame:
     "b10_q9_profit_by_nation",
     """
     SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.4 * p.p_retailprice * l.l_quantity), 4) AS profit
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2)))
+                    - CAST(0.4 AS DECIMAL(2,1))
+                      * CAST(p.p_retailprice AS DECIMAL(18,2))
+                      * CAST(l.l_quantity AS DECIMAL(18,2)))
+                AS DECIMAL(20,5)) AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -3775,17 +3786,14 @@ def b10q9(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, li["l_orderkey"] == o["o_orderkey"])
     )
+    profit_d = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    ) - F.lit("0.4").cast("decimal(2,1)") * F.col("p_retailprice").cast(
+        "decimal(18,2)"
+    ) * F.col("l_quantity").cast("decimal(18,2)")
     return j.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
-    ).agg(
-        F.round(
-            F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
-            ),
-            4,
-        ).alias("profit")
-    )
+    ).agg(F.sum(profit_d).cast("decimal(20,5)").alias("profit"))
 
 
 @_q(
@@ -3868,7 +3876,9 @@ def b10q13(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT l_suppkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(8,2))))
+                  AS DECIMAL(18,4)) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-07-01'
@@ -3890,9 +3900,12 @@ def b10q15(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-            "total_revenue"
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
         )
+        .cast("decimal(18,4)")
+        .alias("total_revenue")
     )
     best = rev.withColumn(
         "max_rev", F.max("total_revenue").over(Window.partitionBy())
@@ -3906,7 +3919,8 @@ def b10q15(spark: SparkSession, sf: str) -> DataFrame:
 @_q(
     "b10_q17_small_qty_revenue",
     """
-    SELECT round(sum(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0 * 10000 + 0.5) / 10000 AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#12'
@@ -3931,7 +3945,16 @@ def b10q17(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_quantity") < 0.4 * F.col("avg_qty")
     )
     return j.agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly")
+        (
+            F.floor(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                / F.lit(7.0)
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("avg_yearly")
     )
 
 
