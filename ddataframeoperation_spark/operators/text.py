@@ -539,7 +539,11 @@ def pack_sequences(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    t = df.withColumn("n_tokens", token_count(text_col).cast("long"))
+    # coalesce: a NULL text must pack as a 0-token doc, not poison the
+    # running sum (sum skips NULLs, shifting every later bin).
+    t = df.withColumn(
+        "n_tokens", F.coalesce(token_count(text_col).cast("long"), F.lit(0))
+    )
     running = F.sum("n_tokens").over(w)
     return t.withColumn(
         "bin",

@@ -4134,8 +4134,17 @@ _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
 assert not _missing, f"driver-priority entries not registered: {_missing}"
 assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 
-_rest = [n for n in QUERIES if n not in set(_DRIVER_PRIORITY)]
-_order = _DRIVER_PRIORITY + _rest
+#: Round-2 driver runs recorded ~52 rows — the 50 curated slots plus the
+#: next two in registration order. Pin those bonus slots to the strongest
+#: round-3 queries rather than whichever variants happen to come first.
+_BONUS_SLOTS = ["b34_full_pipeline", "b36_stream_outer_join"]
+
+_rest = [
+    n
+    for n in QUERIES
+    if n not in set(_DRIVER_PRIORITY) and n not in set(_BONUS_SLOTS)
+]
+_order = _DRIVER_PRIORITY + _BONUS_SLOTS + _rest
 _q2 = {n: QUERIES[n] for n in _order}
 _o2 = {n: ORACLES[n] for n in _order if n in ORACLES}
 QUERIES.clear()

@@ -136,3 +136,19 @@ def test_redact_pii_counts_and_replaces(spark):
     assert "<EMAIL>" in out[1]["redacted"] and "<NUM>" in out[1]["redacted"]
     assert "bob@" not in out[1]["redacted"]
     assert out[2]["redacted"] == "clean"
+
+
+def test_text_ops_null_text_robust(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    # packing: null/empty docs pack as 0-token docs, bins stay well-defined
+    packed = {r["doc_id"]: r for r in TX.pack_sequences(df, budget=3).collect()}
+    assert packed[2]["n_tokens"] == 0 and packed[2]["bin"] is not None
+    assert packed[1]["bin"] == 0
+    # repetition / redaction: null rows survive with defined outputs
+    rep = {r["doc_id"]: r for r in TX.repetition_stats(df, n=2).collect()}
+    assert rep[2]["repetition"] == 0.0 and rep[3]["repetition"] == 0.0
+    red = {r["doc_id"]: r for r in TX.redact_pii(df).collect()}
+    assert red[2]["redacted"] is None and red[2]["pii_hits_0"] is None
