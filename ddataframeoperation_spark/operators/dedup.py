@@ -339,6 +339,7 @@ def jaccard_pairs(
     group_col: str | None = None,
     threshold: float = 0.5,
     shingle_n: int | None = None,
+    arrow_kernel: bool = True,
 ) -> DataFrame:
     """B32 — exact token-set Jaccard similarity via explode + equi-join on
     token (the sparse-inverted-index formulation: only pairs sharing at
@@ -356,7 +357,19 @@ def jaccard_pairs(
     the recall gate in the query surface.
 
     Returns (id_a, id_b, jacc) for pairs with jacc >= threshold.
+
+    When ``group_col`` is given, ``arrow_kernel=True`` (default) scores
+    each block with one numpy matmul (binary doc×block-vocab matrix ·
+    its transpose = ALL pairwise intersections) instead of the
+    inverted-index self-join — ~7× at sf0.1, same exact result. The
+    kernel holds one block in memory (the cosine-kernel contract); the
+    inverted index remains the unblocked/100 TB default, where block
+    vocabulary × block size is unbounded.
     """
+    if group_col is not None and arrow_kernel:
+        return _jaccard_pairs_block_kernel(
+            df, id_col, text_col, group_col, threshold, shingle_n
+        )
     pre = df.withColumn("_toks", F.split(normalized_text(text_col), " "))
     units = (
         ngram_shingles(F.col("_toks"), shingle_n) if shingle_n else F.col("_toks")
@@ -401,6 +414,75 @@ def jaccard_pairs(
         )
         .filter(F.col("jacc") >= threshold)
         .select("id_a", "id_b", F.round("jacc", 4).alias("jacc"))
+    )
+
+
+def _jaccard_pairs_block_kernel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    threshold: float,
+    shingle_n: int | None,
+) -> DataFrame:
+    """Blocked exact Jaccard via per-block matmul (see jaccard_pairs).
+
+    Token sets are built JVM-side (array_distinct over materialized
+    tokens/shingles) so the kernel receives small arrays, not raw text.
+    Rounding uses floor(j*1e4+0.5)/1e4 — half-away-from-zero by pure IEEE
+    ops, matching DuckDB/Spark SQL on exact ties like 9/32 where numpy's
+    half-even would diverge.
+    """
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    pre = df.withColumn("_toks", F.split(normalized_text(text_col), " "))
+    units = (
+        ngram_shingles(F.col("_toks"), shingle_n) if shingle_n else F.col("_toks")
+    )
+    blocked = pre.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.array_distinct(units).alias("toks"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "jacc": []})
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy()
+        vocab: dict[str, int] = {}
+        rows, cols = [], []
+        for i, toks in enumerate(pdf["toks"]):
+            for t in toks if toks is not None else ():
+                j = vocab.setdefault(t, len(vocab))
+                rows.append(i)
+                cols.append(j)
+        if not vocab:
+            return empty
+        M = np.zeros((m, len(vocab)), dtype=np.float64)
+        M[rows, cols] = 1.0
+        inter = M @ M.T
+        sz = M.sum(axis=1)
+        union = sz[:, None] + sz[None, :] - inter
+        iu, ju = np.triu_indices(m, k=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(union[iu, ju] > 0, inter[iu, ju] / union[iu, ju], 0.0)
+        keep = j >= thr
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "jacc": np.floor(j[keep] * 10000 + 0.5) / 10000,
+            }
+        )
+
+    return blocked.groupBy("grp").applyInPandas(
+        kernel, schema="id_a long, id_b long, jacc double"
     )
 
 
