@@ -3177,6 +3177,24 @@ def b34pii(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b32_fuzzy_names",
+    """
+    WITH v AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+    FROM v a JOIN v b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+)
+def b32fz(spark: SparkSession, sf: str) -> DataFrame:
+    # Fuzzy entity matching: part-name pairs within edit distance 3 via
+    # length-band blocked levenshtein (dedup.levenshtein_pairs). The
+    # oracle uses DuckDB's identical levenshtein over the naive cross —
+    # the spec; the Spark plan is the banded equi-join.
+    return dedup.levenshtein_pairs(_t(spark, sf, "part"), "p_name", max_dist=3)
+
+
+@_q(
     "b34_pack_sequences",
     """
     WITH t AS (

@@ -120,3 +120,19 @@ def test_lsh_recovers_exact_topk_with_loose_budget(spark, sf_dir):
         for r in similarity.lsh_topk(emb, q, planes, k=5, max_hamming=16).collect()
     ]
     assert approx == exact
+
+
+def test_levenshtein_pairs_banding_catches_shorter_greater(spark):
+    # 'az' < 'b' lexicographically but len('b') < len('az') — the length
+    # band must be two-sided or this pair is silently missed.
+    df = spark.createDataFrame(
+        [("az",), ("b",), ("azzzz",), ("unrelated",)], "name string"
+    )
+    from ddataframeoperation_spark.operators.dedup import levenshtein_pairs
+
+    pairs = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in levenshtein_pairs(df, "name", max_dist=2).collect()
+    }
+    assert ("az", "b", 2) in pairs
+    assert all(d <= 2 for _, _, d in pairs)
