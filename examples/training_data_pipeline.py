@@ -60,6 +60,24 @@ def main() -> None:
     q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     similarity.cosine_topk(emb, q, k=5).show()
 
+    print("== 7. benchmark decontamination (5-gram overlap vs held-out set)")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    tgt = docs.filter(F.col("doc_id") % 20 != 0)
+    cont = TX.ngram_contamination(tgt, bench, n=5)
+    cont.groupBy((F.col("contamination") >= 0.5).alias("contaminated")).count().show()
+
+    print("== 8. deterministic 80/10/10 split (md5-hash; partitioning-stable)")
+    from ddataframeoperation_spark.operators import sampling
+
+    train, val, test = sampling.hash_split(docs, [0.8, 0.1, 0.1], ["doc_id"], "demo")
+    print("   train/val/test:", train.count(), val.count(), test.count())
+
+    print("== 9. sequence packing (512-token bins per source shard)")
+    packed = TX.pack_sequences(train, budget=512, shard_col="source")
+    packed.groupBy("source").agg(
+        (F.max("bin") + 1).alias("n_bins"), F.sum("n_tokens").alias("tokens")
+    ).orderBy("source").show(5)
+
 
 if __name__ == "__main__":
     main()
