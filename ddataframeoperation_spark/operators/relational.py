@@ -252,6 +252,30 @@ def fk_violations(
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 8,
+    max_tracked: int = 10000,
+) -> DataFrame:
+    """B12/B34 — approximate heavy hitters via ``approx_top_k`` (a
+    Misra-Gries-style summary): the k most frequent values of ``col`` with
+    their counts, in one pass with bounded memory and MERGEABLE partial
+    sketches — the only top-k-by-frequency form that scales (an exact
+    top-k needs a full group-by of the whole key space first).
+
+    When the true cardinality is <= ``max_tracked`` the summary is exact
+    (which is what makes the driver oracle a strict equality); above it,
+    counts carry the classic <= n/max_tracked overestimation bound.
+    Returns (item, cnt) — compare as a set; pick k at a clean frequency
+    boundary when exactness matters.
+    """
+    r = df.agg(F.expr(f"approx_top_k({col}, {k}, {max_tracked})").alias("tk"))
+    return r.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("cnt")
+    )
+
+
 def observed(df: DataFrame, metrics: Sequence[Column]):
     """Attach observable data-quality metrics to a DataFrame.
 

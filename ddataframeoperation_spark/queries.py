@@ -3195,6 +3195,27 @@ def b32fz(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b12_heavy_hitters",
+    """
+    SELECT tok AS item, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT UNNEST(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    )
+    GROUP BY tok ORDER BY cnt DESC, tok LIMIT 8
+    """,
+)
+def b12hh(spark: SparkSession, sf: str) -> DataFrame:
+    # Heavy-hitter tokens via a mergeable approx_top_k sketch; the corpus
+    # vocabulary is far below max_tracked, so the sketch is exact and the
+    # oracle is a strict top-8 equality (k=8 sits at a clean frequency
+    # boundary at every fixture scale; within-set ties are order-free
+    # under the hash compare).
+    d = _t(spark, sf, "documents")
+    toks = d.select(F.explode(TX.tokens("text")).alias("tok"))
+    return R.heavy_hitters(toks, "tok", k=8)
+
+
+@_q(
     "b34_pack_sequences",
     """
     WITH t AS (
