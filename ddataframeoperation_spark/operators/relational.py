@@ -252,6 +252,44 @@ def fk_violations(
     )
 
 
+def validate_expectations(
+    df: DataFrame,
+    rules: "dict[str, Column]",
+) -> DataFrame:
+    """B28 — data-quality gate: count violations of each named expectation
+    in ONE scan (every rule becomes a conditional-sum column of the same
+    aggregate — no per-rule passes, no shuffle beyond the single global
+    agg). A rule is a boolean Column that is TRUE when the row PASSES;
+    NULL counts as a violation (ANSI three-valued logic would otherwise
+    let null-laden columns pass vacuously).
+
+    Returns (rule, n_violations) — one row per rule, violation count 0
+    when clean. Compose with ``observed()`` to assert expectations inline
+    on a production pipeline without a second job.
+    """
+    aggs = [
+        F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1))
+        .cast("long")
+        .alias(name)
+        for name, cond in rules.items()
+    ]
+    row = df.agg(*aggs)
+    names = list(rules)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("rule"), F.col(n).alias("n_violations")
+                    )
+                    for n in names
+                ]
+            )
+        ).alias("e")
+    )
+    return stacked.select("e.rule", "e.n_violations")
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

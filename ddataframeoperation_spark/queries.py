@@ -3195,6 +3195,55 @@ def b32fz(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b28_expectations",
+    """
+    SELECT 'quantity_in_range' AS rule,
+           CAST(sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_in_band',
+           CAST(sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 0 ELSE 1 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'shipdate_not_null',
+           CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderkey_fk_resolves',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    """,
+)
+def b28x(spark: SparkSession, sf: str) -> DataFrame:
+    # Data-quality gate: range, band, null, and FK expectations counted in
+    # one scan (+ one anti-join for the FK rule), the production form of
+    # "validate before you write".
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").select("o_orderkey")
+    base = R.validate_expectations(
+        li,
+        {
+            "quantity_in_range": F.col("l_quantity").between(1, 50),
+            "discount_in_band": F.col("l_discount").between(0.0, 0.1),
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+        },
+    )
+    fk_bad = R.join(
+        li.select("l_orderkey"),
+        o,
+        on=F.col("l_orderkey") == F.col("o_orderkey"),
+        how="left_anti",
+    ).count()
+    fk_row = spark.createDataFrame(
+        [("orderkey_fk_resolves", fk_bad)], "rule string, n_violations long"
+    )
+    return base.unionAll(fk_row)
+
+
+@_q(
     "b12_heavy_hitters",
     """
     SELECT tok AS item, CAST(count(*) AS BIGINT) AS cnt FROM (
