@@ -2410,6 +2410,86 @@ def b29orc(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_q(
+    "b01_schema_evolution",
+    """
+    SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS r_pop
+    FROM region
+    UNION ALL
+    SELECT r_regionkey + 100, upper(r_name), CAST(r_regionkey AS BIGINT) * 1000
+    FROM region
+    """,
+)
+def b01se(spark: SparkSession, sf: str) -> DataFrame:
+    # Schema evolution at the source: two parquet parts written with
+    # DIFFERENT schemas (the second adds r_pop) read back as ONE table via
+    # mergeSchema — missing columns null-fill. The reference's loader
+    # (LoadDataFrameFromPath) assumed part-file schema uniformity; drifted
+    # parts at 100 TB are the norm, and the merged read is the contract.
+    import shutil
+    import tempfile
+
+    r = _t(spark, sf, "region")
+    out = tempfile.mkdtemp(prefix="ddfo_evo_")
+    try:
+        r.select("r_regionkey", "r_name").write.mode("overwrite").parquet(
+            f"{out}/t/part_v1"
+        )
+        r.select(
+            (F.col("r_regionkey") + 100).alias("r_regionkey"),
+            F.upper("r_name").alias("r_name"),
+            (F.col("r_regionkey").cast("long") * 1000).alias("r_pop"),
+        ).write.mode("overwrite").parquet(f"{out}/t/part_v2")
+        merged = spark.read.option("mergeSchema", "true").option(
+            "recursiveFileLookup", "true"
+        ).parquet(f"{out}/t")
+        rows = merged.select("r_regionkey", "r_name", "r_pop").collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "r_regionkey int, r_name string, r_pop long"
+    )
+
+
+@_q(
+    "b01_corrupt_records",
+    """
+    SELECT 3 AS n_good, 2 AS n_corrupt
+    """,
+)
+def b01cr(spark: SparkSession, sf: str) -> DataFrame:
+    # Malformed-input contract: PERMISSIVE JSONL read routes unparseable
+    # lines into _corrupt_record instead of failing the job — at 100 TB a
+    # handful of bad lines must never kill a scan. Deterministic inline
+    # fixture: 3 good lines, 2 corrupt.
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="ddfo_bad_")
+    try:
+        path = f"{out}/rows.jsonl"
+        with open(path, "w") as f:
+            f.write(
+                '{"id": 1, "v": "a"}\n'
+                'not json at all\n'
+                '{"id": 2, "v": "b"}\n'
+                '{"id": 3, "v": "c"\n'
+                '{"id": 4, "v": "d"}\n'
+            )
+        df = spark.read.schema(
+            "id long, v string, _corrupt_record string"
+        ).option("mode", "PERMISSIVE").json(path)
+        df = df.cache()  # corrupt-record column requires materialized parse
+        n_good = df.filter(F.col("_corrupt_record").isNull()).count()
+        n_bad = df.filter(F.col("_corrupt_record").isNotNull()).count()
+        df.unpersist()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_good, n_bad)], "n_good int, n_corrupt int"
+    )
+
+
+@_q(
     "b30_script_zscore",
     """
     SELECT user_id, round(value, 4) AS value,
