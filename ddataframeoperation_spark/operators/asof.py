@@ -91,7 +91,12 @@ def asof_join(
     )
     out = filled.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        gap = F.col("_ts").cast("double") - F.col("_f_ts").cast("double")
+        # Hop through TIMESTAMP: TIMESTAMP_NTZ has no direct numeric cast,
+        # and any session-tz shift cancels in the difference.
+        def _epoch(c):
+            return c.cast("timestamp").cast("double")
+
+        gap = _epoch(F.col("_ts")) - _epoch(F.col("_f_ts"))
         if direction == "forward":
             gap = -gap
         within = gap <= tolerance_seconds

@@ -2570,6 +2570,40 @@ def b09asof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b09_asof_tolerance",
+    """
+    SELECT p.event_id, p.user_id,
+           CASE WHEN s.ts >= p.ts - INTERVAL 1 HOUR THEN s.event_id END
+               AS prior_click_id,
+           CASE WHEN s.ts >= p.ts - INTERVAL 1 HOUR THEN round(s.value, 4) END
+               AS prior_click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') s
+      ON p.user_id = s.user_id AND s.ts <= p.ts
+    """,
+)
+def b09asoft(spark: SparkSession, sf: str) -> DataFrame:
+    # Tolerance-bounded as-of: a prior click counts only within 1 hour —
+    # pandas merge_asof(tolerance=...) semantics; stale matches null out
+    # rather than attach (the feature-store "max staleness" contract).
+    from ddataframeoperation_spark.operators.asof import asof_join
+
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    j = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "value"], tolerance_seconds=3600.0,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_asof").alias("prior_click_id"),
+        F.round("value_asof", 4).alias("prior_click_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B11 adjunct — exact percentiles (interpolating, cross-engine comparable)
 # ---------------------------------------------------------------------------
