@@ -35,7 +35,9 @@ __all__ = [
     "shingles",
     "ngram_shingles",
     "minhash_signature",
+    "minhash_band_table",
     "minhash_candidates",
+    "minhash_candidates_incremental",
     "connected_components",
     "cluster_dedup",
     "jaccard_pairs",
@@ -154,6 +156,93 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     )
 
 
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) banded-MinHash table — the LSH index itself.
+
+    Explode shingles, then one hash-aggregate with k min() columns — a
+    map-side-combining shuffle on id, every hash inside whole-stage
+    codegen. (The closed-form alternative — one giant nested
+    transform/array_min expression per row — falls out of codegen and
+    re-evaluates the shingle expression per hash: ~100× slower measured.)
+    The variable-length shingle hashes to a long ONCE; the k hash family
+    re-hashes the 8-byte long per seed (cheaper than k string hashes when
+    shingles are long). At 100 TB this table is what you PERSIST,
+    partitioned by (band, bucket) — new data then joins the stored index
+    without recomputing corpus signatures (minhash_candidates_incremental).
+    """
+    rows_per_band = num_hashes // bands
+    exploded = (
+        df.withColumn("_toks", F.split(normalized_text(text_col), " "))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(ngram_shingles(F.col("_toks"), shingle_n)).alias("sh"),
+        )
+        .select("id", F.xxhash64("sh").alias("h0"))
+    )
+    sig = exploded.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64("h0", F.lit(s))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_candidates_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """B32 — near-dup candidates of NEW documents against an EXISTING
+    corpus: band tables for both sides meet in one equi-join on
+    (band, bucket) — the continuous-ingestion shape (no n² self-join over
+    new∪corpus, and in production the corpus side is the PERSISTED
+    band table, so only the delta computes signatures).
+
+    Returns distinct (new_id, corpus_id).
+    """
+    nb = minhash_band_table(
+        new_df, id_col, text_col, num_hashes, bands, shingle_n
+    ).select(F.col("id").alias("new_id"), "band", "bucket")
+    cb = minhash_band_table(
+        corpus_df, id_col, text_col, num_hashes, bands, shingle_n
+    ).select(F.col("id").alias("corpus_id"), "band", "bucket")
+    return (
+        nb.join(cb, ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -173,48 +262,10 @@ def minhash_candidates(
 
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
-    # Explode shingles, then one hash-aggregate with k min() columns — a
-    # map-side-combining shuffle on id, every hash inside whole-stage
-    # codegen. (The closed-form alternative — one giant nested
-    # transform/array_min expression per row — falls out of codegen and
-    # re-evaluates the shingle expression per hash: ~100× slower measured.)
-    # Hash the variable-length shingle to a long ONCE; the k hash family
-    # then re-hashes the 8-byte long per seed (cheaper than k string hashes
-    # when shingles are long).
-    exploded = (
-        df.withColumn("_toks", F.split(normalized_text(text_col), " "))
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(ngram_shingles(F.col("_toks"), shingle_n)).alias("sh"),
-        )
-        .select("id", F.xxhash64("sh").alias("h0"))
+    banded = minhash_band_table(
+        df, id_col=id_col, text_col=text_col,
+        num_hashes=num_hashes, bands=bands, shingle_n=shingle_n,
     )
-    sig = exploded.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64("h0", F.lit(s))).alias(f"h{s}")
-            for s in range(num_hashes)
-        ]
-    )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (

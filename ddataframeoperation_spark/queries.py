@@ -1477,6 +1477,61 @@ def b32m(spark: SparkSession, sf: str) -> DataFrame:
     return high.join(cands, ["id_a", "id_b"], "leftsemi")
 
 
+@_q(
+    "b32_minhash_increment",
+    """
+    WITH norm AS (
+      SELECT doc_id AS id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), toks AS (
+      SELECT id, string_split(t, ' ') AS tk FROM norm
+    ), sh AS (
+      SELECT id,
+             list_distinct([array_to_string(tk[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS shs
+      FROM toks
+    ), u AS (
+      SELECT id, unnest(shs) AS tok FROM sh
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM u GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM u a JOIN u b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS new_id,
+           CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS corpus_id,
+           round(i / (sa.sz + sb.sz - i), 4) AS jacc
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.9
+      AND ((id_a % 10 = 0) <> (id_b % 10 = 0))
+    """,
+)
+def b32mi(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental near-dup recall gate: docs with doc_id % 10 == 0 play the
+    # newly-ingested delta; the oracle is the EXACT cross-set Jaccard ≥ 0.9
+    # pair set, and the query returns it restricted to the incremental
+    # band-join candidates — a hash match proves the delta-vs-corpus index
+    # join misses no true near-dup (the continuous-ingestion contract).
+    docs = _t(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    cands = dedup.minhash_candidates_incremental(new, corpus)
+    high = dedup.jaccard_pairs(docs, threshold=0.9, shingle_n=3).filter(
+        (F.col("id_a") % 10 == 0) != (F.col("id_b") % 10 == 0)
+    )
+    cross = high.select(
+        F.when(F.col("id_a") % 10 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("new_id"),
+        F.when(F.col("id_a") % 10 == 0, F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("corpus_id"),
+        "jacc",
+    )
+    return cross.join(cands, ["new_id", "corpus_id"], "leftsemi")
+
+
 @_q("b32_minhash_raw")  # rows-only: hash family is engine-specific
 def b32mr(spark: SparkSession, sf: str) -> DataFrame:
     # The raw operator (bench target): banded-LSH candidate pairs alone,
