@@ -1552,6 +1552,49 @@ def b32s(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b33_embedding_dedup",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.35
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(id, v) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON r.v = e.src
+      ) SELECT id, min(v) AS component FROM r GROUP BY id
+    ), drops AS (
+      SELECT id FROM reach WHERE id <> component
+    )
+    SELECT e.vec_id FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.id = e.vec_id)
+    """,
+)
+def b33ed(spark: SparkSession, sf: str) -> DataFrame:
+    # Embedding-level dedup end-to-end — the vector twin of
+    # b32_cluster_dedup: blocked cosine near-dup pairs (Arrow matmul
+    # kernel) -> connected components -> keep the lowest vec_id per
+    # cluster. The production semantic-dedup chain for embedding-indexed
+    # corpora, verified against the recursive-CTE oracle.
+    emb = _t(spark, sf, "embeddings")
+    pairs = similarity.cosine_neardup_pairs(
+        emb, threshold=0.35, block_col="label"
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    keep = comp.groupBy("component").agg(F.min("id").alias("keep_id"))
+    drops = comp.join(
+        keep, comp["id"] == keep["keep_id"], "left_anti"
+    ).select(F.col("id").alias("vec_id"))
+    return emb.join(drops, "vec_id", "left_anti").select("vec_id")
+
+
+@_q(
     "b33_cosine_topk",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
