@@ -1532,6 +1532,64 @@ def b32mi(spark: SparkSession, sf: str) -> DataFrame:
     return cross.join(cands, ["new_id", "corpus_id"], "leftsemi")
 
 
+@_q(
+    "b32_near_dedup_e2e",
+    """
+    WITH norm AS (
+      SELECT doc_id AS id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), toks AS (
+      SELECT id, string_split(t, ' ') AS tk FROM norm
+    ), sh AS (
+      SELECT id,
+             list_distinct([array_to_string(tk[i:i+2], ' ')
+                            FOR i IN range(1, greatest(len(tk)-2, 1)+1)]) AS shs
+      FROM toks
+    ), u AS (
+      SELECT id, unnest(shs) AS tok FROM sh
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM u GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM u a JOIN u b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.9
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(id, v) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON r.v = e.src
+      ) SELECT id, min(v) AS component FROM r GROUP BY id
+    ), drops AS (
+      SELECT id FROM reach WHERE id <> component
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.id = d.doc_id)
+    """,
+)
+def b32e2e(spark: SparkSession, sf: str) -> DataFrame:
+    # The 100 TB near-dedup chain COMPOSED: banded-LSH candidates (linear)
+    # -> exact-Jaccard refinement restricted to candidates -> connected
+    # components -> keep lowest id. The oracle is the UNRESTRICTED exact
+    # chain, so a hash match additionally re-proves 100% LSH recall at
+    # this threshold — if the band join dropped a true pair, a doc that
+    # should be deduped would survive and the row sets would diverge.
+    docs = _t(spark, sf, "documents")
+    cands = dedup.minhash_candidates(docs)
+    refined = dedup.jaccard_pairs(docs, threshold=0.9, shingle_n=3).join(
+        cands, ["id_a", "id_b"], "leftsemi"
+    )
+    return dedup.cluster_dedup(docs, refined.select("id_a", "id_b")).select(
+        "doc_id"
+    )
+
+
 @_q("b32_minhash_raw")  # rows-only: hash family is engine-specific
 def b32mr(spark: SparkSession, sf: str) -> DataFrame:
     # The raw operator (bench target): banded-LSH candidate pairs alone,
