@@ -267,22 +267,26 @@ def validate_expectations(
     when clean. Compose with ``observed()`` to assert expectations inline
     on a production pipeline without a second job.
     """
+    names = list(rules)
+    # Positional aliases (_r0, _r1, ...) so rule names may contain spaces/
+    # dots/backticks without breaking column resolution; the display name
+    # rides along as a literal.
     aggs = [
-        F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1))
+        F.sum(F.when(F.coalesce(rules[n], F.lit(False)), 0).otherwise(1))
         .cast("long")
-        .alias(name)
-        for name, cond in rules.items()
+        .alias(f"_r{i}")
+        for i, n in enumerate(names)
     ]
     row = df.agg(*aggs)
-    names = list(rules)
     stacked = row.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(n).alias("rule"), F.col(n).alias("n_violations")
+                        F.lit(n).alias("rule"),
+                        F.col(f"_r{i}").alias("n_violations"),
                     )
-                    for n in names
+                    for i, n in enumerate(names)
                 ]
             )
         ).alias("e")
@@ -308,7 +312,9 @@ def heavy_hitters(
     Returns (item, cnt) — compare as a set; pick k at a clean frequency
     boundary when exactness matters.
     """
-    r = df.agg(F.expr(f"approx_top_k({col}, {k}, {max_tracked})").alias("tk"))
+    r = df.agg(
+        F.expr(f"approx_top_k(`{col}`, {int(k)}, {int(max_tracked)})").alias("tk")
+    )
     return r.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("cnt")
     )
