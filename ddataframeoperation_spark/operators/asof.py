@@ -91,12 +91,9 @@ def asof_join(
     )
     out = filled.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        # Hop through TIMESTAMP: TIMESTAMP_NTZ has no direct numeric cast,
-        # and any session-tz shift cancels in the difference.
-        def _epoch(c):
-            return c.cast("timestamp").cast("double")
+        from ddataframeoperation_spark.operators.windows import epoch_seconds
 
-        gap = _epoch(F.col("_ts")) - _epoch(F.col("_f_ts"))
+        gap = epoch_seconds(F.col("_ts")) - epoch_seconds(F.col("_f_ts"))
         if direction == "forward":
             gap = -gap
         within = gap <= tolerance_seconds

@@ -489,6 +489,7 @@ def _jaccard_pairs_block_kernel(
     import pandas as pd
 
     thr = float(threshold)
+    id_type = dict(df.dtypes)[id_col]
 
     pre = df.withColumn("_toks", F.split(normalized_text(text_col), " "))
     units = (
@@ -534,7 +535,7 @@ def _jaccard_pairs_block_kernel(
         )
 
     return blocked.groupBy("grp").applyInPandas(
-        kernel, schema="id_a long, id_b long, jacc double"
+        kernel, schema=f"id_a {id_type}, id_b {id_type}, jacc double"
     )
 
 

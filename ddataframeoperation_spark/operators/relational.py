@@ -268,11 +268,17 @@ def validate_expectations(
     on a production pipeline without a second job.
     """
     names = list(rules)
+    if not names:
+        raise ValueError("validate_expectations requires at least one rule")
     # Positional aliases (_r0, _r1, ...) so rule names may contain spaces/
     # dots/backticks without breaking column resolution; the display name
-    # rides along as a literal.
+    # rides along as a literal. coalesce(sum, 0): an EMPTY input is clean
+    # (0 violations per rule), not NULL — the gate contract.
     aggs = [
-        F.sum(F.when(F.coalesce(rules[n], F.lit(False)), 0).otherwise(1))
+        F.coalesce(
+            F.sum(F.when(F.coalesce(rules[n], F.lit(False)), 0).otherwise(1)),
+            F.lit(0),
+        )
         .cast("long")
         .alias(f"_r{i}")
         for i, n in enumerate(names)
@@ -312,8 +318,9 @@ def heavy_hitters(
     Returns (item, cnt) — compare as a set; pick k at a clean frequency
     boundary when exactness matters.
     """
+    safe = col.replace("`", "``")
     r = df.agg(
-        F.expr(f"approx_top_k(`{col}`, {int(k)}, {int(max_tracked)})").alias("tk")
+        F.expr(f"approx_top_k(`{safe}`, {int(k)}, {int(max_tracked)})").alias("tk")
     )
     return r.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("cnt")

@@ -51,7 +51,15 @@ def hash_uniform(keys: Sequence[str | Column], salt: str = "") -> Column:
     """
     cols = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
             for c in keys]
-    key = F.concat_ws("|", *cols, F.lit(salt))
+    # F.concat (null-PROPAGATING), not concat_ws (null-skipping): a NULL
+    # key must yield a NULL uniform — the row then fails every `< frac`
+    # comparison and is dropped, exactly as the DuckDB oracle expression
+    # (CAST(k AS VARCHAR) || '|' || salt) evaluates. concat_ws would
+    # silently hash the remaining parts and also collapse NULL with ''.
+    parts: list[Column] = []
+    for c in cols:
+        parts += [c, F.lit("|")]
+    key = F.concat(*parts, F.lit(salt))
     return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") / F.lit(
         _HASH_DOMAIN
     )

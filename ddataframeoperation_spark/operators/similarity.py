@@ -129,6 +129,7 @@ def cosine_neardup_pairs(
         import numpy as np
 
         thr = float(threshold)
+        id_type = dict(df.dtypes)[id_col]
 
         def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
             m = len(pdf)
@@ -144,16 +145,19 @@ def cosine_neardup_pairs(
             iu, ju = np.triu_indices(m, k=1)
             s = S[iu, ju]
             keep = s >= thr
+            # floor(x*1e4+0.5)/1e4, not np.round: half-to-even diverges
+            # from SQL half-away rounding on exact grid ties (same fix as
+            # the Jaccard kernel).
             return pd.DataFrame(
                 {
                     "id_a": ids[iu[keep]],
                     "id_b": ids[ju[keep]],
-                    "cos_sim": np.round(s[keep], 4),
+                    "cos_sim": np.floor(s[keep] * 10000 + 0.5) / 10000,
                 }
             )
 
         return blocked.groupBy("blk").applyInPandas(
-            _block_pairs, schema="id_a long, id_b long, cos_sim double"
+            _block_pairs, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
         )
     # JVM fallback: pre-normalize each vector ONCE per row (materialized
     # column — a lambda-referenced norm expression would be re-inlined and

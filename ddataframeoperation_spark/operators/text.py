@@ -440,11 +440,11 @@ def repetition_stats(
     Python: size + array_distinct on the per-row n-gram array, computed in
     the scan stage. Ratio is 0.0 for docs shorter than ``n`` words.
     """
-    grams = word_ngrams(F.col("_toks"), n)
     t = (
         df.withColumn("_toks", tokens(text_col))
-        .withColumn("_n_total", F.size(grams))
-        .withColumn("_n_distinct", F.size(F.array_distinct(grams)))
+        .withColumn("_grams", word_ngrams(F.col("_toks"), n))
+        .withColumn("_n_total", F.size(F.col("_grams")))
+        .withColumn("_n_distinct", F.size(F.array_distinct(F.col("_grams"))))
     )
     return t.select(
         F.col(id_col),
@@ -530,8 +530,6 @@ def pack_sequences(
 
     Returns the input plus (n_tokens, bin).
     """
-    from collections.abc import Sequence as _Seq  # noqa: F401
-
     order = [F.col(c) for c in (order_keys or [id_col])]
     part = [shard_col] if shard_col else []
     w = (

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "epoch_seconds",
     "with_row_number",
     "ranked",
     "with_lag_lead",
@@ -33,6 +34,14 @@ __all__ = [
 
 def _w(partition_by: Sequence[str], order_by: Sequence[Column | str]):
     return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+def epoch_seconds(c: Column) -> Column:
+    """Event-time column → epoch seconds (double). Hops through TIMESTAMP
+    because TIMESTAMP_NTZ has no direct numeric cast (a no-op for LTZ
+    inputs); any session-tz shift cancels wherever two epochs are
+    subtracted. Shared by sessionize and the as-of join."""
+    return c.cast("timestamp").cast("double")
 
 
 def with_row_number(
@@ -135,14 +144,9 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(*order)
     gap_sec = gap_minutes * 60.0
     prev_ts = F.lag(ts_col).over(w)
-    # TIMESTAMP_NTZ has no direct numeric cast; hop through TIMESTAMP (a
-    # no-op for LTZ inputs) — any tz shift cancels in the difference.
-    def _epoch(c: Column) -> Column:
-        return c.cast("timestamp").cast("double")
-
     is_new = F.when(
         prev_ts.isNull()
-        | ((_epoch(F.col(ts_col)) - _epoch(prev_ts)) > gap_sec),
+        | ((epoch_seconds(F.col(ts_col)) - epoch_seconds(prev_ts)) > gap_sec),
         F.lit(1),
     ).otherwise(F.lit(0))
     return df.withColumn("session_seq", F.sum(is_new).over(w)).withColumn(

@@ -4158,16 +4158,19 @@ def b10q9(spark: SparkSession, sf: str) -> DataFrame:
     "b10_q11_important_parts",
     """
     WITH pv AS (
-      SELECT l.l_partkey, sum(l.l_extendedprice) AS part_value
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS part_value
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n   ON n.n_nationkey = s.s_nationkey
       WHERE n.n_name IN ('NATION_1', 'NATION_2')
       GROUP BY l.l_partkey
     )
-    SELECT l_partkey AS p_partkey, round(part_value, 4) AS part_value
+    SELECT l_partkey AS p_partkey,
+           CAST(part_value AS DECIMAL(18,4)) AS part_value
     FROM pv
-    WHERE part_value > (SELECT sum(part_value) * 0.002 FROM pv)
+    WHERE part_value > (SELECT sum(part_value) * CAST(0.002 AS DECIMAL(4,3))
+                        FROM pv)
     """,
 )
 def b10q11(spark: SparkSession, sf: str) -> DataFrame:
@@ -4184,15 +4187,26 @@ def b10q11(spark: SparkSession, sf: str) -> DataFrame:
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
-        .agg(F.sum("l_extendedprice").alias("part_value"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "part_value"
+            )
+        )
     )
-    total = pv.agg((F.sum("part_value") * 0.002).alias("threshold"))
+    # Decimal threshold: both the per-part sums and the global total are
+    # exact, so the strict > comparison cannot flip on partial-agg order
+    # (the divergence class SCALE.md §9 documents).
+    total = pv.agg(
+        (F.sum("part_value") * F.lit("0.002").cast("decimal(4,3)")).alias(
+            "threshold"
+        )
+    )
     return (
         pv.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round("part_value", 4).alias("part_value"),
+            F.col("part_value").cast("decimal(18,4)").alias("part_value"),
         )
     )
 
