@@ -104,3 +104,39 @@ def test_observed_metrics_free_ride(spark, sf_dir):
     n = df.filter(F.col("o_totalprice") > 0).count()  # the real action
     got = obs.get
     assert got["n_rows"] >= n and got["null_keys"] == 0
+
+
+def test_validate_expectations_empty_input_is_clean(spark):
+    from ddataframeoperation_spark.operators.relational import validate_expectations
+
+    empty = spark.createDataFrame([], "x long, y string")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in validate_expectations(
+            empty, {"x_positive": F.col("x") > 0, "y_not_null": F.col("y").isNotNull()}
+        ).collect()
+    }
+    # empty input = clean: 0 violations per rule, never NULL
+    assert out == {"x_positive": 0, "y_not_null": 0}
+
+
+def test_validate_expectations_null_fails_rule(spark):
+    from ddataframeoperation_spark.operators.relational import validate_expectations
+
+    df = spark.createDataFrame([(1,), (None,)], "x int")
+    out = {
+        r["rule"]: r["n_violations"]
+        for r in validate_expectations(df, {"x_pos": F.col("x") > 0}).collect()
+    }
+    # NULL comparison must count as a violation, not pass vacuously
+    assert out["x_pos"] == 1
+
+
+def test_heavy_hitters_exact_below_capacity(spark):
+    from ddataframeoperation_spark.operators.relational import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2 + [("d",)], "v string"
+    )
+    got = [(r["item"], r["cnt"]) for r in heavy_hitters(df, "v", k=3).collect()]
+    assert sorted(got, key=lambda t: -t[1]) == [("a", 5), ("b", 3), ("c", 2)]

@@ -56,3 +56,11 @@ def test_source_mix_fractions(spark, sf_dir):
     assert got == {"src0"}
     n_src0 = d.filter(F.col("source") == "src0").count()
     assert out.count() == n_src0
+
+
+def test_hash_uniform_null_key_drops_row(spark):
+    # NULL key -> NULL uniform -> row fails every threshold comparison,
+    # matching the DuckDB oracle's null-propagating concat expression.
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    kept = sampling.hash_sample(df, 1.0, ["k"], "s").collect()
+    assert [r["k"] for r in kept] == [1]

@@ -80,3 +80,14 @@ def test_bpe_merges_actually_merge(spark):
     # 'thermal' = t h e r m a l -> the r m al -> ther m al (the+r rank 23)
     # 'units'   = u n i t s -> u n it s  (i+t rank 19; no u+n pair)
     assert got[3] == (2, 3 + 4)
+
+
+def test_resample_ffill_single_observation(spark):
+    from ddataframeoperation_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00", 7.0)], "k long, ts string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample_ffill(df, "k", "ts", "v", granularity="day", step="1 day").collect()
+    # grid spans exactly the key's own single bucket
+    assert len(out) == 1 and out[0]["value"] == 7.0 and out[0]["is_gap"] is False
