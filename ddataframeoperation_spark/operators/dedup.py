@@ -656,11 +656,25 @@ def simhash_candidates(
     text_col: str = "text",
     max_hamming: int = 3,
     blocks: int = 4,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """B32 — SimHash near-dup candidates via the block-permutation trick:
     split the 64-bit hash into ``blocks`` chunks; pairs within Hamming
     distance < blocks must agree on >= 1 chunk, so an equi-join per chunk
     finds all candidates — again no cross join. Exact Hamming filter after.
+
+    ``max_bucket`` bounds every (blk, chunk) join bucket — the simhash
+    analogue of :func:`fingerprint_overlap_pairs`'s ``max_df`` boilerplate
+    suppression. A bucket of m docs yields m·(m-1)/2 pair rows, and
+    templated / near-empty corpora collapse to a handful of hot chunk
+    values, turning the self-join quadratic. Buckets over the cap degrade
+    to STAR linkage (every member pairs with the bucket's min-id
+    representative): O(m) rows instead of O(m²), and a degenerate corpus
+    of identical docs stays fully connected for downstream clustering —
+    a plain drop would silently lose every pair in the hot bucket.
+    Singleton buckets can never pair and are pruned by the same window;
+    the window's (blk, chunk) exchange is reused by the self-join.
+    ``max_bucket=None`` disables the cap (exact block-permutation join).
     """
     bits_per = 64 // blocks
     sh = simhash_table(df, id_col=id_col, text_col=text_col)
@@ -681,25 +695,39 @@ def simhash_candidates(
             )
         ).alias("c"),
     ).select("id", "sh", "c.blk", "c.chunk")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.blk") == F.col("b.blk"),
-                F.col("a.chunk") == F.col("b.chunk"),
-                F.col("a.id") < F.col("b.id"),
-            ],
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .distinct()
+    w = Window.partitionBy("blk", "chunk")
+    cap = F.lit(max_bucket) if max_bucket is not None else F.lit(2**62)
+    chunks = (
+        chunks.withColumn("_n", F.count("*").over(w))
+        .withColumn("_rep", F.min(F.struct("id", "sh")).over(w))
+        .filter(F.col("_n") >= 2)
     )
+    small = chunks.filter(F.col("_n") <= cap).drop("_n", "_rep")
+    a = small.alias("a")
+    b = small.alias("b")
+    cand = a.join(
+        b,
+        on=[
+            F.col("a.blk") == F.col("b.blk"),
+            F.col("a.chunk") == F.col("b.chunk"),
+            F.col("a.id") < F.col("b.id"),
+        ],
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.sh").alias("sh_a"),
+        F.col("b.sh").alias("sh_b"),
+    )
+    star = (
+        chunks.filter((F.col("_n") > cap) & (F.col("id") != F.col("_rep.id")))
+        .select(
+            F.col("_rep.id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.col("_rep.sh").alias("sh_a"),
+            F.col("sh").alias("sh_b"),
+        )
+    )
+    cand = cand.unionByName(star).distinct()
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming

@@ -225,7 +225,7 @@ def b07a(spark: SparkSession, sf: str) -> DataFrame:
     SELECT r.r_name,
            CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l.l_discount AS DECIMAL(8,2))))
-                AS DECIMAL(18,4)) AS revenue,
+                AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -254,12 +254,16 @@ def b08(spark: SparkSession, sf: str) -> DataFrame:
             # double partial-agg order noise (~1e-12 relative = ~6e-3 abs)
             # exceeds the round(4) grid and flips last digits between
             # engines. Decimal addition is exact, hence order- and
-            # engine-independent.
+            # engine-independent. The FINAL cast is DOUBLE, not decimal:
+            # fixed-scale decimal output cells render with trailing zeros
+            # (22586.5300) on one engine and trimmed (22586.53) on the
+            # other under the driver's hash canonicalization; decimal→double
+            # of the same exact value is identical round-to-nearest on both.
             F.sum(
                 F.col("l_extendedprice").cast("decimal(18,2)")
                 * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
             )
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue"),
             F.count("*").alias("n_items"),
         ],
@@ -302,17 +306,17 @@ def b09(spark: SparkSession, sf: str) -> DataFrame:
     "b11_agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS sum_base_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(8,2))))
-                AS DECIMAL(18,4)) AS sum_disc_price,
+                AS DOUBLE) AS sum_disc_price,
            -- scale 6, the product's natural scale: DuckDB TRUNCATES decimal
            -- downscales while Spark rounds half-up, so never downscale.
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l_discount AS DECIMAL(8,2)))
                     * (1 + CAST(l_tax AS DECIMAL(8,2))))
-                AS DECIMAL(20,6)) AS sum_charge,
+                AS DOUBLE) AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
@@ -332,7 +336,9 @@ def b11(spark: SparkSession, sf: str) -> DataFrame:
     # multiplying/summing in decimal is exact end-to-end — identical on any
     # engine and any partial-agg order (casting the double PRODUCT still
     # diverged at sf0.1: engines disagree rounding doubles near a decimal
-    # boundary).
+    # boundary). Output columns cast decimal→DOUBLE on both engines: the
+    # exact sum survives, but fixed-scale decimal CELLS hash asymmetrically
+    # (trailing zeros) under the driver's canonicalization.
     price_d = F.col("l_extendedprice").cast("decimal(18,2)")
     disc_d = F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
     tax_d = F.lit(1) + F.col("l_tax").cast("decimal(8,2)")
@@ -341,13 +347,13 @@ def b11(spark: SparkSession, sf: str) -> DataFrame:
         ["l_returnflag", "l_linestatus"],
         [
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,4)").alias("sum_qty"),
-            F.sum(price_d).cast("decimal(18,4)").alias("sum_base_price"),
-            F.sum(price_d * disc_d).cast("decimal(18,4)").alias("sum_disc_price"),
+            .cast("double").alias("sum_qty"),
+            F.sum(price_d).cast("double").alias("sum_base_price"),
+            F.sum(price_d * disc_d).cast("double").alias("sum_disc_price"),
             # scale 6 = the product's natural scale; a downscale would hit
             # DuckDB's truncating rescale vs Spark's half-up rounding.
             F.sum(price_d * disc_d * tax_d)
-            .cast("decimal(20,6)").alias("sum_charge"),
+            .cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -2902,7 +2908,7 @@ def b36s(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT c.c_mktsegment,
            count(*) AS n_custs,
-           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,4))
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                AS total_bal
     FROM customer c
     WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
@@ -2920,7 +2926,7 @@ def b10q22(spark: SparkSession, sf: str) -> DataFrame:
         """
         SELECT c.c_mktsegment,
                count(*) AS n_custs,
-               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,4))
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                AS total_bal
         FROM customer c
         WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
@@ -2992,7 +2998,7 @@ def b10q14(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l.l_discount AS DECIMAL(8,2))))
-                AS DECIMAL(18,4)) AS revenue,
+                AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -3028,7 +3034,7 @@ def b10q19(spark: SparkSession, sf: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(18,2)")
             * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
         )
-        .cast("decimal(18,4)")
+        .cast("double")
         .alias("revenue"),
         F.count("*").alias("n_items"),
     )
@@ -3047,7 +3053,7 @@ def b10q19(spark: SparkSession, sf: str) -> DataFrame:
            CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
            CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l.l_discount AS DECIMAL(8,2))))
-                AS DECIMAL(18,4)) AS volume
+                AS DOUBLE) AS volume
     FROM supplier s
     JOIN lineitem l ON s.s_suppkey = l.l_suppkey
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -3090,7 +3096,7 @@ def b10q7(spark: SparkSession, sf: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(18,2)")
             * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
         )
-        .cast("decimal(18,4)")
+        .cast("double")
         .alias("volume")
     )
 
@@ -3101,7 +3107,7 @@ def b10q7(spark: SparkSession, sf: str) -> DataFrame:
     SELECT n.n_name,
            CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l.l_discount AS DECIMAL(8,2))))
-                AS DECIMAL(18,4)) AS revenue
+                AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -3147,7 +3153,7 @@ def b10q5(spark: SparkSession, sf: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(18,2)")
             * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
         )
-        .cast("decimal(18,4)")
+        .cast("double")
         .alias("revenue")
     )
 
@@ -4007,7 +4013,7 @@ def b10q4(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                     * CAST(l_discount AS DECIMAL(8,2)))
-                AS DECIMAL(18,4)) AS revenue
+                AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -4031,7 +4037,7 @@ def b10q6(spark: SparkSession, sf: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(18,2)")
             * F.col("l_discount").cast("decimal(8,2)")
         )
-        .cast("decimal(18,4)")
+        .cast("double")
         .alias("revenue")
     )
 
@@ -4114,7 +4120,7 @@ def b10q8(spark: SparkSession, sf: str) -> DataFrame:
                     - CAST(0.4 AS DECIMAL(2,1))
                       * CAST(p.p_retailprice AS DECIMAL(18,2))
                       * CAST(l.l_quantity AS DECIMAL(18,2)))
-                AS DECIMAL(20,5)) AS profit
+                AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -4151,7 +4157,7 @@ def b10q9(spark: SparkSession, sf: str) -> DataFrame:
     ) * F.col("l_quantity").cast("decimal(18,2)")
     return j.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
-    ).agg(F.sum(profit_d).cast("decimal(20,5)").alias("profit"))
+    ).agg(F.sum(profit_d).cast("double").alias("profit"))
 
 
 @_q(
@@ -4167,7 +4173,7 @@ def b10q9(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY l.l_partkey
     )
     SELECT l_partkey AS p_partkey,
-           CAST(part_value AS DECIMAL(18,4)) AS part_value
+           CAST(part_value AS DOUBLE) AS part_value
     FROM pv
     WHERE part_value > (SELECT sum(part_value) * CAST(0.002 AS DECIMAL(4,3))
                         FROM pv)
@@ -4206,7 +4212,7 @@ def b10q11(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("part_value") > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.col("part_value").cast("decimal(18,4)").alias("part_value"),
+            F.col("part_value").cast("double").alias("part_value"),
         )
     )
 
@@ -4250,7 +4256,7 @@ def b10q13(spark: SparkSession, sf: str) -> DataFrame:
       SELECT l_suppkey,
              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                       * (1 - CAST(l_discount AS DECIMAL(8,2))))
-                  AS DECIMAL(18,4)) AS total_revenue
+                  AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-07-01'
@@ -4276,7 +4282,7 @@ def b10q15(spark: SparkSession, sf: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(18,2)")
             * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
         )
-        .cast("decimal(18,4)")
+        .cast("double")
         .alias("total_revenue")
     )
     best = rev.withColumn(

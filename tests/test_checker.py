@@ -1,0 +1,72 @@
+"""Regression tests for tools/check_oracles.py — the local mimic of the
+driver's correctness gate. The round-3 regression shipped because the
+checker's norm_cell stringified decimal.Decimal symmetrically and reported
+ALL GREEN while the driver hash-failed 4 decimal-output queries (see
+VERDICT.md round 3, "What's wrong" #1)."""
+
+from decimal import Decimal
+
+import pytest
+
+from tools.check_oracles import decimal_output_columns, norm_cell
+
+
+class TestNormCell:
+    def test_decimal_trailing_zeros_equal_float_rendering(self):
+        # The judge's canonical case: DECIMAL(18,4) value 1.5000 must
+        # compare equal to DuckDB's float64 rendering of 1.5.
+        assert norm_cell(Decimal("1.5000")) == norm_cell(1.5)
+
+    def test_decimal_integral_equals_float(self):
+        assert norm_cell(Decimal("3773034.0000")) == norm_cell(3773034.0)
+
+    def test_decimal_round3_failure_values(self):
+        # Actual trailing-zero cells from the four round-3 hash-fails.
+        for dec, flt in [
+            (Decimal("22586.5300"), 22586.53),
+            (Decimal("617998219.9420"), 617998219.9420),
+            (Decimal("521320.6030"), 521320.6030),
+        ]:
+            assert norm_cell(dec) == norm_cell(flt)
+
+    def test_non_decimal_cells_unchanged(self):
+        assert norm_cell(None) == "NULL"
+        assert norm_cell("x") == "x"
+        assert norm_cell(7) == "7"
+
+
+@pytest.mark.usefixtures("spark")
+class TestDecimalOutputFlag:
+    def test_decimal_output_column_flagged(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(3).select(
+            F.col("id"), F.lit("1.5").cast("decimal(18,4)").alias("money")
+        )
+        assert decimal_output_columns(df) == ["money"]
+
+    def test_double_output_clean(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(3).select(
+            F.col("id"),
+            F.lit("1.5").cast("decimal(18,4)").cast("double").alias("money"),
+        )
+        assert decimal_output_columns(df) == []
+
+    def test_no_registered_query_outputs_decimal(self, spark, sf_dir):
+        # Every queries() entry must be decimal-free in its OUTPUT schema
+        # (decimal arithmetic internally is fine and encouraged). Schema
+        # inspection only — no execution — so this covers all 136 queries
+        # cheaply.
+        from ddataframeoperation_spark.queries import QUERIES
+
+        offenders = {}
+        for name, fn in QUERIES.items():
+            try:
+                cols = decimal_output_columns(fn(spark, sf_dir))
+            except Exception:
+                continue  # runtime-only queries are covered by the sweep
+            if cols:
+                offenders[name] = cols
+        assert not offenders, f"decimal output columns: {offenders}"

@@ -51,6 +51,28 @@ def test_simhash_zero_distance_for_dups(spark):
     assert got.get((1, 3)) == 0  # identical after normalization
 
 
+def test_simhash_degenerate_corpus_bounded(spark):
+    """1k identical short docs collapse to ONE hot (blk, chunk) bucket per
+    block; without the max_bucket cap the self-join yields 1000·999/2 ≈
+    500k candidate rows. The cap degrades hot buckets to star linkage:
+    O(n) rows, every doc still reachable from the representative so
+    downstream connected-components dedup keeps the full cluster."""
+    n = 1000
+    df = spark.createDataFrame(
+        [(i, "same short template text") for i in range(n)],
+        "doc_id long, text string",
+    )
+    cand = dedup.simhash_candidates(df, max_hamming=3, max_bucket=64)
+    rows = cand.collect()
+    assert len(rows) == n - 1  # star: (min_id, other) once per doc
+    assert all(r["hamming"] == 0 for r in rows)
+    linked = {r["id_a"] for r in rows} | {r["id_b"] for r in rows}
+    assert len(linked) == n  # no doc silently dropped from the cluster
+    # Sub-cap buckets keep the exact all-pairs behavior.
+    uncapped = dedup.simhash_candidates(df.limit(10), max_hamming=3)
+    assert uncapped.count() == 10 * 9 // 2
+
+
 def test_dedup_by_key_deterministic(spark, sf_dir):
     e = read_fixture_table(spark, sf_dir, "events")
     d1 = dedup.dedup_by_key(e, ["user_id"], [F.col("ts"), F.col("event_id")])

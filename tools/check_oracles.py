@@ -23,10 +23,19 @@ from ddataframeoperation_spark.catalog import FIXTURE_TABLES  # noqa: E402
 
 def norm_cell(v) -> str:
     import datetime
+    import decimal
     import math
 
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        # Normalize fixed-scale decimals through the float path: the
+        # driver's hash renders `Decimal('1.5000')` and float 1.5
+        # differently depending on which engine produced the cell, so a
+        # symmetric str() here would report green where the driver fails.
+        # (Decimal OUTPUT columns are additionally hard-flagged below —
+        # queries must cast final money columns to DOUBLE on both engines.)
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -36,6 +45,19 @@ def norm_cell(v) -> str:
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
+
+
+def decimal_output_columns(sdf) -> list[str]:
+    """Driver-hash-unsafe output columns: fixed-scale DECIMAL cells render
+    with trailing zeros (`22586.5300`) on one engine and trimmed
+    (`22586.53`) on the other under the driver's canonicalization — any
+    value with a trailing zero at its scale hash-fails even when exactly
+    equal (round-3 regression: b08/q7/q22/b11). Decimal arithmetic is fine
+    INTERNALLY; the final output column must be cast to DOUBLE on both
+    engines."""
+    from pyspark.sql.types import DecimalType
+
+    return [f.name for f in sdf.schema.fields if isinstance(f.dataType, DecimalType)]
 
 
 def row_multiset(cols: list[str], rows: list[tuple]) -> Counter:
@@ -66,6 +88,14 @@ def main() -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
+            continue
+        dec_cols = decimal_output_columns(sdf)
+        if dec_cols:
+            failures.append(name)
+            print(
+                f"FAIL  {name}: decimal output columns {dec_cols} are "
+                "driver-hash-unsafe; cast final column to DOUBLE on both engines"
+            )
             continue
         if name not in ORACLES:
             print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s, rows-only)")
