@@ -89,15 +89,23 @@ def hash_split(
     interval its hash-uniform lands in. Splits are exactly disjoint and
     exactly exhaustive BY CONSTRUCTION (one hash, interval membership) —
     not merely in expectation like seeded randomSplit."""
-    total = float(sum(weights))
+    from fractions import Fraction
+
+    # Exact cumulative boundaries: accumulating floats drifts (0.8 + 0.1 =
+    # 0.9000000000000001) while oracle SQL pins exact literals like 0.9.
+    # Today the drift is far below the hash granularity (2^-32), but the
+    # invariant should not depend on that — sum exact Fractions and convert
+    # each boundary to float ONCE.
+    fracs = [Fraction(w).limit_denominator(10**9) for w in weights]
+    total = sum(fracs)
     u = hash_uniform(keys, salt)
     out: list[DataFrame] = []
-    lo = 0.0
-    for i, w in enumerate(weights):
-        hi = lo + float(w) / total
-        upper = F.lit(1.1) if i == len(weights) - 1 else F.lit(hi)
+    acc = Fraction(0)
+    for i, w in enumerate(fracs):
+        lo = float(acc / total)
+        acc += w
+        upper = F.lit(1.1) if i == len(fracs) - 1 else F.lit(float(acc / total))
         out.append(df.filter((u >= F.lit(lo)) & (u < upper)))
-        lo = hi
     return out
 
 

@@ -568,13 +568,22 @@ def redact_pii(
     digit runs) via chained JVM-side ``regexp_replace``. Counts are taken
     BEFORE redaction so downstream filtering ("drop docs with >k PII hits")
     doesn't need a second scan. Scan-speed, no shuffle.
+
+    NULL text propagates NULL hit counts (and a NULL redaction) — Spark's
+    ``size()`` returns -1 for a NULL array, which would diverge from SQL
+    NULL semantics, so the count is explicitly NULL-guarded.
     """
     out = df
     red = F.col(text_col)
     for i, (pat, _) in enumerate(patterns):
         out = out.withColumn(
             f"pii_hits_{i}",
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).cast("long"),
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.size(
+                    F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+                ).cast("long"),
+            ),
         )
     for pat, repl in patterns:
         red = F.regexp_replace(red, pat, repl)
