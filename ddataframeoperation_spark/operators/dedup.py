@@ -534,6 +534,11 @@ def _jaccard_pairs_block_kernel(
             }
         )
 
+    from ddataframeoperation_spark.operators.script import grouped_map_parallelism
+
+    # Pin the Python stage's parallelism: AQE would coalesce this exchange
+    # for JVM read cost, starving the per-block matmul of cores.
+    blocked = blocked.repartition(grouped_map_parallelism(blocked), "grp")
     return blocked.groupBy("grp").applyInPandas(
         kernel, schema=f"id_a {id_type}, id_b {id_type}, jacc double"
     )

@@ -156,7 +156,14 @@ def cosine_neardup_pairs(
                 }
             )
 
-        return blocked.groupBy("blk").applyInPandas(
+        from ddataframeoperation_spark.operators.script import (
+            grouped_map_parallelism,
+        )
+
+        # Pin the Python stage's parallelism: AQE would coalesce this
+        # exchange for JVM read cost, starving the per-block matmul.
+        part = blocked.repartition(grouped_map_parallelism(blocked), "blk")
+        return part.groupBy("blk").applyInPandas(
             _block_pairs, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
         )
     # JVM fallback: pre-normalize each vector ONCE per row (materialized
