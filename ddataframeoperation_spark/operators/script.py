@@ -103,7 +103,13 @@ def zscore_per_group(
     """Example script-node workload: per-group z-score normalization via
     ``applyInPandas`` — the canonical grouped-map pattern. Kept in the
     library (not just tests) because it is the declared B30 query surface;
-    sample-stddev semantics match SQL ``stddev_samp``."""
+    sample-stddev semantics match SQL ``stddev_samp``.
+
+    Input is pruned to the group + value columns BEFORE the grouped map:
+    ``applyInPandas`` ships every input column to Python, so an unpruned
+    call reads and shuffles unused (possibly wide) columns — Catalyst
+    cannot prune through an opaque Python function."""
+    df = df.select(*group_cols, value_col)
     out_schema = (
         ", ".join(f"{c} {t}" for c, t in df.select(*group_cols).dtypes)
         + f", {value_col} double, zscore double"
