@@ -45,6 +45,20 @@ def test_window_queries_single_shuffle(spark):
         assert p.count("Exchange hashpartitioning") == 1, name
 
 
+def test_grouped_map_pinned_parallelism_and_pruning(spark):
+    # The Python grouped-map stage must (a) pay exactly one exchange —
+    # the explicit repartition satisfies the map's ClusteredDistribution,
+    # so AQE cannot coalesce the Python stage down to a handful of cores —
+    # and (b) scan only the group+value columns: applyInPandas ships every
+    # input column to Python, and Catalyst cannot prune through it.
+    p = _plan(spark, "b30_script_zscore")
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "user_id" in read and "value" in read
+    assert "props" not in read and "event_type" not in read
+
+
 def test_asof_join_single_shuffle(spark):
     p = _plan(spark, "b09_asof_join")
     assert p.count("Exchange hashpartitioning") == 1
