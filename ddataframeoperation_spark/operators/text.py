@@ -549,6 +549,51 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """North-star — overlapping fixed-token-window chunking: split each
+    document into chunks of ``window`` tokens starting every ``stride``
+    tokens (overlap = window - stride), the standard long-document →
+    training-sequence / retrieval-passage step. Complements
+    :func:`pack_sequences` (which concatenates SHORT docs into budget
+    bins; this splits LONG docs into windows).
+
+    Pure JVM row-local work — normalize, split once (materialized column,
+    per the lambda-inlining rule), one ``posexplode`` over the start
+    offsets, ``slice`` + ``array_join`` per chunk. No shuffle at all: the
+    operator is embarrassingly parallel and scales with the scan. Chunk
+    counts per doc are ceil(n_tokens/stride), so output size is bounded
+    by (1 + overlap-ratio) × corpus tokens.
+
+    Returns (id, chunk_id, chunk_text, n_tokens); a document with no
+    alphanumeric content yields one chunk with its single empty token —
+    same contract as ``word_stats`` token counting on both engines.
+    """
+    if stride < 1 or window < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = df.select(
+        F.col(id_col), F.split(normalized_text(text_col), " ").alias("_toks")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = toks.select(
+        id_col, "_toks", F.posexplode(starts).alias("chunk_id", "_start")
+    )
+    chunk_toks = F.slice("_toks", F.col("_start") + 1, window)
+    return chunks.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(chunk_toks, " ").alias("chunk_text"),
+        F.size(chunk_toks).cast("int").alias("n_tokens"),
+    )
+
+
 #: PII patterns — deliberately ASCII-explicit so Java regex (Spark) and RE2
 #: (DuckDB) agree byte-for-byte. Production would extend the table; the
 #: plumbing (chained regexp_replace, count-before-redact) is the operator.

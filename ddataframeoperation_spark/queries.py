@@ -3608,6 +3608,37 @@ def b34pack(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b34_chunking",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+                 AS toks
+      FROM documents
+    ), s AS (
+      -- list-returning generate_series + unnest: the table-function form
+      -- cannot take lateral column arguments in DuckDB's binder
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 48))
+                 AS start_idx
+      FROM t
+    )
+    SELECT doc_id, CAST(start_idx / 48 AS INTEGER) AS chunk_id,
+           array_to_string(toks[start_idx + 1 : start_idx + 64], ' ') AS chunk_text,
+           CAST(len(toks[start_idx + 1 : start_idx + 64]) AS INTEGER) AS n_tokens
+    FROM s
+    """,
+)
+def b34chunk(spark: SparkSession, sf: str) -> DataFrame:
+    # Long-doc → training-sequence chunking: 64-token windows every 48
+    # tokens (25% overlap). Row-local, shuffle-free — the complement of
+    # pack_sequences for documents LONGER than the sequence budget.
+    return TX.chunk_documents(
+        _t(spark, sf, "documents"), window=64, stride=48
+    )
+
+
+@_q(
     "b34_curriculum",
     """
     WITH base AS (

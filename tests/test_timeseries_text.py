@@ -91,3 +91,28 @@ def test_resample_ffill_single_observation(spark):
     out = resample_ffill(df, "k", "ts", "v", granularity="day", step="1 day").collect()
     # grid spans exactly the key's own single bucket
     assert len(out) == 1 and out[0]["value"] == 7.0 and out[0]["is_gap"] is False
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b"), (3, "!!!")],
+        "doc_id long, text string",
+    )
+    out = TX.chunk_documents(df, window=4, stride=3)
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # 10 tokens, starts 0/3/6/9: three full windows plus a 1-token tail.
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert got[(1, 3)] == ("t9", 1)
+    # Short doc: single partial window.
+    assert got[(2, 0)] == ("a b", 2)
+    # No alphanumeric content: one chunk holding the single empty token
+    # (the word_stats token-count contract on both engines).
+    assert got[(3, 0)] == ("", 1)
+    assert len(got) == 6
+    with pytest.raises(ValueError):
+        TX.chunk_documents(df, window=0, stride=3)
