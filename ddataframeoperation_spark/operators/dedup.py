@@ -534,13 +534,12 @@ def _jaccard_pairs_block_kernel(
             }
         )
 
-    from ddataframeoperation_spark.operators.script import grouped_map_parallelism
+    from ddataframeoperation_spark.operators.script import apply_script_grouped
 
-    # Pin the Python stage's parallelism: AQE would coalesce this exchange
-    # for JVM read cost, starving the per-block matmul of cores.
-    blocked = blocked.repartition(grouped_map_parallelism(blocked), "grp")
-    return blocked.groupBy("grp").applyInPandas(
-        kernel, schema=f"id_a {id_type}, id_b {id_type}, jacc double"
+    # apply_script_grouped pins the Python stage's parallelism (AQE would
+    # coalesce the exchange for JVM read cost, starving the matmul).
+    return apply_script_grouped(
+        blocked, ["grp"], kernel, f"id_a {id_type}, id_b {id_type}, jacc double"
     )
 
 
@@ -662,6 +661,7 @@ def simhash_candidates(
     max_hamming: int = 3,
     blocks: int = 4,
     max_bucket: int | None = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """B32 — SimHash near-dup candidates via the block-permutation trick:
     split the 64-bit hash into ``blocks`` chunks; pairs within Hamming
@@ -677,9 +677,20 @@ def simhash_candidates(
     representative): O(m) rows instead of O(m²), and a degenerate corpus
     of identical docs stays fully connected for downstream clustering —
     a plain drop would silently lose every pair in the hot bucket.
-    Singleton buckets can never pair and are pruned by the same window;
-    the window's (blk, chunk) exchange is reused by the self-join.
-    ``max_bucket=None`` disables the cap (exact block-permutation join).
+    Recall contract of the cap: within an over-cap bucket, members link
+    only THROUGH the representative, so two docs near each other but
+    > ``max_hamming`` from the rep lose that bucket's linkage (they can
+    still meet via their other ``blocks - 1`` chunks). That is the
+    documented trade for bounding the join; pass ``max_bucket=None`` for
+    the exact block-permutation join (fully lazy, exchange-reused
+    self-join) when completeness matters more than boundedness.
+
+    The capped path materializes the windowed chunk index once (three
+    consumers; see body comment) and therefore launches a Spark job at
+    call time. ``checkpoint_dir`` selects reliable ``checkpoint`` into
+    that directory — the cluster-production mode, same contract as
+    :func:`connected_components` — while the default ``localCheckpoint``
+    suits single-node runs (blocks are lost with their executor).
     """
     bits_per = 64 // blocks
     sh = simhash_table(df, id_col=id_col, text_col=text_col)
@@ -729,7 +740,12 @@ def simhash_candidates(
             chunks.withColumn("_n", F.count("*").over(w))
             .withColumn("_rep", F.min(F.struct("id", "sh")).over(w))
             .filter(F.col("_n") >= 2)
-        ).localCheckpoint(eager=True)
+        )
+        if checkpoint_dir is not None:
+            chunks.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+            chunks = chunks.checkpoint(eager=True)
+        else:
+            chunks = chunks.localCheckpoint(eager=True)
         small = chunks.filter(F.col("_n") <= max_bucket).drop("_n", "_rep")
         a = small.alias("a")
         b = small.alias("b")

@@ -157,14 +157,16 @@ def cosine_neardup_pairs(
             )
 
         from ddataframeoperation_spark.operators.script import (
-            grouped_map_parallelism,
+            apply_script_grouped,
         )
 
-        # Pin the Python stage's parallelism: AQE would coalesce this
-        # exchange for JVM read cost, starving the per-block matmul.
-        part = blocked.repartition(grouped_map_parallelism(blocked), "blk")
-        return part.groupBy("blk").applyInPandas(
-            _block_pairs, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
+        # apply_script_grouped pins the Python stage's parallelism (AQE
+        # would coalesce the exchange, starving the per-block matmul).
+        return apply_script_grouped(
+            blocked,
+            ["blk"],
+            _block_pairs,
+            f"id_a {id_type}, id_b {id_type}, cos_sim double",
         )
     # JVM fallback: pre-normalize each vector ONCE per row (materialized
     # column — a lambda-referenced norm expression would be re-inlined and

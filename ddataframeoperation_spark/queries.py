@@ -2506,7 +2506,13 @@ def _content_digest(df: DataFrame, cols: list[str], money: set[str]) -> DataFram
     :func:`_content_digest_sql`) sees ONE row, never the table: a full
     read-back ``collect()`` is a driver OOM at 100×. Doubles canonicalize
     through DECIMAL(18,2) (scale-faithful rendering on both engines;
-    shortest-round-trip double strings are not a cross-engine contract)."""
+    shortest-round-trip double strings are not a cross-engine contract).
+    The hash accumulates in DECIMAL(38,0) and is emitted as STRING: a
+    LONG sum of uniform 32-bit digests overflows at ~4.3e9 rows (ANSI
+    throws, legacy wraps) while DuckDB's sum(BIGINT) promotes to
+    HUGEINT; 38 digits is overflow-free to ~1e28 rows, and scale-0
+    decimal→string rendering is identical on both engines (integers,
+    no trailing-zero hazard)."""
     parts = [
         F.coalesce(
             (F.col(c).cast("decimal(18,2)") if c in money else F.col(c))
@@ -2518,7 +2524,7 @@ def _content_digest(df: DataFrame, cols: list[str], money: set[str]) -> DataFram
     h = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 8), 16, 10)
     return df.agg(
         F.count("*").cast("long").alias("n_rows"),
-        F.sum(h.cast("long")).alias("content_hash"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("content_hash"),
     )
 
 
@@ -2532,7 +2538,8 @@ def _content_digest_sql(table: str, cols: list[str], money: set[str]) -> str:
     joined = " || chr(31) || ".join(parts)
     return f"""
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           sum(('0x' || substring(md5({joined}), 1, 8))::BIGINT) AS content_hash
+           CAST(sum(('0x' || substring(md5({joined}), 1, 8))::BIGINT) AS VARCHAR)
+               AS content_hash
     FROM {table}
     """
 
@@ -2569,7 +2576,7 @@ def b29j(spark: SparkSession, sf: str) -> DataFrame:
         digest = _content_digest(back, cols, {"c_acctbal"}).collect()
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
-    return spark.createDataFrame(digest, "n_rows long, content_hash long")
+    return spark.createDataFrame(digest, "n_rows long, content_hash string")
 
 
 @_q(
@@ -2602,7 +2609,7 @@ def b29orc(spark: SparkSession, sf: str) -> DataFrame:
         digest = _content_digest(spark.read.orc(path), cols, {"o_totalprice"}).collect()
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
-    return spark.createDataFrame(digest, "n_rows long, content_hash long")
+    return spark.createDataFrame(digest, "n_rows long, content_hash string")
 
 
 # ---------------------------------------------------------------------------

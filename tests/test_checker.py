@@ -34,6 +34,15 @@ class TestNormCell:
         assert norm_cell("x") == "x"
         assert norm_cell(7) == "7"
 
+    def test_integral_floats_full_precision(self):
+        # f"{v:.6g}" collapsed distinct integral sums >= 1e7 — a real
+        # cross-engine drift could print ALL GREEN while the driver's
+        # exact hash failed. Integral floats must render exactly.
+        assert norm_cell(37730341.0) != norm_cell(37730348.0)
+        assert norm_cell(37730341.0) == "37730341"
+        # ... while still unifying int-typed vs float-typed columns.
+        assert norm_cell(5.0) == norm_cell(5)
+
 
 class TestDriverSlotContract:
     def test_first_50_slots_cover_every_family(self):
@@ -95,21 +104,28 @@ class TestDecimalOutputFlag:
         want = con.execute(
             _content_digest_sql("t", ["k", "s", "v"], {"v"})
         ).fetchone()
-        assert (got["n_rows"], got["content_hash"]) == want
+        # content_hash is a STRING of the decimal(38,0)/HUGEINT sum — a
+        # LONG sum would overflow at ~4.3e9 rows (ANSI throws).
+        assert (got["n_rows"], got["content_hash"]) == (want[0], str(want[1]))
 
     def test_no_registered_query_outputs_decimal(self, spark, sf_dir):
         # Every queries() entry must be decimal-free in its OUTPUT schema
-        # (decimal arithmetic internally is fine and encouraged). Schema
-        # inspection only — no execution — so this covers all 136 queries
-        # cheaply.
+        # (decimal arithmetic internally is fine and encouraged). Building
+        # a query's DataFrame DOES execute the side-effecting ones
+        # (streaming run_to_memory, sink roundtrips, eager checkpoint), so
+        # this is a full-construction pass at sf0.001 — and a builder that
+        # raises is a hard failure, not a silent skip: a skipped query
+        # would hide a decimal regression behind an unrelated error.
         from ddataframeoperation_spark.queries import QUERIES
 
-        offenders = {}
+        offenders, broken = {}, {}
         for name, fn in QUERIES.items():
             try:
                 cols = decimal_output_columns(fn(spark, sf_dir))
-            except Exception:
-                continue  # runtime-only queries are covered by the sweep
+            except Exception as e:
+                broken[name] = repr(e)
+                continue
             if cols:
                 offenders[name] = cols
+        assert not broken, f"queries failed to build: {broken}"
         assert not offenders, f"decimal output columns: {offenders}"

@@ -39,7 +39,14 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}" if v == int(v) and abs(v) < 1e15 else repr(round(v, 6))
+        # Integral floats render as exact ints — BOTH to unify int-typed vs
+        # float-typed columns across engines AND at full precision: the
+        # previous f"{v:.6g}" collapsed distinct sums >= 1e7 (37730341.0
+        # and 37730348.0 both -> '3.77303e+07'), so a real cross-engine
+        # drift could print ALL GREEN while the driver's exact hash fails.
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 6))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, bytes):
