@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "b34_bigram_lm",
     "b22_hash_sample",
     "b34_full_pipeline",
+    # Round-4 addition: long-doc token-window chunking (row-local).
+    "b34_chunking",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
@@ -90,6 +92,7 @@ COUNT_ONLY = {
     "b34_bigram_lm",
     "b22_hash_sample",
     "b34_full_pipeline",
+    "b34_chunking",
 }
 
 
