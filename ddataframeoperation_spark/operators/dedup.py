@@ -638,18 +638,26 @@ def simhash_table(
         v = 1 << i
         return F.lit(v - (1 << 64) if v >= (1 << 63) else v).cast("long")
 
+    # Branch-free votes: bit i is set iff sum(+1/-1) > 0 iff
+    # 2·sum(bit_i) > n_tokens. Extracting the bit arithmetically
+    # ((h >>> i) & 1) instead of a CASE halves the generated code size —
+    # the 64-CASE variant JIT-compiled ~1.4 s slower on first execution
+    # (2.2 s vs 0.8 s measured at sf0.1; identical 0.27 s steady-state).
     votes = toks.groupBy("id").agg(
+        F.count("*").alias("_n"),
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(mask(i)) != 0, 1).otherwise(-1)
-            ).alias(f"v{i}")
+            F.sum(F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))).alias(
+                f"s{i}"
+            )
             for i in range(bits)
-        ]
+        ],
     )
     sh = F.lit(0).cast("long")
     for i in range(bits):
         sh = sh.bitwiseOR(
-            F.when(F.col(f"v{i}") > 0, mask(i)).otherwise(F.lit(0).cast("long"))
+            F.when(2 * F.col(f"s{i}") > F.col("_n"), mask(i)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return votes.select("id", sh.alias("sh"))
 
