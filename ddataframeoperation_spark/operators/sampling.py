@@ -34,6 +34,7 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "source_mix",
+    "leakage_safe_split",
 ]
 
 #: 2^32 — the md5-prefix domain size.
@@ -107,6 +108,58 @@ def hash_split(
         upper = F.lit(1.1) if i == len(fracs) - 1 else F.lit(float(acc / total))
         out.append(df.filter((u >= F.lit(lo)) & (u < upper)))
     return out
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: Sequence[float],
+    labels: Sequence[str],
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """North-star — near-dup-aware train/val/test split: documents
+    connected by ``pairs`` (near-duplicate candidates, e.g.
+    ``jaccard_pairs``/``minhash_candidates`` output with id_a/id_b) are
+    forced into the SAME split by hashing the duplicate-cluster
+    representative instead of the document id. Splitting on raw doc ids
+    leaks: a near-copy of a training document lands in eval and inflates
+    every metric — this is the standard decontamination guard between
+    splits (the cross-corpus guard is ``decontaminate``).
+
+    Composition of verified pieces: connected components over the pair
+    graph (iterative min-label, O(diameter) shuffles) → left join back
+    (singletons keep their own id as the cluster key) → the
+    :func:`hash_uniform` assignment — so the whole thing, components
+    included, is exactly DuckDB-oracle-able (recursive CTE + md5).
+
+    Returns (id_col, split_key, split) for every input document.
+    """
+    if len(weights) != len(labels) or not labels:
+        raise ValueError("need one label per weight")
+    from fractions import Fraction
+
+    from ddataframeoperation_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs)
+    d = df.select(id_col).join(
+        comp, F.col(id_col) == comp["id"], "left"
+    )
+    key = F.coalesce(F.col("component"), F.col(id_col)).alias("split_key")
+    u = hash_uniform([F.col("split_key")], salt)
+    fracs = [Fraction(w).limit_denominator(10**9) for w in weights]
+    total = sum(fracs)
+    expr, acc = None, Fraction(0)
+    for w, lab in zip(fracs[:-1], labels[:-1]):
+        acc += w
+        cond = u < F.lit(float(acc / total))
+        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
+    split = (
+        expr.otherwise(labels[-1]) if expr is not None else F.lit(labels[-1])
+    )
+    return d.select(id_col, key).select(
+        id_col, "split_key", split.alias("split")
+    )
 
 
 def source_mix(

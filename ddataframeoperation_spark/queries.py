@@ -1443,6 +1443,67 @@ def b32cd(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b22_leakage_safe_split",
+    """
+    WITH norm AS (
+      SELECT doc_id AS id, source AS grp,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT id, grp, unnest(list_distinct(string_split(t, ' '))) AS tok FROM norm
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM tok GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.grp = b.grp AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(id, v) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON r.v = e.src
+      ) SELECT id, min(v) AS component FROM r GROUP BY id
+    ), keyed AS (
+      SELECT d.doc_id, coalesce(r.component, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+    )
+    SELECT doc_id, CAST(split_key AS BIGINT) AS split_key,
+           CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, split_key,
+             ('0x' || substring(md5(CAST(split_key AS VARCHAR) || '|' || 'r4'), 1, 8))::BIGINT
+             / 4294967296.0 AS u
+      FROM keyed
+    )
+    """,
+)
+def b22lss(spark: SparkSession, sf: str) -> DataFrame:
+    # Leakage-safe 80/10/10 split: near-dup clusters (exact-jaccard pairs
+    # -> connected components) co-locate in one split via a cluster-key
+    # hash, so an eval doc can never be a near-copy of a training doc.
+    # Every stage — pairs, components, md5 assignment — is oracle-exact.
+    from ddataframeoperation_spark.operators import sampling
+
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(docs, group_col="source", threshold=0.5)
+    return sampling.leakage_safe_split(
+        docs,
+        pairs.select("id_a", "id_b"),
+        [0.8, 0.1, 0.1],
+        ["train", "val", "test"],
+        salt="r4",
+    )
+
+
+@_q(
     "b32_minhash_candidates",
     """
     WITH norm AS (

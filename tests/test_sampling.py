@@ -64,3 +64,29 @@ def test_hash_uniform_null_key_drops_row(spark):
     df = spark.createDataFrame([(1,), (None,)], "k long")
     kept = sampling.hash_sample(df, 1.0, ["k"], "s").collect()
     assert [r["k"] for r in kept] == [1]
+
+
+def test_leakage_safe_split_colocates_near_dups(spark):
+    from ddataframeoperation_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # 0-1-2 form one near-dup cluster (chained pairs), 10-11 another.
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    for salt in ("a", "b"):
+        out = {
+            r["doc_id"]: (r["split_key"], r["split"])
+            for r in sampling.leakage_safe_split(
+                docs, pairs, [0.8, 0.1, 0.1], ["train", "val", "test"],
+                salt=salt,
+            ).collect()
+        }
+        assert len(out) == 40  # every doc assigned, singletons included
+        # cluster members share the representative key AND the split
+        assert out[0] == out[1] == out[2] == (0, out[0][1])
+        assert out[10] == out[11] == (10, out[10][1])
+        # singletons key on their own id
+        assert out[39][0] == 39
