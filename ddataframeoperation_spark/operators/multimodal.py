@@ -14,7 +14,16 @@ Scale notes (100 TB of media):
 - ``mapInPandas`` streams Arrow record batches — peak memory is one batch,
   not one partition; batch size bounded by
   ``spark.sql.execution.arrow.maxRecordsPerBatch``;
-- decode is per-row independent → embarrassingly parallel, no shuffle.
+- decode is per-row independent → embarrassingly parallel, no shuffle;
+- decode PARALLELISM equals the scan's split count (``mapInPandas``
+  inherits upstream partitioning — there is no group key to repartition
+  on, and shuffling binary payloads just to raise local parallelism is
+  the wrong trade). At 100 TB thousands of file splits saturate any
+  cluster; for a small-file corpus on a big machine, lower
+  ``spark.sql.files.maxPartitionBytes`` so the scan itself yields more
+  splits — contrast with the GROUPED-map operators, which repartition on
+  their group keys (`script.grouped_map_parallelism`) because AQE would
+  otherwise coalesce their exchange.
 """
 
 from __future__ import annotations
