@@ -300,22 +300,26 @@ def connected_components(
     per-round checkpoint truncates the growing lineage so round N doesn't
     re-execute rounds 1..N-1 (the standard iterative-algorithm pattern).
 
-    ``checkpoint_dir``: when given, rounds use reliable ``checkpoint``
-    into that directory — the cluster-production mode, where a lost
-    executor recomputes from the checkpoint file instead of replaying
-    every round (``localCheckpoint`` blocks are lost with their
-    executor). Defaults to ``localCheckpoint`` for single-node/test runs.
+    ``checkpoint_dir``: when given, each round materializes as parquet
+    under that directory — the cluster-production mode, where a lost
+    executor rereads the round file instead of replaying every round
+    (``localCheckpoint`` blocks are lost with their executor). Parquet
+    rather than ``sc.setCheckpointDir`` + ``.checkpoint()`` because the
+    latter mutates SESSION-GLOBAL state as a side effect, racing any
+    concurrent operator with its own checkpoint location. Defaults to
+    ``localCheckpoint`` for single-node/test runs.
 
     Returns (id, component) with component = min id in the component.
     """
     from pyspark.sql import functions as SF
 
-    if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    seq = iter(range(10**6))
 
     def _truncate(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
+            path = f"{checkpoint_dir}/cc_round_{next(seq)}"
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
         return df.localCheckpoint(eager=True)
 
     # Materialize the edge list ONCE before iterating: every round joins
@@ -695,9 +699,11 @@ def simhash_candidates(
 
     The capped path materializes the windowed chunk index once (three
     consumers; see body comment) and therefore launches a Spark job at
-    call time. ``checkpoint_dir`` selects reliable ``checkpoint`` into
-    that directory — the cluster-production mode, same contract as
-    :func:`connected_components` — while the default ``localCheckpoint``
+    call time — callers wanting full laziness pass ``max_bucket=None``.
+    ``checkpoint_dir`` writes the index as parquet under that directory
+    (the cluster-production mode: reliable, restartable, and reusable as
+    the incremental index — and unlike ``sc.setCheckpointDir`` it leaves
+    session-global state untouched), while the default ``localCheckpoint``
     suits single-node runs (blocks are lost with their executor).
     """
     bits_per = 64 // blocks
@@ -750,8 +756,15 @@ def simhash_candidates(
             .filter(F.col("_n") >= 2)
         )
         if checkpoint_dir is not None:
-            chunks.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-            chunks = chunks.checkpoint(eager=True)
+            # Materialize as parquet in the CALLER'S directory rather than
+            # sc.setCheckpointDir + .checkpoint(): that call mutates the
+            # session-wide checkpoint dir as a side effect, racing any
+            # other operator (connected_components) using its own. The
+            # parquet form is equally reliable, and (id, sh, blk, chunk)
+            # is exactly the persistable incremental near-dup index.
+            path = f"{checkpoint_dir}/simhash_chunk_index"
+            chunks.write.mode("overwrite").parquet(path)
+            chunks = chunks.sparkSession.read.parquet(path)
         else:
             chunks = chunks.localCheckpoint(eager=True)
         small = chunks.filter(F.col("_n") <= max_bucket).drop("_n", "_rep")

@@ -133,7 +133,11 @@ def leakage_safe_split(
     :func:`hash_uniform` assignment — so the whole thing, components
     included, is exactly DuckDB-oracle-able (recursive CTE + md5).
 
-    Returns (id_col, split_key, split) for every input document.
+    Returns (id_col, split_key, split) for every document with a non-NULL
+    ``id_col``. NULL-id rows are dropped — the same NULL contract as
+    :func:`hash_split` / :func:`hash_uniform` (a NULL key hashes to NULL
+    and matches no interval); without the filter the ``otherwise()``
+    branch would silently file every unkeyed row under the LAST label.
     """
     if len(weights) != len(labels) or not labels:
         raise ValueError("need one label per weight")
@@ -142,7 +146,7 @@ def leakage_safe_split(
     from ddataframeoperation_spark.operators.dedup import connected_components
 
     comp = connected_components(pairs)
-    d = df.select(id_col).join(
+    d = df.select(id_col).filter(F.col(id_col).isNotNull()).join(
         comp, F.col(id_col) == comp["id"], "left"
     )
     key = F.coalesce(F.col("component"), F.col(id_col)).alias("split_key")

@@ -571,13 +571,19 @@ def chunk_documents(
     by (1 + overlap-ratio) × corpus tokens.
 
     Returns (id, chunk_id, chunk_text, n_tokens); a document with no
-    alphanumeric content yields one chunk with its single empty token —
-    same contract as ``word_stats`` token counting on both engines.
+    alphanumeric content — including NULL text, which is coalesced to ''
+    before normalization so it cannot emit a NULL chunk with Spark's
+    ``size(NULL) = -1`` token count — yields one chunk with its single
+    empty token, same contract as ``word_stats`` token counting on both
+    engines.
     """
     if stride < 1 or window < 1:
         raise ValueError("window and stride must be >= 1")
     toks = df.select(
-        F.col(id_col), F.split(normalized_text(text_col), " ").alias("_toks")
+        F.col(id_col),
+        F.split(
+            normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+        ).alias("_toks"),
     )
     starts = F.sequence(
         F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)), F.lit(stride)

@@ -1473,6 +1473,7 @@ def b32cd(spark: SparkSession, sf: str) -> DataFrame:
     ), keyed AS (
       SELECT d.doc_id, coalesce(r.component, d.doc_id) AS split_key
       FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+      WHERE d.doc_id IS NOT NULL
     )
     SELECT doc_id, CAST(split_key AS BIGINT) AS split_key,
            CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val'
@@ -3680,7 +3681,7 @@ def b34pack(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' ')
                  AS toks
       FROM documents
     ), s AS (

@@ -129,3 +129,13 @@ class TestDecimalOutputFlag:
                 offenders[name] = cols
         assert not broken, f"queries failed to build: {broken}"
         assert not offenders, f"decimal output columns: {offenders}"
+
+
+class TestLargeIntegralFloats:
+    def test_integral_double_above_1e15_matches_int_rendering(self):
+        # An integral double >= 1e15 must render full digits like an
+        # int-typed cell, not repr's '1e+15' — the residual asymmetric
+        # rendering window flagged in round 4.
+        assert norm_cell(1e15) == norm_cell(10**15) == "1000000000000000"
+        assert norm_cell(2.0**60) == str(2**60)
+        assert norm_cell(-1e18) == str(-(10**18))

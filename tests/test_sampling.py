@@ -90,3 +90,17 @@ def test_leakage_safe_split_colocates_near_dups(spark):
         assert out[10] == out[11] == (10, out[10][1])
         # singletons key on their own id
         assert out[39][0] == 39
+
+
+def test_leakage_safe_split_drops_null_ids(spark):
+    # Same NULL contract as hash_split/hash_uniform: a NULL id cannot be
+    # hashed, so the row is dropped — not silently filed under the last
+    # label by the otherwise() branch.
+    docs = spark.createDataFrame(
+        [(1, "x"), (None, "y")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = sampling.leakage_safe_split(
+        docs, pairs, [0.5, 0.5], ["train", "test"]
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]

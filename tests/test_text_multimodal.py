@@ -152,3 +152,21 @@ def test_text_ops_null_text_robust(spark):
     assert rep[2]["repetition"] == 0.0 and rep[3]["repetition"] == 0.0
     red = {r["doc_id"]: r for r in TX.redact_pii(df).collect()}
     assert red[2]["redacted"] is None and red[2]["pii_hits_0"] is None
+
+
+def test_chunk_documents_null_text_single_empty_chunk(spark):
+    # NULL text is coalesced to '' before normalization: one chunk with
+    # the single empty token and n_tokens=1 — NOT a NULL chunk_text with
+    # Spark's size(NULL) = -1, which would diverge from the DuckDB oracle.
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c")], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in TX.chunk_documents(df, window=2, stride=2).collect()
+    }
+    for doc in (1, 2):
+        r = rows[(doc, 0)]
+        assert r["chunk_text"] == "" and r["n_tokens"] == 1
+    assert rows[(3, 0)]["chunk_text"] == "a b"
+    assert rows[(3, 1)]["chunk_text"] == "c"

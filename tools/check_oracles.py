@@ -44,7 +44,12 @@ def norm_cell(v) -> str:
         # previous f"{v:.6g}" collapsed distinct sums >= 1e7 (37730341.0
         # and 37730348.0 both -> '3.77303e+07'), so a real cross-engine
         # drift could print ALL GREEN while the driver's exact hash fails.
-        if v == int(v) and abs(v) < 1e15:
+        # No magnitude cutoff: an integral double >= 1e15 would fall
+        # through to repr() and render '1e+15' while an int-typed cell
+        # renders full digits — the same asymmetric-rendering class this
+        # function exists to kill. Doubles that large are exact integers
+        # anyway (> 2^53 spacing >= 2), so int(v) is lossless.
+        if v == int(v):
             return str(int(v))
         return repr(round(v, 6))
     if isinstance(v, datetime.datetime):
