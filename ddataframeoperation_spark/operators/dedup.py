@@ -45,6 +45,7 @@ __all__ = [
     "simhash_table",
     "simhash_candidates",
     "levenshtein_pairs",
+    "block_dedup",
 ]
 
 
@@ -799,3 +800,80 @@ def simhash_candidates(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("id_a", "id_b", "hamming")
+
+
+def block_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_tokens: int = 8,
+) -> DataFrame:
+    """North-star — sub-document exact dedup (the C4-style duplicate-span
+    removal): split each document into non-overlapping ``block_tokens``
+    token blocks, drop every block whose exact content already occurred
+    earlier in the corpus (keep-first by (doc_id, block index) — fully
+    deterministic), and reassemble the surviving blocks per document.
+    Whole-document dedup misses boilerplate (headers, license banners,
+    navigation chrome) duplicated ACROSS distinct documents; block-level
+    dedup removes the repeated spans while keeping the unique remainder.
+
+    Plan shape: row-local chunking (posexplode over start offsets — no
+    shuffle), md5 of the normalized block (16-byte shuffle key, never the
+    block body — blocks shuffle as digests), ONE window over the
+    fingerprint for keep-first, one group-by to reassemble. Two shuffles
+    total regardless of corpus size. Documents whose every block is a
+    duplicate come back with empty text and n_blocks_kept = 0 (still one
+    output row per input document — callers filter, the operator doesn't
+    silently drop).
+
+    Returns (id_col, text_deduped, n_blocks_kept, n_blocks_total).
+    """
+    if block_tokens < 1:
+        raise ValueError("block_tokens must be >= 1")
+    toks = df.select(
+        F.col(id_col),
+        F.split(
+            normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+        ).alias("_toks"),
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("_toks") - 1, F.lit(0)),
+        F.lit(block_tokens),
+    )
+    blocks = toks.select(
+        id_col, "_toks", F.posexplode(starts).alias("block_id", "_start")
+    ).select(
+        id_col,
+        "block_id",
+        F.array_join(
+            F.slice("_toks", F.col("_start") + 1, block_tokens), " "
+        ).alias("_block"),
+    )
+    w = Window.partitionBy(F.md5("_block")).orderBy(
+        F.col(id_col).asc(), F.col("block_id").asc()
+    )
+    kept = blocks.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_keep", F.col("_rn") == 1
+    )
+    assembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("_keep"),
+                            F.struct(
+                                F.col("block_id"), F.col("_block").alias("b")
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["b"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.sum(F.col("_keep").cast("long")).alias("n_blocks_kept"),
+        F.count("*").alias("n_blocks_total"),
+    )
+    return assembled

@@ -42,6 +42,7 @@ __all__ = [
     "extract_image_features",
     "resize_images",
     "sample_video_frames",
+    "read_binary_files",
 ]
 
 #: Canonical media-column bundle: payload + typed metadata.
@@ -185,3 +186,38 @@ def extract_image_features(df: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return df.select("media_id", "payload").mapInPandas(_feat, schema)
+
+
+def read_binary_files(
+    spark, path: str, glob: str | None = None, with_digest: bool = True
+) -> DataFrame:
+    """North-star ingestion — raw media files → binary column via Spark's
+    builtin ``binaryFile`` source: one row per file with (path, length,
+    modificationTime, content). This is the front door of the multimodal
+    pipeline: files land as opaque bytes + scalar metadata, and every
+    downstream kernel (:func:`attach_media_metadata`, decode/resize/
+    frame-sample) operates on the resulting column — no driver-side file
+    handling, reads are distributed and split across executors per file.
+    ``glob`` filters file names via the source's ``pathGlobFilter``
+    option (applied during listing — unmatched files are never opened).
+
+    Emits (file_name, n_bytes, content, content_md5?). The digest is
+    ``md5(hex(content))`` — both Spark and DuckDB render ``hex`` of bytes
+    as uppercase, so the digest is exactly reproducible cross-engine
+    (``md5(content)`` directly is not portable: DuckDB's md5 only takes
+    VARCHAR). At 100 TB, set ``spark.sql.files.maxPartitionBytes`` /
+    ``pathGlobFilter`` as needed; files larger than ~2 GB need a chunked
+    source instead (binaryFile materializes one file per row).
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    d = reader.load(path)
+    out = d.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.col("content"),
+    )
+    if with_digest:
+        out = out.withColumn("content_md5", F.md5(F.hex(F.col("content"))))
+    return out

@@ -46,6 +46,7 @@ __all__ = [
     "fk_violations",
     "random_split",
     "pivot_agg",
+    "unpivot",
 ]
 
 
@@ -361,3 +362,24 @@ def pivot_agg(
     """B11 adjunct — pivot with an explicit value list (never let Spark scan
     for distinct pivot values at 100 TB; pass them)."""
     return df.groupBy(key).pivot(pivot_col, list(pivot_values)).agg(agg)
+
+
+def unpivot(
+    df: DataFrame,
+    ids: Sequence[str],
+    values: Sequence[str],
+    var_col: str = "metric",
+    value_col: str = "value",
+) -> DataFrame:
+    """B11 adjunct — unpivot/melt: widen-to-long, the inverse of
+    :func:`pivot_agg`. Wraps the native ``DataFrame.unpivot`` (Spark's
+    ``Expand`` physical node: each input row fans out to len(values) rows
+    in the same task — row-local, no shuffle, no UDF). The standard step
+    for feeding a metrics-per-column aggregate into a long-format sink or
+    chart table."""
+    return df.unpivot(
+        [F.col(c) for c in ids],
+        [F.col(c) for c in values],
+        var_col,
+        value_col,
+    )

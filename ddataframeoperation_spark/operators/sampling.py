@@ -35,6 +35,7 @@ __all__ = [
     "hash_split",
     "source_mix",
     "leakage_safe_split",
+    "cap_per_source",
 ]
 
 #: 2^32 — the md5-prefix domain size.
@@ -185,3 +186,39 @@ def source_mix(
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
     frac = expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
     return df.filter(hash_uniform(keys, salt) < frac)
+
+
+def cap_per_source(
+    df: DataFrame,
+    per_source: int,
+    source_col: str = "source",
+    order_by: Sequence[Column] | None = None,
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """North-star — per-source/domain quota: keep at most ``per_source``
+    rows per ``source_col``, best-ranked first by ``order_by`` (quality
+    desc, length desc, …) with a deterministic ``tiebreak_col`` so the
+    kept set is a pure function of the data. This is the standard
+    web-corpus defense against a single domain (or scraped mirror)
+    dominating the training mixture — the cap is the complement of
+    :func:`source_mix`'s proportional downsampling: quotas bound the
+    absolute contribution, fractions bound the relative one.
+
+    One hash-partitioned window (row_number per source) — a single
+    shuffle on the source key, no global sort. Skew note for 100 TB: a
+    mega-domain makes one hot partition; since only the TOP ``per_source``
+    rows survive, pre-aggregate with a per-partition local top-k (the
+    TakeOrdered trick) or salt the window key and re-rank the k·salts
+    survivors when one domain exceeds executor memory.
+    """
+    from pyspark.sql import Window
+
+    if per_source < 1:
+        raise ValueError("per_source must be >= 1")
+    order = list(order_by or []) + [F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= per_source)
+        .drop("_rn")
+    )

@@ -36,6 +36,8 @@ __all__ = [
     "centroid_assign",
     "ivf_assign",
     "ivf_topk",
+    "quantize_embeddings",
+    "quantized_topk",
 ]
 
 
@@ -373,4 +375,93 @@ def ivf_topk(
         scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
         .limit(k)
         .select(F.col(id_col), F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """North-star scale path — per-vector symmetric int8 quantization:
+    ``scale = max(|x|)/127``, ``q_i = round(x_i/scale)`` (so q in
+    [-127, 127]; an all-zero vector quantizes to zeros with scale 0).
+
+    At 100 TB the embedding column dominates storage and shuffle: int8
+    codes are 4× smaller than float32 (the corpus-wide dot-product scan
+    becomes integer SIMD work), and the (qvec, qscale) pair is the
+    persistable compressed index — the standard scalar-quantization tier
+    below IVF/PQ in any vector store. Dequantization error is bounded by
+    scale/2 per element, and COSINE between quantized vectors needs no
+    dequantization at all: the per-vector scales cancel, so scoring is
+    pure integer dot / integer norms — exactly reproducible on any engine
+    (both Spark and DuckDB round ties away from zero).
+
+    All row-local builtins — transform/aggregate, no shuffle, scan-speed.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    amax = F.aggregate(
+        x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))
+    )
+    d = df.withColumn("_amax", amax)
+    scale = F.col("_amax") / F.lit(127.0)
+    q = F.transform(
+        F.col(vec_col),
+        lambda v: F.when(F.col("_amax") == 0.0, F.lit(0))
+        .otherwise(F.round(v.cast("double") / scale, 0))
+        .cast("int"),
+    )
+    return d.select(
+        F.col(id_col), q.alias(qvec_col), scale.alias(scale_col)
+    )
+
+
+def quantized_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """B33/north-star — cosine top-k over the int8-quantized corpus.
+
+    The query is a row of the SAME quantized table (quantize once, query
+    many — the production shape; also keeps every rounding decision
+    engine-side, so the result is exactly oracle-able with no driver-side
+    float handling). Scoring: integer dot / sqrt(integer norms) — the
+    per-vector scales cancel out of cosine, so the only floating-point
+    step is the final division. 1-row broadcast of the query, then a
+    scan + TakeOrdered: embarrassingly parallel, no shuffle.
+    """
+    qt = quantize_embeddings(df, id_col=id_col, vec_col=vec_col)
+    qrow = qt.filter(F.col(id_col) == query_id).select(
+        F.col("qvec").alias("_qq")
+    )
+    joined = qt.crossJoin(F.broadcast(qrow))
+    dot_i = F.aggregate(
+        F.zip_with(
+            F.col("qvec"),
+            F.col("_qq"),
+            lambda a, b: (a.cast("long") * b.cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda v: v.cast("long") * v.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cos = F.when(
+        (nrm("qvec") == 0) | (nrm("_qq") == 0), F.lit(None).cast("double")
+    ).otherwise(
+        dot_i / F.sqrt(nrm("qvec").cast("double") * nrm("_qq").cast("double"))
+    )
+    scored = joined.select(F.col(id_col), cos.alias("_cos"))
+    return (
+        scored.orderBy(F.col("_cos").desc_nulls_last(), F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col), F.round("_cos", 4).alias("qcos_sim"))
     )

@@ -568,6 +568,40 @@ def b11p(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b11_unpivot",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 4) AS sum_qty,
+             round(sum(l_extendedprice), 4) AS sum_price,
+             round(avg(l_discount), 4) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, value FROM (
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+    )
+    """,
+)
+def b11u(spark: SparkSession, sf: str) -> DataFrame:
+    # Unpivot/melt — the inverse of b11_pivot: a metrics-per-column
+    # aggregate fans out to long format via Spark's Expand node (row-local,
+    # no shuffle beyond the aggregation itself).
+    li = _t(spark, sf, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return R.unpivot(
+        wide, ["l_returnflag"], ["sum_qty", "sum_price", "avg_disc"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # B17–B20, B35 — windows
 # ---------------------------------------------------------------------------
@@ -1316,6 +1350,44 @@ def b31(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b31_block_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' ')
+                 AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), 8)) AS start_idx
+      FROM t
+    ), b AS (
+      SELECT doc_id, CAST(start_idx / 8 AS INTEGER) AS block_id,
+             array_to_string(toks[start_idx + 1 : start_idx + 8], ' ') AS blk
+      FROM s
+    ), k AS (
+      SELECT doc_id, block_id, blk,
+             row_number() OVER (PARTITION BY md5(blk)
+                                ORDER BY doc_id, block_id) AS rn
+      FROM b
+    )
+    SELECT doc_id,
+           coalesce(string_agg(blk, ' ' ORDER BY block_id)
+                      FILTER (WHERE rn = 1), '') AS text_deduped,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_blocks_kept,
+           count(*) AS n_blocks_total
+    FROM k GROUP BY doc_id
+    """,
+)
+def b31bd(spark: SparkSession, sf: str) -> DataFrame:
+    # Sub-document exact dedup (C4-style duplicate-span removal): 8-token
+    # blocks, global keep-first by (doc_id, block index), reassemble the
+    # survivors — catches boilerplate repeated ACROSS distinct documents
+    # that whole-document dedup misses. Blocks shuffle as md5 digests.
+    return dedup.block_dedup(_t(spark, sf, "documents"), block_tokens=8)
+
+
+@_q(
     "b31_dedup_by_key",
     """
     SELECT user_id, event_type, event_id FROM (
@@ -1781,6 +1853,49 @@ def b33ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b33_quantized_topk",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+      FROM base
+    ), qz AS (
+      SELECT vec_id,
+             list_transform(e, x -> CASE WHEN sc = 0 THEN 0
+                                         ELSE CAST(round(x / sc) AS BIGINT) END) AS q
+      FROM s
+    ), qv AS (
+      SELECT q AS qq FROM qz WHERE vec_id = 0
+    ), scored AS (
+      SELECT vec_id,
+             list_sum(list_transform(list_zip(q, qq), p -> p[1] * p[2])) AS d,
+             list_sum(list_transform(q, x -> x * x)) AS na,
+             list_sum(list_transform(qq, x -> x * x)) AS nq
+      FROM qz, qv
+    )
+    SELECT vec_id,
+           round(CASE WHEN na = 0 OR nq = 0 THEN NULL
+                      ELSE d / sqrt(CAST(na AS DOUBLE) * nq) END, 4) AS qcos_sim
+    FROM scored
+    ORDER BY (CASE WHEN na = 0 OR nq = 0 THEN NULL
+                   ELSE d / sqrt(CAST(na AS DOUBLE) * nq) END) DESC NULLS LAST,
+             vec_id ASC
+    LIMIT 10
+    """,
+)
+def b33q(spark: SparkSession, sf: str) -> DataFrame:
+    # Int8 scalar quantization, the 4x-compression tier of the vector
+    # index: cosine over quantized codes is pure integer dot / integer
+    # norms (per-vector scales cancel), so the oracle reproduces the
+    # EXACT scores — a hash match proves the whole quantize+score path is
+    # engine-independent, not merely close. Query = vec_id 0's own code
+    # row (quantize once, query many).
+    return similarity.quantized_topk(_t(spark, sf, "embeddings"), 0, k=10)
+
+
+@_q(
     "b34_word_stats",
     """
     SELECT lang,
@@ -2182,6 +2297,21 @@ def bmmd(spark: SparkSession, sf: str) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
     )
     return multimodal.decode_image_batch(docs)
+
+
+@_q("bmm_binary_ingest")  # rows-only: oracle SQL cannot take file paths —
+# the static oracle string has no access to the sf_dir parameter, so raw-
+# file reads can't be expressed against the registered views. The digest
+# math itself (md5(hex(content)) == DuckDB's md5(hex(content)) over
+# read_blob) is exactly verified per-byte by
+# tests/test_text_multimodal.py::test_read_binary_files_matches_duckdb.
+def bmmbf(spark: SparkSession, sf: str) -> DataFrame:
+    # Multimodal front door: raw files -> one row per file with (name,
+    # size, md5-of-bytes) via the builtin binaryFile source. Distributed
+    # listing + per-file splits; no driver-side IO.
+    return multimodal.read_binary_files(spark, sf, glob="*.parquet").select(
+        "file_name", "n_bytes", "content_md5"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4009,6 +4139,32 @@ def b22mix(spark: SparkSession, sf: str) -> DataFrame:
         keys=["doc_id"],
         salt="mix",
     ).select("doc_id", "source")
+
+
+@_q(
+    "b22_source_cap",
+    """
+    SELECT doc_id, source, n_chars
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def b22cap(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-domain quota: at most 10 docs per source, longest-first with a
+    # doc_id tiebreak — the absolute-contribution bound beside
+    # b22_source_mix's proportional one (no single domain/mirror can
+    # dominate the training mixture). One window shuffle on the source
+    # key; kept set is a pure function of the data.
+    from ddataframeoperation_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    return sampling.cap_per_source(
+        d, 10, source_col="source", order_by=[F.col("n_chars").desc()]
+    ).select("doc_id", "source", "n_chars")
 
 
 @_q(

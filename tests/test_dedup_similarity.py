@@ -158,3 +158,49 @@ def test_levenshtein_pairs_banding_catches_shorter_greater(spark):
     }
     assert ("az", "b", 2) in pairs
     assert all(d <= 2 for _, _, d in pairs)
+
+
+def test_block_dedup_removes_cross_doc_boilerplate(spark):
+    # Shared 4-token header blocks dedup to their first occurrence; the
+    # unique remainders survive; a fully-duplicated doc keeps an output
+    # row with empty text (callers filter, the operator doesn't drop).
+    df = spark.createDataFrame(
+        [
+            (1, "copy right header text unique one alpha beta"),
+            (2, "copy right header text unique two gamma delta"),
+            (3, "copy right header text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.block_dedup(df, block_tokens=4).collect()
+    }
+    assert out[1]["text_deduped"] == "copy right header text unique one alpha beta"
+    assert out[2]["text_deduped"] == "unique two gamma delta"
+    assert out[3]["text_deduped"] == "" and out[3]["n_blocks_kept"] == 0
+    assert out[2]["n_blocks_total"] == 2 and out[2]["n_blocks_kept"] == 1
+
+
+def test_quantize_embeddings_bounds_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, -2.0, 0.5]), (1, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_embeddings(df).collect()}
+    # max|x| maps to ±127; all codes within [-127, 127]; scale = amax/127
+    assert out[0]["qvec"] == [64, -127, 32]  # round(1/ (2/127)) = 63.5 -> 64
+    assert abs(out[0]["qscale"] - 2.0 / 127.0) < 1e-12
+    assert out[1]["qvec"] == [0, 0, 0] and out[1]["qscale"] == 0.0
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    # Int8 quantization keeps cosine ordering almost intact: the top-10 by
+    # quantized score must recover >= 8 of the exact top-10 on the fixture
+    # (and the query vector itself must rank first with score 1.0).
+    emb = read_fixture_table(spark, sf_dir, "embeddings")
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, 
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0], k=10).collect()]
+    quant = [r["vec_id"] for r in similarity.quantized_topk(emb, 0, k=10).collect()]
+    assert quant[0] == 0
+    assert len(set(exact) & set(quant)) >= 8

@@ -104,3 +104,14 @@ def test_leakage_safe_split_drops_null_ids(spark):
         docs, pairs, [0.5, 0.5], ["train", "test"]
     ).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+def test_cap_per_source_quota_and_determinism(spark):
+    rows = [(i, f"s{i % 2}", 100 - i) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = sampling.cap_per_source(
+        df, 3, source_col="source", order_by=[F.col("n_chars").desc()]
+    )
+    got = sorted((r["source"], r["doc_id"]) for r in out.collect())
+    # per source: keep the 3 longest (lowest doc_id = highest n_chars here)
+    assert got == [("s0", 0), ("s0", 2), ("s0", 4), ("s1", 1), ("s1", 3), ("s1", 5)]

@@ -170,3 +170,22 @@ def test_chunk_documents_null_text_single_empty_chunk(spark):
         assert r["chunk_text"] == "" and r["n_tokens"] == 1
     assert rows[(3, 0)]["chunk_text"] == "a b"
     assert rows[(3, 1)]["chunk_text"] == "c"
+
+
+def test_read_binary_files_matches_duckdb(spark, sf_dir):
+    # Exact cross-engine twin for the rows-only bmm_binary_ingest query:
+    # Spark's binaryFile scan and DuckDB's read_blob must agree per byte
+    # on (name, size, md5(hex(content))) for every fixture file.
+    import duckdb
+
+    got = sorted(
+        (r["file_name"], r["n_bytes"], r["content_md5"])
+        for r in multimodal.read_binary_files(
+            spark, sf_dir, glob="*.parquet"
+        ).collect()
+    )
+    want = duckdb.connect().execute(
+        "SELECT parse_filename(filename), octet_length(content), "
+        f"md5(hex(content)) FROM read_blob('{sf_dir}/*.parquet') ORDER BY 1"
+    ).fetchall()
+    assert got == [tuple(r) for r in want] and len(got) == 10
