@@ -70,6 +70,11 @@ BENCH_QUERIES = [
     "b34_full_pipeline",
     # Round-4 addition: long-doc token-window chunking (row-local).
     "b34_chunking",
+    # Round-5 additions: sub-document block dedup, int8-quantized vector
+    # search, SCD2 history build (single-shuffle two-window composition).
+    "b31_block_dedup",
+    "b33_quantized_topk",
+    "b18_scd2_history",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
@@ -93,6 +98,8 @@ COUNT_ONLY = {
     "b22_hash_sample",
     "b34_full_pipeline",
     "b34_chunking",
+    "b31_block_dedup",
+    "b18_scd2_history",
 }
 
 

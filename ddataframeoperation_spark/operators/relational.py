@@ -47,6 +47,7 @@ __all__ = [
     "random_split",
     "pivot_agg",
     "unpivot",
+    "hll_distinct_rollup",
 ]
 
 
@@ -383,3 +384,37 @@ def unpivot(
         var_col,
         value_col,
     )
+
+
+def hll_distinct_rollup(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    lg_config_k: int = 12,
+) -> tuple[DataFrame, DataFrame]:
+    """B12 scale path — MERGEABLE distinct-count rollup via Datasketches
+    HLL: per-group binary sketches (``hll_sketch_agg``), then a global
+    estimate by UNIONING the sketches (``hll_union_agg``) — never
+    re-scanning the raw keys. This is the continuous-aggregate /
+    hypertable-rollup shape: at 100 TB you persist the per-partition
+    sketch column (a few KB per group regardless of cardinality) and
+    answer "distinct across any group subset" by merging sketches at
+    query time; ``approx_count_distinct`` alone gives the estimate but
+    not a reusable/mergeable artifact.
+
+    Returns (per_group, merged): per_group = (group_col, sketch,
+    estimate); merged = 1-row (estimate over ALL groups via sketch
+    union). Both lazy — no driver-side materialization.
+    """
+    sk = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_config_k)).alias("sketch")
+    )
+    per_group = sk.select(
+        group_col,
+        "sketch",
+        F.hll_sketch_estimate("sketch").alias("estimate"),
+    )
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate")
+    )
+    return per_group, merged

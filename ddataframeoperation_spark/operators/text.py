@@ -43,6 +43,7 @@ __all__ = [
     "redact_pii",
     "bigram_lm_scores",
     "pack_sequences",
+    "bm25_topk",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -692,4 +693,82 @@ def fingerprint_overlap_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: "Sequence[str]",
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """North-star retrieval — BM25 ranked search over the corpus: score
+    every document against a bag of query terms with the Okapi BM25
+    formula (Lucene's non-negative idf variant),
+
+        idf(t)    = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+        score(d)  = Σ_t idf(t) · tf(t,d)·(k1+1)
+                          / (tf(t,d) + k1·(1 - b + b·|d|/avgdl))
+
+    and return the top-k. This is the lexical-retrieval twin of
+    :func:`similarity.cosine_topk` (dense retrieval) — together they are
+    the standard hybrid-search pair.
+
+    Plan shape: tokenize + explode ONCE; doc lengths and the corpus
+    constants (N, avgdl) come from one tiny aggregate (1-row broadcast,
+    never a driver collect); term frequencies restrict to the query terms
+    BEFORE the per-doc aggregate (an ``isin`` literal filter on the
+    exploded stream — at 100 TB the inverted-index form of the same join);
+    per-term document frequencies are query-term-bounded (≤ len(terms)
+    rows — broadcast). Top-k is TakeOrdered. Everything is JVM builtins;
+    scores round to 4 decimals for cross-engine comparability.
+    """
+    terms = sorted(set(query_terms))
+    if not terms or k < 1:
+        raise ValueError("need at least one query term and k >= 1")
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    ).filter(F.col("t") != "")
+    dlen = tok.groupBy("id").agg(F.count("*").cast("double").alias("dl"))
+    consts = dlen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("t").isin(terms))
+        .groupBy("id", "t")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(consts))
+        .join(dlen, "id")
+        .withColumn(
+            "_s",
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("id")
+        .agg(F.sum("_s").alias("_score"))
+    )
+    # Rank on the ROUNDED score with id tiebreak: the raw double can
+    # differ between engines in the last ulp (sum order), which must not
+    # be able to swap two near-tied docs across the top-k boundary.
+    r = F.round("_score", 4)
+    return (
+        scored.orderBy(r.desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias(id_col), r.alias("bm25"))
     )

@@ -29,6 +29,7 @@ __all__ = [
     "latest_per_key",
     "top_n_per_group",
     "sessionize",
+    "scd2_history",
 ]
 
 
@@ -153,3 +154,44 @@ def sessionize(
         "session_id",
         F.concat_ws("-", F.col(user_col).cast("string"), F.col("session_seq").cast("string")),
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build from a change log: collapse
+    consecutive rows whose ``attr_cols`` did not change, and emit one
+    validity interval per surviving change — (keys, attrs, valid_from,
+    valid_to, is_current), where valid_to is the NEXT change's timestamp
+    and NULL for the open current row. The standard dimension-history
+    shape (warehouse SCD2 / temporal table), derivable purely from two
+    windows:
+
+        1. change detection: keep rows where any attr IS DISTINCT FROM
+           its lag (null-safe — a NULL→value transition IS a change);
+        2. interval close: valid_to = lead(valid_from) over the SAME
+           key partitioning.
+
+    Both windows share one (key, ts) shuffle+sort — Catalyst reuses the
+    exchange, so the whole history build is a single shuffle at any
+    scale. Late-arriving changes are a re-run, not a merge (the operator
+    is deterministic over its input snapshot).
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    cur = F.struct(*[F.col(c) for c in attr_cols])
+    prev = F.lag(cur).over(w)
+    changed = df.withColumn(
+        "_chg", prev.isNull() | ~cur.eqNullSafe(prev)
+    ).filter(F.col("_chg"))
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return changed.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

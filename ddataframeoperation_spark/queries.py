@@ -422,6 +422,42 @@ def b12ad(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b12_hll_sketch_rollup",
+    """
+    SELECT grp, TRUE AS approx_ok FROM (
+      SELECT o_orderstatus AS grp FROM orders GROUP BY o_orderstatus
+      UNION ALL SELECT 'ALL'
+    )
+    """,
+)
+def b12hll(spark: SparkSession, sf: str) -> DataFrame:
+    # Mergeable-sketch distinct rollup (the continuous-aggregate shape):
+    # per-status HLL sketches, global distinct via sketch UNION — the raw
+    # keys are scanned exactly once; the 'ALL' row is derived purely from
+    # the merged sketches. Estimates can't hash-match an exact oracle, so
+    # assert the 5% (+1) error bound per level — deterministic for the
+    # fixed fixture, red if sketching or the union algebra breaks.
+    o = _t(spark, sf, "orders")
+    per, merged = R.hll_distinct_rollup(o, "o_orderstatus", "o_custkey")
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("ex")
+    )
+    ok = lambda est, ex: (  # noqa: E731
+        F.abs(est - ex) <= F.greatest(F.lit(1), ex * 0.05)
+    )
+    per_ok = per.join(exact, "o_orderstatus").select(
+        F.col("o_orderstatus").alias("grp"),
+        ok(F.col("estimate"), F.col("ex")).alias("approx_ok"),
+    )
+    exact_all = o.agg(F.countDistinct("o_custkey").alias("ex"))
+    all_ok = merged.crossJoin(exact_all).select(
+        F.lit("ALL").alias("grp"),
+        ok(F.col("estimate"), F.col("ex")).alias("approx_ok"),
+    )
+    return per_ok.unionByName(all_ok)
+
+
+@_q(
     "b13_rollup",
     """
     SELECT l_returnflag, l_linestatus,
@@ -1896,6 +1932,48 @@ def b33q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b34_bm25_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id AS id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
+      FROM documents
+    ), tok2 AS (
+      SELECT * FROM tok WHERE t <> ''
+    ), dlen AS (
+      SELECT id, CAST(count(*) AS DOUBLE) AS dl FROM tok2 GROUP BY id
+    ), consts AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlen
+    ), tf AS (
+      SELECT id, t, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok2 WHERE t IN ('join', 'spark', 'window')
+      GROUP BY id, t
+    ), dfq AS (
+      SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t
+    ), sc AS (
+      SELECT tf.id,
+             sum( ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ) AS s
+      FROM tf JOIN dfq USING (t) CROSS JOIN consts
+           JOIN dlen ON dlen.id = tf.id
+      GROUP BY tf.id
+    )
+    SELECT id AS doc_id, round(s, 4) AS bm25
+    FROM sc ORDER BY round(s, 4) DESC, id ASC LIMIT 10
+    """,
+)
+def b34bm(spark: SparkSession, sf: str) -> DataFrame:
+    # Okapi BM25 ranked retrieval (Lucene idf variant) — the lexical twin
+    # of b33_cosine_topk's dense retrieval; together the hybrid-search
+    # pair. One tokenize+explode; corpus constants via 1-row broadcast;
+    # query-term-bounded df table broadcast; TakeOrdered top-k.
+    return TX.bm25_topk(
+        _t(spark, sf, "documents"), ["join", "spark", "window"], k=10
+    )
+
+
+@_q(
     "b34_word_stats",
     """
     SELECT lang,
@@ -2587,6 +2665,43 @@ def b18fl(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.round(F.first("value").over(w), 4).alias("first_val"),
         F.round(F.last("value").over(w_full), 4).alias("last_val"),
+    )
+
+
+@_q(
+    "b18_scd2_history",
+    """
+    WITH lagged AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER w AS pv,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changed AS (
+      SELECT user_id, event_type, ts FROM lagged
+      WHERE rn = 1 OR event_type IS DISTINCT FROM pv
+    )
+    SELECT user_id, event_type,
+           CAST(valid_from AS TIMESTAMP) AS valid_from,
+           CAST(valid_to AS TIMESTAMP) AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+      FROM changed
+    )
+    """,
+)
+def b18scd(spark: SparkSession, sf: str) -> DataFrame:
+    # SCD Type-2 dimension build from a change log: collapse unchanged
+    # runs, emit (valid_from, valid_to, is_current) intervals per key —
+    # two windows sharing one (key, ts) shuffle+sort (exchange reused).
+    return W.scd2_history(
+        _t(spark, sf, "events"),
+        ["user_id"],
+        "ts",
+        ["event_type"],
+        tiebreak=["event_id"],
     )
 
 

@@ -140,3 +140,20 @@ def test_heavy_hitters_exact_below_capacity(spark):
     )
     got = [(r["item"], r["cnt"]) for r in heavy_hitters(df, "v", k=3).collect()]
     assert sorted(got, key=lambda t: -t[1]) == [("a", 5), ("b", 3), ("c", 2)]
+
+
+def test_hll_rollup_merge_matches_group_union(spark):
+    # The merged estimate must come from the sketch UNION of the same
+    # per-group sketches — keys spanning multiple groups must not be
+    # double counted (union semantics, not sum-of-estimates).
+    from ddataframeoperation_spark.operators.relational import hll_distinct_rollup
+
+    rows = [(g, k) for g in ("a", "b") for k in range(500)]  # same 500 keys in both
+    df = spark.createDataFrame(rows, "g string, k long")
+    per, merged = hll_distinct_rollup(df, "g", "k")
+    per_est = {r["g"]: r["estimate"] for r in per.collect()}
+    all_est = merged.head()["estimate"]
+    for est in (*per_est.values(), all_est):
+        assert abs(est - 500) <= 25  # 5% bound
+    # sum-of-estimates would be ~1000; union must stay ~500
+    assert all_est < 700

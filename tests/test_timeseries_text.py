@@ -116,3 +116,22 @@ def test_chunk_documents_windows_and_tail(spark):
     assert len(got) == 6
     with pytest.raises(ValueError):
         TX.chunk_documents(df, window=0, stride=3)
+
+
+def test_bm25_prefers_term_dense_short_docs(spark):
+    from ddataframeoperation_spark.operators import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),             # dense in the query term
+            (2, "spark filler filler filler filler filler filler filler"),
+            (3, "nothing relevant here"),
+            (4, "common common common"),          # no query term
+        ],
+        "doc_id long, text string",
+    )
+    out = TX.bm25_topk(df, ["spark"], k=3).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 1            # tf-dense short doc wins
+    assert set(ids) == {1, 2}     # docs without the term score nothing
+    assert all(r["bm25"] > 0 for r in out)

@@ -57,3 +57,30 @@ def test_running_sum_matches_manual(spark):
     out = W.running_agg(df, "v", ["k"], [F.col("seq")])
     got = {(r["k"], r["seq"]): r["running_sum"] for r in out.collect()}
     assert got == {(1, 1): 10.0, (1, 2): 15.0, (1, 3): 17.5, (2, 1): 7.0}
+
+
+def test_scd2_history_collapses_runs_and_closes_intervals(spark):
+    from ddataframeoperation_spark.operators import windows as W
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "A"),
+            (1, "2024-01-02", "A"),   # unchanged -> collapsed
+            (1, "2024-01-03", "B"),
+            (1, "2024-01-05", "A"),   # value may recur in a NEW interval
+            (2, "2024-01-01", "X"),
+        ],
+        "uid long, d string, v string",
+    ).selectExpr("uid", "CAST(d AS TIMESTAMP) AS ts", "v")
+    rows = sorted(
+        (r["uid"], r["v"], str(r["valid_from"])[:10],
+         None if r["valid_to"] is None else str(r["valid_to"])[:10],
+         r["is_current"])
+        for r in W.scd2_history(df, ["uid"], "ts", ["v"]).collect()
+    )
+    assert rows == [
+        (1, "A", "2024-01-01", "2024-01-03", False),
+        (1, "A", "2024-01-05", None, True),
+        (1, "B", "2024-01-03", "2024-01-05", False),
+        (2, "X", "2024-01-01", None, True),
+    ]
