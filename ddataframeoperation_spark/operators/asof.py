@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "interval_overlap_join"]
 
 
 def asof_join(
@@ -108,3 +108,64 @@ def asof_join(
     else:
         value_cols = [F.col(f"_f_{c}").alias(f"{c}_asof") for c in right_cols]
     return out.select(*[F.col(f"_l.{c}").alias(c) for c in lcols], *value_cols)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: float = 3600.0,
+    keys: Sequence[str] = (),
+    left_cols: Sequence[str] = (),
+    right_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Interval-overlap join (two-sided range join) — another operator
+    Spark lacks natively: pair every left interval with every right
+    interval it overlaps (``l.start <= r.end AND r.start <= l.end``,
+    timestamps inclusive). The naive theta join is a cartesian product;
+    this is the standard BUCKETED form: each interval explodes into the
+    coarse time buckets it touches, candidates equi-join on (keys,
+    bucket), duplicates from multi-bucket spans collapse, and the exact
+    overlap predicate filters last.
+
+    Cost model: an interval spanning L seconds lands in ceil(L/W)+1
+    buckets (W = ``bucket_seconds``), so the join input inflates by the
+    span/bucket ratio — pick W near the TYPICAL interval length so most
+    intervals hit 1–2 buckets. Candidates per bucket are (left-in-bucket
+    × right-in-bucket): W also bounds the bucket population at 100 TB the
+    same way the band width does for MinHash. Everything is builtins
+    (sequence/explode + equi-join) — codegen'd, no UDF, never a cross
+    join.
+
+    Returns the matched pairs: all ``keys``, both sides' start/end
+    columns (left's prefixed ``l_``, right's ``r_``), and any
+    ``left_cols``/``right_cols`` passthroughs (same prefixes).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    w = float(bucket_seconds)
+
+    def bucketed(
+        df: DataFrame, s: str, e: str, tag: str, extra: Sequence[str]
+    ) -> DataFrame:
+        lo = F.floor(F.col(s).cast("double") / w).cast("long")
+        hi = F.floor(F.col(e).cast("double") / w).cast("long")
+        return df.select(
+            *keys,
+            *[F.col(c).alias(f"{tag}_{c}") for c in extra],
+            F.col(s).alias(f"{tag}_start"),
+            F.col(e).alias(f"{tag}_end"),
+            F.explode(F.sequence(lo, hi)).alias("_bucket"),
+        )
+
+    lb = bucketed(left, left_start, left_end, "l", left_cols)
+    rb = bucketed(right, right_start, right_end, "r", right_cols)
+    on = [*keys, "_bucket"]
+    cand = lb.join(rb, on=on).drop("_bucket").distinct()
+    return cand.filter(
+        (F.col("l_start") <= F.col("r_end"))
+        & (F.col("r_start") <= F.col("l_end"))
+    )

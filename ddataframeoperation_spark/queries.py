@@ -3118,6 +3118,62 @@ def b09asoft(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b09_interval_overlap",
+    """
+    WITH iv AS (
+      SELECT event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(round(value * 1000000, 0) AS BIGINT) AS e
+      FROM events
+    )
+    SELECT a.event_id AS l_event_id, b.event_id AS r_event_id,
+           least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.s <= b.e AND b.s <= a.e AND a.event_id < b.event_id
+    """,
+)
+def b09iv(spark: SparkSession, sf: str) -> DataFrame:
+    # Two-sided interval-overlap join (an operator Spark lacks natively)
+    # in its bucketed scale form: each [ts, ts + value] interval explodes
+    # into <= 2 coarse time buckets (600s vs <= 490s spans), candidates
+    # equi-join on the bucket — never a cross join; exact predicate last.
+    # Integer-microsecond interval math so both engines compare exactly
+    # (DuckDB CAST rounds while Spark CAST truncates — round() first).
+    from ddataframeoperation_spark.operators.asof import interval_overlap_join
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.round(F.col("value") * 1000000.0, 0).cast("long")
+        ).alias("e"),
+    )
+    pairs = interval_overlap_join(
+        ev,
+        ev,
+        "s",
+        "e",
+        "s",
+        "e",
+        bucket_seconds=600.0 * 1e6,  # bucket unit follows the column unit
+        left_cols=["event_id"],
+        right_cols=["event_id"],
+    ).filter(F.col("l_event_id") < F.col("r_event_id"))
+    # Overlap emitted in exact integer microseconds: a /1e6 + round(,4)
+    # rendering hit a .xxxx5 tie that the two engines' double-rounding
+    # resolved differently (23.2866 vs 23.2865) — integer math can't.
+    return pairs.select(
+        "l_event_id",
+        "r_event_id",
+        (
+            F.least("l_end", "r_end") - F.greatest("l_start", "r_start")
+        ).alias("overlap_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # B11 adjunct — exact percentiles (interpolating, cross-engine comparable)
 # ---------------------------------------------------------------------------

@@ -65,3 +65,28 @@ def test_asof_tolerance(spark):
     got = {r["tag"]: r["v_asof"] for r in out.collect()}
     # 'a' matched a 30-min-old row -> voided; 'b' (1 min) and 'c' (0) kept.
     assert got == {"a": None, "b": 20.0, "c": 30.0, "d": None}
+
+
+def test_interval_overlap_join_bucketing_exact(spark):
+    # Bucketed candidates + exact filter must equal the naive theta join,
+    # including intervals spanning multiple buckets and touching endpoints.
+    from ddataframeoperation_spark.operators.asof import interval_overlap_join
+
+    l = spark.createDataFrame(
+        [(1, 0, 10), (2, 20, 30), (3, 100, 260)],  # 3 spans three buckets
+        "lid long, s long, e long",
+    )
+    r = spark.createDataFrame(
+        [(10, 10, 12), (11, 31, 40), (12, 250, 300), (13, 15, 19)],
+        "rid long, s long, e long",
+    )
+    got = sorted(
+        (x["l_lid"], x["r_rid"])
+        for x in interval_overlap_join(
+            l, r, "s", "e", "s", "e",
+            bucket_seconds=64.0, left_cols=["lid"], right_cols=["rid"],
+        ).collect()
+    )
+    # (1,10): touching endpoints (10 <= 10..12); (2,11)? 31 > 30 -> no;
+    # (3,12): multi-bucket span overlap.
+    assert got == [(1, 10), (3, 12)]
