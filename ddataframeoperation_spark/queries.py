@@ -2669,6 +2669,39 @@ def b18fl(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b19_time_range_window",
+    """
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_events_1h,
+           round(sum(value) OVER w, 4) AS sum_value_1h
+    FROM (SELECT event_id, user_id, value,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def b19tr(spark: SparkSession, sf: str) -> DataFrame:
+    # Time-based RANGE frame (not row-count): per user, aggregate over the
+    # trailing ONE HOUR of event time — the sliding-window form row-based
+    # frames can't express when events are irregularly spaced. Ordered by
+    # integer microseconds so the frame bound is exact on both engines;
+    # one (user) exchange + sort like every window.
+    e = _t(spark, sf, "events").withColumn("us", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_events_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_value_1h"),
+    )
+
+
+@_q(
     "b18_scd2_history",
     """
     WITH lagged AS (
