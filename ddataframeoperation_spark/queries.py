@@ -2563,6 +2563,44 @@ def b38(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b38_stream_dedup_ingest",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def b38ing(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming corpus ingest end-to-end: documents replayed as an
+    # availableNow stream -> foreachBatch fingerprints, dedups within the
+    # batch, probes the persisted fingerprint index, appends survivors.
+    # One source file = one micro-batch, so the ingested corpus equals
+    # batch keep-first fingerprint dedup — the batch-equivalence oracle.
+    import tempfile
+
+    from ddataframeoperation_spark.streaming.ingest import (
+        read_corpus,
+        stream_dedup_ingest,
+    )
+
+    schema = _t(spark, sf, "documents").schema
+    # The file source needs a DIRECTORY; pathGlobFilter narrows the sf dir
+    # (which holds every fixture table) to the documents file.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+    )
+    base = tempfile.mkdtemp(prefix="ingest_")
+    stream_dedup_ingest(stream, f"{base}/corpus", f"{base}/ckpt")
+    return read_corpus(spark, f"{base}/corpus").select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # B1/A3 — headerless CSV source with external (MetaData, MetaDataType) schema
 # ---------------------------------------------------------------------------

@@ -1,3 +1,7 @@
+from ddataframeoperation_spark.streaming.ingest import (
+    read_corpus,
+    stream_dedup_ingest,
+)
 from ddataframeoperation_spark.streaming.stateful import running_totals_per_user
 from ddataframeoperation_spark.streaming.windows import (
     events_as_stream,
@@ -18,4 +22,6 @@ __all__ = [
     "stream_interval_join",
     "run_to_memory",
     "running_totals_per_user",
+    "stream_dedup_ingest",
+    "read_corpus",
 ]

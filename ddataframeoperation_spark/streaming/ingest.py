@@ -1,0 +1,79 @@
+"""Streaming dedup ingest — the production arrival path of the corpus.
+
+Batch dedup (operators/dedup.py) answers "clean THIS corpus"; this module
+answers "keep the corpus clean as documents ARRIVE": every micro-batch is
+fingerprinted, deduplicated within itself, anti-joined against the
+persisted corpus fingerprint index, and only the survivors are appended —
+to the corpus AND to the index. The index is the same 16-byte-per-doc
+artifact `dedup_increment` consumes, so batch backfills and the streaming
+path share one source of truth.
+
+Scale notes:
+- the per-batch anti-join touches the INDEX (fingerprints only), never
+  historical document bodies — steady-state cost tracks arrival rate plus
+  an index probe;
+- exactly-once: source offsets live in the streaming checkpoint. A
+  replayed batch re-appends its files, so the parquet append itself is
+  at-least-once — the fingerprint index still suppresses re-arrivals in
+  every LATER batch, and readers dedup residual replays by fingerprint
+  (the documented contract of at-least-once sinks without a transactional
+  table format; with Delta/Iceberg the append becomes a MERGE and the
+  contract upgrades to exactly-once);
+- within-batch dedup is keep-lowest-id (deterministic), matching
+  `dedup_increment`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.operators.dedup import fingerprint
+from ddataframeoperation_spark.operators.windows import latest_per_key
+
+__all__ = ["stream_dedup_ingest", "read_corpus"]
+
+
+def stream_dedup_ingest(
+    stream: DataFrame,
+    corpus_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Run an availableNow pass appending only fingerprint-new documents
+    under ``corpus_path`` (``docs/`` + ``fps/`` parquet). Re-invoking with
+    the same checkpoint resumes incrementally — already-committed source
+    files are not reprocessed; re-sent duplicates of already-ingested
+    docs are dropped by the index probe."""
+    docs_path = f"{corpus_path}/docs"
+    fps_path = f"{corpus_path}/fps"
+    spark = stream.sparkSession
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        with_fp = batch_df.withColumn("fp", fingerprint(text_col))
+        fresh = latest_per_key(with_fp, ["fp"], [F.col(id_col)])
+        if os.path.isdir(fps_path):
+            index = spark.read.parquet(fps_path).select("fp").distinct()
+            fresh = fresh.join(index, "fp", "left_anti")
+        # Materialize once: the two appends below must see the SAME
+        # survivor set even though the anti-join's index snapshot changes
+        # as soon as the first append lands.
+        fresh = fresh.localCheckpoint(eager=True)
+        fresh.drop("fp").write.mode("append").parquet(docs_path)
+        fresh.select("fp", id_col).write.mode("append").parquet(fps_path)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:
+    """The deduplicated corpus as a plain table."""
+    return spark.read.parquet(f"{corpus_path}/docs")

@@ -329,3 +329,40 @@ def test_outer_interval_join_multi_batch(spark, sf_dir, tmp_path):
     assert got_f == want_f and len(got_f) > 0
     # unmatched lefts really surface with null right columns
     assert any(t[2] is None for t in got_f)
+
+
+def test_stream_dedup_ingest_incremental(spark, tmp_path):
+    # Two availableNow passes over a growing source directory: the second
+    # pass must (a) skip files already committed in the checkpoint and
+    # (b) drop re-sent duplicates of already-ingested docs via the
+    # fingerprint index — the corpus stays exactly deduplicated.
+    import shutil
+
+    from ddataframeoperation_spark.streaming.ingest import (
+        read_corpus,
+        stream_dedup_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+    stream1 = spark.readStream.schema(schema).parquet(str(src / "*"))
+    stream_dedup_ingest(stream1, corpus, ckpt)
+    got1 = sorted(r["doc_id"] for r in read_corpus(spark, corpus).collect())
+    assert got1 == [1, 2]  # 3 is a within-batch dup of 1
+
+    # batch 2: one true new doc, one replay of doc 1's content
+    spark.createDataFrame(
+        [(10, "epsilon zeta"), (11, "ALPHA beta!")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b2"))
+    stream2 = spark.readStream.schema(schema).parquet(str(src / "*"))
+    stream_dedup_ingest(stream2, corpus, ckpt)
+    got2 = sorted(r["doc_id"] for r in read_corpus(spark, corpus).collect())
+    assert got2 == [1, 2, 10]  # 11 normalizes to doc 1's fingerprint
+    shutil.rmtree(str(src))
