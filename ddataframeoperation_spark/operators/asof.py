@@ -164,8 +164,22 @@ def interval_overlap_join(
     lb = bucketed(left, left_start, left_end, "l", left_cols)
     rb = bucketed(right, right_start, right_end, "r", right_cols)
     on = [*keys, "_bucket"]
-    cand = lb.join(rb, on=on).drop("_bucket").distinct()
-    return cand.filter(
-        (F.col("l_start") <= F.col("r_end"))
-        & (F.col("r_start") <= F.col("l_end"))
+    cand = lb.join(rb, on=on)
+    # Bucket-ownership dedup instead of distinct(): an overlapping pair
+    # meets in every bucket BOTH spans touch; keep only the meeting in the
+    # bucket that owns the overlap's left edge (max of the two starts —
+    # inside both spans for every true overlap, so exactly one copy
+    # survives). Row-local predicate: no extra shuffle, and — unlike
+    # distinct() — it cannot collapse two legitimately identical input
+    # rows into one pair.
+    own = F.floor(
+        F.greatest(F.col("l_start"), F.col("r_start")).cast("double") / w
+    ).cast("long")
+    return (
+        cand.filter(F.col("_bucket") == own)
+        .drop("_bucket")
+        .filter(
+            (F.col("l_start") <= F.col("r_end"))
+            & (F.col("r_start") <= F.col("l_end"))
+        )
     )

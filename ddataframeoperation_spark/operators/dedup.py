@@ -45,6 +45,7 @@ __all__ = [
     "simhash_table",
     "simhash_candidates",
     "levenshtein_pairs",
+    "token_windows",
     "block_dedup",
 ]
 
@@ -108,10 +109,11 @@ def fingerprint(col: str | Column = "text") -> Column:
 
 
 def dedup_by_fingerprint(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str | Column = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """B31 — exact near-normalization dedup: group by fingerprint, keep the
-    lowest id (deterministic). Returns the surviving rows."""
+    lowest id (deterministic). Returns the surviving rows (with ``fp``).
+    ``text_col`` may be an expression (e.g. a NULL-coalesced column)."""
     with_fp = df.withColumn("fp", fingerprint(text_col))
     return latest_per_key(with_fp, ["fp"], [F.col(id_col)])
 
@@ -314,11 +316,18 @@ def connected_components(
     """
     from pyspark.sql import functions as SF
 
+    # Unique per-call prefix: fixed paths + overwrite would clobber files
+    # that a previously RETURNED lazy result (or a concurrent call sharing
+    # the dir) still reads — the old sc.checkpoint() API generated unique
+    # per-RDD paths, and this keeps that property.
+    import uuid
+
+    run = uuid.uuid4().hex[:12]
     seq = iter(range(10**6))
 
     def _truncate(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
-            path = f"{checkpoint_dir}/cc_round_{next(seq)}"
+            path = f"{checkpoint_dir}/cc_{run}_round_{next(seq)}"
             df.write.mode("overwrite").parquet(path)
             return df.sparkSession.read.parquet(path)
         return df.localCheckpoint(eager=True)
@@ -782,8 +791,12 @@ def simhash_candidates(
             # session-wide checkpoint dir as a side effect, racing any
             # other operator (connected_components) using its own. The
             # parquet form is equally reliable, and (id, sh, blk, chunk)
-            # is exactly the persistable incremental near-dup index.
-            path = f"{checkpoint_dir}/simhash_chunk_index"
+            # is exactly the persistable incremental near-dup index. The
+            # unique suffix keeps a second call (or a concurrent one) from
+            # clobbering an index a still-lazy earlier result reads.
+            import uuid
+
+            path = f"{checkpoint_dir}/simhash_chunk_index_{uuid.uuid4().hex[:12]}"
             chunks.write.mode("overwrite").parquet(path)
             chunks = chunks.sparkSession.read.parquet(path)
         else:
@@ -822,6 +835,48 @@ def simhash_candidates(
     ).select("id_a", "id_b", "hamming")
 
 
+def token_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int,
+    stride: int,
+) -> DataFrame:
+    """Shared token-window prelude of ``text.chunk_documents`` (overlapping
+    windows, stride < window) and :func:`block_dedup` (non-overlapping
+    blocks, stride == window): normalize (NULL text coalesces to '' — a
+    NULL must not become a NULL window with Spark's ``size(NULL) = -1``),
+    split ONCE into a materialized token column, posexplode the start
+    offsets, slice per window. Pure row-local builtins, no shuffle.
+
+    Returns (id_col, win_id int, win_text, n_tokens int); a document with
+    no alphanumeric content yields one window holding its single empty
+    token. Contract fixes here propagate to BOTH consumers (and their
+    DuckDB oracles use the same chunking SQL).
+    """
+    if stride < 1 or window < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = df.select(
+        F.col(id_col),
+        F.split(
+            normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+        ).alias("_toks"),
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)), F.lit(stride)
+    )
+    wins = toks.select(
+        id_col, "_toks", F.posexplode(starts).alias("win_id", "_start")
+    )
+    win_toks = F.slice("_toks", F.col("_start") + 1, window)
+    return wins.select(
+        id_col,
+        F.col("win_id").cast("int").alias("win_id"),
+        F.array_join(win_toks, " ").alias("win_text"),
+        F.size(win_toks).cast("int").alias("n_tokens"),
+    )
+
+
 def block_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -848,27 +903,12 @@ def block_dedup(
 
     Returns (id_col, text_deduped, n_blocks_kept, n_blocks_total).
     """
-    if block_tokens < 1:
-        raise ValueError("block_tokens must be >= 1")
-    toks = df.select(
-        F.col(id_col),
-        F.split(
-            normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "
-        ).alias("_toks"),
-    )
-    starts = F.sequence(
-        F.lit(0),
-        F.greatest(F.size("_toks") - 1, F.lit(0)),
-        F.lit(block_tokens),
-    )
-    blocks = toks.select(
-        id_col, "_toks", F.posexplode(starts).alias("block_id", "_start")
+    blocks = token_windows(
+        df, id_col, text_col, window=block_tokens, stride=block_tokens
     ).select(
         id_col,
-        "block_id",
-        F.array_join(
-            F.slice("_toks", F.col("_start") + 1, block_tokens), " "
-        ).alias("_block"),
+        F.col("win_id").alias("block_id"),
+        F.col("win_text").alias("_block"),
     )
     w = Window.partitionBy(F.md5("_block")).orderBy(
         F.col(id_col).asc(), F.col("block_id").asc()

@@ -432,12 +432,23 @@ def quantized_topk(
     engine-side, so the result is exactly oracle-able with no driver-side
     float handling). Scoring: integer dot / sqrt(integer norms) — the
     per-vector scales cancel out of cosine, so the only floating-point
-    step is the final division. 1-row broadcast of the query, then a
-    scan + TakeOrdered: embarrassingly parallel, no shuffle.
+    step is the final division. One cheap 1-row-filtered pass extracts
+    and broadcasts the query code; the corpus pass is then scan +
+    TakeOrdered: embarrassingly parallel, no shuffle.
     """
-    qt = quantize_embeddings(df, id_col=id_col, vec_col=vec_col)
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(F.col(c), lambda v: v.cast("long") * v.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    # Norms materialize as columns ONCE: referencing the aggregate lambda
+    # inside both the null-guard and the denominator would re-evaluate the
+    # O(dim) fold up to four times per row.
+    qt = quantize_embeddings(df, id_col=id_col, vec_col=vec_col).withColumn(
+        "_na", nrm("qvec")
+    )
     qrow = qt.filter(F.col(id_col) == query_id).select(
-        F.col("qvec").alias("_qq")
+        F.col("qvec").alias("_qq"), F.col("_na").alias("_nq")
     )
     joined = qt.crossJoin(F.broadcast(qrow))
     dot_i = F.aggregate(
@@ -449,15 +460,10 @@ def quantized_topk(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    nrm = lambda c: F.aggregate(  # noqa: E731
-        F.transform(F.col(c), lambda v: v.cast("long") * v.cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
     cos = F.when(
-        (nrm("qvec") == 0) | (nrm("_qq") == 0), F.lit(None).cast("double")
+        (F.col("_na") == 0) | (F.col("_nq") == 0), F.lit(None).cast("double")
     ).otherwise(
-        dot_i / F.sqrt(nrm("qvec").cast("double") * nrm("_qq").cast("double"))
+        dot_i / F.sqrt(F.col("_na").cast("double") * F.col("_nq").cast("double"))
     )
     scored = joined.select(F.col(id_col), cos.alias("_cos"))
     return (

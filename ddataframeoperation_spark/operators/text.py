@@ -582,28 +582,16 @@ def chunk_documents(
     before normalization so it cannot emit a NULL chunk with Spark's
     ``size(NULL) = -1`` token count — yields one chunk with its single
     empty token, same contract as ``word_stats`` token counting on both
-    engines.
+    engines. The chunking core is ``dedup.token_windows``, shared with
+    ``block_dedup`` so window/NULL contract fixes land in one place.
     """
-    if stride < 1 or window < 1:
-        raise ValueError("window and stride must be >= 1")
-    toks = df.select(
-        F.col(id_col),
-        F.split(
-            normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "
-        ).alias("_toks"),
-    )
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)), F.lit(stride)
-    )
-    chunks = toks.select(
-        id_col, "_toks", F.posexplode(starts).alias("chunk_id", "_start")
-    )
-    chunk_toks = F.slice("_toks", F.col("_start") + 1, window)
-    return chunks.select(
+    from ddataframeoperation_spark.operators.dedup import token_windows
+
+    return token_windows(df, id_col, text_col, window, stride).select(
         id_col,
-        F.col("chunk_id").cast("int").alias("chunk_id"),
-        F.array_join(chunk_toks, " ").alias("chunk_text"),
-        F.size(chunk_toks).cast("int").alias("n_tokens"),
+        F.col("win_id").alias("chunk_id"),
+        F.col("win_text").alias("chunk_text"),
+        "n_tokens",
     )
 
 

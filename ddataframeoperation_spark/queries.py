@@ -2743,13 +2743,13 @@ def b19tr(spark: SparkSession, sf: str) -> DataFrame:
     "b18_scd2_history",
     """
     WITH lagged AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER w AS pv,
              row_number() OVER w AS rn
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), changed AS (
-      SELECT user_id, event_type, ts FROM lagged
+      SELECT user_id, event_type, ts, event_id FROM lagged
       WHERE rn = 1 OR event_type IS DISTINCT FROM pv
     )
     SELECT user_id, event_type,
@@ -2757,8 +2757,12 @@ def b19tr(spark: SparkSession, sf: str) -> DataFrame:
            CAST(valid_to AS TIMESTAMP) AS valid_to,
            valid_to IS NULL AS is_current
     FROM (
+      -- the interval-close window carries the SAME event_id tiebreak as
+      -- change detection: equal-ts changes must order identically on both
+      -- engines or valid_to values swap
       SELECT user_id, event_type, ts AS valid_from,
-             lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
       FROM changed
     )
     """,

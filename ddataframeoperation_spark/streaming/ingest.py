@@ -25,13 +25,11 @@ Scale notes:
 
 from __future__ import annotations
 
-import os
-
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ddataframeoperation_spark.operators.dedup import fingerprint
-from ddataframeoperation_spark.operators.windows import latest_per_key
+from ddataframeoperation_spark.operators.dedup import dedup_by_fingerprint
 
 __all__ = ["stream_dedup_ingest", "read_corpus"]
 
@@ -53,11 +51,22 @@ def stream_dedup_ingest(
     spark = stream.sparkSession
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        with_fp = batch_df.withColumn("fp", fingerprint(text_col))
-        fresh = latest_per_key(with_fp, ["fp"], [F.col(id_col)])
-        if os.path.isdir(fps_path):
+        # The batch dedup operator itself (same keep-lowest-id semantics
+        # the module promises), with text NULL-coalesced to '' so a
+        # NULL-text doc gets the EMPTY fingerprint rather than a NULL fp —
+        # a NULL fp never matches the left_anti probe (NULL != NULL), so
+        # one NULL-text doc would otherwise re-ingest every batch.
+        fresh = dedup_by_fingerprint(
+            batch_df, F.coalesce(F.col(text_col), F.lit("")), id_col
+        )
+        try:
+            # Existence probe via the read itself — os.path only sees the
+            # local filesystem and would silently disable cross-batch
+            # dedup for an HDFS/S3 corpus_path.
             index = spark.read.parquet(fps_path).select("fp").distinct()
             fresh = fresh.join(index, "fp", "left_anti")
+        except AnalysisException:
+            pass  # first batch: no index yet
         # Materialize once: the two appends below must see the SAME
         # survivor set even though the anti-join's index snapshot changes
         # as soon as the first append lands.

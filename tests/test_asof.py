@@ -90,3 +90,17 @@ def test_interval_overlap_join_bucketing_exact(spark):
     # (1,10): touching endpoints (10 <= 10..12); (2,11)? 31 > 30 -> no;
     # (3,12): multi-bucket span overlap.
     assert got == [(1, 10), (3, 12)]
+
+
+def test_interval_overlap_join_preserves_duplicate_rows(spark):
+    # Two identical left rows must each produce their own pair row — the
+    # bucket-ownership dedup only collapses multi-bucket copies of the
+    # SAME candidate, unlike a distinct() over the output columns.
+    from ddataframeoperation_spark.operators.asof import interval_overlap_join
+
+    l = spark.createDataFrame([(0, 10), (0, 10)], "s long, e long")
+    r = spark.createDataFrame([(5, 60)], "s long, e long")  # spans 2 buckets
+    out = interval_overlap_join(
+        l, r, "s", "e", "s", "e", bucket_seconds=32.0
+    ).collect()
+    assert len(out) == 2

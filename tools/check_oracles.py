@@ -39,6 +39,10 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):
+            # int(v) below would raise OverflowError and abort the whole
+            # sweep instead of reporting a per-query diff.
+            return repr(v)
         # Integral floats render as exact ints — BOTH to unify int-typed vs
         # float-typed columns across engines AND at full precision: the
         # previous f"{v:.6g}" collapsed distinct sums >= 1e7 (37730341.0
