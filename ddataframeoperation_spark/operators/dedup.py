@@ -44,6 +44,7 @@ __all__ = [
     "simhash",
     "simhash_table",
     "simhash_candidates",
+    "hamming_candidates",
     "levenshtein_pairs",
     "token_windows",
     "block_dedup",
@@ -705,10 +706,36 @@ def simhash_candidates(
     max_bucket: int | None = 64,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """B32 — SimHash near-dup candidates via the block-permutation trick:
-    split the 64-bit hash into ``blocks`` chunks; pairs within Hamming
+    """B32 — SimHash near-dup candidates: :func:`simhash_table` over the
+    text, then the generic :func:`hamming_candidates` block-permutation
+    join. See the latter for the bucket-cap/star-linkage and
+    checkpointing contract."""
+    sh = simhash_table(df, id_col=id_col, text_col=text_col)
+    return hamming_candidates(
+        sh,
+        max_hamming=max_hamming,
+        blocks=blocks,
+        max_bucket=max_bucket,
+        checkpoint_dir=checkpoint_dir,
+    )
+
+
+def hamming_candidates(
+    sh_df: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "sh",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    max_bucket: int | None = 64,
+    checkpoint_dir: str | None = None,
+    bits: int = 64,
+) -> DataFrame:
+    """Generic Hamming-neighbor candidates over ANY (id, sh) fingerprint
+    table — text simhash, image/audio perceptual hashes, any locality-
+    preserving bit signature — via the block-permutation trick: split the
+    ``bits``-bit hash into ``blocks`` chunks; pairs within Hamming
     distance < blocks must agree on >= 1 chunk, so an equi-join per chunk
-    finds all candidates — again no cross join. Exact Hamming filter after.
+    finds all candidates — never a cross join. Exact Hamming filter after.
 
     ``max_bucket`` bounds every (blk, chunk) join bucket — the simhash
     analogue of :func:`fingerprint_overlap_pairs`'s ``max_df`` boilerplate
@@ -736,8 +763,8 @@ def simhash_candidates(
     session-global state untouched), while the default ``localCheckpoint``
     suits single-node runs (blocks are lost with their executor).
     """
-    bits_per = 64 // blocks
-    sh = simhash_table(df, id_col=id_col, text_col=text_col)
+    bits_per = bits // blocks
+    sh = sh_df.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
     chunks = sh.select(
         "id",
         "sh",

@@ -43,6 +43,8 @@ __all__ = [
     "resize_images",
     "sample_video_frames",
     "read_binary_files",
+    "media_fingerprint",
+    "media_neardup_candidates",
 ]
 
 #: Canonical media-column bundle: payload + typed metadata.
@@ -221,3 +223,56 @@ def read_binary_files(
     if with_digest:
         out = out.withColumn("content_md5", F.md5(F.hex(F.col("content"))))
     return out
+
+
+def media_fingerprint(payload_col: str = "payload", bits: int = 60):
+    """60-bit payload fingerprint column: the first 15 hex chars of
+    md5(hex(payload)) as a BIGINT. 15 hex digits keep the value under
+    2^60, inside signed-long range on every engine (16 would overflow),
+    and the md5(hex(...)) form is byte-exactly reproducible in DuckDB
+    (``('0x' || substring(md5(hex(content)), 1, 15))::BIGINT``).
+
+    Honesty note (same contract as the stub codecs): an md5-derived
+    fingerprint has NO locality — only byte-identical payloads collide,
+    so Hamming distance between different payloads is ~uniform. It stands
+    in for a real perceptual hash (DCT pHash / chromaprint), which drops
+    into the same column and the same downstream Hamming join once a
+    codec is available; what is real and tested here is the typed-column
+    plumbing and the bucketed join math.
+    """
+    if bits != 60:
+        raise ValueError("md5-prefix fingerprint is fixed at 60 bits")
+    return F.conv(
+        F.substring(F.md5(F.hex(F.col(payload_col))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def media_neardup_candidates(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """North-star — media near-duplicate candidates: fingerprint each
+    payload (:func:`media_fingerprint`), then the SAME generic
+    block-permutation Hamming join the text pipeline uses
+    (``dedup.hamming_candidates``) — 60-bit hashes split into 4×15-bit
+    chunks, candidates equi-join per chunk, exact Hamming filter last.
+    Never a cross join; hot-bucket behavior (cap + star linkage) is
+    inherited. With the md5 stand-in only exact-duplicate payloads reach
+    Hamming 0; a perceptual hash upgrades recall without touching the
+    join."""
+    from ddataframeoperation_spark.operators.dedup import hamming_candidates
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        media_fingerprint(payload_col).alias("sh"),
+    )
+    return hamming_candidates(
+        sh,
+        max_hamming=max_hamming,
+        blocks=4,
+        max_bucket=max_bucket,
+        bits=60,
+    )

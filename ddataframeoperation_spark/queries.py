@@ -2377,6 +2377,52 @@ def bmmd(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.decode_image_batch(docs)
 
 
+@_q(
+    "bmm_media_neardup",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id, encode(text) AS payload FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, encode(text)
+      FROM documents WHERE doc_id % 5 = 0
+    ), fp AS (
+      SELECT media_id,
+             ('0x' || substring(md5(hex(payload)), 1, 15))::BIGINT AS sh
+      FROM media
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def bmmnd(spark: SparkSession, sf: str) -> DataFrame:
+    # Media near-dup candidates: 60-bit payload fingerprint -> the SAME
+    # block-permutation Hamming join as text simhash (4x15-bit chunks,
+    # equi-join per chunk — no cross join). Every 5th payload reappears
+    # under a new id (the re-crawl/replica case media dedup exists for),
+    # so the result is the nontrivial replica pair set at distance 0.
+    # max_bucket=None = the exact join, so the all-pairs Hamming<=3
+    # oracle must match EXACTLY (block permutation is complete for
+    # max_hamming < blocks). The md5 stand-in fingerprint means only
+    # byte-identical payloads land near 0; a real perceptual hash drops
+    # into the same column and join.
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1000000).alias("media_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    out = multimodal.media_neardup_candidates(media, max_bucket=None)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 @_q("bmm_binary_ingest")  # rows-only: oracle SQL cannot take file paths —
 # the static oracle string has no access to the sf_dir parameter, so raw-
 # file reads can't be expressed against the registered views. The digest

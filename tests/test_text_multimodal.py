@@ -189,3 +189,16 @@ def test_read_binary_files_matches_duckdb(spark, sf_dir):
         f"md5(hex(content)) FROM read_blob('{sf_dir}/*.parquet') ORDER BY 1"
     ).fetchall()
     assert got == [tuple(r) for r in want] and len(got) == 10
+
+
+def test_media_neardup_finds_replicas_only(spark):
+    # Byte-identical payloads pair at Hamming 0 through the generic
+    # block-permutation join; distinct payloads (md5 stand-in fingerprint
+    # has no locality) stay apart.
+    payload = bytes(range(64))
+    df = spark.createDataFrame(
+        [(1, payload), (2, payload), (3, b"something else")],
+        "media_id long, payload binary",
+    )
+    out = multimodal.media_neardup_candidates(df, max_bucket=None).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
