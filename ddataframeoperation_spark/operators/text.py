@@ -44,6 +44,7 @@ __all__ = [
     "bigram_lm_scores",
     "pack_sequences",
     "bm25_topk",
+    "encode_token_ids",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -759,4 +760,49 @@ def bm25_topk(
         scored.orderBy(r.desc(), F.col("id").asc())
         .limit(k)
         .select(F.col("id").alias(id_col), r.alias("bm25"))
+    )
+
+
+def encode_token_ids(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    unk_id: int = 0,
+) -> DataFrame:
+    """North-star — dictionary-encode documents to token-id sequences: the
+    "apply the tokenizer vocabulary" step between text prep and sequence
+    packing. Ids are assigned deterministically by corpus frequency
+    (tf desc, token asc ⇒ id 1, 2, …; the most frequent token gets the
+    smallest id — the standard frequency-sorted vocab layout), tokens
+    pruned below ``min_df`` map to ``unk_id``.
+
+    Plan shape: the vocabulary (:func:`vocabulary` + one rank window over
+    the VOCAB table — vocabulary-sized, not corpus-sized) broadcasts onto
+    the exploded token stream; output is the flat (doc, position, token,
+    token_id) form — exactly joinable/oracle-able, and `collect_list`
+    over position rebuilds the dense sequence when a consumer wants
+    arrays. Ranking the vocab costs one tiny single-partition window
+    (bounded rows); the corpus-side work is one explode + one broadcast
+    join, no corpus shuffle.
+    """
+    vocab = vocabulary(df, text_col=text_col, id_col=id_col, min_df=min_df)
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    vocab_ids = vocab.select(
+        "token", F.row_number().over(w).cast("long").alias("token_id")
+    )
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    return (
+        tok.join(F.broadcast(vocab_ids), "token", "left")
+        .select(
+            id_col,
+            F.col("pos").cast("int").alias("pos"),
+            "token",
+            F.coalesce(F.col("token_id"), F.lit(unk_id).cast("long")).alias(
+                "token_id"
+            ),
+        )
     )

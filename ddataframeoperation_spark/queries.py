@@ -1974,6 +1974,42 @@ def b34bm(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b34_token_ids",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), flat AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks
+      FROM t
+    ), tok AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS token
+      FROM flat WHERE toks[i] <> ''
+    ), vocab AS (
+      SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS dfq
+      FROM tok GROUP BY token
+    ), ids AS (
+      SELECT token,
+             CAST(row_number() OVER (ORDER BY tf DESC, token ASC) AS BIGINT)
+               AS token_id
+      FROM vocab WHERE dfq >= 2
+    )
+    SELECT tok.doc_id, tok.pos, tok.token,
+           coalesce(ids.token_id, 0) AS token_id
+    FROM tok LEFT JOIN ids USING (token)
+    """,
+)
+def b34tid(spark: SparkSession, sf: str) -> DataFrame:
+    # Dictionary-encode documents to token-id sequences (the "apply the
+    # vocabulary" step before packing): frequency-sorted deterministic
+    # ids, min_df-pruned tokens -> UNK id 0; vocab ranked on the tiny
+    # vocab table and broadcast onto the exploded stream — no corpus
+    # shuffle. Flat (doc, pos, token, id) form, exactly oracle-able.
+    return TX.encode_token_ids(_t(spark, sf, "documents"), min_df=2)
+
+
+@_q(
     "b34_word_stats",
     """
     SELECT lang,
