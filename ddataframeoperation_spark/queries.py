@@ -5087,17 +5087,17 @@ _DRIVER_PRIORITY = [
     "b06_join_left_agg",          # B6 outer join
     "b07_join_semi",              # B7 semi/anti
     "b08_star_join_broadcast",    # B8 broadcast join
-    "b09_range_join",             # B9 theta/range join
+    "b09_interval_overlap",       # B9 two-sided interval-overlap (bucketed)
     "b09_asof_join",              # B9 as-of join (DuckDB native ASOF oracle)
     "b10_q7_nation_volume",       # B10 multi-way star shapes
-    "b10_q12_priority_lines",
+    "b31_block_dedup",            # B31 sub-document block dedup (C4-style)
     "b10_q14_promo_ratio",
     "b10_q19_disjunctive",
     "b10_q22_global_sales_opp",
     "b11_agg_pricing_summary",    # B11 group-by agg (TPC-H Q1 shape)
     "b11_salted_agg",             # B11 skew-safe variant (result-identical)
     "b12_count_distinct",         # B12 distinct family
-    "b12_approx_count_distinct",  # B12 approx (error-bound oracle)
+    "b34_bm25_topk",              # B34 BM25 lexical retrieval (exact oracle)
     "b13_rollup",                 # B13 rollup/cube/grouping sets
     "b14_having",                 # B14 having
     "b15_sort_null_ordering",     # B15 sort w/ null ordering
@@ -5140,7 +5140,18 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: displacing b28_profile and b32_jaccard_pairs whose families stay
 #: covered by b28_schema_manifest and b32_cluster_dedup/minhash. The
 #: displaced pair leads the post-50 tail so any extra slots recover them.
-_BONUS_SLOTS = ["b28_profile", "b32_jaccard_pairs"]
+#: Round 5 rotated three redundant slots to flagship round-5 operators:
+#: b10_q12_priority_lines → b31_block_dedup, b12_approx_count_distinct →
+#: b34_bm25_topk, b09_range_join → b09_interval_overlap. Every displaced
+#: query's FAMILY keeps ≥1 slot (B10×5, B12 exact, B9×2); the displaced
+#: trio leads the post-50 tail so any extra slots recover them first.
+_BONUS_SLOTS = [
+    "b10_q12_priority_lines",
+    "b12_approx_count_distinct",
+    "b09_range_join",
+    "b28_profile",
+    "b32_jaccard_pairs",
+]
 
 _rest = [
     n
