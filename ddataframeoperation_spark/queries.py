@@ -1040,6 +1040,95 @@ def b26(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b26_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.missing') AS INTEGER) AS missing
+    FROM events
+    """,
+)
+def b26v(spark: SparkSession, sf: str) -> DataFrame:
+    # Spark 4 VARIANT — the modern semi-structured path: parse the JSON
+    # string ONCE into the binary variant encoding, then typed
+    # path-extraction with try_variant_get (absent path -> NULL, like the
+    # oracle's json_extract). At 100 TB variant beats per-access
+    # get_json_object: one parse, shredded binary storage, no re-parsing
+    # per extracted field.
+    e = _t(spark, sf, "events").withColumn("v", F.parse_json("props"))
+    return e.select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "int").alias("k"),
+        F.try_variant_get("v", "$.missing", "int").alias("missing"),
+    )
+
+
+@_q(
+    "b26_xml_roundtrip",
+    """
+    SELECT event_id, event_type AS t, CAST(user_id AS BIGINT) AS u
+    FROM events
+    """,
+)
+def b26x(spark: SparkSession, sf: str) -> DataFrame:
+    # XML codec roundtrip (the reference's PMML/manifest world is XML:
+    # R/DataFrameOperationR.R:324-436): struct -> to_xml -> from_xml ->
+    # fields. The oracle is the identity projection, so a hash match
+    # proves the encode/decode pair is lossless on every row.
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf, "events")
+    xml = e.select(
+        "event_id",
+        F.to_xml(
+            F.struct(
+                F.col("event_type").alias("t"),
+                F.col("user_id").cast("long").alias("u"),
+            )
+        ).alias("x"),
+    )
+    sch = T.StructType(
+        [
+            T.StructField("t", T.StringType()),
+            T.StructField("u", T.LongType()),
+        ]
+    )
+    return xml.select(
+        "event_id", F.from_xml("x", sch).alias("r")
+    ).select("event_id", "r.t", "r.u")
+
+
+@_q(
+    "b11_histogram",
+    """
+    -- DuckDB 1.0 has no width_bucket; replicate the SQL-standard formula.
+    -- The bucket width (120000-0)/12 = 10000.0 is EXACT in binary, so
+    -- floor(x/10000)+1 is bit-identical to Spark's width_bucket here.
+    SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
+                WHEN l_extendedprice >= 120000.0 THEN 13
+                ELSE CAST(floor(l_extendedprice / 10000.0) AS BIGINT) + 1
+           END AS bucket,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def b11h(spark: SparkSession, sf: str) -> DataFrame:
+    # Equi-width histogram via the SQL-standard width_bucket — the
+    # one-scan profile/distribution query (both engines implement the
+    # same standard bucketing incl. the out-of-range buckets 0 and n+1).
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy(
+        F.width_bucket(
+            "l_extendedprice", F.lit(0.0), F.lit(120000.0), F.lit(12)
+        ).alias("bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+@_q(
     "b27_array_funcs",
     """
     SELECT vec_id,
