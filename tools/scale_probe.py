@@ -1,0 +1,95 @@
+"""10x scale probe: replicate the sf0.1 fixtures with shifted keys and time
+the headline operators on the enlarged corpus vs the original.
+
+Usage: python tools/scale_probe.py [factor]
+
+This is the local stand-in for a real cluster scale test: if an operator's
+runtime grows ~linearly (or stays task-overhead-bound) between 1x and Nx
+while its plan shape is unchanged, the shuffle/join structure — the thing
+that decides survival at 100 TB — is scaling as designed. Quadratic growth
+here means a candidate explosion that 1000 executors would NOT fix.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, functions as F
+
+from ddataframeoperation_spark.catalog import read_fixture_table
+from ddataframeoperation_spark.operators import dedup, sampling, similarity
+from ddataframeoperation_spark.operators import text as TX
+from ddataframeoperation_spark.operators.asof import interval_overlap_join
+from ddataframeoperation_spark.operators.windows import scd2_history
+from ddataframeoperation_spark.session import get_spark
+
+SF = "/root/testdata/sf0.1"
+
+
+def replicate(df: DataFrame, factor: int, id_cols: list[str], shift: int) -> DataFrame:
+    out = df
+    for i in range(1, factor):
+        rep = df
+        for c in id_cols:
+            rep = rep.withColumn(c, F.col(c) + i * shift)
+        out = out.unionByName(rep)
+    return out
+
+
+def probe(name, build, action=lambda d: d.count()):
+    df = build()
+    action(df)  # warm / JIT
+    t0 = time.time()
+    n = action(build())
+    print(f"{name}: {time.time() - t0:.2f}s ({n} rows)", flush=True)
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale_probe")
+    docs1 = read_fixture_table(spark, SF, "documents")
+    ev1 = read_fixture_table(spark, SF, "events")
+    emb1 = read_fixture_table(spark, SF, "embeddings")
+    docs = replicate(docs1, factor, ["doc_id"], 10_000_000).localCheckpoint()
+    ev = replicate(ev1, factor, ["event_id", "user_id"], 10_000_000).localCheckpoint()
+    emb = replicate(emb1, factor, ["vec_id"], 10_000_000).localCheckpoint()
+    print(f"scale factor {factor}: docs={docs.count()} events={ev.count()} emb={emb.count()}")
+
+    for tag, d in (("1x", docs1), (f"{factor}x", docs)):
+        probe(f"block_dedup {tag}", lambda d=d: dedup.block_dedup(d))
+        probe(f"bm25_topk {tag}", lambda d=d: TX.bm25_topk(d, ["join", "spark", "window"], k=10))
+        probe(f"simhash_candidates {tag}", lambda d=d: dedup.simhash_candidates(d))
+        probe(f"token_ids {tag}", lambda d=d: TX.encode_token_ids(d, min_df=2))
+        probe(
+            f"cap_per_source {tag}",
+            lambda d=d: sampling.cap_per_source(d, 10, order_by=[F.col("n_chars").desc()]),
+        )
+    for tag, e in (("1x", ev1), (f"{factor}x", ev)):
+        iv = lambda e=e: e.select(  # noqa: E731
+            "event_id",
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.round(F.col("value") * 1e6, 0).cast("long")).alias("e"),
+        )
+        probe(
+            f"interval_overlap {tag}",
+            lambda iv=iv: interval_overlap_join(
+                iv(), iv(), "s", "e", "s", "e",
+                bucket_seconds=600.0 * 1e6,
+                left_cols=["event_id"], right_cols=["event_id"],
+            ).filter(F.col("l_event_id") < F.col("r_event_id")),
+        )
+        probe(
+            f"scd2_history {tag}",
+            lambda e=e: scd2_history(e, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"]),
+        )
+    for tag, m in (("1x", emb1), (f"{factor}x", emb)):
+        probe(f"quantized_topk {tag}", lambda m=m: similarity.quantized_topk(m, 0, k=10))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
