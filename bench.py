@@ -75,6 +75,13 @@ BENCH_QUERIES = [
     "b31_block_dedup",
     "b33_quantized_topk",
     "b18_scd2_history",
+    # Round-5b widening: OHLC single-agg bars, sequential-fold EWMA,
+    # decorrelated lateral top-N, temperature mixing, lexical diversity.
+    "b24_ohlc_bars",
+    "b19_ewma",
+    "b05_lateral_topn",
+    "b22_temperature_mix",
+    "b34_lexical_diversity",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
@@ -100,6 +107,9 @@ COUNT_ONLY = {
     "b34_chunking",
     "b31_block_dedup",
     "b18_scd2_history",
+    "b24_ohlc_bars",
+    "b05_lateral_topn",
+    "b34_lexical_diversity",
 }
 
 

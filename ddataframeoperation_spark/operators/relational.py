@@ -48,6 +48,8 @@ __all__ = [
     "pivot_agg",
     "unpivot",
     "hll_distinct_rollup",
+    "join_nullsafe",
+    "mad_outliers",
 ]
 
 
@@ -418,3 +420,67 @@ def hll_distinct_rollup(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("estimate")
     )
     return per_group, merged
+
+
+def join_nullsafe(
+    df: DataFrame,
+    other: DataFrame,
+    left_key: str | Column,
+    right_key: str | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """B5 variant — null-safe equi-join (``<=>`` / SQL
+    ``IS NOT DISTINCT FROM``): NULL keys match each other instead of
+    matching nothing, the semantics needed when NULL is a real category
+    (unknown region, missing attribution bucket) rather than absent data.
+
+    Catalyst treats ``<=>`` as an equi-conjunct, so this still plans as a
+    hash join (broadcast or sort-merge), NOT a nested loop. Scale caveat:
+    all NULLs land in ONE join partition — a null-heavy key behaves like
+    any other hot key, so coalesce NULL to salted sentinels (or pre-split
+    the NULL slice with a broadcast join) when the NULL fraction is large.
+    """
+    lk = F.col(left_key) if isinstance(left_key, str) else left_key
+    rk = F.col(right_key) if isinstance(right_key, str) else right_key
+    return df.join(other, on=lk.eqNullSafe(rk), how=how)
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """B28/north-star — robust per-group outlier detection via median
+    absolute deviation: flag rows where
+    ``|x - median| > k * 1.4826 * MAD``. Median/MAD resist the very
+    outliers being hunted (mean/stddev get dragged by them), which is why
+    MAD is the standard robust screen for anomalous document lengths,
+    latencies, or prices.
+
+    Two exact-percentile aggregations (median, then median of absolute
+    deviations — MAD is order-dependent so it cannot be one pass), each a
+    shuffle on ``group_col``, with per-group stats broadcast back onto the
+    rows. At 100 TB swap ``percentile`` for ``approx_percentile`` with an
+    error bound below the decision threshold; group stats stay tiny either
+    way.
+
+    Returns input rows + (group_median, group_mad, is_outlier).
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("group_median")
+    )
+    dev = df.join(F.broadcast(med), on=group_col).withColumn(
+        "_absdev", F.abs(v - F.col("group_median"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile(_absdev, 0.5)").alias("group_mad"),
+        F.first("group_median").alias("group_median"),
+    )
+    return df.join(F.broadcast(mad), on=group_col).withColumn(
+        "is_outlier",
+        F.abs(v - F.col("group_median"))
+        > F.lit(float(k) * float(consistency)) * F.col("group_mad"),
+    )

@@ -36,6 +36,8 @@ __all__ = [
     "source_mix",
     "leakage_safe_split",
     "cap_per_source",
+    "weighted_sample",
+    "temperature_mix",
 ]
 
 #: 2^32 — the md5-prefix domain size.
@@ -221,4 +223,99 @@ def cap_per_source(
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= per_source)
         .drop("_rn")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str | Column,
+    keys: Sequence[str | Column],
+    salt: str = "",
+    id_order: Sequence[str] = (),
+) -> DataFrame:
+    """North-star — deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws its hash-uniform ``u`` and
+    ranks by ``u^(1/w)``; the k largest ranks are the sample. Inclusion
+    probability is proportional to weight, yet membership is a pure
+    function of the data + salt — the weighted counterpart of
+    :func:`hash_sample` (same reproducibility story: any cluster, any
+    partitioning, any engine draws the SAME sample).
+
+    Plan: row-local key computation + ``TakeOrdered`` top-k — no shuffle,
+    no RNG state, scales like a scan. Rows with NULL or non-positive
+    weight are dropped (they have no defined inclusion probability).
+
+    Cross-engine note: ``u`` is md5-exact everywhere, but ``pow`` is
+    libm-dependent at the last ulp, so the rank is rounded to 9 decimals
+    with ``id_order`` as the deterministic tiebreak before the top-k cut.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("double")
+    u = hash_uniform(keys, salt)
+    rank = F.round(F.pow(u, F.lit(1.0) / w), 9).alias("_rank")
+    order = [F.col("_rank").desc()] + [F.col(c).asc() for c in id_order]
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("_rank", rank)
+        .orderBy(*order)
+        .limit(int(k))
+        .drop("_rank")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    total: int,
+    source_col: str,
+    keys: Sequence[str | Column],
+    salt: str = "",
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """North-star — temperature-scaled source rebalancing (the multilingual
+    / multi-domain mixing rule: sample counts proportional to
+    ``n_s^tau`` with tau = 0.5, so small sources are up-weighted relative
+    to their share and mega-sources damped — the standard alternative to
+    hand-tuned :func:`source_mix` fractions).
+
+    Per-source quota: ``max(1, round(total * sqrt(n_s) / sum sqrt(n)))``;
+    within each source the quota slots go to the rows with the smallest
+    hash-uniform (deterministic, engine-stable). tau is fixed at 0.5
+    because ``sqrt`` is IEEE-correctly-rounded — the whole operator is then
+    EXACTLY reproducible cross-engine, with no libm tolerance anywhere
+    (md5 uniforms + sqrt + integer arithmetic only).
+
+    Plan: tiny per-source count agg (map-side combined) → broadcast quota
+    join → one row_number window per source. Two shuffles total, both on
+    ``source_col``; AQE can reuse the exchange. Skew: only ``quota`` rows
+    survive per source, so a hot source costs one window partition — use
+    the local-top-k pre-filter from :func:`cap_per_source` if a single
+    source exceeds executor memory.
+    """
+    from pyspark.sql import Window
+
+    if total < 1:
+        raise ValueError("total must be >= 1")
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    wsum = Window.partitionBy()
+    quotas = counts.select(
+        F.col(source_col),
+        F.greatest(
+            F.lit(1),
+            F.round(
+                F.lit(float(total))
+                * F.sqrt(F.col("_n"))
+                / F.sum(F.sqrt(F.col("_n"))).over(wsum)
+            ).cast("long"),
+        ).alias("_quota"),
+    )
+    u = hash_uniform(keys, salt)
+    w = Window.partitionBy(source_col).orderBy(
+        u.asc(), F.col(tiebreak_col).asc()
+    )
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), on=source_col)
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
     )

@@ -45,6 +45,7 @@ __all__ = [
     "pack_sequences",
     "bm25_topk",
     "encode_token_ids",
+    "lexical_diversity",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -805,4 +806,44 @@ def encode_token_ids(
                 "token_id"
             ),
         )
+    )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """North-star — lexical-diversity quality signals: type-token ratio
+    (distinct tokens / tokens) and bigram novelty (distinct bigrams /
+    bigrams). Low TTR or low novelty flags repetitive, templated, or
+    keyword-stuffed documents — the complement of
+    :func:`repetition_stats`' longest-run view (these are set-based, that
+    one is positional).
+
+    Entirely row-local array expressions (tokens → ``array_distinct`` →
+    ratio; bigrams via :func:`word_ngrams`): no shuffle, no explode — the
+    whole operator fuses into the scan stage and scales like a projection.
+    NULL text follows the round-5 contract: coalesce to '' first, which
+    yields the single-empty-token array (ttr 1.0, novelty NULL).
+
+    Returns (id, n_tokens, n_types, ttr, bigram_novelty); novelty is NULL
+    for docs with fewer than two tokens (no bigrams exist).
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    d = df.withColumn("_toks", tokens(c)).withColumn(
+        "_bi", word_ngrams(F.col("_toks"), 2)
+    )
+    n_tok = F.size("_toks")
+    n_typ = F.size(F.array_distinct("_toks"))
+    n_bi = F.size("_bi")
+    return d.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        n_typ.cast("long").alias("n_types"),
+        F.round(n_typ / n_tok, 4).alias("ttr"),
+        F.when(
+            n_bi > 0,
+            F.round(F.size(F.array_distinct("_bi")) / n_bi, 4),
+        ).alias("bigram_novelty"),
     )

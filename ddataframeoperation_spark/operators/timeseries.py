@@ -18,7 +18,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["time_bucket", "multi_granularity_rollup", "resample_ffill"]
+__all__ = [
+    "time_bucket",
+    "multi_granularity_rollup",
+    "resample_ffill",
+    "ohlc_bars",
+    "ewma",
+]
 
 _GRANULARITIES = ("hour", "day", "week", "month", "quarter", "year")
 
@@ -125,4 +131,102 @@ def resample_ffill(
         F.col("_bucket").alias("bucket"),
         F.last("_v", ignorenulls=True).over(w).alias("value"),
         F.col("_v").isNull().alias("is_gap"),
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    granularity: str = "hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Candlestick / OHLC downsampling: per (key, time bucket) the first
+    (open), highest (high), lowest (low), and last (close) observation plus
+    count and mean — the canonical financial-bar / telemetry-downsample
+    aggregate (Timescale ``candlestick_agg``, kdb ``xbar`` shape).
+
+    Implementation is ONE hash aggregate, no window: open/close are
+    ``min_by``/``max_by`` over a (ts, tiebreak) struct, which Spark
+    evaluates map-side-combinable like any other agg — so the operator
+    scales exactly like a plain group-by (single shuffle on the bucketed
+    key, partial aggregation before it). A window formulation
+    (first/last over partitions) would sort every partition instead.
+
+    ``tiebreak_col`` breaks equal-timestamp ties deterministically; without
+    it, equal-``ts`` rows make open/close nondeterministic under
+    partial-agg ordering.
+    """
+    order = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.struct(F.col(ts_col))
+    )
+    return (
+        df.groupBy(
+            F.col(key_col),
+            time_bucket(ts_col, granularity).alias("bucket"),
+        )
+        .agg(
+            F.min_by(F.col(value_col), order).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), order).alias("close"),
+            F.count("*").alias("n_obs"),
+            F.round(F.avg(value_col), 4).alias("mean_value"),
+        )
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average (final smoothed level):
+    ``s_1 = v_1;  s_t = alpha * v_t + (1 - alpha) * s_(t-1)`` over the
+    time-ordered series — the standard streaming smoother for metrics /
+    anomaly baselines.
+
+    Spark-first form: collect each key's series into a time-sorted array
+    (``array_sort`` over (ts, tiebreak, value) structs — total struct
+    ordering, no window sort) and fold it JVM-side with ``aggregate``.
+    The recurrence is inherently sequential per key, but keys are
+    independent, so parallelism = key cardinality — same contract as any
+    per-key window. The per-key series must fit in one array (fine for
+    bounded per-entity telemetry; for unbounded series, segment by time
+    first and chain segment levels, or use the streaming path).
+
+    The identical left fold runs in DuckDB as
+    ``list_reduce(list(v ORDER BY ts, tb), (acc, x) -> a*x + (1-a)*acc)``
+    — both engines execute the same IEEE double sequence, so results match
+    exactly; ``round_to`` only guards the final rendering.
+
+    Returns (key, n_obs, ewma).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
+    item = F.struct(
+        F.col(ts_col).alias("t"), tb.alias("b"), F.col(value_col).alias("v")
+    )
+    g = df.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(item)).alias("_series"),
+    )
+    vals = F.transform(F.col("_series"), lambda s: s["v"])
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: F.lit(float(alpha)) * x
+        + F.lit(1.0 - float(alpha)) * acc,
+    )
+    return g.select(
+        F.col(key_col),
+        F.size("_series").cast("long").alias("n_obs"),
+        F.round(folded, round_to).alias("ewma"),
     )

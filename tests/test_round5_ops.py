@@ -1,0 +1,128 @@
+"""Round-5 widening operators: OHLC bars, EWMA, robust outliers,
+null-safe join, weighted/temperature sampling, lexical diversity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.operators import relational as R
+from ddataframeoperation_spark.operators import sampling
+from ddataframeoperation_spark.operators import text as TX
+from ddataframeoperation_spark.operators.timeseries import ewma, ohlc_bars
+
+
+def _events(spark):
+    rows = [
+        # (event_id, ts, key, value) — two keys, one hour bucket each plus
+        # a second bucket for key 1; equal-ts tie inside key 2.
+        (1, "2024-03-01 10:05:00", 1, 10.0),
+        (2, "2024-03-01 10:20:00", 1, 30.0),
+        (3, "2024-03-01 10:50:00", 1, 20.0),
+        (4, "2024-03-01 11:10:00", 1, 5.0),
+        (5, "2024-03-01 10:00:00", 2, 7.0),
+        (6, "2024-03-01 10:00:00", 2, 9.0),  # same ts as id 5 — tiebreak
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_ohlc_open_close_high_low(spark):
+    out = ohlc_bars(
+        _events(spark), "user_id", "ts", "value", "hour", tiebreak_col="event_id"
+    )
+    bars = {(r["user_id"], str(r["bucket"])): r for r in out.collect()}
+    b = bars[(1, "2024-03-01 10:00:00")]
+    assert (b["open"], b["high"], b["low"], b["close"]) == (10.0, 30.0, 10.0, 20.0)
+    assert b["n_obs"] == 3 and b["mean_value"] == 20.0
+    # Equal timestamps: the tiebreak (event_id) decides open/close.
+    t = bars[(2, "2024-03-01 10:00:00")]
+    assert (t["open"], t["close"]) == (7.0, 9.0)
+    assert bars[(1, "2024-03-01 11:00:00")]["open"] == 5.0
+
+
+def test_ewma_matches_hand_fold(spark):
+    out = {r["user_id"]: r for r in
+           ewma(_events(spark), "user_id", "ts", "value",
+                alpha=0.5, tiebreak_col="event_id").collect()}
+    # key 1: 10 -> .5*30+.5*10=20 -> .5*20+.5*20=20 -> .5*5+.5*20=12.5
+    assert out[1]["ewma"] == 12.5 and out[1]["n_obs"] == 4
+    # key 2: seed 7 (tiebreak), then .5*9+.5*7
+    assert out[2]["ewma"] == 8.0
+
+
+def test_ewma_single_obs_and_alpha_validation(spark):
+    one = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 9, 3.5)],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = ewma(one, "user_id", "ts", "value").collect()[0]
+    assert row["ewma"] == 3.5 and row["n_obs"] == 1
+    with pytest.raises(ValueError):
+        ewma(one, "user_id", "ts", "value", alpha=0.0)
+
+
+def test_mad_outliers_flags_only_the_spike(spark):
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 1000]] + [
+        ("b", 5.0), ("b", 6.0), ("b", 7.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = R.mad_outliers(df, "g", "v", k=3.0)
+    flagged = [r["v"] for r in out.collect() if r["is_outlier"]]
+    assert flagged == [1000.0]
+    # Stats are constant per group and robust to the spike.
+    a = [r for r in out.collect() if r["g"] == "a"][0]
+    assert a["group_median"] == 12.5
+
+
+def test_join_nullsafe_matches_null_keys(spark):
+    left = spark.createDataFrame([(1, None), (2, 7), (3, 8)], "id long, k int")
+    right = spark.createDataFrame([(None, "nil"), (7, "seven")], "k2 int, name string")
+    got = {
+        (r["id"], r["name"])
+        for r in R.join_nullsafe(left, right, "k", "k2").collect()
+    }
+    assert got == {(1, "nil"), (2, "seven")}  # NULL<=>NULL matches; 8 drops
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # One row dominates the weight mass -> it must be in any small sample;
+    # zero/NULL weights are excluded by contract.
+    rows = [(i, 1) for i in range(1, 50)] + [(99, 10**9), (100, 0), (101, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r["doc_id"] for r in
+           sampling.weighted_sample(df, 5, "w", ["doc_id"], id_order=["doc_id"]).collect()}
+    assert 99 in got and 100 not in got and 101 not in got and len(got) == 5
+    # Deterministic: same call, same sample.
+    again = {r["doc_id"] for r in
+             sampling.weighted_sample(df, 5, "w", ["doc_id"], id_order=["doc_id"]).collect()}
+    assert got == again
+
+
+def test_temperature_mix_quota_flattening(spark):
+    # 400 'big' vs 16 'small': proportional mixing would give 25:1; at
+    # tau=0.5 quotas follow sqrt(n) -> 20:4 = 5:1 for total=24.
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.temperature_mix(df, 24, "source", ["doc_id"])
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 20, "small": 4}
+    with pytest.raises(ValueError):
+        sampling.temperature_mix(df, 0, "source", ["doc_id"])
+
+
+def test_lexical_diversity_contracts(spark):
+    rows = [
+        (1, "spam spam spam spam"),           # ttr 0.25, novelty 1/3
+        (2, "all distinct words here"),        # ttr 1.0, novelty 1.0
+        (3, None),                             # NULL -> [''] token, no bigrams
+        (4, "one"),                            # single token -> novelty NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.lexical_diversity(df).collect()}
+    assert out[1]["ttr"] == 0.25 and out[1]["bigram_novelty"] == 0.3333
+    assert out[2]["ttr"] == 1.0 and out[2]["bigram_novelty"] == 1.0
+    assert out[3]["n_tokens"] == 1 and out[3]["bigram_novelty"] is None
+    assert out[4]["bigram_novelty"] is None
