@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "b05_lateral_topn",
     "b22_temperature_mix",
     "b34_lexical_diversity",
+    "b35_funnel",
+    "b33_centroid_confusion",
+    "b16_skyline_2d",
+    "b18_transition_matrix",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure

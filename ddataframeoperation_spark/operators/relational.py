@@ -50,6 +50,7 @@ __all__ = [
     "hll_distinct_rollup",
     "join_nullsafe",
     "mad_outliers",
+    "pareto_frontier_2d",
 ]
 
 
@@ -484,3 +485,40 @@ def mad_outliers(
         F.abs(v - F.col("group_median"))
         > F.lit(float(k) * float(consistency)) * F.col("group_mad"),
     )
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Skyline query (2-D Pareto frontier, minimize both): keep rows not
+    dominated by any other row — ``y`` dominates ``x`` when it is <= on
+    both attributes and strictly < on at least one. The classic
+    "cheapest-AND-smallest" multi-criteria shortlist.
+
+    The naive form is a quadratic NOT-EXISTS self-join; in 2-D it
+    collapses to running minima over the DISTINCT x values: a row is
+    dominated iff min(y) over strictly-smaller x is <= its y, or some
+    same-x row has strictly smaller y. Plan: per-x min aggregate (map-side
+    combined, key space = distinct x), one running-min window over that
+    SMALL table, then an equi-join back on x — no self-join of the data,
+    no cross product, scales like a group-by. The un-partitioned window
+    runs over distinct-x rows only (bounded), not the input.
+
+    Ties on both attributes are co-frontier (neither dominates). Rows
+    with NULL in either attribute are dropped (dominance is undefined).
+    Output: input rows on the frontier.
+    """
+    from pyspark.sql import Window
+
+    x, y = F.col(x_col), F.col(y_col)
+    clean = df.filter(x.isNotNull() & y.isNotNull())
+    per_x = clean.groupBy(x_col).agg(F.min(y_col).alias("_min_y_at_x"))
+    w = Window.orderBy(x_col).rowsBetween(Window.unboundedPreceding, -1)
+    stats = per_x.withColumn("_min_y_before", F.min("_min_y_at_x").over(w))
+    joined = clean.join(stats, on=x_col)
+    dominated = (
+        F.col("_min_y_before").isNotNull() & (F.col("_min_y_before") <= y)
+    ) | (F.col("_min_y_at_x") < y)
+    return joined.filter(~dominated).drop("_min_y_at_x", "_min_y_before")

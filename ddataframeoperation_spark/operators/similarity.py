@@ -38,6 +38,8 @@ __all__ = [
     "ivf_topk",
     "quantize_embeddings",
     "quantized_topk",
+    "label_centroids",
+    "nearest_centroid_confusion",
 ]
 
 
@@ -470,4 +472,80 @@ def quantized_topk(
         scored.orderBy(F.col("_cos").desc_nulls_last(), F.col(id_col).asc())
         .limit(k)
         .select(F.col(id_col), F.round("_cos", 4).alias("qcos_sim"))
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label element-wise mean vector, computed FULLY DISTRIBUTED
+    (unlike :func:`kmeans_centroids`' bounded driver-side training sample):
+    posexplode to (label, pos, val), one hash aggregate per (label, pos) —
+    map-side combined, shuffle carries labels × dim keys, not rows — then
+    reassemble each centroid with a position-sorted collect_list. This is
+    the k-means update step (and the class-prototype builder for
+    nearest-centroid classification) at any corpus size; dim is a small
+    constant, so the exploded volume is dim × rows within one codegen'd
+    stage, never materialized.
+
+    Returns (label, centroid array<double>).
+    """
+    e = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    m = e.groupBy(label_col, "pos").agg(
+        F.avg(F.col("val").cast("double")).alias("m")
+    )
+    return m.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def nearest_centroid_confusion(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-class-centroid assignment + confusion counts: build the
+    per-label prototypes (:func:`label_centroids`), assign every vector to
+    its closest prototype by squared L2, and count (true label, assigned
+    label) pairs — one k-means E-step plus the standard label-coherence
+    diagnostic for an embedding column.
+
+    Plan: centroids are |labels| rows → broadcast; the vector × centroid
+    scoring is a broadcast nested-loop over a CONSTANT small side (the
+    canonical assignment shape — each row scores k prototypes in place),
+    then argmin via min_by in a map-side-combined aggregate keyed on the
+    vector id, then a tiny count aggregate. The only data-sized shuffle is
+    the argmin aggregate; ties break to the lower label. Output carries no
+    floating-point column, so results are engine-exact even though the
+    distances themselves differ at fp ulp level.
+
+    Returns (label, assigned_label, n_vecs).
+    """
+    vecs = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    )
+    cents = label_centroids(df, label_col, vec_col).select(
+        F.col(label_col).alias("_c_label"), F.col("centroid").alias("_c")
+    )
+    diff = F.zip_with("_v", "_c", lambda a, b: (a - b) * (a - b))
+    dist2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn("_d2", dist2)
+    assigned = scored.groupBy(id_col).agg(
+        F.min_by("_c_label", F.struct(F.col("_d2"), F.col("_c_label"))).alias(
+            "assigned_label"
+        ),
+        F.first(label_col).alias(label_col),
+    )
+    return (
+        assigned.groupBy(label_col, "assigned_label")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
     )

@@ -30,6 +30,9 @@ __all__ = [
     "top_n_per_group",
     "sessionize",
     "scd2_history",
+    "funnel_counts",
+    "retention_cohorts",
+    "transition_counts",
 ]
 
 
@@ -195,3 +198,124 @@ def scd2_history(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """B35 adjunct — ordered conversion funnel: how many users performed
+    step 1, then step 2 STRICTLY AFTER their first step 1, then step 3
+    after that, ... (the product-analytics staple; strict event-time
+    ordering, each stage anchored at the user's EARLIEST qualifying time,
+    which is the standard first-touch attribution rule).
+
+    Plan: one filtered min-aggregate per step, chained by an equi-join on
+    the user key — every shuffle is on ``user_col``, so AQE reuses one
+    exchange layout; per-step frames shrink monotonically (stage k+1 joins
+    only stage-k converters). No window, no explode; at 100 TB this is
+    k small hash-aggregates over one scan each (or one multi-min scan if
+    the event table is pre-filtered to the step types).
+
+    Returns (step, step_name, n_users) with step 1..len(steps), n_users
+    non-increasing.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    reached: list[tuple[str, int]] = []
+    prev: DataFrame | None = None
+    for i, s in enumerate(steps):
+        ev = df.filter(F.col(type_col) == s)
+        if prev is None:
+            cur = ev.groupBy(user_col).agg(F.min(ts_col).alias(f"_t{i}"))
+        else:
+            cur = (
+                ev.join(prev, on=user_col)
+                .filter(F.col(ts_col) > F.col(f"_t{i-1}"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias(f"_t{i}"))
+            )
+        reached.append((s, i))
+        prev = cur.select(user_col, f"_t{i}")
+        counts = prev.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i + 1).alias("step"),
+            F.lit(s).alias("step_name"),
+            "n_users",
+        )
+        if i == 0:
+            out = counts
+        else:
+            out = out.unionByName(counts)
+    return out
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+    period_days: int = 7,
+) -> DataFrame:
+    """B35 adjunct — retention-cohort triangle: users bucketed by the
+    period of their FIRST activity (the cohort), counted in each
+    subsequent period they return. The canonical growth-analytics rollup
+    (cohort × period_offset → distinct actives).
+
+    Plan: per-user first-activity aggregate (one shuffle on the user key)
+    joined back onto the event stream — the cohort side is one row per
+    user, so at 100 TB it is the standard big-big equi-join on a
+    well-distributed key; then one count-distinct aggregate over
+    (cohort, offset), whose key space is tiny (periods²/2).
+
+    Returns (cohort, period_offset, n_users).
+    """
+    first = df.groupBy(user_col).agg(F.min(ts_col).alias("_first_ts"))
+    joined = df.select(user_col, ts_col).join(first, on=user_col)
+    # DATE-typed cohort key: engines disagree on whether date_trunc of a
+    # timestamp stays a timestamp; a calendar bucket is a date anyway.
+    cohort = F.to_date(F.date_trunc(granularity, F.col("_first_ts")))
+    offset = (
+        F.floor(
+            F.datediff(F.to_date(ts_col), F.to_date("_first_ts"))
+            / F.lit(int(period_days))
+        )
+        .cast("int")
+        .alias("period_offset")
+    )
+    return (
+        joined.select(cohort.alias("cohort"), offset, F.col(user_col))
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct(user_col).cast("long").alias("n_users"))
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """B18 applied — first-order Markov transition counts: for each user's
+    time-ordered event sequence, count (state -> next state) pairs across
+    the whole log, plus terminal transitions to NULL (sequence end). The
+    input to journey analysis / next-event models.
+
+    One lead() window per user (single shuffle+sort on the user key) and
+    a tiny (|types|²) count aggregate. Deterministic when ``tiebreak``
+    makes the per-user order total.
+
+    Returns (from_type, to_type, n) with to_type NULL for sequence ends.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    nxt = df.withColumn("_next", F.lead(type_col).over(w))
+    return (
+        nxt.groupBy(
+            F.col(type_col).alias("from_type"), F.col("_next").alias("to_type")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )

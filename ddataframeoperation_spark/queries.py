@@ -5444,6 +5444,134 @@ def b34ld(spark: SparkSession, sf: str) -> DataFrame:
     return TX.lexical_diversity(_t(spark, sf, "documents"))
 
 
+@_q(
+    "b35_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t1
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t0
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t1
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    """,
+)
+def b35f(spark: SparkSession, sf: str) -> DataFrame:
+    # Ordered conversion funnel (view -> click -> purchase), each stage
+    # anchored at the user's earliest qualifying event — chained filtered
+    # min-aggs, all shuffling on the user key; see windows.funnel_counts.
+    e = _t(spark, sf, "events")
+    return W.funnel_counts(e, ["view", "click", "purchase"])
+
+
+@_q(
+    "b35_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort,
+           CAST(floor(date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) / 7.0) AS INTEGER)
+             AS period_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def b35r(spark: SparkSession, sf: str) -> DataFrame:
+    # Retention-cohort triangle: first-activity week x weekly offset ->
+    # distinct active users; see windows.retention_cohorts.
+    e = _t(spark, sf, "events")
+    return W.retention_cohorts(e, granularity="week", period_days=7)
+
+
+@_q(
+    "b33_centroid_confusion",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    u AS (SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e),
+    m AS (SELECT label AS c_label, pos, avg(x) AS mv FROM u GROUP BY 1, 2),
+    c AS (SELECT c_label, list(mv ORDER BY pos) AS cv FROM m GROUP BY 1),
+    d AS (SELECT e.vec_id, e.label, c.c_label,
+                 list_sum(list_transform(list_zip(e.v, c.cv),
+                                         p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+          FROM e, c),
+    a AS (SELECT vec_id, label, c_label,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label) AS rn
+          FROM d)
+    SELECT label, c_label AS assigned_label, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM a WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def b33cc(spark: SparkSession, sf: str) -> DataFrame:
+    # Distributed per-label centroids (k-means update step) + nearest-
+    # centroid assignment (E-step) + confusion counts. Output carries no
+    # float column, so the result is engine-exact despite fp-ulp-level
+    # distance differences; see similarity.nearest_centroid_confusion.
+    emb = _t(spark, sf, "embeddings")
+    return similarity.nearest_centroid_confusion(emb)
+
+
+@_q(
+    "b16_skyline_2d",
+    """
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    """,
+)
+def b16sky(spark: SparkSession, sf: str) -> DataFrame:
+    # Skyline / Pareto frontier (cheapest AND smallest parts): the oracle
+    # states the quadratic NOT-EXISTS dominance definition; the Spark plan
+    # collapses it to running minima over distinct prices + an equi-join —
+    # no self-join of the data. See relational.pareto_frontier_2d.
+    p = _t(spark, sf, "part")
+    return R.pareto_frontier_2d(p, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+@_q(
+    "b18_transition_matrix",
+    """
+    WITH s AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY from_type, to_type
+    """,
+)
+def b18tm(spark: SparkSession, sf: str) -> DataFrame:
+    # First-order Markov transition counts over per-user event sequences
+    # (to_type NULL = sequence end); see windows.transition_counts.
+    e = _t(spark, sf, "events")
+    return W.transition_counts(e, tiebreak=["event_id"])
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #

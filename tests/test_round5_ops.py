@@ -126,3 +126,102 @@ def test_lexical_diversity_contracts(spark):
     assert out[2]["ttr"] == 1.0 and out[2]["bigram_novelty"] == 1.0
     assert out[3]["n_tokens"] == 1 and out[3]["bigram_novelty"] is None
     assert out[4]["bigram_novelty"] is None
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # u1 completes view->click->purchase in order.
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:05:00", 1, "click"),
+        (3, "2024-01-01 10:10:00", 1, "purchase"),
+        # u2 clicked BEFORE first view -> stops at step 1.
+        (4, "2024-01-02 09:00:00", 2, "click"),
+        (5, "2024-01-02 10:00:00", 2, "view"),
+        # u3 never viewed -> counted nowhere.
+        (6, "2024-01-03 10:00:00", 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from ddataframeoperation_spark.operators.windows import funnel_counts
+
+    out = {r["step"]: (r["step_name"], r["n_users"])
+           for r in funnel_counts(df, ["view", "click", "purchase"]).collect()}
+    assert out == {1: ("view", 2), 2: ("click", 1), 3: ("purchase", 1)}
+    with pytest.raises(ValueError):
+        funnel_counts(df, [])
+
+
+def test_retention_cohorts_offsets(spark):
+    rows = [
+        # u1 first active Mon 2024-01-01 week; returns 8 days later (offset 1)
+        (1, "2024-01-02 10:00:00", 1),
+        (2, "2024-01-10 10:00:00", 1),
+        # u2 active once, same week as u1's cohort.
+        (3, "2024-01-03 10:00:00", 2),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    from ddataframeoperation_spark.operators.windows import retention_cohorts
+
+    out = {(str(r["cohort"]), r["period_offset"]): r["n_users"]
+           for r in retention_cohorts(df).collect()}
+    assert out == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1}
+
+
+def test_label_centroids_and_confusion(spark):
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [0.0, 2.0], 0),   # label-0 centroid = (0, 1)
+        (3, [10.0, 10.0], 1),
+        (4, [12.0, 10.0], 1),  # label-1 centroid = (11, 10)
+        (5, [10.9, 9.9], 0),   # mislabeled: nearest centroid is label 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    from ddataframeoperation_spark.operators.similarity import (
+        label_centroids,
+        nearest_centroid_confusion,
+    )
+
+    cents = {r["label"]: r["centroid"] for r in label_centroids(df).collect()}
+    assert cents[1] == [11.0, 10.0]
+    # label-0 centroid includes the stray point: mean of (0,0),(0,2),(10.9,9.9)
+    assert [round(v, 4) for v in cents[0]] == [3.6333, 3.9667]
+    conf = {(r["label"], r["assigned_label"]): r["n_vecs"]
+            for r in nearest_centroid_confusion(df).collect()}
+    assert conf[(0, 0)] == 2 and conf[(0, 1)] == 1 and conf[(1, 1)] == 2
+
+
+def test_pareto_frontier_2d(spark):
+    rows = [
+        (1, 1.0, 9),   # frontier (cheapest)
+        (2, 2.0, 5),   # frontier
+        (3, 3.0, 5),   # dominated by 2 (same size, pricier)
+        (4, 3.0, 1),   # frontier
+        (5, 4.0, 1),   # dominated by 4
+        (6, 2.0, 5),   # tie with 2 on both -> co-frontier
+        (7, None, 1),  # NULL attribute -> dropped
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+    got = {r["id"] for r in
+           R.pareto_frontier_2d(df, "price", "size").collect()}
+    assert got == {1, 2, 4, 6}
+
+
+def test_transition_counts_with_terminals(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 10:01:00", 1, "click"),
+        (3, "2024-01-01 10:02:00", 1, "click"),
+        (4, "2024-01-02 09:00:00", 2, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from ddataframeoperation_spark.operators.windows import transition_counts
+
+    got = {(r["from_type"], r["to_type"]): r["n"]
+           for r in transition_counts(df, tiebreak=["event_id"]).collect()}
+    # u1: view->click->click->END; u2: view->END
+    assert got == {("view", "click"): 1, ("click", "click"): 1,
+                   ("click", None): 1, ("view", None): 1}
