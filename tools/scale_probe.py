@@ -21,10 +21,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import DataFrame, functions as F
 
 from ddataframeoperation_spark.catalog import read_fixture_table
-from ddataframeoperation_spark.operators import dedup, sampling, similarity
+from ddataframeoperation_spark.operators import dedup, relational, sampling, similarity
 from ddataframeoperation_spark.operators import text as TX
 from ddataframeoperation_spark.operators.asof import interval_overlap_join
-from ddataframeoperation_spark.operators.windows import scd2_history
+from ddataframeoperation_spark.operators.timeseries import ewma, ohlc_bars
+from ddataframeoperation_spark.operators.windows import (
+    funnel_counts,
+    retention_cohorts,
+    scd2_history,
+    transition_counts,
+)
 from ddataframeoperation_spark.session import get_spark
 
 SF = "/root/testdata/sf0.1"
@@ -86,8 +92,45 @@ def main() -> int:
             f"scd2_history {tag}",
             lambda e=e: scd2_history(e, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"]),
         )
+        probe(
+            f"ohlc_bars {tag}",
+            lambda e=e: ohlc_bars(e, "user_id", "ts", "value", "hour", "event_id"),
+        )
+        probe(
+            f"ewma {tag}",
+            lambda e=e: ewma(e, "user_id", "ts", "value", tiebreak_col="event_id"),
+        )
+        probe(
+            f"funnel {tag}",
+            lambda e=e: funnel_counts(e, ["view", "click", "purchase"]),
+        )
+        probe(f"retention {tag}", lambda e=e: retention_cohorts(e))
+        probe(
+            f"transition_matrix {tag}",
+            lambda e=e: transition_counts(e, tiebreak=["event_id"]),
+        )
     for tag, m in (("1x", emb1), (f"{factor}x", emb)):
         probe(f"quantized_topk {tag}", lambda m=m: similarity.quantized_topk(m, 0, k=10))
+        probe(
+            f"centroid_confusion {tag}",
+            lambda m=m: similarity.nearest_centroid_confusion(m),
+        )
+    for tag, d in (("1x", docs1), (f"{factor}x", docs)):
+        probe(
+            f"weighted_sample {tag}",
+            lambda d=d: sampling.weighted_sample(
+                d, 100, "n_chars", ["doc_id"], id_order=["doc_id"]
+            ),
+        )
+        probe(
+            f"temperature_mix {tag}",
+            lambda d=d: sampling.temperature_mix(d, 200, "source", ["doc_id"]),
+        )
+        probe(f"lexical_diversity {tag}", lambda d=d: TX.lexical_diversity(d))
+        probe(
+            f"mad_outliers {tag}",
+            lambda d=d: relational.mad_outliers(d, "source", "n_chars"),
+        )
     return 0
 
 
