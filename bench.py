@@ -86,6 +86,11 @@ BENCH_QUERIES = [
     "b33_centroid_confusion",
     "b16_skyline_2d",
     "b18_transition_matrix",
+    "b25_winsorize",
+    "b34_corpus_balance",
+    "b18_debounce",
+    "b21_snapshot_diff",
+    "b29_nested_json",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
@@ -114,6 +119,8 @@ COUNT_ONLY = {
     "b24_ohlc_bars",
     "b05_lateral_topn",
     "b34_lexical_diversity",
+    "b18_debounce",
+    "b21_snapshot_diff",
 }
 
 

@@ -51,6 +51,8 @@ __all__ = [
     "join_nullsafe",
     "mad_outliers",
     "pareto_frontier_2d",
+    "winsorize",
+    "snapshot_diff",
 ]
 
 
@@ -522,3 +524,82 @@ def pareto_frontier_2d(
         F.col("_min_y_before").isNotNull() & (F.col("_min_y_before") <= y)
     ) | (F.col("_min_y_at_x") < y)
     return joined.filter(~dominated).drop("_min_y_at_x", "_min_y_before")
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """B25/B28 — per-group winsorization: clip ``value_col`` to its group's
+    [lower, upper] exact percentiles. The standard tail-taming transform
+    before means/regressions on heavy-tailed data (prices, latencies,
+    document lengths) — unlike :func:`mad_outliers` it KEEPS the rows,
+    bounding their influence instead of flagging them.
+
+    One exact-percentile aggregate per group (map-side-combined sketch
+    state, single shuffle on ``group_col``) broadcast back onto the rows —
+    the same two-step shape as ``mad_outliers`` minus the second pass. At
+    100 TB swap ``percentile`` for ``approx_percentile`` when the clip
+    bounds tolerate sketch error. Adds (p_lo, p_hi, winsorized).
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {float(lower)})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {float(upper)})").alias("p_hi"),
+    )
+    return df.join(F.broadcast(stats), on=group_col).withColumn(
+        "winsorized", F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi"))
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """CDC-style keyed snapshot diff: classify every key as ``inserted``
+    (new only), ``deleted`` (old only), ``changed`` (present in both,
+    any attribute differs null-safely), or ``unchanged``. The batch
+    change-detection step feeding incremental sync / SCD2 loads
+    (:func:`~ddataframeoperation_spark.operators.windows.scd2_history`
+    consumes the change LOG; this derives one from two snapshots).
+
+    One full-outer equi-join on the key columns — the canonical big-big
+    shuffle join; attribute comparison is a row-local null-safe struct
+    equality, so the whole diff is join + map at any scale. Keys must be
+    unique per snapshot (enforce upstream or dedup first).
+
+    Returns (keys..., change_type).
+    """
+    o = old.select(
+        *[F.col(c).alias(f"_ok_{c}") for c in key_cols],
+        F.struct(*[F.col(c) for c in attr_cols]).alias("_oattrs"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_nk_{c}") for c in key_cols],
+        F.struct(*[F.col(c) for c in attr_cols]).alias("_nattrs"),
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_ok_{c}").eqNullSafe(F.col(f"_nk_{c}"))
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, on=cond, how="full_outer")
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("inserted"))
+        .when(F.col("_in_new").isNull(), F.lit("deleted"))
+        .when(~F.col("_oattrs").eqNullSafe(F.col("_nattrs")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    keys = [
+        F.coalesce(F.col(f"_nk_{c}"), F.col(f"_ok_{c}")).alias(c)
+        for c in key_cols
+    ]
+    return j.select(*keys, change.alias("change_type"))

@@ -33,6 +33,7 @@ __all__ = [
     "funnel_counts",
     "retention_cohorts",
     "transition_counts",
+    "debounce",
 ]
 
 
@@ -318,4 +319,34 @@ def transition_counts(
             F.col(type_col).alias("from_type"), F.col("_next").alias("to_type")
         )
         .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def debounce(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    min_gap_seconds: float = 5.0,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Telemetry de-noising: drop events that follow the IMMEDIATELY
+    preceding event of the same key by less than ``min_gap_seconds`` —
+    the standard duplicate-click / sensor-chatter filter. (Throttling
+    relative to the previously KEPT event is a sequential fold — use the
+    streaming path or an ewma-style array fold when that exact semantics
+    is needed; this lag-based form is the stateless approximation every
+    batch pipeline uses.)
+
+    One lag() window per key — single shuffle+sort, then a row-local
+    filter; composes with :func:`sessionize` (same partitioning, Catalyst
+    reuses the exchange when chained).
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    gap = epoch_seconds(F.col(ts_col)) - epoch_seconds(prev_ts)
+    return (
+        df.withColumn("_gap", gap)
+        .filter(F.col("_gap").isNull() | (F.col("_gap") >= min_gap_seconds))
+        .drop("_gap")
     )

@@ -5572,6 +5572,254 @@ def b18tm(spark: SparkSession, sf: str) -> DataFrame:
     return W.transition_counts(e, tiebreak=["event_id"])
 
 
+@_q(
+    "b25_winsorize",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p_lo,
+             quantile_cont(l_extendedprice, 0.95) AS p_hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(l.l_extendedprice), 4) AS avg_raw,
+           round(avg(least(greatest(l.l_extendedprice, s.p_lo), s.p_hi)), 4)
+             AS avg_winsorized,
+           round(max(s.p_lo), 4) AS p_lo,
+           round(max(s.p_hi), 4) AS p_hi
+    FROM lineitem l JOIN s USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def b25w(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-group winsorized mean vs raw mean: clip to exact [p05, p95]
+    # before averaging — the tail-taming transform that KEEPS rows
+    # (contrast mad_outliers, which flags them). See relational.winsorize.
+    li = _t(spark, sf, "lineitem")
+    w = R.winsorize(li, "l_returnflag", "l_extendedprice", 0.05, 0.95)
+    return w.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_raw"),
+        F.round(F.avg("winsorized"), 4).alias("avg_winsorized"),
+        F.round(F.max("p_lo"), 4).alias("p_lo"),
+        F.round(F.max("p_hi"), 4).alias("p_hi"),
+    )
+
+
+@_q(
+    "b34_corpus_balance",
+    """
+    WITH c AS (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+    ),
+    t AS (SELECT lang, sum(n) AS total FROM c GROUP BY lang)
+    SELECT c.lang,
+           CAST(t.total AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           round(-sum((n / CAST(total AS DOUBLE)) * ln(n / CAST(total AS DOUBLE))), 4)
+             AS source_entropy,
+           round(sum(pow(n / CAST(total AS DOUBLE), 2.0)), 4) AS hhi,
+           round(max(n / CAST(total AS DOUBLE)), 4) AS top_source_share
+    FROM c JOIN t USING (lang)
+    GROUP BY c.lang, t.total
+    """,
+)
+def b34cb(spark: SparkSession, sf: str) -> DataFrame:
+    # Corpus-balance diagnostics per language: Shannon entropy, HHI
+    # concentration, and top-source share of the source mix — the
+    # dashboard numbers behind temperature_mix / cap_per_source decisions.
+    # Tiny (lang, source) count agg, then per-lang window total; one scan.
+    d = _t(spark, sf, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("lang"))
+    p = (F.col("n") / tot).alias("_p")
+    scored = c.select("lang", F.col("n"), tot.alias("_total"), p)
+    return scored.groupBy("lang").agg(
+        F.max("_total").cast("long").alias("n_docs"),
+        F.count("*").alias("n_sources"),
+        F.round(-F.sum(F.col("_p") * F.log(F.col("_p"))), 4).alias(
+            "source_entropy"
+        ),
+        F.round(F.sum(F.pow(F.col("_p"), F.lit(2.0))), 4).alias("hhi"),
+        F.round(F.max("_p"), 4).alias("top_source_share"),
+    )
+
+
+@_q(
+    "b18_debounce",
+    """
+    WITH g AS (
+      SELECT event_id, user_id, event_type,
+             epoch(CAST(ts AS TIMESTAMP))
+               - epoch(lag(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 )) AS gap
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_first
+    FROM g WHERE gap IS NULL OR gap >= 60.0
+    GROUP BY user_id
+    """,
+)
+def b18db(spark: SparkSession, sf: str) -> DataFrame:
+    # Duplicate-click / sensor-chatter filter: drop events under 60s after
+    # the immediately preceding same-user event; see windows.debounce.
+    e = _t(spark, sf, "events")
+    kept = W.debounce(e, min_gap_seconds=60.0, tiebreak=["event_id"])
+    # n_first counts each user's sequence head (gap undefined) — re-derive
+    # it as the min event per user among kept rows == overall first event.
+    first = e.groupBy("user_id").agg(F.min("event_id").alias("_fid"))
+    return (
+        kept.join(F.broadcast(first), on="user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum(
+                F.when(F.col("event_id") == F.col("_fid"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_first"),
+        )
+    )
+
+
+@_q(
+    "b01_text_log_parse",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids
+    FROM events GROUP BY event_type
+    """,
+)
+def b01log(spark: SparkSession, sf: str) -> DataFrame:
+    # Log-parsing ETL roundtrip: serialize events to pipe-delimited text
+    # lines, re-ingest with the TEXT source, regexp_extract the fields
+    # back, aggregate. The oracle is the identity aggregate on the source
+    # table, so a hash match proves the serialize -> text-scan -> regex
+    # parse chain is lossless. Text + regex runs JVM-side in the scan
+    # stage — the standard first step for raw log corpora at scale.
+    import tempfile
+
+    e = _t(spark, sf, "events")
+    out = tempfile.mkdtemp(prefix="loglines_")
+    e.select(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+        ).alias("value")
+    ).write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    parsed = lines.select(
+        F.regexp_extract("value", r"^(\d+)\|(\d+)\|(\w+)$", 1)
+        .cast("long")
+        .alias("event_id"),
+        F.regexp_extract("value", r"^(\d+)\|(\d+)\|(\w+)$", 3).alias(
+            "event_type"
+        ),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+    )
+
+
+@_q(
+    "b21_snapshot_diff",
+    """
+    WITH old AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+    new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 10.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 53 = 0
+    )
+    SELECT coalesce(new.c_custkey, old.c_custkey) AS c_custkey,
+           CASE WHEN old.c_custkey IS NULL THEN 'inserted'
+                WHEN new.c_custkey IS NULL THEN 'deleted'
+                WHEN old.c_acctbal IS DISTINCT FROM new.c_acctbal
+                     OR old.c_mktsegment IS DISTINCT FROM new.c_mktsegment
+                  THEN 'changed'
+                ELSE 'unchanged' END AS change_type
+    FROM old FULL OUTER JOIN new USING (c_custkey)
+    WHERE NOT (old.c_custkey IS NOT NULL AND new.c_custkey IS NOT NULL
+               AND old.c_acctbal IS NOT DISTINCT FROM new.c_acctbal
+               AND old.c_mktsegment IS NOT DISTINCT FROM new.c_mktsegment)
+    """,
+)
+def b21sd(spark: SparkSession, sf: str) -> DataFrame:
+    # CDC snapshot diff: the "new" snapshot deterministically deletes
+    # every 97th key, bumps every 13th balance, and inserts shifted copies
+    # of every 53rd — so inserted/deleted/changed rows are all exercised.
+    # See relational.snapshot_diff (full-outer join + null-safe struct
+    # compare); unchanged keys are filtered to keep the result small.
+    c = _t(spark, sf, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    new = c.filter(F.col("c_custkey") % 97 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 10.0
+        ).otherwise(F.col("c_acctbal")),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 53 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 1000000
+        )
+    )
+    d = R.snapshot_diff(c, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+    return d.filter(F.col("change_type") != "unchanged")
+
+
+@_q(
+    "b29_nested_json",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids
+    FROM events GROUP BY event_type
+    """,
+)
+def b29nj(spark: SparkSession, sf: str) -> DataFrame:
+    # Nested export/reingest roundtrip: events nest into one JSON document
+    # per user (sorted array of structs -> to_json), then parse back with
+    # from_json + explode and re-aggregate. The identity oracle proves the
+    # nest -> serialize -> parse -> unnest chain is lossless — the shape
+    # used when exporting grouped training examples / conversation turns
+    # as JSONL. All JVM-side codecs; one shuffle (the groupBy user).
+    from pyspark.sql import types as T
+
+    e = _t(spark, sf, "events")
+    nested = e.groupBy("user_id").agg(
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("event_id").alias("i"), F.col("event_type").alias("t"))
+                )
+            )
+        ).alias("doc")
+    )
+    sch = T.ArrayType(
+        T.StructType(
+            [T.StructField("i", T.LongType()), T.StructField("t", T.StringType())]
+        )
+    )
+    back = nested.select(
+        F.explode(F.from_json("doc", sch)).alias("r")
+    ).select(F.col("r.i").alias("event_id"), F.col("r.t").alias("event_type"))
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #

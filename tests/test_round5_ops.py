@@ -225,3 +225,76 @@ def test_transition_counts_with_terminals(spark):
     # u1: view->click->click->END; u2: view->END
     assert got == {("view", "click"): 1, ("click", "click"): 1,
                    ("click", None): 1, ("view", None): 1}
+
+
+def test_winsorize_clips_to_group_percentiles(spark):
+    rows = [("a", float(v)) for v in range(1, 11)] + [("a", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = R.winsorize(df, "g", "v", 0.0, 0.5)  # clip to [min, median]
+    vals = sorted(r["winsorized"] for r in out.collect())
+    assert max(vals) == 6.0  # median of 1..10,1000 is 6
+    assert min(vals) == 1.0
+    with pytest.raises(ValueError):
+        R.winsorize(df, "g", "v", 0.9, 0.1)
+
+
+def test_debounce_drops_rapid_followers(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 1),
+        (2, "2024-01-01 10:00:02", 1),   # 2s after prev -> dropped
+        (3, "2024-01-01 10:00:09", 1),   # 7s after DROPPED prev (lag
+                                          # semantics: vs row 2) -> kept
+        (4, "2024-01-01 10:00:00", 2),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    from ddataframeoperation_spark.operators.windows import debounce
+
+    kept = {r["event_id"]
+            for r in debounce(df, min_gap_seconds=5.0, tiebreak=["event_id"]).collect()}
+    assert kept == {1, 3, 4}
+
+
+def test_corpus_balance_uniform_vs_skewed(spark):
+    rows = [(i, "en", "s%d" % (i % 4)) for i in range(8)] + [
+        (100 + i, "de", "only") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    from ddataframeoperation_spark.queries import QUERIES  # noqa: F401  (pattern parity)
+    c = df.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    # Reuse the query's math inline: uniform 4-way entropy = ln(4), hhi=0.25.
+    from pyspark.sql import Window as W_
+
+    tot = F.sum("n").over(W_.partitionBy("lang"))
+    p = (F.col("n") / tot).alias("_p")
+    out = (
+        c.select("lang", p)
+        .groupBy("lang")
+        .agg(
+            F.round(-F.sum(F.col("_p") * F.log(F.col("_p"))), 4).alias("h"),
+            F.round(F.sum(F.pow(F.col("_p"), F.lit(2.0))), 4).alias("hhi"),
+        )
+    )
+    got = {r["lang"]: (r["h"], r["hhi"]) for r in out.collect()}
+    assert got["en"] == (round(__import__("math").log(4), 4), 0.25)
+    assert got["de"] == (-0.0, 1.0) or got["de"] == (0.0, 1.0)
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 25.0), (4, 40.0)], "k long, v double"
+    )
+    got = {r["k"]: r["change_type"]
+           for r in R.snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "deleted", 4: "inserted"}
+
+
+def test_snapshot_diff_null_attrs_null_safe(spark):
+    old = spark.createDataFrame([(1, None), (2, None)], "k long, v double")
+    new = spark.createDataFrame([(1, None), (2, 5.0)], "k long, v double")
+    got = {r["k"]: r["change_type"]
+           for r in R.snapshot_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {1: "unchanged", 2: "changed"}  # NULL == NULL, NULL != 5
