@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "b18_debounce",
     "b21_snapshot_diff",
     "b29_nested_json",
+    "b24_twap",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure

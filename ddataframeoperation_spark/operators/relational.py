@@ -552,8 +552,14 @@ def winsorize(
         F.expr(f"percentile({value_col}, {float(lower)})").alias("p_lo"),
         F.expr(f"percentile({value_col}, {float(upper)})").alias("p_hi"),
     )
+    # Guard NULL values explicitly: Spark's greatest/least SKIP null
+    # arguments, so an unguarded clamp would fabricate p_lo for missing
+    # data; a NULL observation must stay NULL (and fall out of avg()).
+    clipped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi"))
+    )
     return df.join(F.broadcast(stats), on=group_col).withColumn(
-        "winsorized", F.least(F.greatest(v, F.col("p_lo")), F.col("p_hi"))
+        "winsorized", clipped
     )
 
 

@@ -249,6 +249,14 @@ def weighted_sample(
     Cross-engine note: ``u`` is md5-exact everywhere, but ``pow`` is
     libm-dependent at the last ulp, so the rank is rounded to 9 decimals
     with ``id_order`` as the deterministic tiebreak before the top-k cut.
+
+    Heavy-weight regime caveat: for weights w >~ 1e8, ``u^(1/w)`` crowds
+    into [1 - 1e-8, 1] and the 9-decimal rounding collapses those ranks to
+    1.0 — selection AMONG such rows degrades to the ``id_order`` tiebreak
+    rather than weight-proportional draws (they still beat all light rows,
+    which is usually the intent). For corpora where many rows carry
+    astronomically large weights, pre-scale weights (e.g. divide by their
+    gcd/median) so 1/w stays above ~1e-8.
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     w = w.cast("double")

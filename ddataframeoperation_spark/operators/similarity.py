@@ -522,9 +522,12 @@ def nearest_centroid_confusion(
     canonical assignment shape — each row scores k prototypes in place),
     then argmin via min_by in a map-side-combined aggregate keyed on the
     vector id, then a tiny count aggregate. The only data-sized shuffle is
-    the argmin aggregate; ties break to the lower label. Output carries no
-    floating-point column, so results are engine-exact even though the
-    distances themselves differ at fp ulp level.
+    the argmin aggregate; EXACT distance ties break to the lower label.
+    The float-free output makes the result robust to the fp-ulp
+    differences in centroid/distance accumulation order between engines —
+    an assignment can only flip when two centroids are equidistant to
+    within ~1e-16 relative, which separated prototypes (the meaningful
+    regime) don't produce; degenerate duplicate-centroid inputs could.
 
     Returns (label, assigned_label, n_vecs).
     """

@@ -46,6 +46,7 @@ __all__ = [
     "bm25_topk",
     "encode_token_ids",
     "lexical_diversity",
+    "corpus_balance",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -846,4 +847,37 @@ def lexical_diversity(
             n_bi > 0,
             F.round(F.size(F.array_distinct("_bi")) / n_bi, 4),
         ).alias("bigram_novelty"),
+    )
+
+
+def corpus_balance(
+    df: DataFrame,
+    group_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """North-star — corpus-balance diagnostics per group: Shannon entropy,
+    HHI concentration, and top share of the ``source_col`` mix — the
+    dashboard numbers behind :func:`~ddataframeoperation_spark.operators.\
+sampling.temperature_mix` / ``cap_per_source`` decisions.
+
+    Tiny (group, source) count aggregate, then a per-group window total —
+    one scan; everything after the first aggregate operates on
+    |groups|×|sources| rows.
+
+    Returns (group, n_docs, n_sources, source_entropy, hhi,
+    top_source_share), doubles rounded to 4.
+    """
+    c = df.groupBy(group_col, source_col).agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy(group_col))
+    scored = c.select(
+        group_col, F.col("n"), tot.alias("_total"), (F.col("n") / tot).alias("_p")
+    )
+    return scored.groupBy(group_col).agg(
+        F.max("_total").cast("long").alias("n_docs"),
+        F.count("*").alias("n_sources"),
+        F.round(-F.sum(F.col("_p") * F.log(F.col("_p"))), 4).alias(
+            "source_entropy"
+        ),
+        F.round(F.sum(F.pow(F.col("_p"), F.lit(2.0))), 4).alias("hhi"),
+        F.round(F.max("_p"), 4).alias("top_source_share"),
     )

@@ -24,6 +24,7 @@ __all__ = [
     "resample_ffill",
     "ohlc_bars",
     "ewma",
+    "twap",
 ]
 
 _GRANULARITIES = ("hour", "day", "week", "month", "quarter", "year")
@@ -205,12 +206,18 @@ def ewma(
     The identical left fold runs in DuckDB as
     ``list_reduce(list(v ORDER BY ts, tb), (acc, x) -> a*x + (1-a)*acc)``
     — both engines execute the same IEEE double sequence, so results match
-    exactly; ``round_to`` only guards the final rendering.
+    exactly; ``round_to`` only guards the final rendering. NULL values are
+    FILTERED before the fold (a NULL observation has no defined smoothed
+    contribution; Spark's collect_list would silently drop it while SQL
+    ``list()`` keeps it and poisons the fold — the explicit filter makes
+    both engines see the same series, and ``n_obs`` counts non-null
+    observations). Keys whose values are all NULL drop out entirely.
 
     Returns (key, n_obs, ewma).
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
+    df = df.filter(F.col(value_col).isNotNull())
     tb = F.col(tiebreak_col) if tiebreak_col else F.lit(0)
     item = F.struct(
         F.col(ts_col).alias("t"), tb.alias("b"), F.col(value_col).alias("v")
@@ -229,4 +236,45 @@ def ewma(
         F.col(key_col),
         F.size("_series").cast("long").alias("n_obs"),
         F.round(folded, round_to).alias("ewma"),
+    )
+
+
+def twap(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each observation is weighted
+    by how long it remained current — ``sum(v_i * dt_i) / sum(dt_i)`` with
+    ``dt_i`` the gap to the next observation. The standard correction for
+    irregular sampling (a price that held for an hour should not count the
+    same as one that held a second); the last observation of each key has
+    no duration and is excluded (n_intervals = n_obs - 1).
+
+    One lead() window per key (single shuffle+sort) and a
+    map-side-combined aggregate. Gaps are computed in integer microseconds
+    (exact) before the double multiply, so both engines see identical
+    arithmetic. Keys with a single observation drop out (no interval).
+
+    Returns (key, n_intervals, twap).
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    dt = (
+        F.unix_micros(nxt.cast("timestamp"))
+        - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ).cast("double")
+    v = F.col(value_col).cast("double")
+    weighted = df.withColumn("_dt", dt).filter(F.col("_dt").isNotNull())
+    return weighted.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_intervals"),
+        F.round(F.sum(v * F.col("_dt")) / F.sum("_dt"), round_to).alias(
+            "twap"
+        ),
     )

@@ -226,7 +226,6 @@ def funnel_counts(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
-    reached: list[tuple[str, int]] = []
     prev: DataFrame | None = None
     for i, s in enumerate(steps):
         ev = df.filter(F.col(type_col) == s)
@@ -239,8 +238,7 @@ def funnel_counts(
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias(f"_t{i}"))
             )
-        reached.append((s, i))
-        prev = cur.select(user_col, f"_t{i}")
+        prev = cur
         counts = prev.agg(F.count("*").cast("long").alias("n_users")).select(
             F.lit(i + 1).alias("step"),
             F.lit(s).alias("step_name"),
@@ -258,7 +256,6 @@ def retention_cohorts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     granularity: str = "week",
-    period_days: int = 7,
 ) -> DataFrame:
     """B35 adjunct — retention-cohort triangle: users bucketed by the
     period of their FIRST activity (the cohort), counted in each
@@ -271,8 +268,14 @@ def retention_cohorts(
     well-distributed key; then one count-distinct aggregate over
     (cohort, offset), whose key space is tiny (periods²/2).
 
-    Returns (cohort, period_offset, n_users).
+    Returns (cohort, period_offset, n_users). The offset length is
+    DERIVED from ``granularity`` (week=7d, day=1d) so cohort labels and
+    period offsets can never drift apart; calendar-month cohorts need
+    months_between semantics — out of scope here, pass week/day.
     """
+    period_days = {"week": 7, "day": 1}.get(granularity)
+    if period_days is None:
+        raise ValueError("granularity must be 'week' or 'day'")
     first = df.groupBy(user_col).agg(F.min(ts_col).alias("_first_ts"))
     joined = df.select(user_col, ts_col).join(first, on=user_col)
     # DATE-typed cohort key: engines disagree on whether date_trunc of a

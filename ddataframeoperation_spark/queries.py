@@ -5196,7 +5196,7 @@ def b24ohlc(spark: SparkSession, sf: str) -> DataFrame:
                list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
                (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc
              ), 6) AS ewma
-    FROM events GROUP BY user_id
+    FROM events WHERE value IS NOT NULL GROUP BY user_id
     """,
 )
 def b19ewma(spark: SparkSession, sf: str) -> DataFrame:
@@ -5497,7 +5497,7 @@ def b35r(spark: SparkSession, sf: str) -> DataFrame:
     # Retention-cohort triangle: first-activity week x weekly offset ->
     # distinct active users; see windows.retention_cohorts.
     e = _t(spark, sf, "events")
-    return W.retention_cohorts(e, granularity="week", period_days=7)
+    return W.retention_cohorts(e, granularity="week")
 
 
 @_q(
@@ -5627,23 +5627,9 @@ def b25w(spark: SparkSession, sf: str) -> DataFrame:
 )
 def b34cb(spark: SparkSession, sf: str) -> DataFrame:
     # Corpus-balance diagnostics per language: Shannon entropy, HHI
-    # concentration, and top-source share of the source mix — the
-    # dashboard numbers behind temperature_mix / cap_per_source decisions.
-    # Tiny (lang, source) count agg, then per-lang window total; one scan.
-    d = _t(spark, sf, "documents")
-    c = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
-    tot = F.sum("n").over(Window.partitionBy("lang"))
-    p = (F.col("n") / tot).alias("_p")
-    scored = c.select("lang", F.col("n"), tot.alias("_total"), p)
-    return scored.groupBy("lang").agg(
-        F.max("_total").cast("long").alias("n_docs"),
-        F.count("*").alias("n_sources"),
-        F.round(-F.sum(F.col("_p") * F.log(F.col("_p"))), 4).alias(
-            "source_entropy"
-        ),
-        F.round(F.sum(F.pow(F.col("_p"), F.lit(2.0))), 4).alias("hhi"),
-        F.round(F.max("_p"), 4).alias("top_source_share"),
-    )
+    # concentration, and top-source share of the source mix; see
+    # text.corpus_balance (shared with the unit test).
+    return TX.corpus_balance(_t(spark, sf, "documents"), "lang", "source")
 
 
 @_q(
@@ -5670,9 +5656,15 @@ def b18db(spark: SparkSession, sf: str) -> DataFrame:
     # the immediately preceding same-user event; see windows.debounce.
     e = _t(spark, sf, "events")
     kept = W.debounce(e, min_gap_seconds=60.0, tiebreak=["event_id"])
-    # n_first counts each user's sequence head (gap undefined) — re-derive
-    # it as the min event per user among kept rows == overall first event.
-    first = e.groupBy("user_id").agg(F.min("event_id").alias("_fid"))
+    # n_first counts each user's sequence head (gap undefined). Derive the
+    # temporally-first event by the SAME (ts, event_id) order the window
+    # uses — not min(event_id), which coincides with time order only by
+    # fixture accident and would silently break on re-generated ids.
+    first = e.groupBy("user_id").agg(
+        F.min_by("event_id", F.struct(F.col("ts"), F.col("event_id"))).alias(
+            "_fid"
+        )
+    )
     return (
         kept.join(F.broadcast(first), on="user_id")
         .groupBy("user_id")
@@ -5818,6 +5810,32 @@ def b29nj(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("event_id").cast("long").alias("sum_ids"),
     )
+
+
+@_q(
+    "b24_twap",
+    """
+    WITH g AS (
+      SELECT user_id, value,
+             epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER w)
+               - epoch_us(CAST(ts AS TIMESTAMP)) AS dt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           round(sum(value * CAST(dt AS DOUBLE)) / sum(CAST(dt AS DOUBLE)), 4)
+             AS twap
+    FROM g WHERE dt IS NOT NULL GROUP BY user_id
+    """,
+)
+def b24tw(spark: SparkSession, sf: str) -> DataFrame:
+    # Time-weighted average: weight each observation by its holding time
+    # (exact integer-microsecond gaps); see timeseries.twap.
+    e = _t(spark, sf, "events")
+    from ddataframeoperation_spark.operators.timeseries import twap
+
+    return twap(e, "user_id", "ts", "value", tiebreak_col="event_id")
 
 
 # ---------------------------------------------------------------------------

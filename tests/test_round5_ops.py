@@ -256,28 +256,18 @@ def test_debounce_drops_rapid_followers(spark):
 
 
 def test_corpus_balance_uniform_vs_skewed(spark):
+    import math
+
     rows = [(i, "en", "s%d" % (i % 4)) for i in range(8)] + [
         (100 + i, "de", "only") for i in range(5)
     ]
     df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
-    from ddataframeoperation_spark.queries import QUERIES  # noqa: F401  (pattern parity)
-    c = df.groupBy("lang", "source").agg(F.count("*").alias("n"))
-    # Reuse the query's math inline: uniform 4-way entropy = ln(4), hhi=0.25.
-    from pyspark.sql import Window as W_
-
-    tot = F.sum("n").over(W_.partitionBy("lang"))
-    p = (F.col("n") / tot).alias("_p")
-    out = (
-        c.select("lang", p)
-        .groupBy("lang")
-        .agg(
-            F.round(-F.sum(F.col("_p") * F.log(F.col("_p"))), 4).alias("h"),
-            F.round(F.sum(F.pow(F.col("_p"), F.lit(2.0))), 4).alias("hhi"),
-        )
-    )
-    got = {r["lang"]: (r["h"], r["hhi"]) for r in out.collect()}
-    assert got["en"] == (round(__import__("math").log(4), 4), 0.25)
-    assert got["de"] == (-0.0, 1.0) or got["de"] == (0.0, 1.0)
+    out = {r["lang"]: r for r in TX.corpus_balance(df).collect()}
+    # Uniform 4-way mix: entropy ln(4), hhi 0.25; single source: 0 / 1.
+    assert out["en"]["source_entropy"] == round(math.log(4), 4)
+    assert out["en"]["hhi"] == 0.25 and out["en"]["n_sources"] == 4
+    assert out["de"]["source_entropy"] in (0.0, -0.0)
+    assert out["de"]["hhi"] == 1.0 and out["de"]["top_source_share"] == 1.0
 
 
 def test_snapshot_diff_classification(spark):
@@ -298,3 +288,23 @@ def test_snapshot_diff_null_attrs_null_safe(spark):
     got = {r["k"]: r["change_type"]
            for r in R.snapshot_diff(old, new, ["k"], ["v"]).collect()}
     assert got == {1: "unchanged", 2: "changed"}  # NULL == NULL, NULL != 5
+
+
+def test_twap_weights_by_holding_time(spark):
+    rows = [
+        # v=10 held 10s, v=20 held 30s, v=99 last (no duration, excluded)
+        (1, "2024-01-01 00:00:00", 1, 10.0),
+        (2, "2024-01-01 00:00:10", 1, 20.0),
+        (3, "2024-01-01 00:00:40", 1, 99.0),
+        (4, "2024-01-01 00:00:00", 2, 5.0),   # single obs -> key drops
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from ddataframeoperation_spark.operators.timeseries import twap
+
+    out = {r["user_id"]: r for r in
+           twap(df, "user_id", "ts", "value", tiebreak_col="event_id").collect()}
+    assert out[1]["twap"] == 17.5  # (10*10 + 20*30)/40
+    assert out[1]["n_intervals"] == 2
+    assert 2 not in out
