@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "b21_snapshot_diff",
     "b29_nested_json",
     "b24_twap",
+    "b18_scd2_asof",
+    "b35_cooccurrence",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
@@ -122,6 +124,7 @@ COUNT_ONLY = {
     "b34_lexical_diversity",
     "b18_debounce",
     "b21_snapshot_diff",
+    "b18_scd2_asof",
 }
 
 

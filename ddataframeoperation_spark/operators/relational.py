@@ -548,9 +548,16 @@ def winsorize(
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError("need 0 <= lower < upper <= 1")
     v = F.col(value_col).cast("double")
-    stats = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, {float(lower)})").alias("p_lo"),
-        F.expr(f"percentile({value_col}, {float(upper)})").alias("p_hi"),
+    # ONE percentile aggregate with both cut points: exact percentile
+    # buffers every group value, so two separate calls double the buffer
+    # and the per-group sort (measured ~2x on the 600k-row bench entry).
+    both = F.expr(
+        f"percentile({value_col}, array({float(lower)}, {float(upper)}))"
+    )
+    stats = df.groupBy(group_col).agg(both.alias("_p")).select(
+        group_col,
+        F.col("_p")[0].alias("p_lo"),
+        F.col("_p")[1].alias("p_hi"),
     )
     # Guard NULL values explicitly: Spark's greatest/least SKIP null
     # arguments, so an unguarded clamp would fabricate p_lo for missing

@@ -5838,6 +5838,158 @@ def b24tw(spark: SparkSession, sf: str) -> DataFrame:
     return twap(e, "user_id", "ts", "value", tiebreak_col="event_id")
 
 
+@_q(
+    "b18_scd2_asof",
+    """
+    WITH lagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS pv,
+             row_number() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changed AS (
+      SELECT user_id, event_type, ts, event_id FROM lagged
+      WHERE rn = 1 OR event_type IS DISTINCT FROM pv
+    ), hist AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS valid_from,
+             CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  AS TIMESTAMP) AS valid_to
+      FROM changed
+    ), probes AS (
+      SELECT CAST(t AS TIMESTAMP) AS as_of
+      FROM (VALUES ('2024-01-10 00:00:00'), ('2024-01-20 00:00:00'),
+                   ('2024-01-30 00:00:00')) v(t)
+    )
+    SELECT h.user_id, p.as_of, h.event_type
+    FROM hist h JOIN probes p
+      ON h.valid_from <= p.as_of
+     AND (h.valid_to IS NULL OR p.as_of < h.valid_to)
+    """,
+)
+def b18sa(spark: SparkSession, sf: str) -> DataFrame:
+    # Temporal point-in-time (time-travel) lookup over the SCD2 history:
+    # the state each user was in at three probe instants. Interval
+    # containment against a 3-row broadcast probe dim — at scale this is
+    # the standard dimension-as-of join (broadcast the probes, or
+    # interval-bucket when the probe side is large: asof.py). Completes
+    # the temporal-table story: scd2_history BUILDS, this QUERIES.
+    hist = W.scd2_history(
+        _t(spark, sf, "events"), ["user_id"], "ts", ["event_type"],
+        tiebreak=["event_id"],
+    )
+    probes = spark.createDataFrame(
+        [("2024-01-10 00:00:00",), ("2024-01-20 00:00:00",),
+         ("2024-01-30 00:00:00",)],
+        "t string",
+    ).select(F.col("t").cast("timestamp").alias("as_of"))
+    j = hist.join(
+        F.broadcast(probes),
+        (F.col("valid_from") <= F.col("as_of"))
+        & (F.col("valid_to").isNull() | (F.col("as_of") < F.col("valid_to"))),
+    )
+    return j.select("user_id", "as_of", "event_type")
+
+
+@_q(
+    "b35_cooccurrence",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged
+    ), st AS (
+      SELECT DISTINCT user_id, session_seq, event_type FROM sessions
+    ), n_sessions AS (
+      SELECT count(DISTINCT (user_id, session_seq)) AS total FROM sessions
+    ), singles AS (
+      SELECT event_type, count(*) AS n FROM st GROUP BY event_type
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_ab,
+           round(ln((count(*) * CAST(t.total AS DOUBLE))
+                    / (CAST(sa.n AS DOUBLE) * sb.n)), 4) AS pmi
+    FROM st a
+    JOIN st b ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+             AND a.event_type < b.event_type
+    CROSS JOIN n_sessions t
+    JOIN singles sa ON sa.event_type = a.event_type
+    JOIN singles sb ON sb.event_type = b.event_type
+    GROUP BY a.event_type, b.event_type, t.total, sa.n, sb.n
+    """,
+)
+def b35co(spark: SparkSession, sf: str) -> DataFrame:
+    # Session co-occurrence mining with PMI: which event types appear in
+    # the SAME session more often than independence predicts. Composition
+    # of verified pieces: sessionize → distinct (session, type) → pair
+    # self-join on the session key (bounded by types-per-session, never a
+    # cross join) → PMI against broadcast marginals. The association-
+    # mining shape (market-basket lift) on the event log.
+    s = W.sessionize(
+        _t(spark, sf, "events"), "user_id", "ts", 30.0, tiebreak=["event_id"]
+    )
+    # One (session -> sorted distinct type set) aggregate; pairs are then a
+    # ROW-LOCAL double-transform over each small set (bounded by distinct
+    # types per session, 5 here) — no self-join of the session table, and
+    # the sessionize window runs once per branch instead of four times.
+    sets = s.groupBy("user_id", "session_seq").agg(
+        F.array_sort(F.collect_set("event_type")).alias("_types")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("_types"),
+            lambda x, i: F.filter(
+                F.transform(
+                    F.col("_types"),
+                    lambda y, j: F.when(
+                        j > i, F.struct(x.alias("type_a"), y.alias("type_b"))
+                    ),
+                ),
+                lambda p: p.isNotNull(),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count("*").alias("n_ab"))
+    )
+    singles = (
+        sets.select(F.explode("_types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    total = sets.agg(F.count("*").cast("double").alias("_total"))
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("_na"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(sa), on="type_a")
+        .join(F.broadcast(sb), on="type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.col("_total")
+                    / (F.col("_na").cast("double") * F.col("_nb"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #

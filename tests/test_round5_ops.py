@@ -308,3 +308,31 @@ def test_twap_weights_by_holding_time(spark):
     assert out[1]["twap"] == 17.5  # (10*10 + 20*30)/40
     assert out[1]["n_intervals"] == 2
     assert 2 not in out
+
+
+def test_scd2_asof_boundary_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "bronze"),
+        (2, "2024-01-05 00:00:00", 1, "silver"),
+        (3, "2024-01-09 00:00:00", 1, "gold"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    from ddataframeoperation_spark.operators.windows import scd2_history
+
+    hist = scd2_history(ev, ["user_id"], "ts", ["event_type"], tiebreak=["event_id"])
+    probes = spark.createDataFrame(
+        [("2024-01-05 00:00:00",), ("2024-01-08 23:59:59",), ("2024-02-01 00:00:00",)],
+        "t string",
+    ).select(F.col("t").cast("timestamp").alias("as_of"))
+    j = hist.join(
+        F.broadcast(probes),
+        (F.col("valid_from") <= F.col("as_of"))
+        & (F.col("valid_to").isNull() | (F.col("as_of") < F.col("valid_to"))),
+    )
+    got = {str(r["as_of"]): r["event_type"] for r in j.collect()}
+    # Boundary instant belongs to the NEW interval (from-inclusive).
+    assert got["2024-01-05 00:00:00"] == "silver"
+    assert got["2024-01-08 23:59:59"] == "silver"
+    assert got["2024-02-01 00:00:00"] == "gold"  # open current row
