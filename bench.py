@@ -75,8 +75,10 @@ BENCH_QUERIES = [
     "b31_block_dedup",
     "b33_quantized_topk",
     "b18_scd2_history",
-    # Round-5b widening: OHLC single-agg bars, sequential-fold EWMA,
-    # decorrelated lateral top-N, temperature mixing, lexical diversity.
+    # Round-5b widening — the performance-interesting slice only. The
+    # full 177-query surface is covered by the correctness gate; timing
+    # every sub-0.5s query would mostly measure per-job overhead (~0.15s
+    # floor each) and inflate the suite total without information.
     "b24_ohlc_bars",
     "b19_ewma",
     "b05_lateral_topn",
@@ -86,13 +88,7 @@ BENCH_QUERIES = [
     "b33_centroid_confusion",
     "b16_skyline_2d",
     "b18_transition_matrix",
-    "b25_winsorize",
-    "b34_corpus_balance",
-    "b18_debounce",
-    "b21_snapshot_diff",
-    "b29_nested_json",
     "b24_twap",
-    "b18_scd2_asof",
     "b35_cooccurrence",
 ]
 

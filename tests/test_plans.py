@@ -115,3 +115,54 @@ def test_contamination_broadcasts_benchmark(spark):
     # index — a shuffle join here would move the whole corpus by n-gram.
     p = _plan(spark, "b34_contamination")
     assert "BroadcastHashJoin" in p
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    # The correlated LIMIT subquery must become a WindowGroupLimit with a
+    # PARTIAL phase (map-side top-k prune BEFORE the shuffle) + a hash
+    # join — never a nested loop per outer row.
+    p = _plan(spark, "b05_lateral_topn")
+    assert "WindowGroupLimit" in p and "Partial" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_ohlc_is_single_aggregate_no_window(spark):
+    # min_by/max_by make OHLC ONE map-side-combinable aggregate: exactly
+    # one exchange, no Window operator sorting whole partitions.
+    p = _plan(spark, "b24_ohlc_bars")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window\n" not in p and "partial_min_by" in p
+
+
+def test_temperature_mix_broadcasts_quotas(spark):
+    # The per-source quota side is tiny -> must arrive by broadcast; the
+    # data pays one hash-partition exchange for its window, the quota
+    # branch one more for its (sources-sized) count aggregate.
+    p = _plan(spark, "b22_temperature_mix")
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_skyline_no_self_join(spark):
+    # The NOT-EXISTS dominance definition must NOT plan as any join of
+    # the data with itself — running minima over distinct x + one
+    # equi-join back.
+    p = _plan(spark, "b16_skyline_2d")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # join back on x is a broadcast (distinct-price table is small).
+    assert "BroadcastHashJoin" in p
+
+
+def test_centroid_confusion_broadcasts_prototypes(spark):
+    # The E-step scores |labels| prototypes per row via a broadcast of the
+    # tiny centroid table; the only data-sized shuffles are the centroid
+    # build and the per-vector argmin aggregate.
+    p = _plan(spark, "b33_centroid_confusion")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_snapshot_diff_is_one_full_outer_join(spark):
+    p = _plan(spark, "b21_snapshot_diff")
+    assert "FullOuter" in p
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1
