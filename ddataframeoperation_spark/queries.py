@@ -5990,6 +5990,69 @@ def b35co(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b11_pivot_roundtrip",
+    """
+    SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def b11pr(spark: SparkSession, sf: str) -> DataFrame:
+    # Pivot -> unpivot inverse invariant: widening on l_linestatus and
+    # melting back must reproduce the plain long-form aggregate (the
+    # oracle) exactly — proving the two reshapes are lossless inverses
+    # (NULL cells for absent combinations drop on melt, matching the
+    # GROUP BY which never emits them).
+    p = R.pivot_agg(
+        _t(spark, sf, "lineitem"),
+        "l_returnflag",
+        "l_linestatus",
+        ["F", "O"],
+        F.round(F.sum("l_quantity"), 4),
+    )
+    return R.unpivot(
+        p, ["l_returnflag"], ["F", "O"], "l_linestatus", "sum_qty"
+    ).filter(F.col("sum_qty").isNotNull())
+
+
+@_q(
+    "b11_equidepth_histogram",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(l_extendedprice,
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS c
+      FROM lineitem
+    )
+    SELECT 1 + len(list_filter(cuts.c, x -> l.l_extendedprice > x)) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(l.l_extendedprice), 4) AS lo,
+           round(max(l.l_extendedprice), 4) AS hi
+    FROM lineitem l, cuts
+    GROUP BY 1
+    """,
+)
+def b11ed(spark: SparkSession, sf: str) -> DataFrame:
+    # Equi-DEPTH histogram (deciles hold ~equal mass) beside
+    # b11_histogram's equi-width: exact decile cut points in ONE
+    # percentile aggregate, broadcast as a 1-row scalar, bucket = count
+    # of cut points below the value (row-local array fold) — no ntile,
+    # no global sort, scan + tiny agg at any scale.
+    li = _t(spark, sf, "lineitem")
+    fracs = ", ".join(str(q / 10.0) for q in range(1, 10))
+    cuts = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({fracs}))").alias("_c")
+    )
+    j = li.select("l_extendedprice").crossJoin(F.broadcast(cuts))
+    bucket = F.lit(1) + F.size(
+        F.filter(F.col("_c"), lambda x: F.col("l_extendedprice") > x)
+    )
+    return j.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("l_extendedprice"), 4).alias("lo"),
+        F.round(F.max("l_extendedprice"), 4).alias("hi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
