@@ -24,8 +24,9 @@ from ddataframeoperation_spark.catalog import read_fixture_table
 from ddataframeoperation_spark.operators import dedup, relational, sampling, similarity
 from ddataframeoperation_spark.operators import text as TX
 from ddataframeoperation_spark.operators.asof import interval_overlap_join
-from ddataframeoperation_spark.operators.timeseries import ewma, ohlc_bars
+from ddataframeoperation_spark.operators.timeseries import ewma, ohlc_bars, twap
 from ddataframeoperation_spark.operators.windows import (
+    debounce,
     funnel_counts,
     retention_cohorts,
     scd2_history,
@@ -109,6 +110,14 @@ def main() -> int:
             f"transition_matrix {tag}",
             lambda e=e: transition_counts(e, tiebreak=["event_id"]),
         )
+        probe(
+            f"twap {tag}",
+            lambda e=e: twap(e, "user_id", "ts", "value", tiebreak_col="event_id"),
+        )
+        probe(
+            f"debounce {tag}",
+            lambda e=e: debounce(e, min_gap_seconds=60.0, tiebreak=["event_id"]),
+        )
     for tag, m in (("1x", emb1), (f"{factor}x", emb)):
         probe(f"quantized_topk {tag}", lambda m=m: similarity.quantized_topk(m, 0, k=10))
         probe(
@@ -130,6 +139,14 @@ def main() -> int:
         probe(
             f"mad_outliers {tag}",
             lambda d=d: relational.mad_outliers(d, "source", "n_chars"),
+        )
+        probe(
+            f"snapshot_diff {tag}",
+            lambda d=d: relational.snapshot_diff(
+                d,
+                d.withColumn("n_chars", F.col("n_chars") + (F.col("doc_id") % 7 == 0).cast("long")),
+                ["doc_id"], ["n_chars"],
+            ),
         )
     return 0
 
