@@ -6053,6 +6053,69 @@ def b11ed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b19_abc_classification",
+    """
+    WITH rev AS (
+      SELECT l.l_suppkey, s.s_name, sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY l.l_suppkey, s.s_name
+    ), ranked AS (
+      SELECT s_name, r,
+             sum(r) OVER (ORDER BY r DESC, l_suppkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(r) OVER () AS total
+      FROM rev
+    )
+    SELECT s_name,
+           round(r, 4) AS revenue,
+           round(cum / total, 4) AS cum_share,
+           CASE WHEN cum / total <= 0.7 THEN 'A'
+                WHEN cum / total <= 0.9 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def b19abc(spark: SparkSession, sf: str) -> DataFrame:
+    # ABC / Pareto (80-20) classification: suppliers ranked by revenue,
+    # cumulative-share bands A (top 70% of revenue), B (to 90%), C (tail)
+    # — the inventory-analysis staple. The un-partitioned window runs over
+    # the AGGREGATED supplier table (|suppliers| rows, bounded relative to
+    # the fact table); for dimension key spaces too large for one task,
+    # compute the two share cut points via percentile instead (the
+    # equi-depth-histogram shape). The cumulative double sum is evaluated
+    # in the identical deterministic order on both engines (desc revenue,
+    # suppkey tiebreak), so the band boundaries compare identically.
+    li = _t(spark, sf, "lineitem")
+    sup = _t(spark, sf, "supplier")
+    rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("l_suppkey", "s_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+        )
+    )
+    w = Window.orderBy(F.col("r").desc(), F.col("l_suppkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    ranked = rev.select(
+        "s_name",
+        "r",
+        F.sum("r").over(w).alias("cum"),
+        F.sum("r").over(wt).alias("total"),
+    )
+    share = F.col("cum") / F.col("total")
+    return ranked.select(
+        "s_name",
+        F.round("r", 4).alias("revenue"),
+        F.round(share, 4).alias("cum_share"),
+        F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
