@@ -76,7 +76,7 @@ BENCH_QUERIES = [
     "b33_quantized_topk",
     "b18_scd2_history",
     # Round-5b widening — the performance-interesting slice only. The
-    # full 177-query surface is covered by the correctness gate; timing
+    # full 180-query surface is covered by the correctness gate; timing
     # every sub-0.5s query would mostly measure per-job overhead (~0.15s
     # floor each) and inflate the suite total without information.
     "b24_ohlc_bars",
@@ -118,9 +118,6 @@ COUNT_ONLY = {
     "b24_ohlc_bars",
     "b05_lateral_topn",
     "b34_lexical_diversity",
-    "b18_debounce",
-    "b21_snapshot_diff",
-    "b18_scd2_asof",
 }
 
 

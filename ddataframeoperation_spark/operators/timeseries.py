@@ -257,10 +257,14 @@ def twap(
     One lead() window per key (single shuffle+sort) and a
     map-side-combined aggregate. Gaps are computed in integer microseconds
     (exact) before the double multiply, so both engines see identical
-    arithmetic. Keys with a single observation drop out (no interval).
+    arithmetic. NULL values are FILTERED FIRST, so a NULL observation's
+    holding time accrues to the previous non-null value (the LOCF-correct
+    attribution) instead of diluting the denominator with weight that has
+    no numerator. Keys with fewer than two non-null observations drop out.
 
     Returns (key, n_intervals, twap).
     """
+    df = df.filter(F.col(value_col).isNotNull())
     order = [F.col(ts_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col else []
     )

@@ -5820,6 +5820,7 @@ def b29nj(spark: SparkSession, sf: str) -> DataFrame:
              epoch_us(lead(CAST(ts AS TIMESTAMP)) OVER w)
                - epoch_us(CAST(ts AS TIMESTAMP)) AS dt
       FROM events
+      WHERE value IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
     )
     SELECT user_id,

@@ -49,9 +49,12 @@ def test_funnel_matches_bruteforce(spark):
     got = {r["step"]: r["n_users"] for r in funnel_counts(df, steps).collect()}
 
     # Reference: per user, walk the strictly-increasing first-touch chain.
-    by_user: dict[int, list[tuple[str, int]]] = {}
-    for eid, ts, uid, et in sorted(rows, key=lambda r: (r[1], r[0])):
-        by_user.setdefault(uid, []).append((et, (ts, eid)))
+    # The anchor comparison is on ts ALONE (matching the operator's
+    # `ts > _t{i-1}` filter) — comparing (ts, event_id) tuples would admit
+    # same-timestamp progressions the operator rejects.
+    by_user: dict[int, list[tuple[str, str]]] = {}
+    for eid, ts, uid, et in rows:
+        by_user.setdefault(uid, []).append((et, ts))
     counts = [0, 0, 0]
     for evs in by_user.values():
         anchor = None
