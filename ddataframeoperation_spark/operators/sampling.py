@@ -38,6 +38,7 @@ __all__ = [
     "cap_per_source",
     "weighted_sample",
     "temperature_mix",
+    "kfold_assign",
 ]
 
 #: 2^32 — the md5-prefix domain size.
@@ -327,3 +328,29 @@ def temperature_mix(
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    k: int,
+    keys: Sequence[str | Column],
+    salt: str = "",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """B22 — deterministic k-fold assignment for cross-validation: fold =
+    floor(hash_uniform * k), so every row lands in exactly one of k folds
+    as a pure function of its key (re-runs, re-partitions, and other
+    engines reproduce the identical folds — the property seeded
+    randomSplit cannot give). Train/test for fold i = (fold != i, fold
+    == i); folds are disjoint and exhaustive by construction.
+
+    Row-local (one md5, no shuffle); NULL keys get a NULL fold and should
+    be filtered by the caller (the module's NULL contract).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    u = hash_uniform(keys, salt)
+    # u < 1 strictly, so floor(u*k) is always in [0, k-1]; the least()
+    # guard documents the boundary rather than trusting it.
+    fold = F.least(F.floor(u * k), F.lit(k - 1)).cast("int")
+    return df.withColumn(fold_col, fold)

@@ -6117,6 +6117,50 @@ def b19abc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b36_stream_ohlc",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+           user_id,
+           first(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           last(value ORDER BY CAST(ts AS TIMESTAMP), event_id) AS close,
+           count(*) AS n_obs
+    FROM events GROUP BY 1, 2
+    """,
+)
+def b36ohlc(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming OHLC bars: the continuously-materialized candlestick
+    # rollup — min_by/max_by keep CONSTANT per-window state (four extremes
+    # + count), so the streaming aggregate never buffers or sorts events.
+    # The batch oracle proves watermark-finalized results equal the batch
+    # ohlc_bars answer (b24_ohlc_bars's streaming twin).
+    stream = STR.events_as_stream(spark, sf)
+    return STR.run_to_memory(STR.ohlc_stream(stream))
+
+
+@_q(
+    "b22_kfold",
+    """
+    SELECT doc_id,
+           CAST(least(floor(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || 'cv'), 1, 8))::BIGINT
+                            / 4294967296.0 * 5), 4) AS INTEGER) AS fold
+    FROM documents
+    """,
+)
+def b22kf(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic 5-fold cross-validation assignment: fold membership is
+    # a pure function of the key (engine- and partitioning-stable), folds
+    # disjoint + exhaustive by construction; see sampling.kfold_assign.
+    from ddataframeoperation_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    return sampling.kfold_assign(d, 5, ["doc_id"], salt="cv").select(
+        "doc_id", "fold"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #

@@ -11,6 +11,7 @@ from ddataframeoperation_spark.streaming.windows import (
     stream_dedup,
     stream_interval_join,
     run_to_memory,
+    ohlc_stream,
 )
 
 __all__ = [
@@ -21,6 +22,7 @@ __all__ = [
     "stream_dedup",
     "stream_interval_join",
     "run_to_memory",
+    "ohlc_stream",
     "running_totals_per_user",
     "stream_dedup_ingest",
     "read_corpus",

@@ -33,6 +33,7 @@ __all__ = [
     "stream_dedup",
     "stream_interval_join",
     "run_to_memory",
+    "ohlc_stream",
 ]
 
 
@@ -234,3 +235,41 @@ def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame
     )
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+def ohlc_stream(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of ``timeseries.ohlc_bars``: watermarked tumbling
+    OHLC bars per (key, window). min_by/max_by are ordinary declarative
+    aggregates, so the state per open window is CONSTANT-size (the four
+    extremes + count) — this is the continuously-materialized candlestick
+    rollup (Timescale continuous aggregate shape), not a buffered sort.
+    """
+    order = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
+        .agg(
+            F.min_by(F.col(value_col), order).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), order).alias("close"),
+            F.count("*").cast("long").alias("n_obs"),
+        )
+        .select(
+            F.col("win.start").alias("bucket"),
+            key_col,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_obs",
+        )
+    )

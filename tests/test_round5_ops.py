@@ -336,3 +336,16 @@ def test_scd2_asof_boundary_semantics(spark):
     assert got["2024-01-05 00:00:00"] == "silver"
     assert got["2024-01-08 23:59:59"] == "silver"
     assert got["2024-02-01 00:00:00"] == "gold"  # open current row
+
+
+def test_kfold_disjoint_exhaustive_deterministic(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    out = sampling.kfold_assign(df, 5, ["id"]).collect()
+    folds = [r["fold"] for r in out]
+    assert len(folds) == 500 and set(folds) <= {0, 1, 2, 3, 4}
+    # roughly balanced (hash-uniform): every fold populated
+    assert len(set(folds)) == 5
+    again = [r["fold"] for r in sampling.kfold_assign(df, 5, ["id"]).collect()]
+    assert folds == again
+    with pytest.raises(ValueError):
+        sampling.kfold_assign(df, 1, ["id"])
