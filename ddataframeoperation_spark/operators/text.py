@@ -488,13 +488,18 @@ def bigram_lm_scores(
     corpus size) so V = its row count costs no extra corpus pass: the
     smoothing constant already forces one eager step, and without the
     materialization the tokenize+explode ran a THIRD time just to count
-    distinct words (measured 4 full corpus tokenizations per call; now 3:
-    unigram agg, bigram agg, bigram stream).
+    distinct words. The bigram stream is ALSO materialized once — both
+    the bigram-count aggregate and the scoring join read the checkpointed
+    (id, bigram, w1) rows instead of re-tokenizing (4 full corpus
+    tokenizations per call originally; now 2: bigrams once, unigrams
+    once).
     """
     t = df.withColumn("_toks", tokens(text_col))
     big = t.select(
         F.col(id_col), F.explode(word_ngrams(F.col("_toks"), 2)).alias("bg")
-    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    ).withColumn("w1", F.split(F.col("bg"), " ")[0]).localCheckpoint(
+        eager=True
+    )
     uni = t.select(F.explode(F.col("_toks")).alias("w"))
     c2 = big.groupBy("bg").agg(F.count("*").alias("c2"))
     c1 = uni.groupBy("w").agg(F.count("*").alias("c1")).localCheckpoint(
