@@ -655,6 +655,11 @@ def simhash_table(
     longer docs first (``text.chunk_documents``). (Earlier rounds: the
     arithmetic (h >>> i) & 1 extraction replaced a 64-CASE form that
     JIT-compiled ~1.4 s slower on first execution.)"""
+    if not 0 < bits <= 64:
+        # The fold's shiftleft wraps shift amounts mod 64 (it would OR an
+        # out-of-range bit into a low bit instead of dropping it), and a
+        # >64-bit code cannot fit the bigint return anyway.
+        raise ValueError("bits must be in 1..64")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(normalized_text(text_col), " ")).alias("tok"),

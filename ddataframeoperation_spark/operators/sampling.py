@@ -351,6 +351,11 @@ def kfold_assign(
         raise ValueError("k must be >= 2")
     u = hash_uniform(keys, salt)
     # u < 1 strictly, so floor(u*k) is always in [0, k-1]; the least()
-    # guard documents the boundary rather than trusting it.
-    fold = F.least(F.floor(u * k), F.lit(k - 1)).cast("int")
+    # guard documents the boundary rather than trusting it. The explicit
+    # isNotNull() gate keeps the module's NULL contract: least() SKIPS
+    # null arguments, so an unguarded least(NULL, k-1) would silently
+    # file every NULL-key row under fold k-1 instead of fold NULL.
+    fold = F.when(
+        u.isNotNull(), F.least(F.floor(u * k), F.lit(k - 1))
+    ).cast("int")
     return df.withColumn(fold_col, fold)

@@ -22,6 +22,7 @@ __all__ = [
     "time_bucket",
     "multi_granularity_rollup",
     "resample_ffill",
+    "ohlc_aggs",
     "ohlc_bars",
     "ewma",
     "twap",
@@ -135,6 +136,30 @@ def resample_ffill(
     )
 
 
+def ohlc_aggs(
+    value_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> "list[Column]":
+    """The OHLC aggregate list — SHARED by the batch operator
+    (:func:`ohlc_bars`) and its streaming twin
+    (``streaming.windows.ohlc_stream``) so tie-breaking and NULL handling
+    can never diverge between the pair. min_by/max_by over a
+    (ts, tiebreak) struct keep constant per-group state."""
+    order = (
+        F.struct(F.col(ts_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.struct(F.col(ts_col))
+    )
+    return [
+        F.min_by(F.col(value_col), order).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(F.col(value_col), order).alias("close"),
+        F.count("*").cast("long").alias("n_obs"),
+    ]
+
+
 def ohlc_bars(
     df: DataFrame,
     key_col: str,
@@ -159,25 +184,13 @@ def ohlc_bars(
     it, equal-``ts`` rows make open/close nondeterministic under
     partial-agg ordering.
     """
-    order = (
-        F.struct(F.col(ts_col), F.col(tiebreak_col))
-        if tiebreak_col
-        else F.struct(F.col(ts_col))
-    )
-    return (
-        df.groupBy(
-            F.col(key_col),
-            time_bucket(ts_col, granularity).alias("bucket"),
-        )
-        .agg(
-            F.min_by(F.col(value_col), order).alias("open"),
-            F.max(value_col).alias("high"),
-            F.min(value_col).alias("low"),
-            F.max_by(F.col(value_col), order).alias("close"),
-            F.count("*").alias("n_obs"),
-            F.round(F.avg(value_col), 4).alias("mean_value"),
-        )
-    )
+    aggs = ohlc_aggs(value_col, ts_col, tiebreak_col) + [
+        F.round(F.avg(value_col), 4).alias("mean_value")
+    ]
+    return df.groupBy(
+        F.col(key_col),
+        time_bucket(ts_col, granularity).alias("bucket"),
+    ).agg(*aggs)
 
 
 def ewma(

@@ -252,17 +252,12 @@ def ohlc_stream(
     extremes + count) — this is the continuously-materialized candlestick
     rollup (Timescale continuous aggregate shape), not a buffered sort.
     """
-    order = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    from ddataframeoperation_spark.operators.timeseries import ohlc_aggs
+
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
-        .agg(
-            F.min_by(F.col(value_col), order).alias("open"),
-            F.max(value_col).alias("high"),
-            F.min(value_col).alias("low"),
-            F.max_by(F.col(value_col), order).alias("close"),
-            F.count("*").cast("long").alias("n_obs"),
-        )
+        .agg(*ohlc_aggs(value_col, ts_col, tiebreak_col))
         .select(
             F.col("win.start").alias("bucket"),
             key_col,

@@ -349,3 +349,13 @@ def test_kfold_disjoint_exhaustive_deterministic(spark):
     assert folds == again
     with pytest.raises(ValueError):
         sampling.kfold_assign(df, 1, ["id"])
+
+
+def test_kfold_null_key_gets_null_fold(spark):
+    df = spark.createDataFrame([(1,), (2,), (None,)], "id long")
+    out = {r["id"]: r["fold"] for r in
+           sampling.kfold_assign(df, 5, ["id"]).collect()}
+    # least() skips NULLs — without the isNotNull guard the NULL-key row
+    # would silently land in fold k-1 instead of fold NULL.
+    assert out[None] is None
+    assert out[1] is not None and out[2] is not None
