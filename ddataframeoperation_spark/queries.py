@@ -6161,6 +6161,40 @@ def b22kf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b25_minmax_scale",
+    """
+    WITH s AS (
+      SELECT user_id, min(value) AS lo, max(value) AS hi
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id,
+           e.user_id,
+           CASE WHEN s.hi = s.lo THEN 0.5
+                ELSE round((e.value - s.lo) / (s.hi - s.lo), 4) END AS scaled
+    FROM events e JOIN s USING (user_id)
+    """,
+)
+def b25mm(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-group min-max feature scaling — the declarative JVM-side
+    # normalizer beside b30_script_zscore's Python grouped-map form:
+    # per-key extremes are a map-side-combined aggregate broadcast back
+    # onto the rows, so the whole rescale is agg + broadcast join + map
+    # (no Python, no window sort). Constant groups pin to 0.5 (the
+    # midpoint convention, avoiding 0/0).
+    e = _t(spark, sf, "events")
+    s = e.groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    j = e.join(F.broadcast(s), on="user_id")
+    scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0.5)).otherwise(
+        F.round(
+            (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")), 4
+        )
+    )
+    return j.select("event_id", "user_id", scaled.alias("scaled"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
