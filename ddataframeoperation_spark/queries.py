@@ -6195,6 +6195,33 @@ def b25mm(spark: SparkSession, sf: str) -> DataFrame:
     return j.select("event_id", "user_id", scaled.alias("scaled"))
 
 
+@_q(
+    "b25_try_arithmetic",
+    """
+    SELECT event_id,
+           round(value / nullif(event_id % 5, 0), 4) AS safe_div,
+           TRY_CAST(event_type AS INTEGER) AS bad_cast,
+           TRY_CAST(CAST(event_id AS VARCHAR) AS INTEGER) AS good_cast
+    FROM events
+    """,
+)
+def b25try(spark: SparkSession, sf: str) -> DataFrame:
+    # ANSI-safe arithmetic surface: try_divide / try_cast return NULL on
+    # division-by-zero and invalid casts instead of failing the job — the
+    # contract a production pipeline under ANSI mode needs for dirty data
+    # (one malformed row must not kill a 100 TB job). DuckDB mirrors with
+    # nullif-guarded division and TRY_CAST.
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.round(F.try_divide("value", F.col("event_id") % 5), 4).alias(
+            "safe_div"
+        ),
+        F.try_to_number("event_type", F.lit("999")).cast("int").alias("bad_cast"),
+        F.col("event_id").cast("string").try_cast("int").alias("good_cast"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
