@@ -6222,6 +6222,37 @@ def b25try(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b27_array_predicates",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT label,
+           CAST(sum(CASE WHEN len(list_filter(v, x -> x > 2.0)) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_has_spike,
+           CAST(sum(CASE WHEN len(list_filter(v, x -> abs(x) >= 4.0)) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_all_bounded,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM e GROUP BY label
+    """,
+)
+def b27ap(spark: SparkSession, sf: str) -> DataFrame:
+    # Higher-order array predicates (exists / forall) — the declarative
+    # any/all quantifiers over array columns, evaluated row-locally in the
+    # scan stage (DuckDB mirrors them with list_filter cardinality).
+    e = _t(spark, sf, "embeddings").withColumn(
+        "v", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return e.groupBy("label").agg(
+        F.sum(
+            F.exists("v", lambda x: x > 2.0).cast("int")
+        ).cast("long").alias("n_has_spike"),
+        F.sum(
+            F.forall("v", lambda x: F.abs(x) < 4.0).cast("int")
+        ).cast("long").alias("n_all_bounded"),
+        F.count("*").alias("n_vecs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
