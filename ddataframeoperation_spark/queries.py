@@ -6253,6 +6253,42 @@ def b27ap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b30_sql_udf",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS net_revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b30su(spark: SparkSession, sf: str) -> DataFrame:
+    # SQL-registered vectorized UDF: a pandas_udf published into the SQL
+    # namespace via spark.udf.register and invoked from a plain SQL string
+    # — the reference's ScriptExecutor surface exposed to SQL users (A23).
+    # Arrow-batched (one Python call per batch, not per row); the oracle
+    # is the equivalent builtin expression, so the hash match proves the
+    # UDF computes exactly what it claims.
+    from pyspark.sql.functions import pandas_udf
+
+    # Positional (function, returnType) form: queries.py uses postponed
+    # annotation evaluation, under which `pd.Series` hints are unresolvable
+    # strings to the signature inspector.
+    net_price = pandas_udf(
+        lambda price, disc: price * (1.0 - disc), "double"
+    )
+    spark.udf.register("net_price", net_price)
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(net_price(l_extendedprice, l_discount)), 4) AS net_revenue,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
