@@ -76,7 +76,7 @@ BENCH_QUERIES = [
     "b33_quantized_topk",
     "b18_scd2_history",
     # Round-5b widening — the performance-interesting slice only. The
-    # full 186-query surface is covered by the correctness gate; timing
+    # full 187-query surface is covered by the correctness gate; timing
     # every sub-0.5s query would mostly measure per-job overhead (~0.15s
     # floor each) and inflate the suite total without information.
     "b24_ohlc_bars",

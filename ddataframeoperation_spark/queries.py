@@ -6289,6 +6289,34 @@ def b30su(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b02_parameterized_sql",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def b02p(spark: SparkSession, sf: str) -> DataFrame:
+    # Named-parameter SQL binding (spark.sql(..., args={...})): literals
+    # arrive as typed parameters instead of string-spliced SQL — the
+    # injection-safe templating surface for a catalog-driven platform
+    # like the reference's orchestrator (A6/A7 metadata-built queries).
+    _t(spark, sf, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders
+        WHERE o_orderdate >= :cutoff AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"cutoff": "1996-01-01 00:00:00", "status": "F"},
+    ).withColumn("n_orders", F.col("n_orders").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
