@@ -6217,7 +6217,7 @@ def b25try(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.try_divide("value", F.col("event_id") % 5), 4).alias(
             "safe_div"
         ),
-        F.try_to_number("event_type", F.lit("999")).cast("int").alias("bad_cast"),
+        F.col("event_type").try_cast("int").alias("bad_cast"),
         F.col("event_id").cast("string").try_cast("int").alias("good_cast"),
     )
 
@@ -6227,9 +6227,9 @@ def b25try(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT label,
-           CAST(sum(CASE WHEN len(list_filter(v, x -> x > 2.0)) > 0
+           CAST(sum(CASE WHEN len(list_filter(v, x -> x > 0.3)) > 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_has_spike,
-           CAST(sum(CASE WHEN len(list_filter(v, x -> abs(x) >= 4.0)) = 0
+           CAST(sum(CASE WHEN len(list_filter(v, x -> abs(x) >= 0.5)) = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_all_bounded,
            CAST(count(*) AS BIGINT) AS n_vecs
     FROM e GROUP BY label
@@ -6239,15 +6239,18 @@ def b27ap(spark: SparkSession, sf: str) -> DataFrame:
     # Higher-order array predicates (exists / forall) — the declarative
     # any/all quantifiers over array columns, evaluated row-locally in the
     # scan stage (DuckDB mirrors them with list_filter cardinality).
+    # Thresholds sit INSIDE the fixture value range (elements ~(-0.6,0.6))
+    # so both quantifier branches carry real rows — an out-of-range
+    # threshold would make the oracle match vacuous.
     e = _t(spark, sf, "embeddings").withColumn(
         "v", F.transform("embedding", lambda x: x.cast("double"))
     )
     return e.groupBy("label").agg(
         F.sum(
-            F.exists("v", lambda x: x > 2.0).cast("int")
+            F.exists("v", lambda x: x > 0.3).cast("int")
         ).cast("long").alias("n_has_spike"),
         F.sum(
-            F.forall("v", lambda x: F.abs(x) < 4.0).cast("int")
+            F.forall("v", lambda x: F.abs(x) < 0.5).cast("int")
         ).cast("long").alias("n_all_bounded"),
         F.count("*").alias("n_vecs"),
     )
@@ -6314,7 +6317,7 @@ def b02p(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY o_orderpriority
         """,
         args={"cutoff": "1996-01-01 00:00:00", "status": "F"},
-    ).withColumn("n_orders", F.col("n_orders").cast("long"))
+    )
 
 
 # ---------------------------------------------------------------------------
