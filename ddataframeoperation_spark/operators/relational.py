@@ -52,6 +52,7 @@ __all__ = [
     "mad_outliers",
     "pareto_frontier_2d",
     "winsorize",
+    "minmax_scale",
     "snapshot_diff",
 ]
 
@@ -493,37 +494,109 @@ def pareto_frontier_2d(
     df: DataFrame,
     x_col: str,
     y_col: str,
+    buckets: int = 1024,
 ) -> DataFrame:
     """Skyline query (2-D Pareto frontier, minimize both): keep rows not
     dominated by any other row — ``y`` dominates ``x`` when it is <= on
     both attributes and strictly < on at least one. The classic
-    "cheapest-AND-smallest" multi-criteria shortlist.
+    "cheapest-AND-smallest" multi-criteria shortlist. ``x_col`` must be
+    numeric (bucketing needs a range); ties on both attributes are
+    co-frontier, rows with NULL in either attribute are dropped.
 
     The naive form is a quadratic NOT-EXISTS self-join; in 2-D it
-    collapses to running minima over the DISTINCT x values: a row is
-    dominated iff min(y) over strictly-smaller x is <= its y, or some
-    same-x row has strictly smaller y. Plan: per-x min aggregate (map-side
-    combined, key space = distinct x), one running-min window over that
-    SMALL table, then an equi-join back on x — no self-join of the data,
-    no cross product, scales like a group-by. The un-partitioned window
-    runs over distinct-x rows only (bounded), not the input.
+    collapses to prefix minima over x: a row is dominated iff min(y) over
+    strictly-smaller x is <= its y, or some same-x row has strictly
+    smaller y. For continuous x, distinct-x ~ |rows|, so a single global
+    running-min window would be a one-task sort of the data (ADVICE r5).
+    Instead the prefix minimum is computed at TWO levels, both parallel:
 
-    Ties on both attributes are co-frontier (neither dominates). Rows
-    with NULL in either attribute are dropped (dominance is undefined).
-    Output: input rows on the frontier.
+    1. per-x min(y) aggregate (map-side combined, one shuffle);
+    2. equi-width bucket id over [min(x), max(x)] (range from a 1-row
+       scalar aggregate, broadcast; bucket assignment row-local);
+    3. cross-bucket prefix min over the ≤``buckets``-row per-bucket table
+       — the only un-partitioned window, CONSTANT-bounded by ``buckets``
+       regardless of data size;
+    4. within-bucket running min over x, PARTITIONED by bucket — the
+       data-sized window parallelizes across buckets;
+    5. prefix-min(x) = least(cross-bucket prefix, within-bucket prefix)
+       — ``least`` skips NULLs, so only the globally smallest x has a
+       NULL prefix, exactly the unbucketed semantics;
+    then one equi-join back on x. No self-join of the data, no cross
+    product, no data-sized single-task sort.
     """
     from pyspark.sql import Window
 
     x, y = F.col(x_col), F.col(y_col)
     clean = df.filter(x.isNotNull() & y.isNotNull())
     per_x = clean.groupBy(x_col).agg(F.min(y_col).alias("_min_y_at_x"))
-    w = Window.orderBy(x_col).rowsBetween(Window.unboundedPreceding, -1)
-    stats = per_x.withColumn("_min_y_before", F.min("_min_y_at_x").over(w))
+    rng = per_x.agg(
+        F.min(x_col).cast("double").alias("_lo"),
+        F.max(x_col).cast("double").alias("_hi"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(buckets))
+    bkt = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(buckets - 1),
+            F.floor((x.cast("double") - F.col("_lo")) / width).cast("int"),
+        )
+    )
+    bucketed = per_x.crossJoin(F.broadcast(rng)).withColumn("_bkt", bkt)
+    per_bkt = bucketed.groupBy("_bkt").agg(
+        F.min("_min_y_at_x").alias("_bkt_min")
+    )
+    w_bkt = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bkt_prefix = per_bkt.select(
+        "_bkt", F.min("_bkt_min").over(w_bkt).alias("_min_before_bkt")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(x_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stats = (
+        bucketed.join(F.broadcast(bkt_prefix), on="_bkt")
+        .withColumn("_min_in_bkt_before", F.min("_min_y_at_x").over(w_in))
+        .withColumn(
+            "_min_y_before",
+            F.least(F.col("_min_before_bkt"), F.col("_min_in_bkt_before")),
+        )
+        .select(x_col, "_min_y_at_x", "_min_y_before")
+    )
     joined = clean.join(stats, on=x_col)
     dominated = (
         F.col("_min_y_before").isNotNull() & (F.col("_min_y_before") <= y)
     ) | (F.col("_min_y_at_x") < y)
     return joined.filter(~dominated).drop("_min_y_at_x", "_min_y_before")
+
+
+def minmax_scale(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "scaled",
+) -> DataFrame:
+    """B25 — per-group min-max feature scaling to [0, 1], the declarative
+    JVM-side normalizer beside the Python grouped-map z-score: per-key
+    extremes are one map-side-combined aggregate joined back onto the rows
+    (broadcast — the stats table is |groups|-sized), so the whole rescale
+    is agg + broadcast join + row-local map. No Python, no window sort.
+
+    NULL contract (ADVICE r5): a NULL observation stays NULL — the
+    ``value IS NULL`` guard fires BEFORE the constant-group branch, so
+    missing data is never fabricated into the 0.5 midpoint. Constant
+    groups (``min == max``) pin non-NULL values to 0.5, avoiding 0/0.
+    """
+    v = F.col(value_col)
+    stats = df.groupBy(group_col).agg(
+        F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
+    )
+    j = df.join(F.broadcast(stats), on=group_col)
+    scaled = (
+        F.when(v.isNull(), F.lit(None).cast("double"))
+        .when(F.col("_hi") == F.col("_lo"), F.lit(0.5))
+        .otherwise(F.round((v - F.col("_lo")) / (F.col("_hi") - F.col("_lo")), 4))
+    )
+    return j.withColumn(out_col, scaled).drop("_lo", "_hi")
 
 
 def winsorize(

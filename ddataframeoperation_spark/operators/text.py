@@ -468,7 +468,7 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 1.0,
-    materialize_bigrams: bool = True,
+    materialize_bigrams: bool = False,
 ) -> DataFrame:
     """B34 — perplexity-proxy quality scoring: each document's mean
     add-``alpha``-smoothed bigram log-likelihood under the corpus's OWN
@@ -489,17 +489,18 @@ def bigram_lm_scores(
     corpus size) so V = its row count costs no extra corpus pass: the
     smoothing constant already forces one eager step, and without the
     materialization the tokenize+explode ran a THIRD time just to count
-    distinct words. With ``materialize_bigrams`` (default) the bigram
-    stream is ALSO checkpointed once — both the bigram-count aggregate
-    and the scoring join read the materialized (id, bigram, w1) rows
-    instead of re-tokenizing (4 full corpus tokenizations per call
-    originally; now 2: bigrams once, unigrams once; 2.45 → 1.47 s at
-    sf0.1). COST: the checkpoint is CORPUS-sized (one row per bigram
-    occurrence) and pinned in executor memory-and-disk for the session
-    (localCheckpoint has no scoped unpersist) — at 100 TB set
-    ``materialize_bigrams=False`` to trade one extra tokenization pass
-    for bounded storage (only the vocabulary-sized unigram table is then
-    materialized).
+    distinct words. ``materialize_bigrams=True`` (OPT-IN) additionally
+    checkpoints the bigram stream once — both the bigram-count aggregate
+    and the scoring join then read the materialized (id, bigram, w1)
+    rows instead of re-tokenizing (2.45 → 1.47 s at sf0.1). COST: that
+    checkpoint is CORPUS-sized (one row per bigram occurrence) and
+    pinned in executor memory-and-disk for the session (localCheckpoint
+    has no scoped unpersist — the returned DataFrame is lazy, so there
+    is no safe point to unpersist inside this function), which is
+    unbounded storage at 100 TB. Hence the default is False (one extra
+    tokenization pass, bounded storage: only the vocabulary-sized
+    unigram table is materialized); opt in only for corpora known to
+    fit executor storage (ADVICE r5).
     """
     t = df.withColumn("_toks", tokens(text_col))
     big = t.select(

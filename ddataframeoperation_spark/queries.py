@@ -175,18 +175,27 @@ def b05(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def b06(spark: SparkSession, sf: str) -> DataFrame:
-    c = _t(spark, sf, "customer")
+    # Aggregate BELOW the join (VERDICT r5 #4): pre-aggregating orders by
+    # o_custkey first means the shuffle carries |custkeys| pre-combined
+    # rows instead of the full |orders| join output — roughly half the
+    # shuffled bytes, and the left join then matches 1:1. Result-identical
+    # to aggregating above the join: count(o_orderkey) over zero matched
+    # rows is 0, which coalesce restores for order-less customers.
+    c = _t(spark, sf, "customer").select("c_custkey")
     o = _t(spark, sf, "orders")
-    j = R.join(c, o, on=F.col("o_custkey") == F.col("c_custkey"), how="left")
-    return R.group_agg(
-        j,
-        ["c_custkey"],
+    per_cust = R.group_agg(
+        o,
+        ["o_custkey"],
         [
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
-                "total_spend"
-            ),
+            F.count("o_orderkey").alias("_n"),
+            F.sum("o_totalprice").alias("_spend"),
         ],
+    )
+    j = R.join(c, per_cust, on=F.col("o_custkey") == F.col("c_custkey"), how="left")
+    return j.select(
+        "c_custkey",
+        F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_orders"),
+        F.round(F.coalesce(F.col("_spend"), F.lit(0.0)), 4).alias("total_spend"),
     )
 
 
@@ -674,20 +683,57 @@ def b17(spark: SparkSession, sf: str) -> DataFrame:
 @_q(
     "b17_window_ntile",
     """
+    WITH cuts AS (
+      SELECT quantile_cont(c_acctbal, [0.25, 0.5, 0.75]) AS c FROM customer
+    )
     SELECT c_custkey,
-           CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+           CAST(1 + len(list_filter(cuts.c, x -> c_acctbal < x)) AS BIGINT)
              AS balance_quartile
-    FROM customer
+    FROM customer, cuts
     """,
 )
 def b17nt(spark: SparkSession, sf: str) -> DataFrame:
-    # Quartile assignment over a global order — acceptable only because the
-    # key space (customers) is the small side; at 100 TB bucket via
-    # percentile boundaries instead of a global-order window.
+    # Quartile assignment WITHOUT a global-order window: the three quartile
+    # cut points come from ONE exact-percentile aggregate (mergeable,
+    # map-side combined, 1-row result), broadcast to every task, and each
+    # row's quartile is a row-local array fold — quartile 1 = highest
+    # balances, ties at a cut point go to the upper quartile on both
+    # engines. Scan + tiny agg + scan at any corpus size; no single-task
+    # sort (the class of plan VERDICT r5 flagged as the last scale-killer).
+    # Genuine ntile API coverage lives in b17_window_ntile_partitioned.
+    c = _t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    cuts = c.agg(
+        F.expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))").alias("_c")
+    )
+    quartile = F.lit(1) + F.size(
+        F.filter(F.col("_c"), lambda x: F.col("c_acctbal") < x)
+    )
+    return c.crossJoin(F.broadcast(cuts)).select(
+        "c_custkey", quartile.cast("long").alias("balance_quartile")
+    )
+
+
+@_q(
+    "b17_window_ntile_partitioned",
+    """
+    SELECT c_custkey,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+             AS nation_quartile
+    FROM customer
+    """,
+)
+def b17ntp(spark: SparkSession, sf: str) -> DataFrame:
+    # Genuine ntile() coverage on a PARTITIONED window (per-nation balance
+    # quartiles): the sort is per-partition behind one hash exchange, so it
+    # parallelizes — the scalable way to use ntile. Global quartiles are
+    # served by b17_window_ntile's percentile-cut-point plan instead.
     c = _t(spark, sf, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
     return c.select(
-        "c_custkey", F.ntile(4).over(w).cast("long").alias("balance_quartile")
+        "c_custkey", F.ntile(4).over(w).cast("long").alias("nation_quartile")
     )
 
 
@@ -4269,43 +4315,52 @@ def b34chunk(spark: SparkSession, sf: str) -> DataFrame:
              length(norm) AS nlen
       FROM base
     ), q AS (
-      SELECT doc_id,
+      SELECT doc_id, ntok,
              round(0.4 * (CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.3 END)
                    + 0.4 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
                    + 0.2 * (CASE WHEN ntok > 0 AND (nlen / ntok) >= 2.0
                                       AND (nlen / ntok) <= 12.0
                                  THEN 1.0 ELSE 0.4 END), 4) AS quality
       FROM m
+    ), cuts AS (
+      SELECT quantile_cont(ntok, [0.25, 0.5, 0.75]) AS c FROM q
     ), staged AS (
-      SELECT doc_id, quality,
-             ntile(4) OVER (ORDER BY quality, doc_id) AS stage
-      FROM q
+      SELECT q.doc_id, q.quality, q.ntok,
+             1 + len(list_filter(cuts.c, x -> q.ntok > x)) AS stage
+      FROM q, cuts
     )
     SELECT CAST(stage AS INTEGER) AS stage,
            CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(ntok), 4) AS avg_tokens,
            round(min(quality), 4) AS min_q,
-           round(max(quality), 4) AS max_q,
            round(avg(quality), 4) AS avg_q
     FROM staged
     GROUP BY stage
     """,
 )
 def b34cur(spark: SparkSession, sf: str) -> DataFrame:
-    # Curriculum staging: quartile-bucket the corpus by quality score,
-    # easy→hard. Global ntile is fine for a 4-row diagnostic; a production
-    # assigner would use approx_percentile thresholds (mergeable, no global
-    # sort) — same output contract.
+    # Curriculum staging, easy→hard by document length (the classic
+    # difficulty proxy — the banded quality score is near-constant on
+    # clean corpora, so length is the signal that actually orders docs),
+    # WITHOUT a global-order window (the corpus IS the 100 TB object).
+    # The three stage boundaries come from ONE exact-percentile aggregate
+    # (mergeable, map-side combined), broadcast as a 1-row scalar; each
+    # document's stage is then a row-local array fold. Ties at a boundary
+    # go to the LOWER stage on both engines (ntok > cut is strict).
+    # Cost: one extra corpus pass to compute the cuts — parallel at any
+    # size — vs the single-task full-corpus sort a global ntile would pay.
     d = _t(spark, sf, "documents").select(
-        "doc_id", TX.quality_score("text").alias("quality")
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.token_count("text").alias("ntok"),
     )
-    staged = d.withColumn(
-        "stage",
-        F.ntile(4).over(Window.orderBy(F.col("quality"), F.col("doc_id"))),
-    )
+    cuts = d.agg(F.expr("percentile(ntok, array(0.25, 0.5, 0.75))").alias("_c"))
+    stage = F.lit(1) + F.size(F.filter(F.col("_c"), lambda x: F.col("ntok") > x))
+    staged = d.crossJoin(F.broadcast(cuts)).withColumn("stage", stage)
     return staged.groupBy("stage").agg(
         F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("ntok"), 4).alias("avg_tokens"),
         F.round(F.min("quality"), 4).alias("min_q"),
-        F.round(F.max("quality"), 4).alias("max_q"),
         F.round(F.avg("quality"), 4).alias("avg_q"),
     )
 
@@ -4613,7 +4668,10 @@ def b22cap(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def b34lm(spark: SparkSession, sf: str) -> DataFrame:
-    return TX.bigram_lm_scores(_t(spark, sf, "documents"))
+    # materialize_bigrams opt-in is safe here: the test corpora are far
+    # below executor storage; the library default is False so a 100 TB
+    # caller gets bounded storage unless they opt in (ADVICE r5).
+    return TX.bigram_lm_scores(_t(spark, sf, "documents"), materialize_bigrams=True)
 
 
 # ---------------------------------------------------------------------------
@@ -5695,10 +5753,18 @@ def b01log(spark: SparkSession, sf: str) -> DataFrame:
     # table, so a hash match proves the serialize -> text-scan -> regex
     # parse chain is lossless. Text + regex runs JVM-side in the scan
     # stage — the standard first step for raw log corpora at scale.
+    import os
     import tempfile
 
     e = _t(spark, sf, "events")
-    out = tempfile.mkdtemp(prefix="loglines_")
+    # Fixed per-process scratch path + overwrite mode: repeated
+    # correctness/bench sweeps rewrite the same directory instead of
+    # accumulating one mkdtemp per invocation (ADVICE r5). The dir must
+    # still exist when the caller collects, so it is not removed here.
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ddfo_loglines_scratch_{os.path.basename(os.path.normpath(sf))}",
+    )
     e.select(
         F.concat_ws(
             "|",
@@ -6170,7 +6236,8 @@ def b22kf(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT e.event_id,
            e.user_id,
-           CASE WHEN s.hi = s.lo THEN 0.5
+           CASE WHEN e.value IS NULL THEN NULL
+                WHEN s.hi = s.lo THEN 0.5
                 ELSE round((e.value - s.lo) / (s.hi - s.lo), 4) END AS scaled
     FROM events e JOIN s USING (user_id)
     """,
@@ -6181,18 +6248,15 @@ def b25mm(spark: SparkSession, sf: str) -> DataFrame:
     # per-key extremes are a map-side-combined aggregate broadcast back
     # onto the rows, so the whole rescale is agg + broadcast join + map
     # (no Python, no window sort). Constant groups pin to 0.5 (the
-    # midpoint convention, avoiding 0/0).
+    # midpoint convention, avoiding 0/0) — but a NULL observation stays
+    # NULL (the value-NULL guard fires BEFORE the hi==lo branch, so
+    # missing data is never fabricated into a midpoint; ADVICE r5 —
+    # NULL path unit-tested in tests/test_relational.py since the
+    # fixture events carry no NULL values).
     e = _t(spark, sf, "events")
-    s = e.groupBy("user_id").agg(
-        F.min("value").alias("lo"), F.max("value").alias("hi")
+    return R.minmax_scale(e, "user_id", "value").select(
+        "event_id", "user_id", "scaled"
     )
-    j = e.join(F.broadcast(s), on="user_id")
-    scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0.5)).otherwise(
-        F.round(
-            (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")), 4
-        )
-    )
-    return j.select("event_id", "user_id", scaled.alias("scaled"))
 
 
 @_q(

@@ -145,12 +145,25 @@ def test_temperature_mix_broadcasts_quotas(spark):
 
 def test_skyline_no_self_join(spark):
     # The NOT-EXISTS dominance definition must NOT plan as any join of
-    # the data with itself — running minima over distinct x + one
-    # equi-join back.
+    # the data with itself — bucketed prefix minima over x + one
+    # equi-join back. The ONLY nested-loop join allowed is the 1-row
+    # range-scalar broadcast that drives bucket assignment (same shape
+    # as the percentile-cut-point queries); the data itself never meets
+    # itself in a cross product.
     p = _plan(spark, "b16_skyline_2d")
-    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # The per-x subtree is consumed by both prefix-min levels, so the
+    # 1-row range scalar broadcasts (at most) twice; each must be the
+    # Cross/BuildRight shape with an IdentityBroadcastMode aggregate.
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert p.count("BroadcastNestedLoopJoin BuildRight, Cross") == p.count(
+        "BroadcastNestedLoopJoin"
+    )
     # join back on x is a broadcast (distinct-price table is small).
     assert "BroadcastHashJoin" in p
+    # the DATA-sized running-min window is partitioned by bucket; only
+    # the <=1024-row cross-bucket prefix runs unpartitioned.
+    assert "windowspecdefinition(_bkt" in p
 
 
 def test_centroid_confusion_broadcasts_prototypes(spark):
@@ -166,3 +179,40 @@ def test_snapshot_diff_is_one_full_outer_join(spark):
     p = _plan(spark, "b21_snapshot_diff")
     assert "FullOuter" in p
     assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1
+
+
+def test_quartile_queries_have_no_global_window(spark):
+    # VERDICT r5 #1/#2: the two former global-ntile plans must now bucket
+    # via broadcast percentile cut points — NO Window operator at all, and
+    # no single-partition exchange feeding a whole-table sort.
+    for name in ("b17_window_ntile", "b34_curriculum"):
+        p = _plan(spark, name)
+        assert "Window" not in p, name
+        # The only SinglePartition exchange allowed is the percentile
+        # aggregate's final merge, which is fed by a map-side partial
+        # (one bounded buffer row per task, never the data itself).
+        assert "partial_percentile" in p, name
+        assert "BroadcastExchange" in p, name  # 1-row cut points broadcast
+
+
+def test_partitioned_ntile_single_hash_exchange(spark):
+    # The genuine-ntile coverage slot sorts per nation behind exactly one
+    # hash exchange — never a global (single-partition) order.
+    p = _plan(spark, "b17_window_ntile_partitioned")
+    assert "Window" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in p
+
+
+def test_left_agg_aggregates_below_join(spark):
+    # VERDICT r5 #4: orders must be pre-aggregated by o_custkey BEFORE the
+    # left join so the shuffle carries |custkeys| combined rows, not the
+    # full join output. In the printed tree children come after parents,
+    # so the per-custkey aggregate must appear BELOW (after) the join.
+    p = _plan(spark, "b06_join_left_agg")
+    assert "keys=[o_custkey" in p
+    join_at = min(
+        [i for i in (p.find("SortMergeJoin"), p.find("ShuffledHashJoin"),
+                     p.find("BroadcastHashJoin")) if i >= 0]
+    )
+    assert join_at < p.rindex("keys=[o_custkey")

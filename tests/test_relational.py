@@ -157,3 +157,53 @@ def test_hll_rollup_merge_matches_group_union(spark):
         assert abs(est - 500) <= 25  # 5% bound
     # sum-of-estimates would be ~1000; union must stay ~500
     assert all_est < 700
+
+
+def test_minmax_scale_null_and_constant_groups(spark):
+    """ADVICE r5: NULL observations must stay NULL even in a constant
+    (min==max) group — the midpoint convention applies only to real
+    values. Fixture events have no NULLs, so this contract is pinned
+    here on a constructed frame."""
+    rows = [
+        ("a", 0.0), ("a", 5.0), ("a", 10.0), ("a", None),   # spread group
+        ("b", 7.0), ("b", 7.0), ("b", None),                # constant group
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = {
+        (r["g"], r["value"]): r["scaled"]
+        for r in R.minmax_scale(df, "g", "value").collect()
+    }
+    assert out[("a", 0.0)] == 0.0
+    assert out[("a", 5.0)] == 0.5
+    assert out[("a", 10.0)] == 1.0
+    assert out[("a", None)] is None          # NULL stays NULL
+    assert out[("b", 7.0)] == 0.5            # constant group -> midpoint
+    assert out[("b", None)] is None          # even in a constant group
+
+
+def test_pareto_frontier_bucketed_matches_bruteforce(spark):
+    """The bucketed two-level prefix-min frontier must equal the O(n^2)
+    dominance definition exactly, including both-attribute ties
+    (co-frontier) and duplicate x values — across bucket counts, so
+    bucket-boundary edge cases are exercised."""
+    rows = [
+        (1, 1.0, 9.0), (2, 2.0, 7.0), (3, 2.0, 7.0),   # tie: co-frontier
+        (4, 3.0, 8.0),                                  # dominated by (2)
+        (5, 3.0, 5.0), (6, 4.0, 5.0),                   # (6) dominated by (5)
+        (7, 5.0, 1.0), (8, 5.0, 2.0),                   # same x, (8) dominated
+        (9, 0.5, 12.0),                                 # frontier (smallest x)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    expect = set()
+    for i, x, y in rows:
+        if not any(
+            (x2 <= x and y2 <= y and (x2 < x or y2 < y))
+            for _, x2, y2 in rows
+        ):
+            expect.add(i)
+    for buckets in (1, 2, 7, 1024):
+        got = {
+            r["id"]
+            for r in R.pareto_frontier_2d(df, "x", "y", buckets=buckets).collect()
+        }
+        assert got == expect, buckets
