@@ -123,6 +123,18 @@ COUNT_ONLY = {
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # --isolate q1 [q2 ...]: time ONLY the named queries in this fresh JVM —
+    # the methodology for separating suite-level contention (many queries
+    # sharing one session's executors/caches) from genuine per-query
+    # regression (VERDICT r5 task 3). Output format is unchanged.
+    bench_queries = BENCH_QUERIES
+    if len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+        bench_queries = sys.argv[2:]
+        unknown = [n for n in bench_queries if n not in QUERIES]
+        if not bench_queries or unknown:
+            print(f"usage: bench.py --isolate <query ...>; unknown={unknown}",
+                  file=sys.stderr)
+            return 2
     spark = get_spark("bench")
     # Warm the JVM + parquet footers with a trivial action so per-query times
     # measure steady-state execution.
@@ -131,7 +143,7 @@ def main() -> int:
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         # A single broken query must never zero the whole suite (round 2's
         # BENCH file was empty because one AnalysisException aborted the
         # run) — record the failure and keep timing the rest.
