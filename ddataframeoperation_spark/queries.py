@@ -6422,11 +6422,11 @@ _DRIVER_PRIORITY = [
     "b15_sort_null_ordering",     # B15 sort w/ null ordering
     "b16_top_k",                  # B16 limit/top-k
     "b17_window_rank",            # B17 ranking windows
-    "b18_window_lag_lead",        # B18 lag/lead
+    "b18_scd2_history",           # B18 SCD2 dimension build (lag/lead composed)
     "b19_window_running_sum",     # B19 framed window aggs
     "b20_latest_per_key",         # B20 top-1-per-group
     "b21_union_distinct",         # B21 set ops
-    "b22_stratified_sample",      # B22 sampling (bounds oracle)
+    "b22_leakage_safe_split",     # B22 cluster-aware train/eval split
     "b23_string_funcs",           # B23 string fns
     "b24_ohlc_bars",              # B24 time bucketing + OHLC min_by/max_by agg
     "b25_math_conditional",       # B25 math/conditional
@@ -6436,11 +6436,11 @@ _DRIVER_PRIORITY = [
     "b29_sink_roundtrip",         # B29 sinks
     "b30_script_zscore",          # B30 script/UDF surface
     "b31_dedup_increment",        # B31 exact dedup (incremental form)
-    "b32_cluster_dedup",          # B32 components (pair graph oracled via CTE)
+    "b32_near_dedup_e2e",         # B32 end-to-end near-dup (minhash→components→keep)
     "b32_minhash_candidates",     # B32 MinHash LSH (recall oracle)
     "b33_cosine_topk",            # B33 vector similarity
-    "b33_embedding_neardup",      # B33 blocked pairwise cosine
-    "b34_tfidf",                  # B34 text analysis
+    "b33_ivf_topk",               # B33 IVF ANN vs exact oracle
+    "b34_pack_sequences",         # B34 greedy context-window packing
     "b34_full_pipeline",          # B34 end-to-end corpus pipeline composite
     "b35_sessionize",             # B35 sessionization
     "b36_stream_tumbling",        # B36 streaming windows
@@ -6470,7 +6470,22 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: covered (B10 keeps flagship/q7/q22, B22 keeps stratified_sample, B24's
 #: slot stays in-family — ohlc IS the date-bucketing aggregate); the
 #: displaced queries lead the post-50 tail.
+#: Round 6 rotated five slots to never-driver-recorded flagship
+#: LLM-pipeline operators (VERDICT r5 task 5), each displacement staying
+#: IN-FAMILY so the correctness file certifies the north-star surface:
+#: b18_window_lag_lead → b18_scd2_history (lag/lead composed into the
+#: SCD2 build), b22_stratified_sample → b22_leakage_safe_split (B22 also
+#: keeps temperature_mix), b32_cluster_dedup → b32_near_dedup_e2e (the
+#: e2e pipeline CONTAINS the components step), b33_embedding_neardup →
+#: b33_ivf_topk (B33 keeps cosine_topk), b34_tfidf → b34_pack_sequences
+#: (B34 keeps bm25_topk + full_pipeline). Displaced queries lead the
+#: post-50 tail.
 _BONUS_SLOTS = [
+    "b18_window_lag_lead",
+    "b22_stratified_sample",
+    "b32_cluster_dedup",
+    "b33_embedding_neardup",
+    "b34_tfidf",
     "b10_q14_promo_ratio",
     "b10_q19_disjunctive",
     "b24_date_funcs",
