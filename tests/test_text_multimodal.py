@@ -202,3 +202,26 @@ def test_media_neardup_finds_replicas_only(spark):
     )
     out = multimodal.media_neardup_candidates(df, max_bucket=None).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
+
+
+def test_media_neardup_caller_supplied_perceptual_fingerprint(spark):
+    # VERDICT r5 #7: the fingerprint slot must accept a caller-computed
+    # (perceptual) hash end-to-end. A toy locality-preserving 60-bit hash
+    # stands in for pHash: visually-near payloads differ in 2 bits
+    # (within max_hamming=3 -> candidate pair), far payloads differ in
+    # many bits (no pair) — behavior the md5 stand-in cannot produce.
+    rows = [
+        (1, b"frame-a", 0x0FF00FF00FF00F0),         # near-dup of 2
+        (2, b"frame-a-recompressed", 0x0FF00FF00FF00F3),  # 2 bits away
+        (3, b"different-scene", 0x70F0F0F0F0F0F0F),       # far from both
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary, phash long")
+    out = multimodal.media_neardup_candidates(
+        df, max_bucket=None, fingerprint_col="phash"
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 2)]
+    # Column-expression form works identically (e.g. a codec UDF output).
+    out2 = multimodal.media_neardup_candidates(
+        df, max_bucket=None, fingerprint_col=F.col("phash")
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out2] == [(1, 2, 2)]
