@@ -148,6 +148,37 @@ def main() -> int:
                 ["doc_id"], ["n_chars"],
             ),
         )
+        # Round-6: bucketed Pareto frontier under the ADVICE-flagged
+        # adversarial shape — near-unique continuous x (distinct-x ~ rows),
+        # where the old single global running-min window would collapse to
+        # one task. Growth here must stay ~linear.
+        probe(
+            f"pareto_frontier_continuous_x {tag}",
+            lambda d=d: relational.pareto_frontier_2d(
+                d.withColumn(
+                    "x", F.col("n_chars") + (F.col("doc_id") % 997) / 1000.0
+                ).withColumn(
+                    "y", (F.col("doc_id") * 2654435761 % 1000003).cast("double")
+                ),
+                "x", "y",
+            ),
+        )
+        # Round-6: percentile-cut-point quartile assignment (the global-ntile
+        # replacement): one percentile agg + broadcast + row-local fold.
+        probe(
+            f"percentile_quartiles {tag}",
+            lambda d=d: (lambda dd:
+                dd.crossJoin(
+                    F.broadcast(dd.agg(F.expr(
+                        "percentile(ntok, array(0.25, 0.5, 0.75))"
+                    ).alias("_c")))
+                )
+                .withColumn("stage", F.lit(1) + F.size(
+                    F.filter(F.col("_c"), lambda x: F.col("ntok") > x)
+                ))
+                .groupBy("stage").count()
+            )(d.select("doc_id", TX.token_count("text").alias("ntok"))),
+        )
     return 0
 
 
