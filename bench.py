@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "b18_transition_matrix",
     "b24_twap",
     "b35_cooccurrence",
+    # Round-6 addition: token-budgeted mixture sampling (two-level
+    # bucketed prefix sums — windows + broadcast joins over documents).
+    "b22_token_budget_mix",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
@@ -118,6 +121,7 @@ COUNT_ONLY = {
     "b24_ohlc_bars",
     "b05_lateral_topn",
     "b34_lexical_diversity",
+    "b22_token_budget_mix",
 }
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "cap_per_source",
     "weighted_sample",
     "temperature_mix",
+    "token_budget_mix",
     "kfold_assign",
 ]
 
@@ -327,6 +328,101 @@ def temperature_mix(
         ranked.join(F.broadcast(quotas), on=source_col)
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: "int | dict[str, int]",
+    token_col: str | Column | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+    tiebreak_col: str = "doc_id",
+    salt: str = "",
+    buckets: int = 256,
+) -> DataFrame:
+    """North-star — TOKEN-budgeted corpus mixing: keep, per source, a
+    deterministic uniform subsample whose cumulative token count stays
+    within that source's budget. Training mixtures are specified in
+    tokens, not documents (a source's docs can be 10× longer than
+    another's), so this is the op that actually realizes a published
+    data-mixture table; it complements :func:`cap_per_source` (doc-count
+    quota) and :func:`temperature_mix` (doc-count rebalance).
+
+    Semantics: within each source, order docs by their hash-uniform (an
+    engine-stable pseudo-random shuffle; ``salt`` = new draw) with
+    ``tiebreak_col`` breaking exact hash ties, and keep the prefix whose
+    INCLUSIVE cumulative token count is <= the budget (the doc that would
+    cross the boundary is dropped, so the budget is a hard cap).
+    ``budgets`` is one int for every source or a {source: budget} dict —
+    with a dict, sources absent from it are dropped (the mixture is
+    explicit). Rows with a NULL source, token count, or hash key are
+    dropped. Token counts come from ``token_col`` if given (e.g. a real
+    tokenizer's output), else the whitespace/BPE-proxy count of
+    ``text_col``.
+
+    Plan (the skew-proof two-level prefix-sum shape, same as
+    ``pareto_frontier_2d``): hash-uniforms bucket each row into one of
+    ``buckets`` u-ranges; per-(source, bucket) token sums aggregate
+    map-side; the cross-bucket prefix runs on the |sources|×``buckets``
+    table (broadcast back); the data-sized running sum is a window
+    PARTITIONED by (source, bucket). A mega-source therefore spreads
+    over ``buckets`` parallel partitions instead of one hot one — no
+    single-task sort of any source at 100 TB. Exactness: equal uniforms
+    always share a bucket, so bucket-major (u, tiebreak) order equals
+    the global per-source order.
+    """
+    from pyspark.sql import Window
+
+    from ddataframeoperation_spark.operators.text import token_count
+
+    if token_col is None:
+        ntok = token_count(text_col)
+    elif isinstance(token_col, str):
+        ntok = F.col(token_col)
+    else:
+        ntok = token_col
+    t = (
+        df.withColumn("_ntok", ntok.cast("long"))
+        .withColumn("_u", hash_uniform([tiebreak_col], salt))
+        .filter(
+            F.col("_ntok").isNotNull()
+            & F.col("_u").isNotNull()
+            & F.col(source_col).isNotNull()
+        )
+    )
+    if isinstance(budgets, int):
+        if budgets < 0:
+            raise ValueError("budget must be >= 0")
+        t = t.withColumn("_budget", F.lit(budgets).cast("long"))
+    else:
+        b = df.sparkSession.createDataFrame(
+            [(str(k), int(v)) for k, v in budgets.items()],
+            f"{source_col} string, _budget long",
+        )
+        t = t.join(F.broadcast(b), on=source_col)
+    t = t.withColumn("_bkt", F.floor(F.col("_u") * buckets).cast("int"))
+    per_bkt = t.groupBy(source_col, "_bkt").agg(F.sum("_ntok").alias("_tok"))
+    w_b = (
+        Window.partitionBy(source_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = per_bkt.select(
+        source_col,
+        "_bkt",
+        F.coalesce(F.sum("_tok").over(w_b), F.lit(0)).alias("_before"),
+    )
+    w_in = (
+        Window.partitionBy(source_col, "_bkt")
+        .orderBy(F.col("_u").asc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.join(F.broadcast(prefix), on=[source_col, "_bkt"])
+        .withColumn("_cum", F.col("_before") + F.sum("_ntok").over(w_in))
+        .filter(F.col("_cum") <= F.col("_budget"))
+        .drop("_ntok", "_u", "_bkt", "_budget", "_before", "_cum")
     )
 
 

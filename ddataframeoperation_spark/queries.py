@@ -5435,6 +5435,42 @@ def b22tm(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b22_token_budget_mix",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS ntok,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || 'tb'), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, ntok,
+             sum(ntok) OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, CAST(ntok AS BIGINT) AS n_tokens
+    FROM c WHERE cum <= 700
+    """,
+)
+def b22tb(spark: SparkSession, sf: str) -> DataFrame:
+    # TOKEN-budgeted mixture realization: per source, a deterministic
+    # md5-uniform shuffle's prefix whose inclusive token sum stays <= 700
+    # — the op that turns a published data-mixture table (budgets in
+    # tokens, not docs) into a concrete kept-set. The oracle mirrors the
+    # semantics with ONE window; the engine uses the skew-proof two-level
+    # (source, u-bucket) prefix-sum plan — exactness of the equivalence
+    # is what the hash match proves.
+    from ddataframeoperation_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    return sampling.token_budget_mix(d, 700, salt="tb").select(
+        "doc_id", "source", TX.token_count("text").cast("long").alias("n_tokens")
+    )
+
+
+@_q(
     "b34_length_outliers",
     """
     WITH med AS (

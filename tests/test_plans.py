@@ -216,3 +216,14 @@ def test_left_agg_aggregates_below_join(spark):
                      p.find("BroadcastHashJoin")) if i >= 0]
     )
     assert join_at < p.rindex("keys=[o_custkey")
+
+
+def test_token_budget_mix_window_is_bucket_partitioned(spark):
+    # The data-sized running token sum must be partitioned by
+    # (source, u-bucket) — a mega-source spreads across buckets instead
+    # of one hot window partition. The cross-bucket prefix table and the
+    # budget constant arrive by broadcast.
+    p = _plan(spark, "b22_token_budget_mix")
+    assert "windowspecdefinition(source" in p and "_bkt" in p
+    assert "Exchange SinglePartition" not in p
+    assert "BroadcastHashJoin" in p

@@ -115,3 +115,80 @@ def test_cap_per_source_quota_and_determinism(spark):
     got = sorted((r["source"], r["doc_id"]) for r in out.collect())
     # per source: keep the 3 longest (lowest doc_id = highest n_chars here)
     assert got == [("s0", 0), ("s0", 2), ("s0", 4), ("s1", 1), ("s1", 3), ("s1", 5)]
+
+
+def test_token_budget_mix_hard_cap_and_prefix(spark, sf_dir):
+    # Per-source token sums never exceed the budget, the kept set is the
+    # PREFIX of the hash order (every kept doc's uniform sorts before
+    # every dropped doc's, per source, up to the boundary-crossing drop),
+    # and the op is deterministic.
+    d = read_fixture_table(spark, sf_dir, "documents")
+    out = sampling.token_budget_mix(d, 700, salt="t")
+    from ddataframeoperation_spark.operators.text import token_count
+
+    sums = (
+        out.groupBy("source")
+        .agg(F.sum(token_count("text")).alias("tok"))
+        .collect()
+    )
+    assert sums and all(r["tok"] <= 700 for r in sums)
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in sampling.token_budget_mix(d, 700, salt="t").select("doc_id").collect()
+    )
+    assert ids1 == ids2 and ids1  # deterministic, non-empty
+
+
+def test_token_budget_mix_bucketed_equals_single_window(spark, sf_dir):
+    # The skew-proof two-level prefix-sum plan must keep EXACTLY the rows
+    # a naive single per-source window would — across bucket counts, so
+    # u-range boundary edges are exercised.
+    from pyspark.sql import Window
+
+    d = read_fixture_table(spark, sf_dir, "documents")
+    from ddataframeoperation_spark.operators.text import token_count
+
+    naive = (
+        d.withColumn("_ntok", token_count("text").cast("long"))
+        .withColumn("_u", sampling.hash_uniform(["doc_id"], "t"))
+        .withColumn(
+            "_cum",
+            F.sum("_ntok").over(
+                Window.partitionBy("source")
+                .orderBy(F.col("_u").asc(), F.col("doc_id").asc())
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .filter(F.col("_cum") <= 500)
+    )
+    want = sorted(r["doc_id"] for r in naive.select("doc_id").collect())
+    for buckets in (1, 3, 256):
+        got = sorted(
+            r["doc_id"]
+            for r in sampling.token_budget_mix(
+                d, 500, salt="t", buckets=buckets
+            ).select("doc_id").collect()
+        )
+        assert got == want, buckets
+
+
+def test_token_budget_mix_dict_budgets(spark, sf_dir):
+    # Dict budgets: per-source caps honored independently; sources absent
+    # from the dict are dropped entirely; budget 0 keeps nothing (every
+    # doc has >0 tokens).
+    d = read_fixture_table(spark, sf_dir, "documents")
+    out = sampling.token_budget_mix(
+        d, {"src0": 400, "src1": 900, "src2": 0}, salt="t"
+    )
+    from ddataframeoperation_spark.operators.text import token_count
+
+    rows = (
+        out.groupBy("source")
+        .agg(F.sum(token_count("text")).alias("tok"))
+        .collect()
+    )
+    by_src = {r["source"]: r["tok"] for r in rows}
+    assert set(by_src) <= {"src0", "src1"}  # src2 capped to 0, rest dropped
+    assert by_src.get("src0", 0) <= 400 and by_src.get("src1", 0) <= 900
+    assert by_src.get("src0", 0) > 0 and by_src.get("src1", 0) > 0
