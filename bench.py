@@ -132,7 +132,15 @@ def main() -> int:
     # sharing one session's executors/caches) from genuine per-query
     # regression (VERDICT r5 task 3). Output format is unchanged.
     bench_queries = BENCH_QUERIES
-    if len(sys.argv) > 1 and sys.argv[1] == "--isolate":
+    if len(sys.argv) > 1:
+        # Any argument other than a well-formed --isolate is an error —
+        # a typo'd flag must NOT silently fall back to the full suite
+        # (that would reintroduce the contention the flag exists to
+        # eliminate, with no sign anything went wrong).
+        if sys.argv[1] != "--isolate":
+            print(f"usage: bench.py [--isolate <query ...>]; "
+                  f"unrecognized argument {sys.argv[1]!r}", file=sys.stderr)
+            return 2
         bench_queries = sys.argv[2:]
         unknown = [n for n in bench_queries if n not in QUERIES]
         if not bench_queries or unknown:

@@ -278,6 +278,20 @@ def media_neardup_candidates(
     if fingerprint_col is None:
         fp = media_fingerprint(payload_col)
     elif isinstance(fingerprint_col, str):
+        # Fail loudly on a non-integral fingerprint column: a silent
+        # cast('long') would turn a hex-STRING phash (or a decimal/double)
+        # into NULLs under non-ANSI mode, and NULL hashes match no bucket —
+        # the rows would vanish from the candidate set looking like
+        # "no near-dups" instead of a type error.
+        ftype = df.schema[fingerprint_col].dataType
+        if not isinstance(
+            ftype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise TypeError(
+                f"fingerprint_col {fingerprint_col!r} must be an integral "
+                f"type (<=60 significant bits), got {ftype.simpleString()} "
+                f"— hex strings: conv(substring(h, 1, 15), 16, 10)"
+            )
         fp = F.col(fingerprint_col)
     else:
         fp = fingerprint_col

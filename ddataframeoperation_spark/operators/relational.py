@@ -525,7 +525,15 @@ def pareto_frontier_2d(
     product, no data-sized single-task sort.
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as _T
 
+    x_type = df.schema[x_col].dataType
+    if not isinstance(x_type, _T.NumericType):
+        raise TypeError(
+            f"pareto_frontier_2d needs a numeric x_col for range "
+            f"bucketing; {x_col!r} is {x_type.simpleString()} — cast it "
+            f"(dates: unix_date/unix_micros) before calling"
+        )
     x, y = F.col(x_col), F.col(y_col)
     clean = df.filter(x.isNotNull() & y.isNotNull())
     per_x = clean.groupBy(x_col).agg(F.min(y_col).alias("_min_y_at_x"))
@@ -574,6 +582,7 @@ def minmax_scale(
     group_col: str,
     value_col: str,
     out_col: str = "scaled",
+    decimals: int | None = None,
 ) -> DataFrame:
     """B25 — per-group min-max feature scaling to [0, 1], the declarative
     JVM-side normalizer beside the Python grouped-map z-score: per-key
@@ -585,16 +594,22 @@ def minmax_scale(
     ``value IS NULL`` guard fires BEFORE the constant-group branch, so
     missing data is never fabricated into the 0.5 midpoint. Constant
     groups (``min == max``) pin non-NULL values to 0.5, avoiding 0/0.
+    The scaled value is EXACT by default; pass ``decimals`` for display
+    rounding (query-layer concern — the oracle-matched query rounds to 4,
+    a feature pipeline should not).
     """
     v = F.col(value_col)
     stats = df.groupBy(group_col).agg(
         F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
     )
     j = df.join(F.broadcast(stats), on=group_col)
+    ratio = (v - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))
+    if decimals is not None:
+        ratio = F.round(ratio, decimals)
     scaled = (
         F.when(v.isNull(), F.lit(None).cast("double"))
         .when(F.col("_hi") == F.col("_lo"), F.lit(0.5))
-        .otherwise(F.round((v - F.col("_lo")) / (F.col("_hi") - F.col("_lo")), 4))
+        .otherwise(ratio)
     )
     return j.withColumn(out_col, scaled).drop("_lo", "_hi")
 

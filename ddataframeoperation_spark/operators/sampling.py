@@ -340,6 +340,7 @@ def token_budget_mix(
     tiebreak_col: str = "doc_id",
     salt: str = "",
     buckets: int = 256,
+    count_out: str | None = None,
 ) -> DataFrame:
     """North-star — TOKEN-budgeted corpus mixing: keep, per source, a
     deterministic uniform subsample whose cumulative token count stays
@@ -359,7 +360,10 @@ def token_budget_mix(
     explicit). Rows with a NULL source, token count, or hash key are
     dropped. Token counts come from ``token_col`` if given (e.g. a real
     tokenizer's output), else the whitespace/BPE-proxy count of
-    ``text_col``.
+    ``text_col``; pass ``count_out`` to keep the computed per-row token
+    count as an output column (it is already paid for — callers realizing
+    a mixture table always need it, and recomputing it downstream would
+    re-tokenize the kept corpus).
 
     Plan (the skew-proof two-level prefix-sum shape, same as
     ``pareto_frontier_2d``): hash-uniforms bucket each row into one of
@@ -396,6 +400,9 @@ def token_budget_mix(
             raise ValueError("budget must be >= 0")
         t = t.withColumn("_budget", F.lit(budgets).cast("long"))
     else:
+        bad = {k: v for k, v in budgets.items() if int(v) < 0}
+        if bad:
+            raise ValueError(f"budgets must be >= 0, got {bad}")
         b = df.sparkSession.createDataFrame(
             [(str(k), int(v)) for k, v in budgets.items()],
             f"{source_col} string, _budget long",
@@ -418,12 +425,14 @@ def token_budget_mix(
         .orderBy(F.col("_u").asc(), F.col(tiebreak_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
+    kept = (
         t.join(F.broadcast(prefix), on=[source_col, "_bkt"])
         .withColumn("_cum", F.col("_before") + F.sum("_ntok").over(w_in))
         .filter(F.col("_cum") <= F.col("_budget"))
-        .drop("_ntok", "_u", "_bkt", "_budget", "_before", "_cum")
     )
+    if count_out is not None:
+        kept = kept.withColumn(count_out, F.col("_ntok"))
+    return kept.drop("_ntok", "_u", "_bkt", "_budget", "_before", "_cum")
 
 
 def kfold_assign(

@@ -5443,6 +5443,7 @@ def b22tm(spark: SparkSession, sf: str) -> DataFrame:
              ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || 'tb'), 1, 8))::BIGINT
                / 4294967296.0 AS u
       FROM documents
+      WHERE text IS NOT NULL AND source IS NOT NULL AND doc_id IS NOT NULL
     ),
     c AS (
       SELECT doc_id, source, ntok,
@@ -5459,14 +5460,16 @@ def b22tb(spark: SparkSession, sf: str) -> DataFrame:
     # md5-uniform shuffle's prefix whose inclusive token sum stays <= 700
     # — the op that turns a published data-mixture table (budgets in
     # tokens, not docs) into a concrete kept-set. The oracle mirrors the
-    # semantics with ONE window; the engine uses the skew-proof two-level
+    # semantics with ONE window (and the operator's NULL-drop contract
+    # with an explicit WHERE, so a fixture regeneration with NULLs cannot
+    # silently diverge); the engine uses the skew-proof two-level
     # (source, u-bucket) prefix-sum plan — exactness of the equivalence
     # is what the hash match proves.
     from ddataframeoperation_spark.operators import sampling
 
     d = _t(spark, sf, "documents")
-    return sampling.token_budget_mix(d, 700, salt="tb").select(
-        "doc_id", "source", TX.token_count("text").cast("long").alias("n_tokens")
+    return sampling.token_budget_mix(d, 700, salt="tb", count_out="n_tokens").select(
+        "doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens")
     )
 
 
@@ -5795,11 +5798,14 @@ def b01log(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
     # Fixed per-process scratch path + overwrite mode: repeated
     # correctness/bench sweeps rewrite the same directory instead of
-    # accumulating one mkdtemp per invocation (ADVICE r5). The dir must
-    # still exist when the caller collects, so it is not removed here.
+    # accumulating one mkdtemp per invocation (ADVICE r5). The PID keeps
+    # concurrent processes (e.g. bench --isolate beside a pytest run)
+    # from racing on one another's overwrite; the dir must still exist
+    # when the caller collects, so it is not removed here.
     out = os.path.join(
         tempfile.gettempdir(),
-        f"ddfo_loglines_scratch_{os.path.basename(os.path.normpath(sf))}",
+        f"ddfo_loglines_scratch_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf))}",
     )
     e.select(
         F.concat_ws(
@@ -6290,7 +6296,7 @@ def b25mm(spark: SparkSession, sf: str) -> DataFrame:
     # NULL path unit-tested in tests/test_relational.py since the
     # fixture events carry no NULL values).
     e = _t(spark, sf, "events")
-    return R.minmax_scale(e, "user_id", "value").select(
+    return R.minmax_scale(e, "user_id", "value", decimals=4).select(
         "event_id", "user_id", "scaled"
     )
 

@@ -207,3 +207,27 @@ def test_pareto_frontier_bucketed_matches_bruteforce(spark):
             for r in R.pareto_frontier_2d(df, "x", "y", buckets=buckets).collect()
         }
         assert got == expect, buckets
+
+
+def test_pareto_frontier_rejects_non_numeric_x(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "x string, y double"
+    )
+    with pytest.raises(TypeError, match="numeric"):
+        R.pareto_frontier_2d(df, "x", "y")
+
+
+def test_minmax_scale_exact_by_default(spark):
+    # The library operator must not quantize: 1/3 stays 1/3, not 0.3333.
+    df = spark.createDataFrame(
+        [("g", 0.0), ("g", 1.0), ("g", 3.0)], "g string, value double"
+    )
+    out = {r["value"]: r["scaled"] for r in R.minmax_scale(df, "g", "value").collect()}
+    assert out[1.0] == 1.0 / 3.0
+    rounded = {
+        r["value"]: r["scaled"]
+        for r in R.minmax_scale(df, "g", "value", decimals=4).collect()
+    }
+    assert rounded[1.0] == 0.3333

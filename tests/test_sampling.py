@@ -192,3 +192,26 @@ def test_token_budget_mix_dict_budgets(spark, sf_dir):
     assert set(by_src) <= {"src0", "src1"}  # src2 capped to 0, rest dropped
     assert by_src.get("src0", 0) <= 400 and by_src.get("src1", 0) <= 900
     assert by_src.get("src0", 0) > 0 and by_src.get("src1", 0) > 0
+
+
+def test_token_budget_mix_rejects_negative_budgets(spark, sf_dir):
+    import pytest
+
+    d = read_fixture_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError):
+        sampling.token_budget_mix(d, -5)
+    with pytest.raises(ValueError):
+        sampling.token_budget_mix(d, {"src0": -5, "src1": 900})
+
+
+def test_token_budget_mix_count_out(spark, sf_dir):
+    # count_out exposes the already-computed token count — it must equal
+    # an independent tokenization of the kept rows.
+    from ddataframeoperation_spark.operators.text import token_count
+
+    d = read_fixture_table(spark, sf_dir, "documents")
+    out = sampling.token_budget_mix(d, 600, salt="t", count_out="ntok")
+    mismatch = out.filter(
+        F.col("ntok") != token_count("text").cast("long")
+    ).count()
+    assert mismatch == 0 and out.count() > 0

@@ -225,3 +225,14 @@ def test_media_neardup_caller_supplied_perceptual_fingerprint(spark):
         df, max_bucket=None, fingerprint_col=F.col("phash")
     ).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out2] == [(1, 2, 2)]
+
+
+def test_media_neardup_rejects_non_integral_fingerprint(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, b"x", "0fab"), (2, b"y", "0fac")],
+        "media_id long, payload binary, phash string",
+    )
+    with pytest.raises(TypeError, match="integral"):
+        multimodal.media_neardup_candidates(df, fingerprint_col="phash")
