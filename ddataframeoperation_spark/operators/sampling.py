@@ -39,6 +39,7 @@ __all__ = [
     "weighted_sample",
     "temperature_mix",
     "token_budget_mix",
+    "epoch_shard_order",
     "kfold_assign",
 ]
 
@@ -433,6 +434,55 @@ def token_budget_mix(
     if count_out is not None:
         kept = kept.withColumn(count_out, F.col("_ntok"))
     return kept.drop("_ntok", "_u", "_bkt", "_budget", "_before", "_cum")
+
+
+def epoch_shard_order(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int,
+    keys: Sequence[str | Column] = ("doc_id",),
+    tiebreak_col: str = "doc_id",
+    salt: str = "",
+    shard_col: str = "shard",
+    position_col: str = "position",
+) -> DataFrame:
+    """North-star — the training last mile: a deterministic per-epoch
+    (shard, position) assignment so ``n_shards`` distributed readers each
+    consume a disjoint, reproducibly-ordered slice of the corpus, and a
+    new ``epoch`` draws an independent global permutation (the standard
+    epoch-reshuffle). Resumable by construction: position is a pure
+    function of the data + (epoch, salt), so a reader that died at
+    position p restarts at p+1 with no coordination.
+
+    Mechanics: hash-uniform keyed by ``keys`` with the epoch folded into
+    the salt → ``shard = floor(u * n_shards)`` (uniform in expectation,
+    deterministic), ``position`` = dense per-shard rank by
+    ``(u, tiebreak)``. Rows with a NULL hash key are dropped (they have
+    no stable identity to order by).
+
+    Plan: one hash exchange on the shard id + per-shard window sort —
+    shards are the window partitions, so parallelism IS the reader
+    fan-out; no global sort. At 100 TB pick ``n_shards`` >= cluster
+    cores so no shard exceeds one task's memory (the same knob the
+    training job needs anyway).
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if epoch < 0:
+        raise ValueError("epoch must be >= 0")
+    u = hash_uniform(keys, f"{salt}|epoch{int(epoch)}")
+    t = df.withColumn("_u", u).filter(F.col("_u").isNotNull())
+    t = t.withColumn(
+        shard_col, F.floor(F.col("_u") * n_shards).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("_u").asc(), F.col(tiebreak_col).asc()
+    )
+    return t.withColumn(
+        position_col, F.row_number().over(w).cast("long")
+    ).drop("_u")
 
 
 def kfold_assign(

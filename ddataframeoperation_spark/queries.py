@@ -5474,6 +5474,38 @@ def b22tb(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b22_epoch_order",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || '|epoch3'), 1, 8))::BIGINT
+               / 4294967296.0 AS u
+      FROM documents
+      WHERE doc_id IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(floor(u * 8) AS INTEGER) AS shard,
+           CAST(row_number() OVER (PARTITION BY floor(u * 8)
+                                   ORDER BY u ASC, doc_id ASC) AS BIGINT)
+             AS position
+    FROM t
+    """,
+)
+def b22eo(spark: SparkSession, sf: str) -> DataFrame:
+    # The training last mile: epoch-3 deterministic (shard, position)
+    # assignment for 8 distributed readers — epoch folded into the md5
+    # salt gives an independent permutation per epoch, position is a pure
+    # function of the data so a dead reader resumes with no coordination.
+    # One hash exchange on the shard id; shards ARE the window partitions.
+    from ddataframeoperation_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    return sampling.epoch_shard_order(d, epoch=3, n_shards=8).select(
+        "doc_id", "shard", "position"
+    )
+
+
+@_q(
     "b34_length_outliers",
     """
     WITH med AS (

@@ -215,3 +215,27 @@ def test_token_budget_mix_count_out(spark, sf_dir):
         F.col("ntok") != token_count("text").cast("long")
     ).count()
     assert mismatch == 0 and out.count() > 0
+
+
+def test_epoch_shard_order_invariants(spark, sf_dir):
+    d = read_fixture_table(spark, sf_dir, "documents")
+    n = d.count()
+    e1 = sampling.epoch_shard_order(d, epoch=1, n_shards=4)
+    # Exhaustive + disjoint: every doc appears exactly once.
+    assert e1.count() == n
+    assert e1.select("doc_id").distinct().count() == n
+    # Positions are contiguous 1..|shard| within each shard.
+    per = e1.groupBy("shard").agg(
+        F.count("*").alias("c"), F.max("position").alias("m"),
+        F.min("position").alias("lo"),
+    ).collect()
+    assert all(r["c"] == r["m"] and r["lo"] == 1 for r in per)
+    assert {r["shard"] for r in per} <= {0, 1, 2, 3}
+    # Deterministic within an epoch; a different epoch reshuffles.
+    a = sorted(map(tuple, e1.select("doc_id", "shard", "position").collect()))
+    b = sorted(map(tuple, sampling.epoch_shard_order(d, epoch=1, n_shards=4)
+                   .select("doc_id", "shard", "position").collect()))
+    assert a == b
+    c = sorted(map(tuple, sampling.epoch_shard_order(d, epoch=2, n_shards=4)
+                   .select("doc_id", "shard", "position").collect()))
+    assert a != c
