@@ -46,6 +46,7 @@ __all__ = [
     "simhash_candidates",
     "hamming_candidates",
     "levenshtein_pairs",
+    "deletion_neighborhood",
     "token_windows",
     "block_dedup",
 ]
@@ -558,38 +559,100 @@ def _jaccard_pairs_block_kernel(
     )
 
 
+def deletion_neighborhood(col: str | Column, k: int) -> Column:
+    """All strings reachable from ``col`` by deleting at most ``k``
+    characters, as a distinct ``array<string>`` built entirely from
+    higher-order builtins (no Python in the hot path). This is the
+    SymSpell / symmetric-delete index key set: if ``ed(s1, s2) <= k``
+    then the depth-``k`` neighborhoods of s1 and s2 intersect (each
+    substitution costs one deletion on each side, each insert/delete one
+    deletion on one side). Size grows as C(len, <=k) — intended for
+    entity-resolution columns (names, codes), not documents.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    s = F.col(col) if isinstance(col, str) else col
+    arr = F.array(s)
+    for _ in range(k):
+        def _del1(x: Column) -> Column:
+            m = F.length(x)
+            return F.when(
+                m > 0,
+                F.transform(
+                    F.sequence(F.lit(1), m),
+                    lambda i: F.concat(
+                        x.substr(F.lit(1), i - 1), x.substr(i + 1, m)
+                    ),
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+        arr = F.array_distinct(F.concat(arr, F.flatten(F.transform(arr, _del1))))
+    return arr
+
+
 def levenshtein_pairs(
     df: DataFrame,
     col: str,
     max_dist: int = 2,
+    blocking: str = "auto",
 ) -> DataFrame:
     """B32/B23 — fuzzy value matching (entity-resolution / typo-dedup):
     all unordered pairs of DISTINCT ``col`` values within edit distance
     ``max_dist``, scored by exact levenshtein (a JVM builtin; DuckDB's
     ``levenshtein`` computes the identical metric, so the operator is
-    exactly oracle-able).
+    exactly oracle-able). Both blocking strategies are COMPLETE (no
+    candidate within ``max_dist`` is missed), so the refined result is
+    exact either way:
 
-    Blocking: two strings within distance d differ in length by at most
-    d, so one side explodes to length buckets [len−d, len+d] and
-    equi-joins against the other side's exact length — candidates ∝
-    values-per-length-band, never the |V|² cross; each unordered pair
-    meets in exactly one bucket (= len_b) under the ``a < b`` orientation.
-    At 100 TB add a first-character or q-gram prefilter as a second join
-    key — same shape, tighter buckets.
+    - ``"deletes"`` — symmetric-delete (SymSpell) blocking: each value
+      explodes to its :func:`deletion_neighborhood`; two values within
+      distance d always share a variant, and a bucket holds only values
+      that actually collide after deletions — near-matches, not "all
+      values of this length". The scale choice for large diverse value
+      sets; cost is the C(len, <=k) explode, so suited to short strings
+      and small k.
+    - ``"length"`` — length-band blocking (within distance d lengths
+      differ by <= d): one side explodes to [len-d, len+d], equi-join on
+      exact length. Cheap to build but a band holds EVERY value of that
+      length — degenerates toward all-pairs on uniform-length corpora.
+      The fallback for long strings / larger k where the deletion
+      explode would dominate.
+    - ``"auto"`` — ``"deletes"`` when ``max_dist <= 2``, else
+      ``"length"``.
 
     Returns (name_a, name_b, dist) with name_a < name_b.
     """
+    if blocking not in ("auto", "deletes", "length"):
+        raise ValueError(f"unknown blocking {blocking!r}")
+    if blocking == "auto":
+        blocking = "deletes" if max_dist <= 2 else "length"
     vals = df.select(F.col(col).alias("name")).distinct()
-    a = vals.select(
-        "name",
-        F.explode(
-            F.sequence(
-                F.length("name") - max_dist, F.length("name") + max_dist
-            )
-        ).alias("lb"),
-    )
-    b = vals.select(F.col("name").alias("name_b"), F.length("name_b").alias("lb"))
-    cand = a.join(b, "lb").filter(F.col("name") < F.col("name_b"))
+    if blocking == "deletes":
+        a = vals.select(
+            "name",
+            F.explode(deletion_neighborhood("name", max_dist)).alias("v"),
+        )
+        b = a.select(F.col("name").alias("name_b"), "v")
+        cand = (
+            a.join(b, "v")
+            .filter(F.col("name") < F.col("name_b"))
+            .select("name", "name_b")
+            .distinct()  # a pair can meet in many shared variants
+        )
+    else:
+        a = vals.select(
+            "name",
+            F.explode(
+                F.sequence(
+                    F.length("name") - max_dist, F.length("name") + max_dist
+                )
+            ).alias("lb"),
+        )
+        b = vals.select(
+            F.col("name").alias("name_b"), F.length("name_b").alias("lb")
+        )
+        # each unordered pair meets in exactly one bucket (= len_b) under
+        # the a < b orientation, so no distinct is needed before refine.
+        cand = a.join(b, "lb").filter(F.col("name") < F.col("name_b"))
     return (
         cand.withColumn("dist", F.levenshtein("name", "name_b"))
         .filter(F.col("dist") <= max_dist)

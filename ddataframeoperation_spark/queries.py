@@ -4164,10 +4164,35 @@ def b34pii(spark: SparkSession, sf: str) -> DataFrame:
 )
 def b32fz(spark: SparkSession, sf: str) -> DataFrame:
     # Fuzzy entity matching: part-name pairs within edit distance 3 via
-    # length-band blocked levenshtein (dedup.levenshtein_pairs). The
-    # oracle uses DuckDB's identical levenshtein over the naive cross —
-    # the spec; the Spark plan is the banded equi-join.
+    # length-band blocked levenshtein (dedup.levenshtein_pairs; max_dist=3
+    # puts "auto" on the length path — the deletion explode is C(len,3)
+    # for ~30-char names). The oracle uses DuckDB's identical levenshtein
+    # over the naive cross — the spec; the Spark plan is the banded
+    # equi-join.
     return dedup.levenshtein_pairs(_t(spark, sf, "part"), "p_name", max_dist=3)
+
+
+@_q(
+    "b32_fuzzy_names_symdelete",
+    """
+    WITH v AS (SELECT DISTINCT s_name AS name FROM supplier)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+    FROM v a JOIN v b ON a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def b32fzsd(spark: SparkSession, sf: str) -> DataFrame:
+    # The SCALE path for fuzzy matching: symmetric-delete (SymSpell)
+    # blocking — each name explodes to its <=2-deletion neighborhood and
+    # candidates are pairs sharing a variant, so a bucket holds only true
+    # near-matches (the length-band blocking above degenerates toward
+    # all-pairs on uniform-length corpora like these names). Same exact
+    # levenshtein refine, same naive-cross oracle: the hash match proves
+    # the deletion blocking is candidate-complete.
+    return dedup.levenshtein_pairs(
+        _t(spark, sf, "supplier"), "s_name", max_dist=2, blocking="deletes"
+    )
 
 
 @_q(

@@ -77,3 +77,47 @@ def test_token_budget_mix_random_matches_single_window(spark):
                 ).select("doc_id").collect()
             )
             assert got == want, (seed, buckets, budget)
+
+
+def test_levenshtein_pairs_blockings_match_bruteforce(spark):
+    import itertools
+
+    from ddataframeoperation_spark.operators import dedup
+
+    def ed(a, b):
+        # classic Wagner-Fischer
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    for seed in range(4):
+        rng = random.Random(50 + seed)
+        alphabet = "abc"
+        vals = list(
+            {
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 6)))
+                for _ in range(40)
+            }
+        )
+        df = spark.createDataFrame([(v,) for v in vals], "name string")
+        for k in (0, 1, 2):
+            want = sorted(
+                (a, b, ed(a, b))
+                for a, b in itertools.combinations(sorted(vals), 2)
+                if ed(a, b) <= k
+            )
+            for blocking in ("deletes", "length"):
+                got = sorted(
+                    map(
+                        tuple,
+                        dedup.levenshtein_pairs(
+                            df, "name", max_dist=k, blocking=blocking
+                        ).collect(),
+                    )
+                )
+                assert got == want, (seed, k, blocking)
