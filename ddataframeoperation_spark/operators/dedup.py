@@ -627,15 +627,37 @@ def levenshtein_pairs(
         blocking = "deletes" if max_dist <= 2 else "length"
     vals = df.select(F.col(col).alias("name")).distinct()
     if blocking == "deletes":
-        a = vals.select(
+        # ONE neighborhood explode + one shuffle on the variant: a
+        # self-join would re-run the C(len,<=k) explode on both sides
+        # (Catalyst cannot reuse the exchange across the renamed side),
+        # so pairs are expanded array-locally inside each variant bucket
+        # instead. A bucket holds only values colliding after deletions —
+        # true near-matches — so the in-bucket expansion is the
+        # operator's own output size; mass near-identical families cost
+        # one task per shared variant (the hamming_candidates hot-bucket
+        # caveat applies).
+        e = vals.select(
             "name",
             F.explode(deletion_neighborhood("name", max_dist)).alias("v"),
         )
-        b = a.select(F.col("name").alias("name_b"), "v")
+        ns = F.sort_array(F.collect_set("name"))
+        buckets_df = (
+            e.groupBy("v")
+            .agg(ns.alias("ns"))
+            .filter(F.size("ns") >= 2)
+        )
+        pairs = F.flatten(
+            F.transform(
+                F.col("ns"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ns"), i + 2, F.size(F.col("ns"))),
+                    lambda y: F.struct(x.alias("name"), y.alias("name_b")),
+                ),
+            )
+        )
         cand = (
-            a.join(b, "v")
-            .filter(F.col("name") < F.col("name_b"))
-            .select("name", "name_b")
+            buckets_df.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.name").alias("name"), F.col("p.name_b").alias("name_b"))
             .distinct()  # a pair can meet in many shared variants
         )
     else:

@@ -460,6 +460,14 @@ def epoch_shard_order(
     ``(u, tiebreak)``. Rows with a NULL hash key are dropped (they have
     no stable identity to order by).
 
+    PRECONDITION: ``tiebreak_col`` must uniquely identify rows. Two rows
+    sharing the tiebreak value (and hence, with the default keys, the
+    same hash-uniform too) would receive their two positions in
+    arbitrary task order, and a reader resuming "at position p+1" on a
+    re-run could skip one and read the other twice — exactly what the
+    operator exists to prevent. Dedup first (B31) if the id column can
+    repeat; the determinism contract holds only under uniqueness.
+
     Plan: one hash exchange on the shard id + per-shard window sort —
     shards are the window partitions, so parallelism IS the reader
     fan-out; no global sort. At 100 TB pick ``n_shards`` >= cluster

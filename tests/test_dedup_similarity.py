@@ -152,9 +152,14 @@ def test_levenshtein_pairs_banding_catches_shorter_greater(spark):
     )
     from ddataframeoperation_spark.operators.dedup import levenshtein_pairs
 
+    # blocking="length" explicitly: "auto" now routes max_dist<=2 to the
+    # symmetric-delete path, and this test exists to pin the LENGTH band
+    # being two-sided (the deletes path wouldn't catch a one-sided band).
     pairs = {
         (r["name_a"], r["name_b"], r["dist"])
-        for r in levenshtein_pairs(df, "name", max_dist=2).collect()
+        for r in levenshtein_pairs(
+            df, "name", max_dist=2, blocking="length"
+        ).collect()
     }
     assert ("az", "b", 2) in pairs
     assert all(d <= 2 for _, _, d in pairs)
