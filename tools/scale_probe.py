@@ -163,6 +163,16 @@ def main() -> int:
                 "x", "y",
             ),
         )
+        # Round-6: token-budget mixture and epoch shard ordering — the
+        # (source, u-bucket) prefix sums and shard windows must stay flat.
+        probe(
+            f"token_budget_mix {tag}",
+            lambda d=d: sampling.token_budget_mix(d, 700, salt="p"),
+        )
+        probe(
+            f"epoch_shard_order {tag}",
+            lambda d=d: sampling.epoch_shard_order(d, epoch=1, n_shards=64),
+        )
         # Round-6: percentile-cut-point quartile assignment (the global-ntile
         # replacement): one percentile agg + broadcast + row-local fold.
         probe(
