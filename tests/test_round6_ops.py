@@ -121,3 +121,39 @@ def test_levenshtein_pairs_blockings_match_bruteforce(spark):
                     )
                 )
                 assert got == want, (seed, k, blocking)
+
+
+def test_text_ops_survive_non_ascii(spark):
+    # Unicode/emoji/CJK/RTL documents must flow through the text pipeline
+    # without crashing, with sane outputs: the [a-z0-9] normalization maps
+    # non-ASCII to separators, so counts/fingerprints stay defined, and
+    # identical inputs still fingerprint identically.
+    from ddataframeoperation_spark.operators import dedup
+    from ddataframeoperation_spark.operators import text as TX
+
+    rows = [
+        (1, "héllo wörld — café naïve"),
+        (2, "日本語のテキストです。形態素解析はしない。"),
+        (3, "مرحبا بالعالم hello"),
+        (4, "🎉🎉 emoji only 🎉"),
+        (5, ""),
+        (6, "héllo wörld — café naïve"),   # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = df.select(
+        "doc_id",
+        TX.token_count("text").alias("ntok"),
+        TX.quality_score("text").alias("q"),
+        dedup.fingerprint("text").alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in stats}
+    assert all(r["ntok"] is not None and r["ntok"] >= 0 for r in stats)
+    assert all(r["q"] is not None and 0.0 <= r["q"] <= 1.0 for r in stats)
+    assert by_id[1]["fp"] == by_id[6]["fp"]          # dup detection holds
+    assert by_id[2]["fp"] is not None                # CJK: defined, stable
+    # language-id should not crash and yields a (possibly 'unknown') label
+    lang = {r["doc_id"]: r["lang"] for r in df.select(
+        "doc_id", TX.language_id("text").alias("lang")).collect()}
+    assert set(lang) == {1, 2, 3, 4, 5, 6}
+    # quality/packing composites stay runnable
+    assert TX.lexical_diversity(df).count() == 6
