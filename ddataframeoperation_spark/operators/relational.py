@@ -54,6 +54,7 @@ __all__ = [
     "winsorize",
     "minmax_scale",
     "snapshot_diff",
+    "apply_changes",
 ]
 
 
@@ -704,3 +705,43 @@ def snapshot_diff(
         for c in key_cols
     ]
     return j.select(*keys, change.alias("change_type"))
+
+
+def apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    op_col: str = "change_type",
+) -> DataFrame:
+    """CDC apply / batch upsert — the INVERSE of :func:`snapshot_diff`:
+    merge a keyed change set into a base snapshot, producing the next
+    snapshot. ``changes`` carries the key columns, the NEW attribute
+    values, and an operation column with ``inserted``/``changed``
+    (or the synonyms ``insert``/``update``/``upsert``) and ``deleted``
+    (or ``delete``). Contract (pinned by a roundtrip test):
+    ``apply_changes(old, diff_with_attrs(old, new)) == new``.
+
+    Plan: one left-anti equi-join removes every changed/deleted key from
+    the base, then the surviving change rows (op != delete) union in —
+    join + union, the canonical MERGE INTO shape without requiring a
+    transactional table format; at 100 TB the base side shuffles once on
+    the key (or not at all if base and changes are bucketed on it).
+    Keys must be unique per input (same precondition as snapshot_diff);
+    unknown operation values raise rather than silently dropping rows.
+    """
+    ops = F.col(op_col)
+    known = ("inserted", "changed", "insert", "update", "upsert", "deleted", "delete")
+    bad = changes.filter(~ops.isin(*known)).select(op_col).limit(1).collect()
+    if bad:
+        raise ValueError(f"unknown {op_col} value {bad[0][0]!r}")
+    keyed = changes.select(
+        *[F.col(c) for c in key_cols],
+        *[F.col(c) for c in attr_cols],
+        ops.isin("deleted", "delete").alias("_is_delete"),
+    )
+    kept = base.join(
+        keyed.select(*key_cols), on=list(key_cols), how="left_anti"
+    ).select(*key_cols, *attr_cols)
+    incoming = keyed.filter(~F.col("_is_delete")).select(*key_cols, *attr_cols)
+    return kept.unionByName(incoming)

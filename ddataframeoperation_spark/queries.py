@@ -5937,6 +5937,53 @@ def b21sd(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b21_cdc_apply",
+    """
+    SELECT c_custkey,
+           round(CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 10.0
+                      ELSE c_acctbal END, 4) AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey % 97 <> 0
+    UNION ALL
+    SELECT c_custkey + 1000000, round(c_acctbal, 4), c_mktsegment
+    FROM customer WHERE c_custkey % 53 = 0
+    """,
+)
+def b21ca(spark: SparkSession, sf: str) -> DataFrame:
+    # CDC ROUNDTRIP: the engine derives a change set with snapshot_diff
+    # (old vs the deterministic "new" from b21_snapshot_diff), attaches
+    # the new attribute values, and APPLIES it back onto old with
+    # apply_changes. The oracle is the directly-constructed new snapshot
+    # — so the hash match proves diff→apply reproduces the target state
+    # EXACTLY (inserts, updates, deletes all exercised). The apply is a
+    # left-anti join + union: the MERGE INTO shape without a
+    # transactional table format.
+    c = _t(spark, sf, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    new = c.filter(F.col("c_custkey") % 97 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 10.0
+        ).otherwise(F.col("c_acctbal")),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 53 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 1000000
+        )
+    )
+    diff = R.snapshot_diff(
+        c, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+    ).filter(F.col("change_type") != "unchanged")
+    changes = diff.join(new, on="c_custkey", how="left").select(
+        "c_custkey", "c_acctbal", "c_mktsegment", "change_type"
+    )
+    applied = R.apply_changes(
+        c, changes, ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+    )
+    return applied.select(
+        "c_custkey", F.round("c_acctbal", 4).alias("c_acctbal"), "c_mktsegment"
+    )
+
+
+@_q(
     "b29_nested_json",
     """
     SELECT event_type,

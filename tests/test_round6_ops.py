@@ -157,3 +157,51 @@ def test_text_ops_survive_non_ascii(spark):
     assert set(lang) == {1, 2, 3, 4, 5, 6}
     # quality/packing composites stay runnable
     assert TX.lexical_diversity(df).count() == 6
+
+
+def test_apply_changes_roundtrip_and_validation(spark):
+    from pyspark.sql import Row
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    for seed in range(4):
+        rng = random.Random(200 + seed)
+        # random new snapshot: drop some keys, mutate some, insert some
+        rows = {r["k"]: (r["name"], r["v"]) for r in old.collect()}
+        new_rows = {}
+        for k, (nm, v) in rows.items():
+            roll = rng.random()
+            if roll < 0.25:
+                continue  # deleted
+            if roll < 0.6:
+                new_rows[k] = (nm + "x", (v or 0.0) + 1)  # changed
+            else:
+                new_rows[k] = (nm, v)  # unchanged
+        for k in range(10, 10 + rng.randint(0, 3)):
+            new_rows[k] = ("new", float(k))
+        new = spark.createDataFrame(
+            [Row(k=k, name=nm, v=v) for k, (nm, v) in new_rows.items()],
+            "k long, name string, v double",
+        )
+        from ddataframeoperation_spark.operators import relational as R
+
+        diff = R.snapshot_diff(old, new, ["k"], ["name", "v"]).filter(
+            F.col("change_type") != "unchanged"
+        )
+        changes = diff.join(new, on="k", how="left").select(
+            "k", "name", "v", "change_type"
+        )
+        applied = R.apply_changes(old, changes, ["k"], ["name", "v"])
+        got = sorted(map(tuple, applied.collect()))
+        want = sorted((k, nm, v) for k, (nm, v) in new_rows.items())
+        assert got == want, seed
+    # unknown op values must raise, not silently drop
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(1, "a", 1.0, "truncated")], "k long, name string, v double, change_type string"
+    )
+    with pytest.raises(ValueError, match="unknown"):
+        R.apply_changes(old, bad, ["k"], ["name", "v"])
