@@ -84,9 +84,27 @@ def row_multiset(cols: list[str], rows: list[tuple]) -> Counter:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("check_oracles")
+    args = sys.argv[1:]
+    # --vanilla: run the sweep on a PLAIN SparkSession (no engine confs) —
+    # the driver calls queries() with ITS OWN session, so this is the
+    # session-dependence check the verify recipe used to monkeypatch by
+    # hand. Queries must be green under both sessions.
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args = [a for a in args if a != "--vanilla"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("check_oracles")
     con = duckdb.connect()
     for t in FIXTURE_TABLES:
         con.execute(
