@@ -78,6 +78,18 @@ def main() -> None:
         (F.max("bin") + 1).alias("n_bins"), F.sum("n_tokens").alias("tokens")
     ).orderBy("source").show(5)
 
+    print("== 10. token-budgeted mixture (1,000 tokens per source)")
+    mix = sampling.token_budget_mix(train, 1000, salt="demo", count_out="ntok")
+    mix.groupBy("source").agg(
+        F.count("*").alias("docs"), F.sum("ntok").alias("tokens")
+    ).orderBy("source").show(5)
+
+    print("== 11. epoch-0 shard/position order for 4 training readers")
+    order = sampling.epoch_shard_order(mix, epoch=0, n_shards=4)
+    order.groupBy("shard").agg(
+        F.count("*").alias("docs"), F.max("position").alias("last_pos")
+    ).orderBy("shard").show()
+
 
 if __name__ == "__main__":
     main()
