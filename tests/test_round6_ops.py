@@ -205,3 +205,27 @@ def test_apply_changes_roundtrip_and_validation(spark):
     )
     with pytest.raises(ValueError, match="unknown"):
         R.apply_changes(old, bad, ["k"], ["name", "v"])
+
+
+def test_round6_ops_empty_inputs(spark):
+    from ddataframeoperation_spark.operators import dedup
+    from ddataframeoperation_spark.operators import relational as R
+
+    empty_xy = spark.createDataFrame([], "id long, x double, y double")
+    assert R.pareto_frontier_2d(empty_xy, "x", "y").count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, source string, ntok long")
+    assert sampling.token_budget_mix(
+        empty_docs, 100, token_col="ntok"
+    ).count() == 0
+    assert sampling.epoch_shard_order(empty_docs, epoch=0, n_shards=4).count() == 0
+
+    empty_names = spark.createDataFrame([], "name string")
+    assert dedup.levenshtein_pairs(
+        empty_names, "name", max_dist=1, blocking="deletes"
+    ).count() == 0
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    empty_changes = spark.createDataFrame([], "k long, v string, change_type string")
+    got = R.apply_changes(base, empty_changes, ["k"], ["v"]).collect()
+    assert [tuple(r) for r in got] == [(1, "a")]
