@@ -3583,6 +3583,56 @@ def b38st(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b38_stream_token_budget",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, source,
+             len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS ntok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), g AS (
+      SELECT rn, source, doc_id, ntok,
+             CASE WHEN ntok <= 700 THEN ntok ELSE 0 END AS used,
+             ntok <= 700 AS admitted
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.rn, t.source, t.doc_id, t.ntok,
+             g.used + CASE WHEN g.used + t.ntok <= 700 THEN t.ntok ELSE 0 END,
+             g.used + t.ntok <= 700
+      FROM t JOIN g ON t.source = g.source AND t.rn = g.rn + 1
+    )
+    SELECT doc_id, source, CAST(ntok AS BIGINT) AS ntok
+    FROM g WHERE admitted
+    """,
+)
+def b38tb(spark: SparkSession, sf: str) -> DataFrame:
+    # Stateful token-budget ADMISSION at ingest: per-source cumulative
+    # admitted tokens live in the state store; a doc is admitted iff it
+    # still fits (greedy in doc_id order — a rejected boundary-crosser
+    # does not consume budget, so later smaller docs may still land).
+    # Single-file availableNow replay = one micro-batch; the oracle
+    # replicates the greedy recurrence with a recursive CTE per source.
+    # The streaming complement of b22_token_budget_mix: that one realizes
+    # a mixture over a KNOWN corpus, this caps an UNBOUNDED stream.
+    from ddataframeoperation_spark.operators.text import token_count
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf)
+        .select(
+            "doc_id", "source", token_count("text").cast("long").alias("ntok")
+        )
+    )
+    return STR.run_to_memory(
+        STR.token_budget_admission(stream, 700), output_mode="append"
+    )
+
+
 # ---------------------------------------------------------------------------
 # B36 — sliding-window streaming (batch-equivalent oracle)
 # ---------------------------------------------------------------------------

@@ -5,6 +5,7 @@ from ddataframeoperation_spark.streaming.ingest import (
 from ddataframeoperation_spark.streaming.stateful import (
     running_totals_per_user,
     running_totals_per_user_tws,
+    token_budget_admission,
 )
 from ddataframeoperation_spark.streaming.windows import (
     events_as_stream,
@@ -28,6 +29,7 @@ __all__ = [
     "ohlc_stream",
     "running_totals_per_user",
     "running_totals_per_user_tws",
+    "token_budget_admission",
     "stream_dedup_ingest",
     "read_corpus",
 ]

@@ -17,15 +17,21 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
 
-__all__ = ["running_totals_per_user", "running_totals_per_user_tws"]
+__all__ = [
+    "running_totals_per_user",
+    "running_totals_per_user_tws",
+    "token_budget_admission",
+]
 
 _OUTPUT = StructType(
     [
@@ -119,4 +125,81 @@ def running_totals_per_user_tws(stream: DataFrame) -> DataFrame:
         outputStructType=_OUTPUT,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+_ADMIT_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("ntok", LongType()),
+    ]
+)
+
+_ADMIT_STATE = StructType([StructField("used", LongType())])
+
+
+def token_budget_admission(
+    stream: DataFrame,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str = "ntok",
+) -> DataFrame:
+    """B38 × north-star — stateful per-source token-budget ADMISSION for
+    streaming corpus ingest: each source's cumulative admitted token count
+    persists in the state store across micro-batches, and an arriving
+    document is admitted iff it still fits (``used + ntok <= budget``;
+    the boundary-crossing doc is rejected, later smaller docs may still
+    fit — greedy in arrival order). The streaming complement of the batch
+    :func:`~ddataframeoperation_spark.operators.sampling.token_budget_mix`:
+    batch realizes a mixture over a known corpus, this caps an UNBOUNDED
+    arriving stream at ingest time.
+
+    Determinism: rows are processed in ``id_col`` order within each
+    micro-batch (sorted in the state function), so a replay with the same
+    batch boundaries admits the identical set — the property the
+    multi-batch equivalence test pins. State is one long per source;
+    shards with the shuffle partitioning like every keyed state op.
+    """
+    import pandas as pd
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+
+    def admit(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (used,) = state.get if state.exists else (0,)
+        out_ids, out_toks = [], []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values(id_col).iterrows():
+                t = int(row[token_col])
+                if used + t <= budget:
+                    used += t
+                    out_ids.append(int(row[id_col]))
+                    out_toks.append(t)
+        state.update((used,))
+        yield pd.DataFrame(
+            {
+                "doc_id": out_ids,
+                "source": [key[0]] * len(out_ids),
+                "ntok": out_toks,
+            }
+        )
+
+    return (
+        stream.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(source_col).alias(source_col),
+            F.col(token_col).cast("long").alias(token_col),
+        )
+        .groupBy(source_col)
+        .applyInPandasWithState(
+            admit,
+            outputStructType=_ADMIT_OUT,
+            stateStructType=_ADMIT_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

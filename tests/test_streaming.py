@@ -417,3 +417,44 @@ def test_transform_with_state_totals_equals_batch(spark, sf_dir):
     assert sorted(map(tuple, latest.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_token_budget_admission_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    # Per-source cumulative admission must persist across micro-batches:
+    # replay documents as 4 doc_id-ranged batches; the admitted set must
+    # equal the batch greedy-in-doc_id-order computation (batches are
+    # ranged ascending and the state fn sorts within batch, so the global
+    # arrival order IS doc_id order per source).
+    from ddataframeoperation_spark.operators.text import token_count
+
+    docs = (
+        read_fixture_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", token_count("text").cast("long").alias("ntok"))
+    )
+    from ddataframeoperation_spark.streaming.windows import stage_multi_batch_replay
+
+    stream = stage_multi_batch_replay(
+        docs, str(tmp_path / "stage"), n_batches=4, ts_col="doc_id"
+    )
+    got = STR.run_to_memory(
+        STR.token_budget_admission(stream, 700), output_mode="append"
+    )
+    # greedy: admit iff admitted-so-far + ntok <= budget. A plain
+    # cumulative-sum filter differs from greedy (a rejected doc does not
+    # consume budget), so replicate greedy exactly driver-side.
+    admitted = []
+    state: dict[str, int] = {}
+    for r in docs.orderBy("source", "doc_id").collect():
+        used = state.get(r["source"], 0)
+        if used + r["ntok"] <= 700:
+            state[r["source"]] = used + r["ntok"]
+            admitted.append((r["doc_id"], r["source"], r["ntok"]))
+    got_rows = sorted(map(tuple, got.select("doc_id", "source", "ntok").collect()))
+    assert got_rows == sorted(admitted)
+    # every source stayed within budget
+    import collections
+
+    per = collections.Counter()
+    for _, s_, t in got_rows:
+        per[s_] += t
+    assert all(v <= 700 for v in per.values())
