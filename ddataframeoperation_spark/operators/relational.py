@@ -55,6 +55,7 @@ __all__ = [
     "minmax_scale",
     "snapshot_diff",
     "apply_changes",
+    "psi_drift",
 ]
 
 
@@ -745,3 +746,71 @@ def apply_changes(
     ).select(*key_cols, *attr_cols)
     incoming = keyed.filter(~F.col("_is_delete")).select(*key_cols, *attr_cols)
     return kept.unionByName(incoming)
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    buckets: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    distribution of ``value_col`` — the standard drift gate for corpus /
+    feature monitoring (rule of thumb: < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 shifted). Buckets are REFERENCE equi-depth deciles, so the
+    reference contributes ~1/buckets mass per bucket and the index
+    measures where the current snapshot's mass moved.
+
+    Plan: one exact-percentile aggregate on the reference (map-side
+    combined, 1-row result) broadcast to both sides; bucket assignment is
+    a row-local array fold (the percentile-cut-point shape — no global
+    sort); two bucket-count aggregates over the constant-bounded bucket
+    key; a broadcast-sized join of the two <=``buckets``-row count tables.
+    Zero proportions are floored at ``eps`` (the conventional guard, or
+    ln(p/q) diverges) — identically on any engine, so the operator is
+    exactly oracle-able.
+
+    Returns one row per bucket: (bucket, n_ref, n_cur, p_ref, p_cur,
+    psi_term); ``sum(psi_term)`` is the index. NULL values are dropped
+    from both sides (no distributional claim about missing data; compare
+    null RATES separately via profile()).
+    """
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    fracs = ", ".join(str(i / buckets) for i in range(1, buckets))
+    v = F.col(value_col)
+    r = ref.filter(v.isNotNull()).select(v.cast("double").alias("_v"))
+    c = cur.filter(v.isNotNull()).select(v.cast("double").alias("_v"))
+    cuts = r.agg(F.expr(f"percentile(_v, array({fracs}))").alias("_c"))
+    bucket = F.lit(1) + F.size(F.filter(F.col("_c"), lambda x: F.col("_v") > x))
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(cuts))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias(out))
+        )
+
+    j = counts(r, "n_ref").join(counts(c, "n_cur"), on="bucket", how="full_outer")
+    j = j.select(
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = j.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p_ref = F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(float(eps)))
+    p_cur = F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(float(eps)))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            p_ref.alias("p_ref"),
+            p_cur.alias("p_cur"),
+            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+        )
+    )

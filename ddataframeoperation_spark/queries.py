@@ -4542,6 +4542,69 @@ def b34pipe(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_q(
+    "b28_psi_drift",
+    """
+    WITH r AS (
+      SELECT value AS v FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    c AS (
+      SELECT value * 1.1 + 5 AS v FROM events
+      WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    cuts AS (
+      SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cc FROM r
+    ),
+    rb AS (
+      SELECT 1 + len(list_filter(cuts.cc, x -> r.v > x)) AS bucket,
+             count(*) AS n_ref
+      FROM r, cuts GROUP BY 1
+    ),
+    cb AS (
+      SELECT 1 + len(list_filter(cuts.cc, x -> c.v > x)) AS bucket,
+             count(*) AS n_cur
+      FROM c, cuts GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket
+    ),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+    SELECT j.bucket, CAST(j.n_ref AS BIGINT) AS n_ref,
+           CAST(j.n_cur AS BIGINT) AS n_cur,
+           round(greatest(j.n_ref / t.tr, 1e-6), 6) AS p_ref,
+           round(greatest(j.n_cur / t.tc, 1e-6), 6) AS p_cur,
+           round((greatest(j.n_cur / t.tc, 1e-6) - greatest(j.n_ref / t.tr, 1e-6))
+                 * ln(greatest(j.n_cur / t.tc, 1e-6) / greatest(j.n_ref / t.tr, 1e-6)),
+                 6) AS psi_term
+    FROM j, t
+    """,
+)
+def b28psi(spark: SparkSession, sf: str) -> DataFrame:
+    # Distribution-drift gate: PSI of a deterministically shifted "current"
+    # snapshot (value*1.1 + 5 on the odd half) vs the even-half reference,
+    # over reference equi-depth deciles. The shift moves real mass across
+    # bucket edges, so the index and every per-bucket term are non-vacuous;
+    # sum(psi_term) > 0.25 here — a "shifted" verdict by the standard
+    # rule of thumb. Percentile cut points broadcast, bucket assignment
+    # row-local — the no-global-sort shape throughout.
+    e = _t(spark, sf, "events")
+    ref = e.filter((F.col("event_id") % 2 == 0))
+    curr = e.filter((F.col("event_id") % 2 == 1)).withColumn(
+        "value", F.col("value") * 1.1 + 5
+    )
+    out = R.psi_drift(ref, curr, "value", buckets=10)
+    return out.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
+@_q(
     "b24_gapfill_locf",
     """
     WITH obs AS (

@@ -229,3 +229,29 @@ def test_round6_ops_empty_inputs(spark):
     empty_changes = spark.createDataFrame([], "k long, v string, change_type string")
     got = R.apply_changes(base, empty_changes, ["k"], ["v"]).collect()
     assert [tuple(r) for r in got] == [(1, "a")]
+
+
+def test_psi_drift_properties(spark):
+    from ddataframeoperation_spark.operators import relational as R
+
+    base = spark.createDataFrame(
+        [(float(i),) for i in range(1000)], "value double"
+    )
+    # identical distributions -> PSI ~ 0
+    same = R.psi_drift(base, base, "value")
+    total = same.agg(F.sum("psi_term")).collect()[0][0]
+    assert abs(total) < 1e-9
+    # shifted distribution -> PSI clearly positive, all terms finite
+    shifted = base.withColumn("value", F.col("value") + 500.0)
+    out = R.psi_drift(base, shifted, "value").collect()
+    tot = sum(r["psi_term"] for r in out)
+    assert tot > 0.25
+    assert all(r["psi_term"] == r["psi_term"] for r in out)  # no NaN
+    # reference deciles: each bucket holds ~10% of the reference
+    assert all(80 <= r["n_ref"] <= 120 or r["n_ref"] == 0 for r in out)
+    # NULLs dropped, not bucketed
+    with_null = spark.createDataFrame(
+        [(None,), (1.0,), (2.0,)], "value double"
+    )
+    nn = R.psi_drift(with_null, with_null, "value", buckets=2)
+    assert nn.agg(F.sum("n_ref")).collect()[0][0] == 2
