@@ -56,6 +56,7 @@ __all__ = [
     "snapshot_diff",
     "apply_changes",
     "psi_drift",
+    "psi_drift_categorical",
 ]
 
 
@@ -813,4 +814,54 @@ def psi_drift(
             p_cur.alias("p_cur"),
             ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
         )
+    )
+
+
+def psi_drift_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Categorical PSI — the :func:`psi_drift` formula over category
+    proportions instead of percentile buckets: "did my source / language
+    mixture shift between corpus snapshots?" is THE corpus-monitoring
+    question this answers. Categories present in only one snapshot get
+    the ``eps`` floor on the missing side (new or vanished sources are
+    usually the drift that matters most).
+
+    Plan: two map-side-combined count aggregates over the category key,
+    one full-outer join of the two |categories|-row tables, row-local
+    formula. NULL categories count as a real category (a NULL-source
+    influx IS drift), labeled '(null)' in the output.
+    """
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.coalesce(F.col(cat_col).cast("string"), F.lit("(null)")).alias(
+                    "category"
+                )
+            )
+            .groupBy("category")
+            .agg(F.count("*").alias(out))
+        )
+
+    j = counts(ref, "n_ref").join(
+        counts(cur, "n_cur"), on="category", how="full_outer"
+    )
+    j = j.select(
+        "category",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = j.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"))
+    p_ref = F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(float(eps)))
+    p_cur = F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(float(eps)))
+    return j.crossJoin(F.broadcast(tot)).select(
+        "category",
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
     )

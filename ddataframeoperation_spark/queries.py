@@ -4605,6 +4605,61 @@ def b28psi(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b28_psi_categorical",
+    """
+    WITH r AS (
+      SELECT coalesce(source, '(null)') AS category FROM documents
+      WHERE doc_id % 2 = 0
+    ),
+    c AS (
+      SELECT coalesce(CASE WHEN source IN ('src0', 'src1') THEN 'src0'
+                           ELSE source END, '(null)') AS category
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    rb AS (SELECT category, count(*) AS n_ref FROM r GROUP BY 1),
+    cb AS (SELECT category, count(*) AS n_cur FROM c GROUP BY 1),
+    j AS (
+      SELECT coalesce(rb.category, cb.category) AS category,
+             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      FROM rb FULL OUTER JOIN cb ON rb.category = cb.category
+    ),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+    SELECT j.category, CAST(j.n_ref AS BIGINT) AS n_ref,
+           CAST(j.n_cur AS BIGINT) AS n_cur,
+           round(greatest(j.n_ref / t.tr, 1e-6), 6) AS p_ref,
+           round(greatest(j.n_cur / t.tc, 1e-6), 6) AS p_cur,
+           round((greatest(j.n_cur / t.tc, 1e-6) - greatest(j.n_ref / t.tr, 1e-6))
+                 * ln(greatest(j.n_cur / t.tc, 1e-6) / greatest(j.n_ref / t.tr, 1e-6)),
+                 6) AS psi_term
+    FROM j, t
+    """,
+)
+def b28psc(spark: SparkSession, sf: str) -> DataFrame:
+    # Source-mixture drift: the "current" snapshot merges src1 into src0
+    # (a vanished source + a doubled one — the drift class that matters
+    # most for corpus curation). Categorical PSI over the mixture: two
+    # count aggregates + one tiny full-outer join; vanished/new sources
+    # hit the eps floor and dominate the index.
+    d = _t(spark, sf, "documents")
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    curr = d.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "source",
+        F.when(F.col("source").isin("src0", "src1"), "src0").otherwise(
+            F.col("source")
+        ),
+    )
+    out = R.psi_drift_categorical(ref, curr, "source")
+    return out.select(
+        "category",
+        "n_ref",
+        "n_cur",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
+@_q(
     "b24_gapfill_locf",
     """
     WITH obs AS (

@@ -255,3 +255,24 @@ def test_psi_drift_properties(spark):
     )
     nn = R.psi_drift(with_null, with_null, "value", buckets=2)
     assert nn.agg(F.sum("n_ref")).collect()[0][0] == 2
+
+
+def test_psi_categorical_vanished_and_new_sources(spark):
+    from ddataframeoperation_spark.operators import relational as R
+
+    ref = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50, "src string"
+    )
+    cur = spark.createDataFrame(
+        [("a",)] * 50 + [("c",)] * 50, "src string"
+    )
+    out = {r["category"]: r for r in R.psi_drift_categorical(ref, cur, "src").collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["b"]["n_cur"] == 0 and out["c"]["n_ref"] == 0
+    # vanished and new categories dominate the index; 'a' is stable
+    assert abs(out["a"]["psi_term"]) < 1e-9
+    assert out["b"]["psi_term"] > 1 and out["c"]["psi_term"] > 1
+    # NULL category is a real category
+    refn = spark.createDataFrame([("a",), (None,)], "src string")
+    cats = {r["category"] for r in R.psi_drift_categorical(refn, refn, "src").collect()}
+    assert cats == {"a", "(null)"}
