@@ -57,6 +57,8 @@ __all__ = [
     "apply_changes",
     "psi_drift",
     "psi_drift_categorical",
+    "retraction_stream",
+    "maintain_group_agg",
 ]
 
 
@@ -865,3 +867,92 @@ def psi_drift_categorical(
         p_cur.alias("p_cur"),
         ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
     )
+
+
+def retraction_stream(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Signed row-delta between two keyed snapshots — the classic
+    retraction stream: every deleted/changed key emits its OLD row with
+    ``sign = -1``, every inserted/changed key its NEW row with
+    ``sign = +1`` (an update is a retraction plus an assertion;
+    unchanged keys emit nothing). The input
+    :func:`maintain_group_agg` consumes to refresh a materialized
+    aggregate incrementally. One full-outer equi-join on the keys (the
+    snapshot_diff shape) + row-local null-safe compare; output size is
+    proportional to the CHANGE volume, not the snapshots.
+    """
+    o = old.select(
+        *[F.col(c).alias(f"_ok_{c}") for c in key_cols],
+        F.struct(*[F.col(c) for c in attr_cols]).alias("_oattrs"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_nk_{c}") for c in key_cols],
+        F.struct(*[F.col(c) for c in attr_cols]).alias("_nattrs"),
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_ok_{c}").eqNullSafe(F.col(f"_nk_{c}"))
+        cond = eq if cond is None else cond & eq
+    j = o.join(n, on=cond, how="full_outer").filter(
+        F.col("_in_old").isNull()
+        | F.col("_in_new").isNull()
+        | ~F.col("_oattrs").eqNullSafe(F.col("_nattrs"))
+    )
+    keys_old = [F.col(f"_ok_{c}").alias(c) for c in key_cols]
+    keys_new = [F.col(f"_nk_{c}").alias(c) for c in key_cols]
+    retract = j.filter(F.col("_in_old").isNotNull()).select(
+        *keys_old,
+        *[F.col("_oattrs")[c].alias(c) for c in attr_cols],
+        F.lit(-1).alias("sign"),
+    )
+    assert_ = j.filter(F.col("_in_new").isNotNull()).select(
+        *keys_new,
+        *[F.col("_nattrs")[c].alias(c) for c in attr_cols],
+        F.lit(1).alias("sign"),
+    )
+    return retract.unionByName(assert_)
+
+
+def maintain_group_agg(
+    old_agg: DataFrame,
+    retractions: DataFrame,
+    group_col: str,
+    value_col: str,
+    count_col: str = "n_rows",
+    sum_col: str = "sum_value",
+) -> DataFrame:
+    """Incremental materialized-aggregate refresh: given the PREVIOUS
+    per-group (count, sum) aggregate and a signed
+    :func:`retraction_stream`, produce the aggregate of the new snapshot
+    WITHOUT rescanning the base data — the continuous-aggregate /
+    materialized-view maintenance shape. Algebraic aggregates admit
+    signed deltas: ``n += Σ sign``, ``sum += Σ sign·value``; groups whose
+    count reaches zero disappear (matching a fresh aggregate, which
+    never saw them).
+
+    Plan: one delta aggregate over the change volume (map-side combined)
+    + one full-outer join against the |groups|-sized old aggregate —
+    cost scales with changes + groups, never with the 100 TB base table.
+    That asymmetry is the entire point: a nightly refresh touches
+    gigabytes, not the corpus.
+    """
+    delta = retractions.groupBy(group_col).agg(
+        F.sum("sign").alias("_dn"),
+        F.sum(F.col("sign") * F.col(value_col)).alias("_dv"),
+    )
+    merged = old_agg.join(delta, on=group_col, how="full_outer").select(
+        group_col,
+        (F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias(
+            count_col
+        ),
+        (
+            F.coalesce(F.col(sum_col), F.lit(0.0)) + F.coalesce("_dv", F.lit(0.0))
+        ).alias(sum_col),
+    )
+    return merged.filter(F.col(count_col) > 0)

@@ -4542,6 +4542,61 @@ def b34pipe(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_q(
+    "b11_incremental_agg",
+    """
+    WITH new AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 10.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 53 = 0
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(c_acctbal), 4) AS sum_value
+    FROM new GROUP BY c_mktsegment
+    """,
+)
+def b11inc(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental materialized-aggregate maintenance: the per-segment
+    # (count, sum) aggregate of the NEW snapshot computed from the OLD
+    # aggregate + a signed retraction stream (deletes at every 97th key,
+    # +10.0 updates at every 13th, shifted inserts at every 53rd) — the
+    # base table is aggregated ONCE, then only the change volume and the
+    # |groups|-sized old aggregate are touched. The oracle aggregates the
+    # new snapshot directly, so the hash match proves the delta algebra
+    # (n += Σsign, sum += Σsign·v, zero-count groups dropped) reproduces
+    # a from-scratch refresh exactly.
+    c = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    new = c.filter(F.col("c_custkey") % 97 != 0).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 10.0
+        ).otherwise(F.col("c_acctbal")),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 53 == 0).withColumn(
+            "c_custkey", F.col("c_custkey") + 1000000
+        ).select("c_custkey", "c_mktsegment", "c_acctbal")
+    )
+    old_agg = c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"), F.sum("c_acctbal").alias("sum_value")
+    )
+    retr = R.retraction_stream(
+        c, new, ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+    )
+    refreshed = R.maintain_group_agg(
+        old_agg, retr, "c_mktsegment", "c_acctbal"
+    )
+    return refreshed.select(
+        "c_mktsegment",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+@_q(
     "b28_psi_drift",
     """
     WITH r AS (

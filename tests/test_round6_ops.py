@@ -276,3 +276,50 @@ def test_psi_categorical_vanished_and_new_sources(spark):
     refn = spark.createDataFrame([("a",), (None,)], "src string")
     cats = {r["category"] for r in R.psi_drift_categorical(refn, refn, "src").collect()}
     assert cats == {"a", "(null)"}
+
+
+def test_incremental_agg_matches_fresh_aggregate(spark):
+    from pyspark.sql import Row
+
+    from ddataframeoperation_spark.operators import relational as R
+
+    for seed in range(4):
+        rng = random.Random(300 + seed)
+        old_rows = {
+            k: (rng.choice(["g1", "g2", "g3"]), float(rng.randint(0, 100)))
+            for k in range(rng.randint(1, 60))
+        }
+        new_rows = {}
+        for k, (g, v) in old_rows.items():
+            roll = rng.random()
+            if roll < 0.2:
+                continue                                  # delete
+            if roll < 0.5:
+                new_rows[k] = (rng.choice(["g1", "g2", "g3"]), v + 7)  # update (may move groups)
+            else:
+                new_rows[k] = (g, v)                      # unchanged
+        for k in range(100, 100 + rng.randint(0, 10)):
+            new_rows[k] = (rng.choice(["g1", "g4"]), float(k))  # insert (new group possible)
+        old = spark.createDataFrame(
+            [Row(k=k, g=g, v=v) for k, (g, v) in old_rows.items()],
+            "k long, g string, v double",
+        )
+        new = spark.createDataFrame(
+            [Row(k=k, g=g, v=v) for k, (g, v) in new_rows.items()],
+            "k long, g string, v double",
+        )
+        old_agg = old.groupBy("g").agg(
+            F.count("*").alias("n_rows"), F.sum("v").alias("sum_value")
+        )
+        retr = R.retraction_stream(old, new, ["k"], ["g", "v"])
+        got = {
+            r["g"]: (r["n_rows"], round(r["sum_value"], 6))
+            for r in R.maintain_group_agg(old_agg, retr, "g", "v").collect()
+        }
+        want = {
+            r["g"]: (r["n"], round(r["s"], 6))
+            for r in new.groupBy("g")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+            .collect()
+        }
+        assert got == want, seed
