@@ -58,6 +58,7 @@ __all__ = [
     "psi_drift",
     "psi_drift_categorical",
     "retraction_stream",
+    "build_group_agg",
     "maintain_group_agg",
 ]
 
@@ -663,6 +664,34 @@ def winsorize(
     )
 
 
+def _keyed_full_outer(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Shared CDC scaffold: null-safe full-outer join of two keyed
+    snapshots with attribute structs and presence markers — consumed by
+    :func:`snapshot_diff` and :func:`retraction_stream` so the key
+    aliasing / struct packing / eqNullSafe fold exists exactly once.
+    Columns: _ok_<k>/_nk_<k>, _oattrs/_nattrs, _in_old/_in_new."""
+    o = old.select(
+        *[F.col(c).alias(f"_ok_{c}") for c in key_cols],
+        F.struct(*[F.col(c) for c in attr_cols]).alias("_oattrs"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_nk_{c}") for c in key_cols],
+        F.struct(*[F.col(c) for c in attr_cols]).alias("_nattrs"),
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_ok_{c}").eqNullSafe(F.col(f"_nk_{c}"))
+        cond = eq if cond is None else cond & eq
+    return o.join(n, on=cond, how="full_outer")
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
@@ -683,21 +712,7 @@ def snapshot_diff(
 
     Returns (keys..., change_type).
     """
-    o = old.select(
-        *[F.col(c).alias(f"_ok_{c}") for c in key_cols],
-        F.struct(*[F.col(c) for c in attr_cols]).alias("_oattrs"),
-        F.lit(True).alias("_in_old"),
-    )
-    n = new.select(
-        *[F.col(c).alias(f"_nk_{c}") for c in key_cols],
-        F.struct(*[F.col(c) for c in attr_cols]).alias("_nattrs"),
-        F.lit(True).alias("_in_new"),
-    )
-    cond = None
-    for c in key_cols:
-        eq = F.col(f"_ok_{c}").eqNullSafe(F.col(f"_nk_{c}"))
-        cond = eq if cond is None else cond & eq
-    j = o.join(n, on=cond, how="full_outer")
+    j = _keyed_full_outer(old, new, key_cols, attr_cols)
     change = (
         F.when(F.col("_in_old").isNull(), F.lit("inserted"))
         .when(F.col("_in_new").isNull(), F.lit("deleted"))
@@ -732,23 +747,57 @@ def apply_changes(
     transactional table format; at 100 TB the base side shuffles once on
     the key (or not at all if base and changes are bucketed on it).
     Keys must be unique per input (same precondition as snapshot_diff);
-    unknown operation values raise rather than silently dropping rows.
+    unknown or NULL operation values fail the job (in-plan
+    ``raise_error``, so validation costs zero extra passes — an eager
+    pre-check would execute the whole changes lineage twice, which at
+    100 TB doubles the dominant diff cost) rather than silently dropping
+    or deleting rows.
     """
     ops = F.col(op_col)
     known = ("inserted", "changed", "insert", "update", "upsert", "deleted", "delete")
-    bad = changes.filter(~ops.isin(*known)).select(op_col).limit(1).collect()
-    if bad:
-        raise ValueError(f"unknown {op_col} value {bad[0][0]!r}")
+    checked = F.when(
+        ops.isNull() | ~ops.isin(*known),
+        F.raise_error(
+            F.concat(
+                F.lit(f"unknown {op_col} value: "),
+                F.coalesce(ops, F.lit("NULL")),
+            )
+        ),
+    ).otherwise(ops)
     keyed = changes.select(
         *[F.col(c) for c in key_cols],
         *[F.col(c) for c in attr_cols],
-        ops.isin("deleted", "delete").alias("_is_delete"),
+        checked.isin("deleted", "delete").alias("_is_delete"),
     )
     kept = base.join(
         keyed.select(*key_cols), on=list(key_cols), how="left_anti"
     ).select(*key_cols, *attr_cols)
     incoming = keyed.filter(~F.col("_is_delete")).select(*key_cols, *attr_cols)
     return kept.unionByName(incoming)
+
+
+def _psi_terms(j: DataFrame, key_col: str, eps: float) -> DataFrame:
+    """Shared PSI tail: given a (key, n_ref, n_cur) full-outer count
+    table (NULL counts allowed), coalesce missing sides to 0, attach the
+    grand totals by broadcast, floor zero proportions at ``eps``, and
+    emit the per-key psi_term — the eps convention and term formula live
+    exactly once for the numeric and categorical forms."""
+    j = j.select(
+        key_col,
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = j.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"))
+    p_ref = F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(float(eps)))
+    p_cur = F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(float(eps)))
+    return j.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        "n_ref",
+        "n_cur",
+        p_ref.alias("p_ref"),
+        p_cur.alias("p_cur"),
+        ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
+    )
 
 
 def psi_drift(
@@ -796,27 +845,7 @@ def psi_drift(
         )
 
     j = counts(r, "n_ref").join(counts(c, "n_cur"), on="bucket", how="full_outer")
-    j = j.select(
-        "bucket",
-        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
-    )
-    tot = j.agg(
-        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
-    )
-    p_ref = F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(float(eps)))
-    p_cur = F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(float(eps)))
-    return (
-        j.crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            "n_ref",
-            "n_cur",
-            p_ref.alias("p_ref"),
-            p_cur.alias("p_cur"),
-            ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
-        )
-    )
+    return _psi_terms(j, "bucket", eps)
 
 
 def psi_drift_categorical(
@@ -851,22 +880,7 @@ def psi_drift_categorical(
     j = counts(ref, "n_ref").join(
         counts(cur, "n_cur"), on="category", how="full_outer"
     )
-    j = j.select(
-        "category",
-        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
-    )
-    tot = j.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"))
-    p_ref = F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(float(eps)))
-    p_cur = F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(float(eps)))
-    return j.crossJoin(F.broadcast(tot)).select(
-        "category",
-        "n_ref",
-        "n_cur",
-        p_ref.alias("p_ref"),
-        p_cur.alias("p_cur"),
-        ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("psi_term"),
-    )
+    return _psi_terms(j, "category", eps)
 
 
 def retraction_stream(
@@ -882,24 +896,11 @@ def retraction_stream(
     unchanged keys emit nothing). The input
     :func:`maintain_group_agg` consumes to refresh a materialized
     aggregate incrementally. One full-outer equi-join on the keys (the
-    snapshot_diff shape) + row-local null-safe compare; output size is
-    proportional to the CHANGE volume, not the snapshots.
+    shared :func:`_keyed_full_outer` scaffold) + row-local null-safe
+    compare; output size is proportional to the CHANGE volume, not the
+    snapshots.
     """
-    o = old.select(
-        *[F.col(c).alias(f"_ok_{c}") for c in key_cols],
-        F.struct(*[F.col(c) for c in attr_cols]).alias("_oattrs"),
-        F.lit(True).alias("_in_old"),
-    )
-    n = new.select(
-        *[F.col(c).alias(f"_nk_{c}") for c in key_cols],
-        F.struct(*[F.col(c) for c in attr_cols]).alias("_nattrs"),
-        F.lit(True).alias("_in_new"),
-    )
-    cond = None
-    for c in key_cols:
-        eq = F.col(f"_ok_{c}").eqNullSafe(F.col(f"_nk_{c}"))
-        cond = eq if cond is None else cond & eq
-    j = o.join(n, on=cond, how="full_outer").filter(
+    j = _keyed_full_outer(old, new, key_cols, attr_cols).filter(
         F.col("_in_old").isNull()
         | F.col("_in_new").isNull()
         | ~F.col("_oattrs").eqNullSafe(F.col("_nattrs"))
@@ -917,6 +918,27 @@ def retraction_stream(
         F.lit(1).alias("sign"),
     )
     return retract.unionByName(assert_)
+
+
+def build_group_agg(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    count_col: str = "n_rows",
+    sum_col: str = "sum_value",
+) -> DataFrame:
+    """Build the maintainable per-group aggregate state for
+    :func:`maintain_group_agg`: (group, count, sum, ``_nv`` = count of
+    NON-NULL values). ``_nv`` is what lets an incremental refresh
+    reproduce SQL SUM's NULL semantics exactly when a group's last real
+    value is retracted — a plain (count, sum) aggregate cannot recover
+    it. Use this to create the initial state; refreshes carry ``_nv``
+    through automatically."""
+    return df.groupBy(group_col).agg(
+        F.count("*").alias(count_col),
+        F.sum(value_col).alias(sum_col),
+        F.count(value_col).alias("_nv"),
+    )
 
 
 def maintain_group_agg(
@@ -937,22 +959,53 @@ def maintain_group_agg(
     never saw them).
 
     Plan: one delta aggregate over the change volume (map-side combined)
-    + one full-outer join against the |groups|-sized old aggregate —
-    cost scales with changes + groups, never with the 100 TB base table.
-    That asymmetry is the entire point: a nightly refresh touches
-    gigabytes, not the corpus.
+    + one null-safe full-outer join against the |groups|-sized old
+    aggregate (``groupBy`` treats NULL as a real group, so the merge key
+    must too) — cost scales with changes + groups, never with the 100 TB
+    base table. That asymmetry is the entire point: a nightly refresh
+    touches gigabytes, not the corpus.
+
+    NULL-value semantics match SQL SUM: the maintained state also tracks
+    the count of NON-NULL values per group (``_nv``), so a group whose
+    last real value is retracted reports sum NULL — exactly what a
+    from-scratch aggregate returns — instead of a fabricated 0.0. If
+    ``old_agg`` lacks a ``_nv`` column one is bootstrapped as
+    ``count_col`` (exact ONLY when the old snapshot had no NULL values
+    in ``value_col`` — build the initial state with
+    :func:`build_group_agg` for full generality; refreshes then carry
+    ``_nv`` automatically).
     """
     delta = retractions.groupBy(group_col).agg(
         F.sum("sign").alias("_dn"),
         F.sum(F.col("sign") * F.col(value_col)).alias("_dv"),
+        F.sum(
+            F.when(F.col(value_col).isNotNull(), F.col("sign")).otherwise(F.lit(0))
+        ).alias("_dnv"),
     )
-    merged = old_agg.join(delta, on=group_col, how="full_outer").select(
-        group_col,
-        (F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias(
-            count_col
-        ),
-        (
-            F.coalesce(F.col(sum_col), F.lit(0.0)) + F.coalesce("_dv", F.lit(0.0))
-        ).alias(sum_col),
+    if "_nv" not in old_agg.columns:
+        old_agg = old_agg.withColumn("_nv", F.col(count_col))
+    o = old_agg.select(
+        F.col(group_col).alias("_g_old"),
+        F.col(count_col).alias("_n_old"),
+        F.col(sum_col).alias("_s_old"),
+        F.col("_nv").alias("_nv_old"),
+    )
+    d = delta.select(
+        F.col(group_col).alias("_g_new"), "_dn", "_dv", "_dnv"
+    )
+    j = o.join(
+        d, on=F.col("_g_old").eqNullSafe(F.col("_g_new")), how="full_outer"
+    )
+    n_new = F.coalesce("_n_old", F.lit(0)) + F.coalesce("_dn", F.lit(0))
+    nv_new = F.coalesce("_nv_old", F.lit(0)) + F.coalesce("_dnv", F.lit(0))
+    s_new = F.when(
+        nv_new > 0,
+        F.coalesce("_s_old", F.lit(0.0)) + F.coalesce("_dv", F.lit(0.0)),
+    )  # zero non-null values -> SUM is NULL, as in SQL
+    merged = j.select(
+        F.coalesce(F.col("_g_new"), F.col("_g_old")).alias(group_col),
+        n_new.alias(count_col),
+        s_new.alias(sum_col),
+        nv_new.alias("_nv"),
     )
     return merged.filter(F.col(count_col) > 0)

@@ -3617,20 +3617,32 @@ def b38tb(spark: SparkSession, sf: str) -> DataFrame:
     # a mixture over a KNOWN corpus, this caps an UNBOUNDED stream.
     from ddataframeoperation_spark.operators.text import token_count
 
+    # The legacy ns-as-long conf must be in effect while the stream runs,
+    # but must NOT leak into the rest of a sweep — later queries would
+    # silently be tested under a non-vanilla conf, defeating the
+    # --vanilla session-dependence check. run_to_memory is synchronous
+    # (awaitTermination inside), so restore in a finally.
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf)
-        .select(
-            "doc_id", "source", token_count("text").cast("long").alias("ntok")
+    try:
+        schema = spark.read.parquet(f"{sf}/documents.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf)
+            .select(
+                "doc_id", "source", token_count("text").cast("long").alias("ntok")
+            )
         )
-    )
-    return STR.run_to_memory(
-        STR.token_budget_admission(stream, 700), output_mode="append"
-    )
+        return STR.run_to_memory(
+            STR.token_budget_admission(stream, 700), output_mode="append"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
 # ---------------------------------------------------------------------------

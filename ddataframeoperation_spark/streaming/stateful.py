@@ -172,13 +172,22 @@ def token_budget_admission(
     ) -> Iterator["pd.DataFrame"]:
         (used,) = state.get if state.exists else (0,)
         out_ids, out_toks = [], []
-        for pdf in pdfs:
-            for _, row in pdf.sort_values(id_col).iterrows():
-                t = int(row[token_col])
-                if used + t <= budget:
-                    used += t
-                    out_ids.append(int(row[id_col]))
-                    out_toks.append(t)
+        # Concatenate the whole micro-batch BEFORE sorting: the runtime
+        # delivers a group's rows as multiple Arrow chunks (split at
+        # arrow.maxRecordsPerBatch) in arbitrary shuffle order, so a
+        # per-chunk sort would break the documented doc_id-order
+        # determinism for groups larger than one chunk.
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        # NULL token counts (e.g. NULL text upstream) arrive as NaN —
+        # reject those rows instead of crashing the query on int(NaN):
+        # a doc with no token count has no budget accounting.
+        whole = whole.dropna(subset=[token_col])
+        for _, row in whole.sort_values(id_col).iterrows():
+            t = int(row[token_col])
+            if used + t <= budget:
+                used += t
+                out_ids.append(int(row[id_col]))
+                out_toks.append(t)
         state.update((used,))
         yield pd.DataFrame(
             {

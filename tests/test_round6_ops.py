@@ -197,14 +197,18 @@ def test_apply_changes_roundtrip_and_validation(spark):
         got = sorted(map(tuple, applied.collect()))
         want = sorted((k, nm, v) for k, (nm, v) in new_rows.items())
         assert got == want, seed
-    # unknown op values must raise, not silently drop
+    # unknown/NULL op values must fail the job (in-plan raise_error —
+    # an eager pre-check would execute the changes lineage twice), not
+    # silently drop or delete rows.
     import pytest
 
-    bad = spark.createDataFrame(
-        [(1, "a", 1.0, "truncated")], "k long, name string, v double, change_type string"
-    )
-    with pytest.raises(ValueError, match="unknown"):
-        R.apply_changes(old, bad, ["k"], ["name", "v"])
+    for op in ("truncated", None):
+        bad = spark.createDataFrame(
+            [(1, "a", 1.0, op)],
+            "k long, name string, v double, change_type string",
+        )
+        with pytest.raises(Exception, match="unknown change_type"):
+            R.apply_changes(old, bad, ["k"], ["name", "v"]).collect()
 
 
 def test_round6_ops_empty_inputs(spark):
@@ -323,3 +327,44 @@ def test_incremental_agg_matches_fresh_aggregate(spark):
             .collect()
         }
         assert got == want, seed
+
+
+def test_maintain_group_agg_null_group_and_null_values(spark):
+    from pyspark.sql import Row
+
+    from ddataframeoperation_spark.operators import relational as R
+
+    # NULL group key: groupBy treats NULL as a real group; the merge join
+    # must be null-safe or the NULL group splits into two rows.
+    old = spark.createDataFrame(
+        [Row(k=1, g=None, v=1.0), Row(k=2, g=None, v=2.0), Row(k=3, g="a", v=3.0)],
+        "k long, g string, v double",
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, g=None, v=1.0), Row(k=3, g="a", v=3.0)],
+        "k long, g string, v double",
+    )
+    old_agg = old.groupBy("g").agg(
+        F.count("*").alias("n_rows"), F.sum("v").alias("sum_value")
+    )
+    retr = R.retraction_stream(old, new, ["k"], ["g", "v"])
+    got = {
+        r["g"]: (r["n_rows"], r["sum_value"])
+        for r in R.maintain_group_agg(old_agg, retr, "g", "v").collect()
+    }
+    assert got == {None: (1, 1.0), "a": (1, 3.0)}
+    # Retracting a group's LAST non-null value must yield sum NULL
+    # (SQL SUM over only-NULL rows), not 0.0.
+    old2 = spark.createDataFrame(
+        [Row(k=1, g="g", v=5.0), Row(k=2, g="g", v=None)],
+        "k long, g string, v double",
+    )
+    new2 = spark.createDataFrame(
+        [Row(k=2, g="g", v=None)], "k long, g string, v double"
+    )
+    # build_group_agg tracks the non-null value count the NULL-sum
+    # semantics need; a plain (count, sum) aggregate cannot recover it.
+    old_agg2 = R.build_group_agg(old2, "g", "v")
+    retr2 = R.retraction_stream(old2, new2, ["k"], ["g", "v"])
+    [row] = R.maintain_group_agg(old_agg2, retr2, "g", "v").collect()
+    assert row["n_rows"] == 1 and row["sum_value"] is None

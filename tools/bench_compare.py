@@ -48,7 +48,7 @@ def main() -> int:
         f"ratio {tb / ta:.2f}x"
     )
     slower = [(b[q] / a[q], q) for q in common if a[q] > 0 and b[q] / a[q] >= thr]
-    faster = [(b[q] / a[q], q) for q in common if b[q] > 0 and b[q] / a[q] <= 1 / thr]
+    faster = [(b[q] / a[q], q) for q in common if a[q] > 0 and b[q] / a[q] <= 1 / thr]
     for r, q in sorted(slower, reverse=True):
         print(f"  SLOWER {r:5.2f}x  {q}: {a[q]:.3f} -> {b[q]:.3f}s")
     for r, q in sorted(faster):
