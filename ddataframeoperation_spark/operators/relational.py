@@ -529,6 +529,14 @@ def pareto_frontier_2d(
        NULL prefix, exactly the unbucketed semantics;
     then one equi-join back on x. No self-join of the data, no cross
     product, no data-sized single-task sort.
+
+    Cost note: the per-x aggregate subtree is consumed by both prefix
+    levels and Catalyst re-plans it per branch (exchange reuse does not
+    fire across the differing partial-agg shapes), so the base is
+    scanned ~3× — column-pruned to (x, y) each time. That is a bounded
+    constant factor; the single global running-min window it replaces
+    was a one-task sort of the data (measured +0.25 s at sf0.1, flat at
+    10× — SCALE.md §13b).
     """
     from pyspark.sql import Window
     from pyspark.sql import types as _T
