@@ -4609,6 +4609,71 @@ def b11inc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b33_embedding_drift",
+    """
+    WITH r AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    c AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.9 + 0.05) AS e
+      FROM embeddings WHERE vec_id % 2 = 1
+    ),
+    rx AS (SELECT generate_subscripts(e, 1) AS pos, unnest(e) AS val FROM r),
+    cx AS (SELECT generate_subscripts(e, 1) AS pos, unnest(e) AS val FROM c),
+    rd AS (SELECT pos, round(avg(val), 6) AS m FROM rx GROUP BY pos),
+    cd AS (SELECT pos, round(avg(val), 6) AS m FROM cx GROUP BY pos),
+    j AS (SELECT rd.pos, rd.m AS mr, cd.m AS mc FROM rd JOIN cd USING (pos))
+    SELECT CAST(count(*) AS BIGINT) AS dim,
+           round(sum(mr * mc) / (sqrt(sum(mr * mr)) * sqrt(sum(mc * mc))), 4)
+             AS centroid_cos,
+           round(sqrt(sum((mr - mc) * (mr - mc))), 4) AS centroid_l2
+    FROM j
+    """,
+)
+def b33ed(spark: SparkSession, sf: str) -> DataFrame:
+    # Embedding-space drift between snapshots: the corpus centroid of a
+    # deterministically perturbed "current" half (x*0.9 + 0.05 — a
+    # re-embedding / model-version shift) vs the even-half reference.
+    # Per-dim means aggregate distributed (posexplode + hash agg — the
+    # label_centroids shape with one global label; shuffle carries dim
+    # keys, not vectors), rounded to 6dp so the cross-engine float drift
+    # of summation order cannot flip the 4dp outputs; centroid cosine
+    # and L2 then reduce over the dim-sized mean table. The vector
+    # monitoring twin of the scalar PSI gates.
+    e = _t(spark, sf, "embeddings")
+    ref = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    cur = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.posexplode(
+            F.transform(
+                "embedding", lambda x: x.cast("double") * 0.9 + 0.05
+            )
+        ).alias("pos", "val")
+    )
+    rd = ref.groupBy("pos").agg(
+        F.round(F.avg(F.col("val").cast("double")), 6).alias("mr")
+    )
+    cd = cur.groupBy("pos").agg(F.round(F.avg("val"), 6).alias("mc"))
+    j = rd.join(cd, on="pos")
+    return j.agg(
+        F.count("*").alias("dim"),
+        F.round(
+            F.sum(F.col("mr") * F.col("mc"))
+            / (
+                F.sqrt(F.sum(F.col("mr") * F.col("mr")))
+                * F.sqrt(F.sum(F.col("mc") * F.col("mc")))
+            ),
+            4,
+        ).alias("centroid_cos"),
+        F.round(
+            F.sqrt(F.sum((F.col("mr") - F.col("mc")) * (F.col("mr") - F.col("mc")))),
+            4,
+        ).alias("centroid_l2"),
+    )
+
+
+@_q(
     "b28_psi_drift",
     """
     WITH r AS (
