@@ -157,10 +157,14 @@ def token_budget_admission(
     arriving stream at ingest time.
 
     Determinism: rows are processed in ``id_col`` order within each
-    micro-batch (sorted in the state function), so a replay with the same
-    batch boundaries admits the identical set — the property the
-    multi-batch equivalence test pins. State is one long per source;
-    shards with the shuffle partitioning like every keyed state op.
+    micro-batch (the whole batch is concatenated before sorting — Arrow
+    chunk order is arbitrary), so a replay with the same batch boundaries
+    admits the identical set — the property the multi-batch equivalence
+    test pins. State is one long per source; shards with the shuffle
+    partitioning like every keyed state op. Memory: one source's rows for
+    ONE micro-batch materialize in pandas for the sort — bound the batch
+    (maxFilesPerTrigger / maxOffsetsPerTrigger) so a hot source's slice
+    fits an executor; the state itself is O(1) regardless.
     """
     import pandas as pd
 
