@@ -41,6 +41,7 @@ __all__ = [
     "token_budget_mix",
     "epoch_shard_order",
     "kfold_assign",
+    "leakage_safe_kfold",
 ]
 
 #: 2^32 — the md5-prefix domain size.
@@ -522,3 +523,40 @@ def kfold_assign(
         u.isNotNull(), F.least(F.floor(u * k), F.lit(k - 1))
     ).cast("int")
     return df.withColumn(fold_col, fold)
+
+
+def leakage_safe_kfold(
+    df: DataFrame,
+    pairs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """North-star — near-dup-aware k-fold CV (the GroupKFold of corpus
+    work): documents connected by ``pairs`` share a duplicate-cluster
+    key, and the fold is assigned from THAT key, so a near-copy of a
+    training document can never sit in the held-out fold and inflate CV
+    metrics — :func:`leakage_safe_split`'s guarantee carried over to
+    cross-validation. Same composition of verified pieces (connected
+    components → cluster key → md5 fold assignment), so exactly
+    oracle-able end to end; folds are disjoint and exhaustive by
+    construction, and NULL-id rows are dropped (module NULL contract).
+
+    Returns (id_col, fold_key, fold) with fold in [0, k).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from ddataframeoperation_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs)
+    d = df.select(id_col).filter(F.col(id_col).isNotNull()).join(
+        comp, F.col(id_col) == comp["id"], "left"
+    )
+    key = F.coalesce(F.col("component"), F.col(id_col))
+    u = hash_uniform([key], salt)
+    fold = F.least(F.floor(u * k), F.lit(k - 1)).cast("int")
+    return d.select(
+        F.col(id_col),
+        key.alias("fold_key"),
+        fold.alias("fold"),
+    )

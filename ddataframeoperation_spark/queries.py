@@ -1748,6 +1748,63 @@ def b22lss(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b22_leakage_safe_kfold",
+    """
+    WITH norm AS (
+      SELECT doc_id AS id, source AS grp,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT id, grp, unnest(list_distinct(string_split(t, ' '))) AS tok FROM norm
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM tok GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.grp = b.grp AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(id, v) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON r.v = e.src
+      ) SELECT id, min(v) AS component FROM r GROUP BY id
+    ), keyed AS (
+      SELECT d.doc_id, coalesce(r.component, d.doc_id) AS fold_key
+      FROM documents d LEFT JOIN reach r ON r.id = d.doc_id
+      WHERE d.doc_id IS NOT NULL
+    )
+    SELECT doc_id, CAST(fold_key AS BIGINT) AS fold_key,
+           CAST(least(floor(u * 5), 4) AS INTEGER) AS fold
+    FROM (
+      SELECT doc_id, fold_key,
+             ('0x' || substring(md5(CAST(fold_key AS VARCHAR) || '|' || 'cv'), 1, 8))::BIGINT
+             / 4294967296.0 AS u
+      FROM keyed
+    )
+    """,
+)
+def b22lkf(spark: SparkSession, sf: str) -> DataFrame:
+    # Leakage-safe 5-fold CV (the GroupKFold of corpus work): near-dup
+    # clusters share a fold via the cluster-key hash, so a near-copy of a
+    # training doc can never sit in the held-out fold — the CV form of
+    # b22_leakage_safe_split's guarantee, every stage oracle-exact.
+    from ddataframeoperation_spark.operators import sampling
+
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(docs, group_col="source", threshold=0.5)
+    return sampling.leakage_safe_kfold(
+        docs, pairs.select("id_a", "id_b"), k=5, salt="cv"
+    )
+
+
+@_q(
     "b32_minhash_candidates",
     """
     WITH norm AS (

@@ -368,3 +368,28 @@ def test_maintain_group_agg_null_group_and_null_values(spark):
     retr2 = R.retraction_stream(old2, new2, ["k"], ["g", "v"])
     [row] = R.maintain_group_agg(old_agg2, retr2, "g", "v").collect()
     assert row["n_rows"] == 1 and row["sum_value"] is None
+
+
+def test_leakage_safe_kfold_colocates_clusters(spark):
+    # Every near-dup cluster must land entirely in ONE fold; folds are
+    # disjoint+exhaustive; NULL ids dropped.
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)] + [(None, "ghost")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (10, 11)], "id_a long, id_b long"
+    )
+    out = sampling.leakage_safe_kfold(docs, pairs, k=4, salt="t").collect()
+    assert len(out) == 40  # NULL id dropped
+    fold_by_id = {r["doc_id"]: r["fold"] for r in out}
+    assert all(0 <= f <= 3 for f in fold_by_id.values())
+    assert fold_by_id[0] == fold_by_id[1] == fold_by_id[2]
+    assert fold_by_id[5] == fold_by_id[6]
+    assert fold_by_id[10] == fold_by_id[11]
+    # deterministic across invocations
+    again = {
+        r["doc_id"]: r["fold"]
+        for r in sampling.leakage_safe_kfold(docs, pairs, k=4, salt="t").collect()
+    }
+    assert again == fold_by_id
