@@ -227,3 +227,30 @@ def test_token_budget_mix_window_is_bucket_partitioned(spark):
     assert "windowspecdefinition(source" in p and "_bkt" in p
     assert "Exchange SinglePartition" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_psi_drift_no_global_sort(spark):
+    # Drift gates bucket via broadcast percentile cut points — no Window,
+    # no data-sized single-partition stage (the only SinglePartition
+    # exchanges merge bounded aggregate buffers / <=buckets-row tables).
+    p = _plan(spark, "b28_psi_drift")
+    assert "Window" not in p
+    assert "partial_percentile" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cdc_apply_is_antijoin_plus_union(spark):
+    # The MERGE shape: base minus changed keys (anti join) union incoming
+    # rows — never a nested loop, never a cartesian.
+    p = _plan(spark, "b21_cdc_apply")
+    assert "LeftAnti" in p and "Union" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_incremental_agg_delta_join_bounded(spark):
+    # The refresh joins the |groups|-sized old aggregate to the
+    # change-volume delta aggregate — both sides pre-aggregated (partial
+    # phases present) before any join; no cartesian anywhere.
+    p = _plan(spark, "b11_incremental_agg")
+    assert p.count("HashAggregate") >= 4  # partial+final on both sides
+    assert "CartesianProduct" not in p
