@@ -4731,6 +4731,128 @@ def b33ed(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b36_stream_psi",
+    """
+    WITH r AS (
+      SELECT value AS v FROM events WHERE event_id % 2 = 0 AND value IS NOT NULL
+    ),
+    cuts AS (
+      SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cc FROM r
+    ),
+    rb AS (
+      SELECT 1 + len(list_filter(cuts.cc, x -> r.v > x)) AS bucket,
+             count(*) AS n_ref
+      FROM r, cuts GROUP BY 1
+    ),
+    rt AS (SELECT sum(n_ref) AS tr FROM rb),
+    cur AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             value * 1.1 + 5 AS v
+      FROM events WHERE event_id % 2 = 1 AND value IS NOT NULL
+    ),
+    cb AS (
+      SELECT cur.window_start,
+             1 + len(list_filter(cuts.cc, x -> cur.v > x)) AS bucket,
+             count(*) AS n_cur
+      FROM cur, cuts GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT w.window_start, g.bucket
+      FROM (SELECT DISTINCT window_start FROM cb) w,
+           (SELECT UNNEST(generate_series(1, 10)) AS bucket) g
+    ),
+    f AS (
+      SELECT grid.window_start, grid.bucket,
+             coalesce(cb.n_cur, 0) AS n_cur,
+             coalesce(rb.n_ref, 0) AS n_ref
+      FROM grid
+      LEFT JOIN cb ON cb.window_start = grid.window_start AND cb.bucket = grid.bucket
+      LEFT JOIN rb ON rb.bucket = grid.bucket
+    ),
+    wt AS (SELECT window_start, sum(n_cur) AS tc FROM f GROUP BY 1)
+    SELECT f.window_start,
+           CAST(sum(f.n_cur) AS BIGINT) AS n_events,
+           round(sum(
+             (greatest(f.n_cur / wt.tc, 1e-6) - greatest(f.n_ref / rt.tr, 1e-6))
+             * ln(greatest(f.n_cur / wt.tc, 1e-6) / greatest(f.n_ref / rt.tr, 1e-6))
+           ), 4) AS psi
+    FROM f JOIN wt USING (window_start) CROSS JOIN rt
+    GROUP BY f.window_start
+    """,
+)
+def b36psi(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming drift gate: hour-by-hour PSI of an ARRIVING (drifted)
+    # stream against a static reference corpus. Reference decile cut
+    # points collect once (9 doubles, driver-side — the IVF-training
+    # posture); the stream buckets row-locally inside its windowed
+    # aggregate (no stream-static join, no extra state); the per-window
+    # index is then finished in batch on the materialized counts over
+    # the full 10-bucket grid, eps-flooring empty buckets on either
+    # side. Single-file availableNow replay = batch-equivalent oracle.
+    eps = 1e-6
+    ev = _t(spark, sf, "events")
+    ref = ev.filter((F.col("event_id") % 2 == 0) & F.col("value").isNotNull())
+    cuts = ref.agg(
+        F.expr(
+            "percentile(CAST(value AS DOUBLE), "
+            "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("c")
+    ).collect()[0]["c"]
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    rb = (
+        ref.select(
+            (F.lit(1) + F.size(
+                F.filter(arr, lambda x: F.col("value").cast("double") > x)
+            )).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_ref"))
+    )
+    stream = STR.events_as_stream(spark, sf).filter(
+        F.col("event_id") % 2 == 1
+    ).withColumn("value", F.col("value") * 1.1 + 5)
+    counts = STR.run_to_memory(
+        STR.stream_psi_bucket_counts(stream, [float(c) for c in cuts])
+    )
+    # The full (window × bucket) grid is built driver-side — |hours| × 10
+    # rows, bounded — which also avoids a self-join of the memory sink
+    # (grid derived from counts joining counts trips Catalyst's
+    # conflicting-reference check).
+    wins = [
+        r["window_start"]
+        for r in counts.select("window_start").distinct().collect()
+    ]
+    grid = spark.createDataFrame(
+        [(w, b) for w in wins for b in range(1, 11)],
+        "window_start timestamp, bucket int",
+    )
+    f = (
+        grid.join(counts, on=["window_start", "bucket"], how="left")
+        .join(F.broadcast(rb), on="bucket", how="left")
+        .select(
+            "window_start",
+            "bucket",
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        )
+    )
+    rt = float(ref.count())
+    wt = f.groupBy("window_start").agg(F.sum("n_cur").alias("tc"))
+    p_cur = F.greatest(F.col("n_cur") / F.col("tc"), F.lit(eps))
+    p_ref = F.greatest(F.col("n_ref") / F.lit(rt), F.lit(eps))
+    return (
+        f.join(F.broadcast(wt), on="window_start")
+        .groupBy("window_start")
+        .agg(
+            F.sum("n_cur").cast("long").alias("n_events"),
+            F.round(
+                F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 4
+            ).alias("psi"),
+        )
+    )
+
+
+@_q(
     "b28_psi_drift",
     """
     WITH r AS (

@@ -16,6 +16,7 @@ from ddataframeoperation_spark.streaming.windows import (
     stream_interval_join,
     run_to_memory,
     ohlc_stream,
+    stream_psi_bucket_counts,
 )
 
 __all__ = [
@@ -27,6 +28,7 @@ __all__ = [
     "stream_interval_join",
     "run_to_memory",
     "ohlc_stream",
+    "stream_psi_bucket_counts",
     "running_totals_per_user",
     "running_totals_per_user_tws",
     "token_budget_admission",

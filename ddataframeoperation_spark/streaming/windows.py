@@ -34,6 +34,7 @@ __all__ = [
     "stream_interval_join",
     "run_to_memory",
     "ohlc_stream",
+    "stream_psi_bucket_counts",
 ]
 
 
@@ -267,4 +268,39 @@ def ohlc_stream(
             "close",
             "n_obs",
         )
+    )
+
+
+def stream_psi_bucket_counts(
+    stream: DataFrame,
+    ref_cuts: list[float],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """B36 × drift — per-tumbling-window distribution monitoring of an
+    ARRIVING stream against a static reference: bucket each event by the
+    reference's percentile cut points (``ref_cuts``, computed once from
+    the reference snapshot — e.g. ``percentile(v, array(0.1..0.9))``
+    collected to a tiny driver-side list) and count per (window, bucket).
+    Bucketing is a row-local literal-array fold — no stream-static join,
+    no extra state beyond the windowed aggregate itself. Feed the
+    materialized output to ``relational._psi_terms``-style post-processing
+    (or the convenience wrapper in the registered query) to get one PSI
+    per window — "did tonight's ingest drift from the reference corpus,
+    hour by hour".
+
+    Returns streaming (window_start, bucket, n_cur); NULL values are
+    dropped (the batch psi_drift contract).
+    """
+    cuts = F.array(*[F.lit(float(c)) for c in ref_cuts])
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(1) + F.size(F.filter(cuts, lambda x: v > x))
+    return (
+        stream.filter(v.isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"), bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_cur"))
+        .select(F.col("win.start").alias("window_start"), "bucket", "n_cur")
     )
