@@ -458,3 +458,37 @@ def test_token_budget_admission_multi_batch_equals_batch(spark, sf_dir, tmp_path
     for _, s_, t in got_rows:
         per[s_] += t
     assert all(v <= 700 for v in per.values())
+
+
+def test_stream_psi_counts_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    # The windowed bucket counts must be batch-equivalent across a 4-batch
+    # event-time-ordered replay (watermark never drops in-order data).
+    from ddataframeoperation_spark.streaming.windows import (
+        stage_multi_batch_replay,
+        stream_psi_bucket_counts,
+    )
+
+    ev = read_fixture_table(spark, sf_dir, "events")
+    cuts = [
+        float(c)
+        for c in ev.agg(
+            F.expr(
+                "percentile(CAST(value AS DOUBLE), array(0.25, 0.5, 0.75))"
+            )
+        ).collect()[0][0]
+    ]
+    stream = stage_multi_batch_replay(ev, str(tmp_path / "st"), n_batches=4)
+    got = STR.run_to_memory(stream_psi_bucket_counts(stream, cuts))
+    arr = F.array(*[F.lit(c) for c in cuts])
+    want = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            (F.lit(1) + F.size(
+                F.filter(arr, lambda x: F.col("value").cast("double") > x)
+            )).alias("bucket"),
+        )
+        .agg(F.count("*").cast("long").alias("n_cur"))
+        .select(F.col("win.start").alias("window_start"), "bucket", "n_cur")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
