@@ -7037,10 +7037,10 @@ _DRIVER_PRIORITY = [
     "b10_q7_nation_volume",       # B10 multi-way star shapes
     "b31_block_dedup",            # B31 sub-document block dedup (C4-style)
     "b19_ewma",                   # B19/B24 sequential-fold smoother (exact)
-    "b22_temperature_mix",        # B22 temperature source rebalance (exact)
+    "b22_token_budget_mix",       # B22 TOKEN-budgeted mixture (r6 flagship)
     "b10_q22_global_sales_opp",
     "b11_agg_pricing_summary",    # B11 group-by agg (TPC-H Q1 shape)
-    "b11_salted_agg",             # B11 skew-safe variant (result-identical)
+    "b11_incremental_agg",        # B11 materialized-agg delta refresh (r6)
     "b12_count_distinct",         # B12 distinct family
     "b34_bm25_topk",              # B34 BM25 lexical retrieval (exact oracle)
     "b13_rollup",                 # B13 rollup/cube/grouping sets
@@ -7051,7 +7051,7 @@ _DRIVER_PRIORITY = [
     "b18_scd2_history",           # B18 SCD2 dimension build (lag/lead composed)
     "b19_window_running_sum",     # B19 framed window aggs
     "b20_latest_per_key",         # B20 top-1-per-group
-    "b21_union_distinct",         # B21 set ops
+    "b21_cdc_apply",              # B21 CDC apply/upsert roundtrip (r6)
     "b22_leakage_safe_split",     # B22 cluster-aware train/eval split
     "b23_string_funcs",           # B23 string fns
     "b24_ohlc_bars",              # B24 time bucketing + OHLC min_by/max_by agg
@@ -7106,7 +7106,16 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: b33_ivf_topk (B33 keeps cosine_topk), b34_tfidf → b34_pack_sequences
 #: (B34 keeps bm25_topk + full_pipeline). Displaced queries lead the
 #: post-50 tail.
+#: Round 6b rotated three more slots to round-6 flagships so the external
+#: correctness file certifies them: b22_temperature_mix →
+#: b22_token_budget_mix (B22 keeps leakage_safe_split), b11_salted_agg →
+#: b11_incremental_agg (B11 keeps agg_pricing_summary), b21_union_distinct
+#: → b21_cdc_apply (B21-family composite; basic set ops stay covered by
+#: b21_intersect_except in the sweep). Displaced queries lead the tail.
 _BONUS_SLOTS = [
+    "b22_temperature_mix",
+    "b11_salted_agg",
+    "b21_union_distinct",
     "b18_window_lag_lead",
     "b22_stratified_sample",
     "b32_cluster_dedup",
