@@ -777,9 +777,16 @@ def apply_changes(
         *[F.col(c) for c in attr_cols],
         checked.isin("deleted", "delete").alias("_is_delete"),
     )
-    kept = base.join(
-        keyed.select(*key_cols), on=list(key_cols), how="left_anti"
-    ).select(*key_cols, *attr_cols)
+    # Null-safe anti-join condition: snapshot_diff treats a NULL key as a
+    # real key (eqNullSafe), so apply must too — a plain equi-anti-join
+    # never matches NULL keys, leaving the base's NULL-key row in place
+    # while the incoming row unions in (a silent duplicate).
+    ck = keyed.select(*[F.col(c).alias(f"_ck_{c}") for c in key_cols])
+    cond = None
+    for c in key_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_ck_{c}"))
+        cond = eq if cond is None else cond & eq
+    kept = base.join(ck, on=cond, how="left_anti").select(*key_cols, *attr_cols)
     incoming = keyed.filter(~F.col("_is_delete")).select(*key_cols, *attr_cols)
     return kept.unionByName(incoming)
 

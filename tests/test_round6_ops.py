@@ -393,3 +393,40 @@ def test_leakage_safe_kfold_colocates_clusters(spark):
         for r in sampling.leakage_safe_kfold(docs, pairs, k=4, salt="t").collect()
     }
     assert again == fold_by_id
+
+
+def test_apply_changes_null_key_is_a_real_key(spark):
+    from pyspark.sql import Row
+
+    from ddataframeoperation_spark.operators import relational as R
+
+    # snapshot_diff treats a NULL key null-safely; apply must match —
+    # updating the NULL-key row must REPLACE it, not duplicate it.
+    old = spark.createDataFrame(
+        [Row(k=None, v="old"), Row(k=1, v="a")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [Row(k=None, v="new", change_type="changed")],
+        "k long, v string, change_type string",
+    )
+    got = sorted(
+        [(r["k"], r["v"]) for r in R.apply_changes(old, changes, ["k"], ["v"]).collect()],
+        key=str,
+    )
+    assert got == sorted([(None, "new"), (1, "a")], key=str)
+    # and the full roundtrip through snapshot_diff holds with a NULL key
+    new = spark.createDataFrame(
+        [Row(k=None, v="new"), Row(k=1, v="a")], "k long, v string"
+    )
+    diff = R.snapshot_diff(old, new, ["k"], ["v"]).filter(
+        F.col("change_type") != "unchanged"
+    )
+    n2 = new.select(F.col("k").alias("nk"), F.col("v").alias("nv"))
+    ch = diff.join(
+        n2, on=F.col("k").eqNullSafe(F.col("nk")), how="left"
+    ).select("k", F.col("nv").alias("v"), "change_type")
+    rt = sorted(
+        [(r["k"], r["v"]) for r in R.apply_changes(old, ch, ["k"], ["v"]).collect()],
+        key=str,
+    )
+    assert rt == sorted([(None, "new"), (1, "a")], key=str)
