@@ -753,7 +753,12 @@ def apply_changes(
     the base, then the surviving change rows (op != delete) union in —
     join + union, the canonical MERGE INTO shape without requiring a
     transactional table format; at 100 TB the base side shuffles once on
-    the key (or not at all if base and changes are bucketed on it).
+    the (null-safe) key. Note the eqNullSafe condition compiles to
+    coalesce/isnull composite join keys, so bucketing on the raw key
+    does NOT eliminate this exchange — if keys are known non-NULL,
+    bucketed storage plus a plain equi-join variant would; NULL-key
+    correctness is the default here because snapshot_diff treats NULL
+    as a real key.
     Keys must be unique per input (same precondition as snapshot_diff);
     unknown or NULL operation values fail the job (in-plan
     ``raise_error``, so validation costs zero extra passes — an eager

@@ -4772,10 +4772,10 @@ def b33ed(spark: SparkSession, sf: str) -> DataFrame:
     wt AS (SELECT window_start, sum(n_cur) AS tc FROM f GROUP BY 1)
     SELECT f.window_start,
            CAST(sum(f.n_cur) AS BIGINT) AS n_events,
-           round(sum(
+           round(sum(round(
              (greatest(f.n_cur / wt.tc, 1e-6) - greatest(f.n_ref / rt.tr, 1e-6))
              * ln(greatest(f.n_cur / wt.tc, 1e-6) / greatest(f.n_ref / rt.tr, 1e-6))
-           ), 4) AS psi
+           , 6)), 4) AS psi
     FROM f JOIN wt USING (window_start) CROSS JOIN rt
     GROUP BY f.window_start
     """,
@@ -4836,18 +4836,22 @@ def b36psi(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         )
     )
-    rt = float(ref.count())
+    # Reference total from the <=10-row bucket table (every non-null ref
+    # row lands in a bucket) — not a third full scan of the reference.
+    rt = float(rb.agg(F.sum("n_ref")).collect()[0][0])
     wt = f.groupBy("window_start").agg(F.sum("n_cur").alias("tc"))
     p_cur = F.greatest(F.col("n_cur") / F.col("tc"), F.lit(eps))
     p_ref = F.greatest(F.col("n_ref") / F.lit(rt), F.lit(eps))
+    # Per-bucket terms round to 6dp BEFORE the sum (the b33 float-drift
+    # guard): summation order differs between engines, and unrounded
+    # double terms could straddle a 4dp boundary of the final index.
+    term = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6)
     return (
         f.join(F.broadcast(wt), on="window_start")
         .groupBy("window_start")
         .agg(
             F.sum("n_cur").cast("long").alias("n_events"),
-            F.round(
-                F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 4
-            ).alias("psi"),
+            F.round(F.sum(term), 4).alias("psi"),
         )
     )
 
