@@ -430,3 +430,68 @@ def test_apply_changes_null_key_is_a_real_key(spark):
         key=str,
     )
     assert rt == sorted([(None, "new"), (1, "a")], key=str)
+
+
+def test_psi_drift_constant_reference(spark):
+    # A constant reference collapses every cut point to one value: all
+    # reference mass lands in bucket 1, drifted-higher current mass in
+    # the top bucket — the index must stay finite and clearly positive.
+    from ddataframeoperation_spark.operators import relational as R
+
+    ref = spark.createDataFrame([(5.0,)] * 100, "value double")
+    cur = spark.createDataFrame([(9.0,)] * 100, "value double")
+    out = R.psi_drift(ref, cur, "value", buckets=4).collect()
+    tot = sum(r["psi_term"] for r in out)
+    assert tot > 1 and all(r["psi_term"] == r["psi_term"] for r in out)
+    # identical constant snapshots -> zero drift
+    same = R.psi_drift(ref, ref, "value", buckets=4)
+    assert abs(same.agg(F.sum("psi_term")).collect()[0][0]) < 1e-9
+
+
+def test_epoch_shard_order_single_shard(spark):
+    # n_shards=1 degenerates to one global deterministic order — still
+    # exhaustive with contiguous positions.
+    d = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    out = sampling.epoch_shard_order(d, epoch=0, n_shards=1).collect()
+    assert len(out) == 50
+    assert {r["shard"] for r in out} == {0}
+    assert sorted(r["position"] for r in out) == list(range(1, 51))
+
+
+def test_levenshtein_pairs_unicode(spark):
+    # Edit distance over non-ASCII: Spark's levenshtein is
+    # character-based, and the deletion neighborhood must split on
+    # CHARACTERS (substr is character-indexed), not bytes.
+    from ddataframeoperation_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [("héllo",), ("hèllo",), ("héllò",), ("東京",), ("東京都",)],
+        "name string",
+    )
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in dedup.levenshtein_pairs(
+            df, "name", max_dist=1, blocking="deletes"
+        ).collect()
+    }
+    assert ("hèllo", "héllo", 1) in got
+    assert ("héllo", "héllò", 1) in got
+    assert ("東京", "東京都", 1) in got
+    # 2-apart pair excluded at max_dist=1
+    assert not any({a, b} == {"hèllo", "héllò"} for a, b, _ in got)
+
+
+def test_token_budget_mix_zero_budget_and_all_null_tokens(spark):
+    # budget 0 admits only a zero-token PREFIX (the mix is prefix-based,
+    # not greedy: a budget-busting doc earlier in the hash order blocks
+    # everything after it); all-NULL token column keeps nothing
+    # (NULL-drop contract) — neither crashes.
+    solo = spark.createDataFrame(
+        [(1, "s", 0)], "doc_id long, source string, ntok long"
+    )
+    kept = sampling.token_budget_mix(solo, 0, token_col="ntok").collect()
+    assert [r["doc_id"] for r in kept] == [1]  # cum 0 <= budget 0
+    nulls = spark.createDataFrame(
+        [(1, "s", None)], "doc_id long, source string, ntok long"
+    )
+    assert sampling.token_budget_mix(nulls, 10, token_col="ntok").count() == 0
