@@ -355,8 +355,14 @@ def token_budget_mix(
     Semantics: within each source, order docs by their hash-uniform (an
     engine-stable pseudo-random shuffle; ``salt`` = new draw) with
     ``tiebreak_col`` breaking exact hash ties, and keep the prefix whose
-    INCLUSIVE cumulative token count is <= the budget (the doc that would
-    cross the boundary is dropped, so the budget is a hard cap).
+    INCLUSIVE cumulative token count is <= the budget — strictly a
+    PREFIX: the boundary-crossing doc AND everything after it in the
+    hash order are dropped, so the budget is a hard cap and membership
+    stays monotone in the budget (raise it and the kept set only grows).
+    Contrast the streaming
+    :func:`~ddataframeoperation_spark.streaming.stateful.token_budget_admission`,
+    which is GREEDY (a rejected doc does not consume budget; later
+    smaller docs may still land).
     ``budgets`` is one int for every source or a {source: budget} dict —
     with a dict, sources absent from it are dropped (the mixture is
     explicit). Rows with a NULL source, token count, or hash key are
