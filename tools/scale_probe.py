@@ -118,6 +118,63 @@ def main() -> int:
             f"debounce {tag}",
             lambda e=e: debounce(e, min_gap_seconds=60.0, tiebreak=["event_id"]),
         )
+    # Round-6: CDC roundtrip, incremental maintenance, drift — each must
+    # stay flat (cost tracks change volume / bucket count, not rows).
+    cust1 = read_fixture_table(spark, SF, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    cust = replicate(cust1, factor, ["c_custkey"], 10_000_000).localCheckpoint()
+
+    def _new_snapshot(c):
+        return c.filter(F.col("c_custkey") % 97 != 0).withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 10.0
+            ).otherwise(F.col("c_acctbal")),
+        ).unionByName(
+            c.filter(F.col("c_custkey") % 53 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + 1000000
+            )
+        )
+
+    for tag, c in (("1x", cust1), (f"{factor}x", cust)):
+        new = _new_snapshot(c)
+        probe(
+            f"cdc_apply {tag}",
+            lambda c=c, new=new: relational.apply_changes(
+                c,
+                relational.snapshot_diff(
+                    c, new, ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+                )
+                .filter(F.col("change_type") != "unchanged")
+                .join(new, on="c_custkey", how="left")
+                .select("c_custkey", "c_mktsegment", "c_acctbal", "change_type"),
+                ["c_custkey"],
+                ["c_mktsegment", "c_acctbal"],
+            ),
+        )
+        probe(
+            f"incremental_agg {tag}",
+            lambda c=c, new=new: relational.maintain_group_agg(
+                relational.build_group_agg(c, "c_mktsegment", "c_acctbal"),
+                relational.retraction_stream(
+                    c, new, ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+                ),
+                "c_mktsegment",
+                "c_acctbal",
+            ),
+        )
+    for tag, e in (("1x", ev1), (f"{factor}x", ev)):
+        probe(
+            f"psi_drift {tag}",
+            lambda e=e: relational.psi_drift(
+                e.filter(F.col("event_id") % 2 == 0),
+                e.filter(F.col("event_id") % 2 == 1).withColumn(
+                    "value", F.col("value") * 1.1 + 5
+                ),
+                "value",
+            ),
+        )
     for tag, m in (("1x", emb1), (f"{factor}x", emb)):
         probe(f"quantized_topk {tag}", lambda m=m: similarity.quantized_topk(m, 0, k=10))
         probe(
