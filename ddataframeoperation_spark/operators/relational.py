@@ -604,10 +604,13 @@ def minmax_scale(
     (broadcast — the stats table is |groups|-sized), so the whole rescale
     is agg + broadcast join + row-local map. No Python, no window sort.
 
-    NULL contract (ADVICE r5): a NULL observation stays NULL — the
+    NULL contract (ADVICE r5/r6): a NULL observation stays NULL — the
     ``value IS NULL`` guard fires BEFORE the constant-group branch, so
     missing data is never fabricated into the 0.5 midpoint. Constant
     groups (``min == max``) pin non-NULL values to 0.5, avoiding 0/0.
+    A NULL ``group_col`` is a real group: the stats join is null-safe
+    (``<=>``), so NULL-group rows are scaled against the NULL group's
+    extremes instead of silently vanishing.
     The scaled value is EXACT by default; pass ``decimals`` for display
     rounding (query-layer concern — the oracle-matched query rounds to 4,
     a feature pipeline should not).
@@ -616,7 +619,14 @@ def minmax_scale(
     stats = df.groupBy(group_col).agg(
         F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi")
     )
-    j = df.join(F.broadcast(stats), on=group_col)
+    # eqNullSafe on the group key (ADVICE r6): groupBy emits a NULL-group
+    # stats row, and a plain equi-join would silently drop every
+    # NULL-group input row — the module's null-safe key contract
+    # (maintain_group_agg, snapshot_diff) applies here too.
+    stats = stats.withColumnRenamed(group_col, "_grp")
+    j = df.join(
+        F.broadcast(stats), F.col(group_col).eqNullSafe(F.col("_grp"))
+    ).drop("_grp")
     ratio = (v - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))
     if decimals is not None:
         ratio = F.round(ratio, decimals)

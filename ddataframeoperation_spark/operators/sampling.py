@@ -366,7 +366,9 @@ def token_budget_mix(
     ``budgets`` is one int for every source or a {source: budget} dict —
     with a dict, sources absent from it are dropped (the mixture is
     explicit). Rows with a NULL source, token count, or hash key are
-    dropped. Token counts come from ``token_col`` if given (e.g. a real
+    dropped; a NEGATIVE token count raises in-plan (it would make the
+    cumulative sum non-monotone and silently void the hard cap).
+    Token counts come from ``token_col`` if given (e.g. a real
     tokenizer's output), else the whitespace/BPE-proxy count of
     ``text_col``; pass ``count_out`` to keep the computed per-row token
     count as an output column (it is already paid for — callers realizing
@@ -399,6 +401,20 @@ def token_budget_mix(
         .withColumn("_u", hash_uniform([tiebreak_col], salt))
         .filter(
             F.col("_ntok").isNotNull()
+            # Negative token counts would make the cumulative sum
+            # non-monotone and break the hard-cap/prefix contract
+            # (rows PAST the budget crossing could be kept) — fail
+            # loudly in-plan instead of silently over-admitting.
+            & F.when(
+                F.col("_ntok") >= 0, F.lit(True)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("token_budget_mix: negative token count "),
+                        F.col("_ntok").cast("string"),
+                    )
+                )
+            )
             & F.col("_u").isNotNull()
             & F.col(source_col).isNotNull()
         )

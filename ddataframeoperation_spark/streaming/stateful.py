@@ -159,7 +159,12 @@ def token_budget_admission(
     Determinism: rows are processed in ``id_col`` order within each
     micro-batch (the whole batch is concatenated before sorting — Arrow
     chunk order is arbitrary), so a replay with the same batch boundaries
-    admits the identical set — the property the multi-batch equivalence
+    admits the identical set. ``id_col`` values must be UNIQUE within a
+    (source, micro-batch) slice — duplicate ids tie under the stable sort
+    and keep arbitrary Arrow-chunk order, silently breaking replay
+    determinism (same precondition as ``epoch_shard_order``). Rows with a
+    NULL ``id_col`` or ``token_col`` are dropped, not admitted.
+    This is the property the multi-batch equivalence
     test pins. State is one long per source; shards with the shuffle
     partitioning like every keyed state op. Memory: one source's rows for
     ONE micro-batch materialize in pandas for the sort — bound the batch
@@ -184,8 +189,10 @@ def token_budget_admission(
         whole = pd.concat(list(pdfs), ignore_index=True)
         # NULL token counts (e.g. NULL text upstream) arrive as NaN —
         # reject those rows instead of crashing the query on int(NaN):
-        # a doc with no token count has no budget accounting.
-        whole = whole.dropna(subset=[token_col])
+        # a doc with no token count has no budget accounting. A NULL
+        # doc_id likewise cannot be admitted (int(NaN) raises, and an
+        # id-less doc has no deterministic replay position).
+        whole = whole.dropna(subset=[id_col, token_col])
         for _, row in whole.sort_values(id_col).iterrows():
             t = int(row[token_col])
             if used + t <= budget:

@@ -1,0 +1,92 @@
+"""Round-7 contract pins for the ADVICE r6 fixes.
+
+Three operators gained stricter dirty-input contracts: minmax_scale keeps
+NULL-group rows (null-safe stats join), token_budget_mix fails loudly on
+negative token counts (a non-monotone cumulative sum would silently void
+the hard cap), and streaming token_budget_admission drops NULL-id rows
+instead of crashing the query. Each is pinned here on constructed frames
+the fixtures can't produce.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.operators import relational as R
+from ddataframeoperation_spark.operators import sampling
+
+
+def test_minmax_scale_null_group_is_a_real_group(spark):
+    """ADVICE r6: rows whose group key is NULL must be scaled against the
+    NULL group's own extremes, not silently dropped by a plain equi-join
+    on the group key."""
+    rows = [
+        ("a", 0.0), ("a", 10.0),
+        (None, 2.0), (None, 4.0), (None, 6.0),   # NULL group: min 2, max 6
+        (None, None),                            # NULL value stays NULL
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = R.minmax_scale(df, "g", "value")
+    assert out.count() == len(rows)              # nothing vanished
+    nulls = {
+        r["value"]: r["scaled"]
+        for r in out.filter(F.col("g").isNull()).collect()
+    }
+    assert nulls[2.0] == 0.0
+    assert nulls[4.0] == 0.5
+    assert nulls[6.0] == 1.0
+    assert nulls[None] is None
+
+
+def test_token_budget_mix_raises_on_negative_token_count(spark):
+    """ADVICE r6: a negative caller-supplied token count breaks the
+    monotone-prefix contract — the operator must raise in-plan, not
+    silently over-admit rows past the budget crossing."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rows = [(1, "s", 10), (2, "s", -3), (3, "s", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, ntok long")
+    bad = sampling.token_budget_mix(
+        df, 100, token_col="ntok", tiebreak_col="doc_id", salt="t"
+    )
+    with pytest.raises(SparkRuntimeException, match="negative token count"):
+        bad.collect()
+    # Clean input through the same path still works.
+    ok = sampling.token_budget_mix(
+        df.filter(F.col("ntok") >= 0),
+        100,
+        token_col="ntok",
+        tiebreak_col="doc_id",
+        salt="t",
+    )
+    assert ok.count() == 2
+
+
+def test_token_budget_admission_drops_null_ids_and_tokens(spark, tmp_path):
+    """ADVICE r6: a NULL doc_id (or NULL token count) row must be dropped
+    by the streaming admitter — previously int(NaN) raised inside the
+    state function and killed the whole query on one dirty row."""
+    import ddataframeoperation_spark.streaming.stateful as STF
+    from ddataframeoperation_spark.streaming.windows import (
+        run_to_memory,
+        stage_multi_batch_replay,
+    )
+
+    rows = [
+        (1, "s", 10),
+        (None, "s", 10),     # NULL id: dropped, consumes no budget
+        (2, "s", None),      # NULL tokens: dropped
+        (3, "s", 10),
+        (4, "s", 1000),      # over budget: rejected (greedy)
+        (5, "s", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, ntok long")
+    stream = stage_multi_batch_replay(
+        df, str(tmp_path / "stage"), n_batches=2, ts_col="ntok"
+    )
+    got = run_to_memory(
+        STF.token_budget_admission(stream, 30), output_mode="append"
+    )
+    admitted = sorted(r["doc_id"] for r in got.collect())
+    assert admitted == [1, 3, 5]
