@@ -51,6 +51,7 @@ __all__ = [
     "join_nullsafe",
     "mad_outliers",
     "pareto_frontier_2d",
+    "cumulative_share",
     "winsorize",
     "minmax_scale",
     "snapshot_diff",
@@ -589,6 +590,76 @@ def pareto_frontier_2d(
         F.col("_min_y_before").isNotNull() & (F.col("_min_y_before") <= y)
     ) | (F.col("_min_y_at_x") < y)
     return joined.filter(~dominated).drop("_min_y_at_x", "_min_y_before")
+
+
+def cumulative_share(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    buckets: int = 1024,
+    cum_col: str = "cum",
+    total_col: str = "total",
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` in (value DESC, tiebreak ASC)
+    order, plus the grand total — the Pareto/ABC "top X% of mass"
+    primitive, WITHOUT the single-task global-sort window the naive
+    ``sum() OVER (ORDER BY value DESC)`` plans as (VERDICT r6 #2: a
+    dimension-sized input still scales linearly with the corpus).
+
+    The same skew-proof two-level prefix-sum shape as
+    :func:`pareto_frontier_2d` / ``sampling.token_budget_mix``:
+
+    1. 1-row (min, max) scalar aggregate over ``value_col``, broadcast;
+    2. equi-width DESCENDING bucket id — row-local, equal values always
+       share a bucket, so bucket-major (value DESC, tiebreak) order
+       equals the global order;
+    3. per-bucket sums (map-side combined) → cross-bucket exclusive
+       prefix + grand total on the ≤``buckets``-row table — the only
+       un-partitioned window, CONSTANT-bounded by ``buckets``;
+    4. within-bucket running sum PARTITIONED by bucket — the data-sized
+       window parallelizes across buckets;
+    5. ``cum = cross-bucket prefix + within-bucket running sum``.
+
+    Exactness across engines: the bucketed sum associates differently
+    from a sequential window scan, so for bit-identical cross-engine
+    results feed an association-free ``value_col`` type (DECIMAL sums
+    are exact in any order; DOUBLE sums are not — the b11 money policy).
+    Rows with a NULL ``value_col`` are dropped.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull())
+    rng = clean.agg(
+        F.min(value_col).cast("double").alias("_lo"),
+        F.max(value_col).cast("double").alias("_hi"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(buckets))
+    bkt = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(buckets - 1),
+            F.floor((F.col("_hi") - v.cast("double")) / width).cast("int"),
+        )
+    )
+    bucketed = clean.crossJoin(F.broadcast(rng)).withColumn("_bkt", bkt)
+    per_bkt = bucketed.groupBy("_bkt").agg(F.sum(value_col).alias("_tok"))
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    w_t = Window.partitionBy()  # over the <=buckets-row table only
+    prefix = per_bkt.select(
+        "_bkt",
+        F.coalesce(F.sum("_tok").over(w_b), F.lit(0)).alias("_before"),
+        F.sum("_tok").over(w_t).alias(total_col),
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(v.desc(), F.col(tiebreak_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.join(F.broadcast(prefix), on="_bkt")
+        .withColumn(cum_col, F.col("_before") + F.sum(value_col).over(w_in))
+        .drop("_bkt", "_lo", "_hi", "_before")
+    )
 
 
 def minmax_scale(

@@ -6754,18 +6754,21 @@ def b11ed(spark: SparkSession, sf: str) -> DataFrame:
     "b19_abc_classification",
     """
     WITH rev AS (
-      SELECT l.l_suppkey, s.s_name, sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+      SELECT l.l_suppkey, s.s_name,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS r
       FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
       GROUP BY l.l_suppkey, s.s_name
     ), ranked AS (
       SELECT s_name, r,
-             sum(r) OVER (ORDER BY r DESC, l_suppkey
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-             sum(r) OVER () AS total
+             CAST(sum(r) OVER (ORDER BY r DESC, l_suppkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS cum,
+             CAST(sum(r) OVER () AS DOUBLE) AS total
       FROM rev
     )
     SELECT s_name,
-           round(r, 4) AS revenue,
+           round(CAST(r AS DOUBLE), 4) AS revenue,
            round(cum / total, 4) AS cum_share,
            CASE WHEN cum / total <= 0.7 THEN 'A'
                 WHEN cum / total <= 0.9 THEN 'B'
@@ -6776,36 +6779,29 @@ def b11ed(spark: SparkSession, sf: str) -> DataFrame:
 def b19abc(spark: SparkSession, sf: str) -> DataFrame:
     # ABC / Pareto (80-20) classification: suppliers ranked by revenue,
     # cumulative-share bands A (top 70% of revenue), B (to 90%), C (tail)
-    # — the inventory-analysis staple. The un-partitioned window runs over
-    # the AGGREGATED supplier table (|suppliers| rows, bounded relative to
-    # the fact table); for dimension key spaces too large for one task,
-    # compute the two share cut points via percentile instead (the
-    # equi-depth-histogram shape). The cumulative double sum is evaluated
-    # in the identical deterministic order on both engines (desc revenue,
-    # suppkey tiebreak), so the band boundaries compare identically.
+    # — the inventory-analysis staple. VERDICT r6 #2: the input is an
+    # AGGREGATED dimension but still scales linearly with the corpus
+    # (~10^8 suppliers at the 100 TB north star), so the running sum is
+    # the two-level (bucket, prefix-sum) shape — relational.cumulative_share
+    # — not an un-partitioned window: only the <=1024-row cross-bucket
+    # prefix table ever sorts on one task. Money stays DECIMAL through the
+    # cumulative sum (exact under ANY association, so the bucketed partial
+    # sums equal DuckDB's sequential window scan bit-for-bit — the b11
+    # policy) and casts to DOUBLE only at the output boundary.
     li = _t(spark, sf, "lineitem")
     sup = _t(spark, sf, "supplier")
+    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
     rev = (
         li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
         .groupBy("l_suppkey", "s_name")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
-        )
+        .agg(F.sum(price_d * disc_d).alias("r"))
     )
-    w = Window.orderBy(F.col("r").desc(), F.col("l_suppkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wt = Window.partitionBy()
-    ranked = rev.select(
-        "s_name",
-        "r",
-        F.sum("r").over(w).alias("cum"),
-        F.sum("r").over(wt).alias("total"),
-    )
-    share = F.col("cum") / F.col("total")
+    ranked = R.cumulative_share(rev, "r", "l_suppkey")
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
     return ranked.select(
         "s_name",
-        F.round("r", 4).alias("revenue"),
+        F.round(F.col("r").cast("double"), 4).alias("revenue"),
         F.round(share, 4).alias("cum_share"),
         F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias(
             "abc_class"

@@ -166,6 +166,32 @@ def test_skyline_no_self_join(spark):
     assert "windowspecdefinition(_bkt" in p
 
 
+def test_abc_classification_window_is_bucket_partitioned(spark):
+    # VERDICT r6 #2: the cumulative-share running sum over the supplier
+    # aggregate must be PARTITIONED by the value bucket (the supplier
+    # space scales linearly with the corpus — no single-task sort of it);
+    # the only un-partitioned window runs on the <=1024-row cross-bucket
+    # prefix table. The prefix/total table and the 1-row range scalar
+    # arrive by broadcast; the data never meets itself in a cross product.
+    p = _plan(spark, "b19_abc_classification")
+    assert "windowspecdefinition(_bkt" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # An un-partitioned global window over the supplier aggregate would
+    # print its spec starting with the revenue order column (no partition
+    # columns precede it) — every window here must lead with _bkt.
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", p)
+    assert specs and all(
+        # _bkt-led: the data-sized running sum (partitioned) and the
+        # cross-bucket prefix (<=1024 rows); frame-only: the grand-total
+        # window over the same bounded prefix table.
+        s.lstrip().startswith(("_bkt", "specifiedwindowframe"))
+        for s in specs
+    ), specs
+
+
 def test_centroid_confusion_broadcasts_prototypes(spark):
     # The E-step scores |labels| prototypes per row via a broadcast of the
     # tiny centroid table; the only data-sized shuffles are the centroid

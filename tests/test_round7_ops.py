@@ -63,6 +63,45 @@ def test_token_budget_mix_raises_on_negative_token_count(spark):
     assert ok.count() == 2
 
 
+def test_cumulative_share_random_matches_single_window(spark):
+    """The bucketed two-level running sum must equal the naive
+    ``sum() OVER (ORDER BY value DESC, tiebreak)`` exactly — across bucket
+    counts, with duplicate values (incl. ties at bucket boundaries),
+    constant frames, and single rows. Long values so both formulations
+    are association-free."""
+    import random
+
+    from pyspark.sql import Window
+
+    for seed in range(5):
+        rng = random.Random(700 + seed)
+        n = rng.randint(1, 120)
+        # Small value grid forces heavy ties; one seed is all-constant.
+        hi = 1 if seed == 3 else 40
+        rows = [(i, rng.randint(0, hi) * 10) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        w = Window.orderBy(F.col("v").desc(), F.col("id").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        wt = Window.partitionBy()
+        want = {
+            r["id"]: (r["cum"], r["total"])
+            for r in df.select(
+                "id",
+                F.sum("v").over(w).alias("cum"),
+                F.sum("v").over(wt).alias("total"),
+            ).collect()
+        }
+        for buckets in (1, 7, 64):
+            got = {
+                r["id"]: (r["cum"], r["total"])
+                for r in R.cumulative_share(
+                    df, "v", "id", buckets=buckets
+                ).select("id", "cum", "total").collect()
+            }
+            assert got == want, (seed, buckets)
+
+
 def test_token_budget_admission_drops_null_ids_and_tokens(spark, tmp_path):
     """ADVICE r6: a NULL doc_id (or NULL token count) row must be dropped
     by the streaming admitter — previously int(NaN) raised inside the
