@@ -531,13 +531,14 @@ def pareto_frontier_2d(
     then one equi-join back on x. No self-join of the data, no cross
     product, no data-sized single-task sort.
 
-    Cost note: the per-x aggregate subtree is consumed by both prefix
-    levels and Catalyst re-plans it per branch (exchange reuse does not
-    fire across the differing partial-agg shapes), so the base is
-    scanned ~3× — column-pruned to (x, y) each time. That is a bounded
-    constant factor; the single global running-min window it replaces
-    was a one-task sort of the data (measured +0.25 s at sf0.1, flat at
-    10× — SCALE.md §13b).
+    Cost note: the per-x aggregate subtree is consumed by three
+    branches and Catalyst re-plans it per branch (exchange reuse does
+    not fire across the differing partial-agg shapes) — so per_x is
+    lazily localCheckpoint'ed: the branches share one |distinct x|-row
+    materialization and the base is scanned exactly twice (per-x build
+    + final join back). The single global running-min window this shape
+    replaces was a one-task sort of the data (cost accounting:
+    SCALE.md §13b).
     """
     from pyspark.sql import Window
     from pyspark.sql import types as _T
@@ -552,6 +553,19 @@ def pareto_frontier_2d(
     x, y = F.col(x_col), F.col(y_col)
     clean = df.filter(x.isNotNull() & y.isNotNull())
     per_x = clean.groupBy(x_col).agg(F.min(y_col).alias("_min_y_at_x"))
+    # The per-x subtree feeds THREE consumers (range scalar, per-bucket
+    # minima, the stats join) and Catalyst re-plans it per branch —
+    # without this the base is scanned ~3x (VERDICT r6 #3).
+    # localCheckpoint materializes the ALREADY REDUCED |distinct x|-row
+    # table once to executor-local storage and truncates lineage, so
+    # every branch reads the materialization; the base is now scanned
+    # exactly twice (per-x build + final join), the minimum without
+    # caching the raw data. Lazy (eager=False): the first consuming job
+    # populates it, so plan-only paths (explain, query construction)
+    # never pay a materialization barrier. Executor-local blocks are
+    # released by the ContextCleaner when the plan is GC'd — no
+    # CacheManager entry pinned for the session's lifetime.
+    per_x = per_x.localCheckpoint(eager=False)
     rng = per_x.agg(
         F.min(x_col).cast("double").alias("_lo"),
         F.max(x_col).cast("double").alias("_hi"),

@@ -220,6 +220,21 @@ def main() -> int:
                 "x", "y",
             ),
         )
+        # Round-7: bucketed cumulative share (the ABC-classification
+        # re-plan) under the same adversarial near-unique value shape —
+        # the running sum must spread across value buckets, never one task.
+        probe(
+            f"cumulative_share_continuous {tag}",
+            lambda d=d: relational.cumulative_share(
+                d.withColumn(
+                    "v",
+                    (F.col("n_chars") * 1000 + F.col("doc_id") % 997).cast(
+                        "long"
+                    ),
+                ),
+                "v", "doc_id",
+            ),
+        )
         # Round-6: token-budget mixture and epoch shard ordering — the
         # (source, u-bucket) prefix sums and shard windows must stay flat.
         probe(
