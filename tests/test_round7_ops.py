@@ -63,6 +63,32 @@ def test_token_budget_mix_raises_on_negative_token_count(spark):
     assert ok.count() == 2
 
 
+def test_stream_dedup_multi_batch_equals_batch_distinct(spark, sf_dir, tmp_path):
+    """VERDICT r6 #6: cross-BATCH dedup state must actually persist — a
+    key first seen in micro-batch 1 is suppressed in batches 2-4. The
+    watermark is widened past the fixture's time span so no state evicts
+    mid-replay; the surviving key set (and its size: no re-emission)
+    then equals batch DISTINCT exactly."""
+    from ddataframeoperation_spark.catalog import read_fixture_table
+    from ddataframeoperation_spark.streaming import windows as STR
+
+    events = read_fixture_table(spark, sf_dir, "events")
+    stream = STR.stage_multi_batch_replay(
+        events, str(tmp_path / "stage"), n_batches=4, ts_col="ts"
+    )
+    got = STR.run_to_memory(
+        STR.stream_dedup(stream, watermark="720 hours").select(
+            "user_id", "event_type"
+        ),
+        output_mode="append",
+    )
+    want = events.select("user_id", "event_type").distinct()
+    assert got.count() == want.count()  # every key exactly once
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
 def test_cumulative_share_random_matches_single_window(spark):
     """The bucketed two-level running sum must equal the naive
     ``sum() OVER (ORDER BY value DESC, tiebreak)`` exactly — across bucket

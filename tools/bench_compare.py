@@ -1,7 +1,7 @@
 """Compare two bench result files and report per-query drift.
 
 Usage:
-    python tools/bench_compare.py BENCH_r05.json BENCH_r06.json [threshold]
+    python tools/bench_compare.py BENCH_r05.json BENCH_r06.json [threshold] [--floors]
 
 Accepts either the driver's wrapper format ({"parsed": {"queries": ...}})
 or bench.py's raw JSON line ({"queries": ...}). Prints queries slower than
@@ -12,6 +12,10 @@ composition changes round to round; raw totals are not).
 Methodology note (SCALE.md §13): suite-level drift is usually contention,
 not regression — confirm any flagged query with
 ``python bench.py --isolate <query>`` in a fresh JVM before tuning.
+``--floors`` automates that adjudication (VERDICT r6 #5): every
+>=threshold drifter is re-timed via ``bench.py --isolate`` (fresh JVM,
+SPARK_GRAFT_BENCH_REPEAT=4 steady-state) and a markdown floor table is
+printed for SCALE.md §13 — no drifter ships unadjudicated.
 """
 
 from __future__ import annotations
@@ -32,19 +36,36 @@ def load(path: str) -> dict[str, float]:
     return {k: float(v) for k, v in q.items()}
 
 
+def isolate_floors(queries: list[str]) -> dict[str, float]:
+    """Re-time queries in ONE fresh JVM via bench.py --isolate with a
+    4-repeat steady-state floor; returns {query: floor_sec}."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_REPEAT="4")
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--isolate", *queries],
+        capture_output=True, text=True, env=env, check=True,
+    ).stdout
+    line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    return {k: float(v) for k, v in json.loads(line)["queries"].items()}
+
+
 def main() -> int:
-    if len(sys.argv) < 3:
+    argv = [x for x in sys.argv[1:] if x != "--floors"]
+    floors = "--floors" in sys.argv
+    if len(argv) < 2:
         print(__doc__)
         return 2
-    a, b = load(sys.argv[1]), load(sys.argv[2])
-    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
+    a, b = load(argv[0]), load(argv[1])
+    thr = float(argv[2]) if len(argv) > 2 else 1.3
     common = sorted(set(a) & set(b))
     if not common:
         raise SystemExit("no common queries")
     ta, tb = sum(a[q] for q in common), sum(b[q] for q in common)
     print(
         f"common queries: {len(common)}  "
-        f"{sys.argv[1]}: {ta:.2f}s  {sys.argv[2]}: {tb:.2f}s  "
+        f"{argv[0]}: {ta:.2f}s  {argv[1]}: {tb:.2f}s  "
         f"ratio {tb / ta:.2f}x"
     )
     slower = [(b[q] / a[q], q) for q in common if a[q] > 0 and b[q] / a[q] >= thr]
@@ -55,7 +76,16 @@ def main() -> int:
         print(f"  faster {r:5.2f}x  {q}: {a[q]:.3f} -> {b[q]:.3f}s")
     only_b = sorted(set(b) - set(a))
     if only_b:
-        print(f"new in {sys.argv[2]}: {', '.join(only_b)}")
+        print(f"new in {argv[1]}: {', '.join(only_b)}")
+    if floors and slower:
+        names = [q for _, q in sorted(slower, reverse=True)]
+        print(f"\nisolated floors for {len(names)} drifter(s) "
+              f"(fresh JVM, repeat=4):")
+        fl = isolate_floors(names)
+        print(f"| query | {argv[0]} | {argv[1]} suite | isolated floor |")
+        print("|---|---|---|---|")
+        for q in names:
+            print(f"| {q} | {a[q]:.3f} s | {b[q]:.3f} s | {fl[q]:.3f} s |")
     return 0
 
 
