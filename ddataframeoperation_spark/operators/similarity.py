@@ -29,6 +29,7 @@ __all__ = [
     "l2_norm",
     "cosine",
     "cosine_topk",
+    "cosine_topk_multi",
     "cosine_neardup_pairs",
     "hyperplane_signature",
     "lsh_topk",
@@ -84,6 +85,63 @@ def cosine_topk(
         scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
         .limit(k)
         .select(F.col(id_col), F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
+def cosine_topk_multi(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    shards: int = 32,
+) -> DataFrame:
+    """B33 — exact brute-force cosine top-k for a BATCH of query vectors
+    (the evaluation-run shape: score every query of a small query table
+    against the whole corpus in one pass).
+
+    ``queries`` is a SMALL table (query_id, query_vec) — it broadcasts;
+    the corpus is scanned ONCE and every (row × query) cosine is
+    computed in that scan. Per-query top-k is the two-level shape: a
+    local top-k per (query, shard-of-id) window — each partition holds
+    ~|corpus|/``shards`` rows of one query — then the global top-k per
+    query over the ≤ shards·k survivors. No data-sized single-task sort
+    of any query's scores; growing the corpus grows the parallel level-1
+    work only. Output matches :func:`cosine_topk` per query: rounded
+    score, unrounded-score ordering with id tiebreak.
+    """
+    from pyspark.sql import Window
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col).alias("_qv")
+        )
+    )
+    scored = df.crossJoin(q).select(
+        query_id_col,
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qv")).alias("_cos"),
+    )
+    shard = F.pmod(F.hash(F.col(id_col)), F.lit(shards))
+    w1 = Window.partitionBy(query_id_col, shard).orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    local = scored.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= k
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col),
+            F.round("_cos", 4).alias("cos_sim"),
+        )
     )
 
 

@@ -34,6 +34,7 @@ from ddataframeoperation_spark.operators import (
     dedup,
     multimodal,
     relational as R,
+    retrieval as RT,
     similarity,
     text as TX,
     windows as W,
@@ -7007,6 +7008,196 @@ def b02p(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY o_orderpriority
         """,
         args={"cutoff": "1996-01-01 00:00:00", "status": "F"},
+    )
+
+
+@_q(
+    "b33_multi_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+      FROM embeddings e, q
+    ), ranked AS (
+      SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(c, 4) AS cos_sim
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def b33multi(spark: SparkSession, sf: str) -> DataFrame:
+    # Batched exact dense retrieval: every query of a small (broadcast)
+    # query table scored against the corpus in ONE scan; per-query top-k
+    # via the two-level (query, id-shard) local-top-k shape, so no
+    # query's scores ever sort on a single task (similarity.py
+    # cosine_topk_multi — the evaluation-run twin of b33_cosine_topk).
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return similarity.cosine_topk_multi(emb, queries, k=10)
+
+
+@_q(
+    "b33_hybrid_rrf",
+    """
+    WITH qv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+    ), dense AS (
+      SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.qe), 4) AS s
+      FROM embeddings, qv
+      ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv.qe) DESC,
+               vec_id ASC
+      LIMIT 10
+    ), tok AS (
+      SELECT doc_id AS id,
+             unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS t
+      FROM documents
+    ), tok2 AS (
+      SELECT * FROM tok WHERE t <> ''
+    ), dlen AS (
+      SELECT id, CAST(count(*) AS DOUBLE) AS dl FROM tok2 GROUP BY id
+    ), consts AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlen
+    ), tf AS (
+      SELECT id, t, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok2 WHERE t IN ('join', 'spark', 'window')
+      GROUP BY id, t
+    ), dfq AS (
+      SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t
+    ), lex AS (
+      SELECT tf.id AS doc_id,
+             round(sum( ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                        * (tf.tf * 2.2)
+                        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ), 4) AS s
+      FROM tf JOIN dfq USING (t) CROSS JOIN consts
+           JOIN dlen ON dlen.id = tf.id
+      GROUP BY tf.id
+      ORDER BY round(sum( ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                          * (tf.tf * 2.2)
+                          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ), 4) DESC,
+               tf.id ASC
+      LIMIT 10
+    ), ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+      FROM dense
+      UNION ALL
+      SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id ASC) AS r
+      FROM lex
+    )
+    SELECT doc_id,
+           round(sum(1.0 / (60 + r)), 4) AS rrf_score,
+           CAST(count(*) AS BIGINT) AS n_lists
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def b33rrf(spark: SparkSession, sf: str) -> DataFrame:
+    # Hybrid retrieval: reciprocal-rank fusion of the engine's lexical
+    # (BM25) and dense (cosine) top-10 candidate lists for one query —
+    # the standard trained-weight-free hybrid combiner. Ranks come from
+    # the retrievers' ROUNDED output scores (engine-stable ties), fusion
+    # is a union + sum over <=20 candidate rows.
+    emb = _t(spark, sf, "embeddings")
+    docs = _t(spark, sf, "documents")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    dense = similarity.cosine_topk(emb, qvec, k=10).select(
+        F.col("vec_id").alias("doc_id"), F.col("cos_sim").alias("s")
+    )
+    lex = TX.bm25_topk(docs, ["join", "spark", "window"], k=10).select(
+        "doc_id", F.col("bm25").alias("s")
+    )
+    fused = RT.rrf_fusion([dense, lex], id_col="doc_id", score_col="s")
+    return fused.select(
+        "doc_id", F.round("rrf_score", 4).alias("rrf_score"), "n_lists"
+    )
+
+
+@_q(
+    "b33_retrieval_metrics",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c
+      FROM embeddings e, q
+    ), sel AS (
+      SELECT query_id, vec_id, round(c, 4) AS s,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, vec_id ASC) AS rn
+      FROM scored
+    ), topk AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY s DESC, vec_id ASC) AS rnk
+      FROM sel WHERE rn <= 10
+    ), qrels AS (
+      SELECT q.query_id, e.vec_id FROM embeddings e JOIN q ON e.label = q.label
+    ), nrel AS (
+      SELECT query_id, count(*) AS n_rel FROM qrels GROUP BY query_id
+    ), hits AS (
+      SELECT t.query_id,
+             sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+             max(CASE WHEN r.vec_id IS NOT NULL THEN 1.0 / t.rnk END) AS rr,
+             sum(CASE WHEN r.vec_id IS NOT NULL
+                      THEN 1.0 / log2(t.rnk + 1.0) END) AS dcg
+      FROM topk t LEFT JOIN qrels r
+        ON r.query_id = t.query_id AND r.vec_id = t.vec_id
+      GROUP BY t.query_id
+    ), idcg AS (
+      SELECT query_id, sum(1.0 / log2(i + 1.0)) AS idcg
+      FROM (SELECT query_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY vec_id ASC) AS i
+            FROM qrels)
+      WHERE i <= 10 GROUP BY query_id
+    )
+    SELECT h.query_id,
+           round(CAST(h.hits AS DOUBLE) / n.n_rel, 4) AS recall_at_k,
+           round(coalesce(h.rr, 0), 4) AS mrr,
+           round(coalesce(h.dcg, 0) / i.idcg, 4) AS ndcg_at_k
+    FROM hits h JOIN nrel n USING (query_id) JOIN idcg i USING (query_id)
+    """,
+)
+def b33rm(spark: SparkSession, sf: str) -> DataFrame:
+    # Retrieval evaluation loop: grade the dense top-10 runs of three
+    # query vectors against label-match relevance judgments — recall@10,
+    # MRR, binary nDCG@10 per query (retrieval.retrieval_metrics). The
+    # candidate set is selected on unrounded scores (like every top-k
+    # here); metric ranks then come from the retriever's ROUNDED output
+    # scores, so tie order is engine-stable on both sides.
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        "label",
+    )
+    pred = similarity.cosine_topk_multi(
+        emb, q.select("query_id", "query_vec"), k=10
+    )
+    qrels = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(q.select("query_id", "label")), on="label")
+        .select("query_id", "vec_id", F.lit(1).alias("grade"))
+    )
+    return RT.retrieval_metrics(
+        pred,
+        qrels,
+        k=10,
+        query_col="query_id",
+        id_col="vec_id",
+        score_col="cos_sim",
     )
 
 

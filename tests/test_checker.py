@@ -55,7 +55,10 @@ class TestDriverSlotContract:
         first50 = list(QUERIES)[:50]
         assert "b10_flagship_q3" == first50[0]
         assert "b34_full_pipeline" in first50
-        assert "b36_stream_outer_join" in first50
+        # Streaming is the hardest surface to trust without a recorded
+        # run — the rotation policy keeps >=2 B36 slots (r7: sliding
+        # window + streaming PSI; previously tumbling + outer join).
+        assert sum(n.startswith("b36_") for n in first50) >= 2
         families = {n.split("_")[0] for n in first50}
         assert {f"b{i:02d}" for i in range(1, 39)} <= families
         # Every recorded slot must be oracle-checked (not rows-only).
