@@ -93,6 +93,11 @@ BENCH_QUERIES = [
     # Round-6 addition: token-budgeted mixture sampling (two-level
     # bucketed prefix sums — windows + broadcast joins over documents).
     "b22_token_budget_mix",
+    # Round-7 additions: the re-planned bucketed cumulative share (ABC)
+    # and batched multi-query dense retrieval (one corpus scan, 3 queries,
+    # two-level sharded top-k).
+    "b19_abc_classification",
+    "b33_multi_topk",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure

@@ -404,14 +404,17 @@ def token_budget_mix(
             # Negative token counts would make the cumulative sum
             # non-monotone and break the hard-cap/prefix contract
             # (rows PAST the budget crossing could be kept) — fail
-            # loudly in-plan instead of silently over-admitting.
+            # loudly in-plan instead of silently over-admitting. The
+            # message is a CONSTANT: a per-row concat here measured
+            # +20% on the whole operator at sf0.1 (the expression is
+            # built into the hot filter), the literal costs nothing.
             & F.when(
                 F.col("_ntok") >= 0, F.lit(True)
             ).otherwise(
                 F.raise_error(
-                    F.concat(
-                        F.lit("token_budget_mix: negative token count "),
-                        F.col("_ntok").cast("string"),
+                    F.lit(
+                        "token_budget_mix: negative token count in "
+                        "token_col"
                     )
                 )
             )
