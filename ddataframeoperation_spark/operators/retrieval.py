@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "rrf_fusion",
     "retrieval_metrics",
+    "mmr_diversify",
 ]
 
 
@@ -169,3 +170,78 @@ def retrieval_metrics(
             4,
         ).alias("ndcg_at_k"),
     )
+
+
+def mmr_diversify(
+    pred: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    lamb: float = 0.7,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    score_col: str = "cos_sim",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking of each query's candidate
+    list: greedily pick ``k`` documents maximizing
+    ``lamb * relevance - (1 - lamb) * max_similarity_to_already_picked``
+    — the standard redundancy-penalized diversifier between retrieval
+    and a context window. Output is (query, doc, mmr_rank).
+
+    ``pred`` is a CANDIDATE list (query, doc, relevance score — feed a
+    top-N, not a scored corpus); ``vectors`` maps ``id_col`` to the
+    embedding used for the redundancy penalty. The greedy loop runs in
+    an Arrow-batched ``applyInPandas`` kernel per query — O(N²)
+    pairwise cosines + O(N·k) selection over the ≤N-candidate group,
+    row-local after one (candidate-list-sized) join and one shuffle by
+    query. Determinism across engines: relevance arrives rounded (the
+    engine's top-k convention), pairwise cosines round to ``decimals``
+    before selection, and score ties break toward the smaller id — so
+    a sequential SQL re-implementation (recursive-CTE argmax) picks the
+    identical sequence.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cand = pred.select(query_col, id_col, score_col).join(
+        vectors.select(id_col, vec_col), on=id_col
+    )
+    out_schema = StructType(
+        [
+            cand.schema[query_col],
+            cand.schema[id_col],
+            StructField("mmr_rank", IntegerType()),
+        ]
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        emb = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(emb, axis=1)
+        sims = np.round((emb @ emb.T) / np.outer(norms, norms), decimals)
+        n = len(ids)
+        chosen: list[int] = []
+        remaining = list(range(n))
+        for _ in range(min(k, n)):
+            best_i, best_key = None, None
+            for i in remaining:
+                pen = max((sims[i][j] for j in chosen), default=0.0)
+                key = (lamb * rel[i] - (1.0 - lamb) * pen, -int(ids[i]))
+                if best_key is None or key > best_key:
+                    best_i, best_key = i, key
+            chosen.append(best_i)
+            remaining.remove(best_i)
+        return pd.DataFrame(
+            {
+                query_col: pdf[query_col].iloc[[0] * len(chosen)].to_numpy(),
+                id_col: ids[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+            }
+        )
+
+    return cand.groupBy(query_col).applyInPandas(kernel, out_schema)

@@ -7201,6 +7201,73 @@ def b33rm(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b33_mmr_rerank",
+    """
+    WITH RECURSIVE q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS c,
+             CAST(e.embedding AS DOUBLE[]) AS emb
+      FROM embeddings e, q
+    ), ranked AS (
+      SELECT query_id, vec_id, round(c, 4) AS rel, emb,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, vec_id ASC) AS rn
+      FROM scored
+    ), cand AS (
+      SELECT * FROM ranked WHERE rn <= 10
+    ), sims AS (
+      SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+             round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    ), g AS (
+      SELECT qq.query_id, 1 AS step,
+             [(SELECT c2.vec_id FROM cand c2 WHERE c2.query_id = qq.query_id
+               ORDER BY c2.rel DESC, c2.vec_id ASC LIMIT 1)] AS sel
+      FROM (SELECT DISTINCT query_id FROM cand) qq
+      UNION ALL
+      SELECT g.query_id, g.step + 1,
+             list_append(g.sel, (
+               SELECT c.vec_id
+               FROM cand c
+               WHERE c.query_id = g.query_id
+                 AND NOT list_contains(g.sel, c.vec_id)
+               ORDER BY 0.7 * c.rel - 0.3 * coalesce((
+                          SELECT max(s.sim) FROM sims s
+                          WHERE s.query_id = c.query_id AND s.a = c.vec_id
+                            AND list_contains(g.sel, s.b)), 0.0) DESC,
+                        c.vec_id ASC
+               LIMIT 1
+             ))
+      FROM g WHERE g.step < 5
+    )
+    SELECT query_id, unnest(sel) AS vec_id,
+           CAST(unnest(generate_series(1, len(sel))) AS INTEGER) AS mmr_rank
+    FROM g WHERE step = 5
+    """,
+)
+def b33mmr(spark: SparkSession, sf: str) -> DataFrame:
+    # Maximal-marginal-relevance diversification of the dense top-10 per
+    # query: greedy 0.7*relevance - 0.3*max-sim-to-picked, 5 picks — the
+    # redundancy-penalized last mile between retrieval and a context
+    # window. The greedy loop is an applyInPandas kernel per query over
+    # the <=10-candidate group (O(N^2) pairwise cosines, row-local); the
+    # oracle replays the IDENTICAL sequential selection with a
+    # recursive-CTE argmax (rounded scores + smaller-id tie-break on
+    # both sides make the sequence deterministic cross-engine).
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    pred = similarity.cosine_topk_multi(emb, queries, k=10)
+    return RT.mmr_diversify(pred, emb, k=5, lamb=0.7)
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #

@@ -115,6 +115,30 @@ def test_retrieval_metrics_hand_computed(spark):
     assert out["q2"] == (0.0, 0.0, 0.0)
 
 
+def test_mmr_demotes_redundant_candidate(spark):
+    """MMR must demote a near-duplicate of the top pick below a less
+    relevant but diverse candidate — the defining property — and the
+    selection must equal the hand-run greedy."""
+    from ddataframeoperation_spark.operators import retrieval as RT
+
+    # 3 candidates: doc 1 (rel .9), doc 2 = near-copy of 1 (rel .89),
+    # doc 3 orthogonal (rel .5). lambda=.5: pick 1, then 3 (2's penalty
+    # ~1.0 sinks it), then 2.
+    pred = spark.createDataFrame(
+        [("q", 1, 0.9), ("q", 2, 0.89), ("q", 3, 0.5)],
+        "query_id string, vec_id long, cos_sim double",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.001]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        (r["mmr_rank"], r["vec_id"])
+        for r in RT.mmr_diversify(pred, vecs, k=3, lamb=0.5).collect()
+    )
+    assert got == [(1, 1), (2, 3), (3, 2)]
+
+
 def test_cosine_topk_multi_equals_single_query(spark, sf_dir):
     """The batched two-level top-k must equal per-query cosine_topk
     exactly — across shard counts (incl. shards=1)."""
