@@ -46,6 +46,11 @@ HEADLINE = [
     ("b28_psi_drift", "PSI drift gate: broadcast percentile cut points, row-local bucketing, tiny full-outer bucket join — no window, no global sort"),
     ("b33_centroid_confusion", "Nearest-centroid confusion: posexplode centroid agg, broadcast E-step, min_by argmin"),
     ("b21_snapshot_diff", "CDC snapshot diff: one full-outer sort-merge join, row-local null-safe struct compare"),
+    # Round 7
+    ("b19_abc_classification", "ABC cumulative share: two-level (value-bucket, prefix-sum) — data window partitioned by bucket, <=1024-row prefix table broadcast, DECIMAL-exact money"),
+    ("b33_multi_topk", "Batched multi-query dense retrieval: one corpus scan x broadcast query table, two-level (query, id-shard) local top-k — no query's scores sort on one task"),
+    ("b33_hybrid_rrf", "Hybrid RRF fusion: two top-10 candidate lists (bounded windows), union + sum aggregate"),
+    ("b33_mmr_rerank", "MMR diversification: candidate-sized join, one shuffle by query, per-query Arrow greedy kernel"),
 ]
 
 SKIP_PREFIXES = (
