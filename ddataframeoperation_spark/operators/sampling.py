@@ -309,6 +309,9 @@ def temperature_mix(
     if total < 1:
         raise ValueError("total must be >= 1")
     counts = df.groupBy(source_col).agg(F.count("*").alias("_n"))
+    # Un-partitioned window BOUND: it runs over the per-source COUNT
+    # table — |distinct sources| rows (a categorical mixing dimension,
+    # tens not millions), never the data.
     wsum = Window.partitionBy()
     quotas = counts.select(
         F.col(source_col),

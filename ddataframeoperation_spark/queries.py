@@ -5548,10 +5548,12 @@ def b10q13(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def b10q15(spark: SparkSession, sf: str) -> DataFrame:
-    # Q15 shape: the view + max scalar subquery — rendered as an
-    # un-partitioned max window over the (tiny, post-agg) revenue relation.
-    # Rounding BEFORE the max-equality keeps the cross-engine comparison
-    # stable on summation order.
+    # Q15 shape: the view + max scalar subquery. The max is a 1-row
+    # AGGREGATE broadcast back via crossJoin (the percentile-cut-point
+    # shape) — NOT an un-partitioned window: the revenue relation is
+    # supplier-sized and scales with the corpus, so a global window over
+    # it would be a single-task sort of a growing table (the r7 plan
+    # audit flagged exactly this; same class as the retired ABC window).
     li = _t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
@@ -5564,9 +5566,14 @@ def b10q15(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("total_revenue")
     )
-    best = rev.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    # Two consumers of the reduced aggregate (max scalar + filter) —
+    # share one materialization instead of re-scanning lineitem per
+    # branch (the skyline lesson, r7).
+    rev = rev.localCheckpoint(eager=False)
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    best = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
     s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
     return best.join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"]).select(
         "s_suppkey", "s_name", "total_revenue"
