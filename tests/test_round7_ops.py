@@ -115,6 +115,76 @@ def test_retrieval_metrics_hand_computed(spark):
     assert out["q2"] == (0.0, 0.0, 0.0)
 
 
+def test_rrf_fusion_multi_query_partitioned(spark):
+    """With query_col the rank windows partition per query: the same doc
+    id in two queries' lists must get independent ranks/fusions."""
+    from ddataframeoperation_spark.operators import retrieval as RT
+
+    a = spark.createDataFrame(
+        [("q1", 1, 0.9), ("q1", 2, 0.5), ("q2", 1, 0.2), ("q2", 3, 0.8)],
+        "query_id string, doc_id long, s double",
+    )
+    b = spark.createDataFrame(
+        [("q1", 2, 9.0), ("q2", 1, 9.0)],
+        "query_id string, doc_id long, s double",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): round(r["rrf_score"], 6)
+        for r in RT.rrf_fusion(
+            [a, b], score_col="s", query_col="query_id"
+        ).collect()
+    }
+    assert got == {
+        ("q1", 1): round(1 / 61, 6),
+        ("q1", 2): round(1 / 62 + 1 / 61, 6),
+        ("q2", 3): round(1 / 61, 6),
+        ("q2", 1): round(1 / 62 + 1 / 61, 6),
+    }
+
+
+def test_retrieval_metrics_random_properties(spark):
+    """Seeded-random runs/qrels: metrics stay in [0, 1]; a run ranking
+    every relevant doc first reaches recall=ndcg=mrr=1 when k covers the
+    judgment set; and shuffling scores never changes the METRIC RANGE
+    invariants."""
+    import random
+
+    from ddataframeoperation_spark.operators import retrieval as RT
+
+    for seed in range(4):
+        rng = random.Random(7000 + seed)
+        n_docs = rng.randint(5, 30)
+        k = rng.randint(1, 10)
+        preds, qrels = [], []
+        for q in ("a", "b", "c"):
+            docs = list(range(n_docs))
+            rng.shuffle(docs)
+            preds += [(q, d, rng.random()) for d in docs[: rng.randint(1, n_docs)]]
+            qrels += [
+                (q, d, rng.randint(1, 3))
+                for d in rng.sample(range(n_docs), rng.randint(0, 5))
+            ]
+        pred = spark.createDataFrame(
+            preds, "query_id string, doc_id long, score double"
+        )
+        qr = spark.createDataFrame(
+            qrels, "query_id string, doc_id long, grade int"
+        )
+        for r in RT.retrieval_metrics(pred, qr, k=k).collect():
+            for m in ("recall_at_k", "mrr", "ndcg_at_k"):
+                assert 0.0 <= r[m] <= 1.0, (seed, k, r)
+    # The perfect run: relevant docs ranked first, k covers them all.
+    pred = spark.createDataFrame(
+        [("q", 1, 0.9), ("q", 2, 0.8), ("q", 3, 0.1)],
+        "query_id string, doc_id long, score double",
+    )
+    qr = spark.createDataFrame(
+        [("q", 1, 2), ("q", 2, 1)], "query_id string, doc_id long, grade int"
+    )
+    row = RT.retrieval_metrics(pred, qr, k=3).collect()[0]
+    assert (row["recall_at_k"], row["mrr"], row["ndcg_at_k"]) == (1.0, 1.0, 1.0)
+
+
 def test_mmr_demotes_redundant_candidate(spark):
     """MMR must demote a near-duplicate of the top pick below a less
     relevant but diverse candidate — the defining property — and the
