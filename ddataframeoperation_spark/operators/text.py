@@ -47,6 +47,7 @@ __all__ = [
     "encode_token_ids",
     "lexical_diversity",
     "corpus_balance",
+    "corpus_datacard",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -893,4 +894,56 @@ sampling.temperature_mix` / ``cap_per_source`` decisions.
         ),
         F.round(F.sum(F.pow(F.col("_p"), F.lit(2.0))), 4).alias("hhi"),
         F.round(F.max("_p"), 4).alias("top_source_share"),
+    )
+
+
+def corpus_datacard(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    text_col: str = "text",
+    short_tokens: int = 20,
+    n: int = 3,
+) -> DataFrame:
+    """North-star — one-call per-(lang, source) training-corpus data card:
+    doc/token volumes, token-length quantiles, short-doc share, and mean
+    intra-document n-gram repetition — the numbers a pretraining run reads
+    before deciding mixture weights and quality cut-offs (the tabular
+    companion to :func:`corpus_balance`'s concentration view).
+
+    Plan: ONE corpus scan. Every per-document input (token count, n-gram
+    repetition) is row-local array math computed in the scan stage; the
+    single groupBy then aggregates with map-side partials into
+    |lang|x|source| output rows. No windows, no joins, no second scan —
+    at 100 TB the card costs one shuffle of tiny partial-aggregate rows.
+    (``percentile`` partials carry the group's token counts; for corpora
+    where one (lang, source) group's counts outgrow an executor, swap in
+    ``approx_percentile`` — same signature, sketch-sized partials.)
+
+    Returns (group_cols..., n_docs, total_tokens, p50_tokens, p90_tokens,
+    avg_chars, short_share, mean_repetition), doubles rounded to 4.
+    """
+    t = (
+        df.withColumn("_toks", tokens(text_col))
+        .withColumn("_ntok", F.size(F.col("_toks")).cast("long"))
+        .withColumn("_grams", word_ngrams(F.col("_toks"), n))
+        .withColumn("_ng", F.size(F.col("_grams")))
+        .withColumn(
+            "_rep",
+            F.when(
+                F.col("_ng") > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct(F.col("_grams"))) / F.col("_ng"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return t.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_ntok").alias("total_tokens"),
+        F.round(F.expr("percentile(_ntok, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(_ntok, 0.9)"), 4).alias("p90_tokens"),
+        F.round(F.avg(F.length(text_col)), 4).alias("avg_chars"),
+        F.round(
+            F.avg((F.col("_ntok") < short_tokens).cast("double")), 4
+        ).alias("short_share"),
+        F.round(F.avg(F.col("_rep")), 4).alias("mean_repetition"),
     )

@@ -6279,6 +6279,41 @@ def b34cb(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b34_corpus_datacard",
+    """
+    WITH toks AS (
+      SELECT lang, source, length(text) AS nchar,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, source, nchar, len(t) AS ntok,
+             [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] AS ngs
+      FROM toks
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           round(quantile_cont(ntok, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(ntok, 0.9), 4) AS p90_tokens,
+           round(avg(nchar), 4) AS avg_chars,
+           round(avg(CASE WHEN ntok < 20 THEN 1.0 ELSE 0.0 END), 4) AS short_share,
+           round(avg(CASE WHEN len(ngs) > 0
+                          THEN 1.0 - len(list_distinct(ngs)) / len(ngs)
+                          ELSE 0.0 END), 4) AS mean_repetition
+    FROM g
+    GROUP BY lang, source
+    """,
+)
+def b34dc(spark: SparkSession, sf: str) -> DataFrame:
+    # One-call per-(lang, source) pretraining data card: volumes, token
+    # quantiles, short-doc share, mean trigram repetition. Single scan,
+    # row-local array math, one map-side-combined aggregate; see
+    # text.corpus_datacard (shared with the unit test).
+    return TX.corpus_datacard(_t(spark, sf, "documents"))
+
+
+@_q(
     "b18_debounce",
     """
     WITH g AS (

@@ -331,3 +331,35 @@ def test_token_budget_admission_drops_null_ids_and_tokens(spark, tmp_path):
     )
     admitted = sorted(r["doc_id"] for r in got.collect())
     assert admitted == [1, 3, 5]
+
+
+def test_corpus_datacard_values_and_plan(spark):
+    from ddataframeoperation_spark.operators import text as TX
+
+    rows = [
+        # en/web: two docs — 5 tokens and 1 token ("hi" → short), distinct
+        # trigrams in doc 1 (no repetition).
+        (1, "en", "web", "alpha beta gamma delta epsilon"),
+        (2, "en", "web", "hi"),
+        # en/books: pure repetition — "a b a b a b" has 4 trigrams, 2
+        # distinct → repetition 0.5.
+        (3, "en", "books", "a b a b a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    out = {(r["lang"], r["source"]): r
+           for r in TX.corpus_datacard(df, short_tokens=3).collect()}
+
+    web = out[("en", "web")]
+    assert web["n_docs"] == 2 and web["total_tokens"] == 6
+    assert web["p50_tokens"] == 3.0 and web["p90_tokens"] == 4.6
+    assert web["short_share"] == 0.5          # "hi" is under 3 tokens
+    assert web["mean_repetition"] == 0.0      # 3 distinct trigrams of 3
+
+    books = out[("en", "books")]
+    assert books["n_docs"] == 1 and books["total_tokens"] == 6
+    assert books["mean_repetition"] == 0.5    # 2 distinct of 4 trigrams
+
+    # Plan contract: ONE aggregate pair (partial + final), no window, no
+    # join — the card must stay a single-scan map-side-combined rollup.
+    plan = TX.corpus_datacard(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan

@@ -181,6 +181,21 @@ def main() -> int:
             f"centroid_confusion {tag}",
             lambda m=m: similarity.nearest_centroid_confusion(m),
         )
+        # Round-7: batched multi-query retrieval — the one corpus-scale
+        # retrieval op. The query table stays 3 rows at every factor; the
+        # level-1 (query, id-shard) local top-k must spread the growth
+        # across shards, never sorting one query's scores on one task.
+        probe(
+            f"cosine_topk_multi {tag}",
+            lambda m=m: similarity.cosine_topk_multi(
+                m,
+                emb1.filter(F.col("vec_id") < 3).select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec"),
+                ),
+                k=10,
+            ),
+        )
     for tag, d in (("1x", docs1), (f"{factor}x", docs)):
         probe(
             f"weighted_sample {tag}",
