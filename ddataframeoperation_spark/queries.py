@@ -7342,7 +7342,7 @@ _DRIVER_PRIORITY = [
     "b11_agg_pricing_summary",    # B11 group-by agg (TPC-H Q1 shape)
     "bmm_media_neardup",          # multimodal: perceptual-fingerprint near-dup
     "b12_heavy_hitters",          # B12 approx frequent items
-    "b34_bm25_topk",              # B34 BM25 lexical retrieval (exact oracle)
+    "b34_corpus_datacard",        # B34 one-call pretraining data card (r7, first-time)
     "b13_rollup",                 # B13 rollup/cube/grouping sets
     "b14_having",                 # B14 having
     "b15_sort_null_ordering",     # B15 sort w/ null ordering
@@ -7424,7 +7424,11 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: query is already certified in CORRECTNESS_r01–r06 and its family
 #: keeps >=1 slot; the 29 displaced lead the post-50 tail in-order so
 #: any extra driver slots recover them first.
+#: Round 7b: b34_bm25_topk (certified r6) → b34_corpus_datacard (new
+#: this round, never certified); B34 keeps contamination +
+#: full_pipeline in-slot, bm25 leads the tail.
 _BONUS_SLOTS = [
+    "b34_bm25_topk",
     "b09_asof_join",
     "b02_catalog_sql",
     "b05_join_inner",
