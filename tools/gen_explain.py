@@ -51,6 +51,7 @@ HEADLINE = [
     ("b33_multi_topk", "Batched multi-query dense retrieval: one corpus scan x broadcast query table, two-level (query, id-shard) local top-k — no query's scores sort on one task"),
     ("b33_hybrid_rrf", "Hybrid RRF fusion: two top-10 candidate lists (bounded windows), union + sum aggregate"),
     ("b33_mmr_rerank", "MMR diversification: candidate-sized join, one shuffle by query, per-query Arrow greedy kernel"),
+    ("b34_corpus_datacard", "Corpus data card: ONE scan, row-local token/n-gram array math, single map-side-combined aggregate — no window, no join"),
 ]
 
 SKIP_PREFIXES = (
