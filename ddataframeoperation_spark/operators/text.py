@@ -903,6 +903,7 @@ def corpus_datacard(
     text_col: str = "text",
     short_tokens: int = 20,
     n: int = 3,
+    approx: bool = False,
 ) -> DataFrame:
     """North-star — one-call per-(lang, source) training-corpus data card:
     doc/token volumes, token-length quantiles, short-doc share, and mean
@@ -915,9 +916,12 @@ def corpus_datacard(
     single groupBy then aggregates with map-side partials into
     |lang|x|source| output rows. No windows, no joins, no second scan —
     at 100 TB the card costs one shuffle of tiny partial-aggregate rows.
-    (``percentile`` partials carry the group's token counts; for corpora
-    where one (lang, source) group's counts outgrow an executor, swap in
-    ``approx_percentile`` — same signature, sketch-sized partials.)
+    ``approx=False`` (the oracle-able default) uses exact ``percentile``,
+    whose partials carry the group's token counts; for corpora where one
+    (lang, source) group's counts outgrow an executor, pass
+    ``approx=True`` — ``percentile_approx`` keeps the identical plan
+    shape with bounded sketch-sized partials (the 100 TB setting;
+    quantiles then carry the sketch's rank-error bound).
 
     Returns (group_cols..., n_docs, total_tokens, p50_tokens, p90_tokens,
     avg_chars, short_share, mean_repetition), doubles rounded to 4.
@@ -936,11 +940,12 @@ def corpus_datacard(
             ).otherwise(F.lit(0.0)),
         )
     )
+    pct = "percentile_approx" if approx else "percentile"
     return t.groupBy(*group_cols).agg(
         F.count("*").alias("n_docs"),
         F.sum("_ntok").alias("total_tokens"),
-        F.round(F.expr("percentile(_ntok, 0.5)"), 4).alias("p50_tokens"),
-        F.round(F.expr("percentile(_ntok, 0.9)"), 4).alias("p90_tokens"),
+        F.round(F.expr(f"{pct}(_ntok, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr(f"{pct}(_ntok, 0.9)"), 4).alias("p90_tokens"),
         F.round(F.avg(F.length(text_col)), 4).alias("avg_chars"),
         F.round(
             F.avg((F.col("_ntok") < short_tokens).cast("double")), 4
