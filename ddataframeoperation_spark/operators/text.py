@@ -923,11 +923,21 @@ def corpus_datacard(
     shape with bounded sketch-sized partials (the 100 TB setting;
     quantiles then carry the sketch's rank-error bound).
 
+    Dirty-input contract: NULL ``text_col`` is coalesced to the empty
+    string BEFORE tokenizing, so a NULL-text doc still counts in n_docs
+    and lands in every column consistently (1 whitespace token — the
+    module's empty-string convention — 0 chars, zero repetition).
+    Without the coalesce, NULL would
+    silently fall out of the token quantiles and short_share while still
+    counting 0.0 into mean_repetition — two different denominators in
+    one row.
+
     Returns (group_cols..., n_docs, total_tokens, p50_tokens, p90_tokens,
     avg_chars, short_share, mean_repetition), doubles rounded to 4.
     """
     t = (
-        df.withColumn("_toks", tokens(text_col))
+        df.withColumn("_text", F.coalesce(F.col(text_col), F.lit("")))
+        .withColumn("_toks", tokens("_text"))
         .withColumn("_ntok", F.size(F.col("_toks")).cast("long"))
         .withColumn("_grams", word_ngrams(F.col("_toks"), n))
         .withColumn("_ng", F.size(F.col("_grams")))
@@ -946,7 +956,7 @@ def corpus_datacard(
         F.sum("_ntok").alias("total_tokens"),
         F.round(F.expr(f"{pct}(_ntok, 0.5)"), 4).alias("p50_tokens"),
         F.round(F.expr(f"{pct}(_ntok, 0.9)"), 4).alias("p90_tokens"),
-        F.round(F.avg(F.length(text_col)), 4).alias("avg_chars"),
+        F.round(F.avg(F.length(F.col("_text"))), 4).alias("avg_chars"),
         F.round(
             F.avg((F.col("_ntok") < short_tokens).cast("double")), 4
         ).alias("short_share"),

@@ -6282,8 +6282,8 @@ def b34cb(spark: SparkSession, sf: str) -> DataFrame:
     "b34_corpus_datacard",
     """
     WITH toks AS (
-      SELECT lang, source, length(text) AS nchar,
-             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      SELECT lang, source, length(coalesce(text, '')) AS nchar,
+             string_split(trim(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
       FROM documents
     ),
     g AS (

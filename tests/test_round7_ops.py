@@ -380,3 +380,17 @@ def test_corpus_datacard_approx_mode(spark):
     assert abs(approx["p50_tokens"] - exact["p50_tokens"]) <= 1.0
     assert abs(approx["p90_tokens"] - exact["p90_tokens"]) <= 1.0
     assert approx["mean_repetition"] == exact["mean_repetition"]
+
+
+def test_corpus_datacard_null_text_contract(spark):
+    from ddataframeoperation_spark.operators import text as TX
+
+    rows = [(1, "en", "web", None), (2, "en", "web", "alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+    out = TX.corpus_datacard(df, short_tokens=2).collect()[0]
+    # NULL text coalesces to '' (1 whitespace token, 0 chars): it counts
+    # in EVERY column's denominator — n_docs 2, tokens 1+3, short 1 of 2.
+    assert out["n_docs"] == 2 and out["total_tokens"] == 4
+    assert out["short_share"] == 0.5
+    assert out["avg_chars"] == round((0 + 16) / 2, 4)
+    assert out["mean_repetition"] == 0.0
