@@ -98,6 +98,10 @@ BENCH_QUERIES = [
     # two-level sharded top-k).
     "b19_abc_classification",
     "b33_multi_topk",
+    # Round-7b: the one-call corpus data card — the heaviest row-local
+    # text-array scan in the b34 family (tokens + trigrams + distinct per
+    # doc) feeding a single map-side-combined aggregate.
+    "b34_corpus_datacard",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure

@@ -97,7 +97,11 @@ def retrieval_metrics(
     with grade > 0 meaning relevant — graded or binary. Documents
     absent from qrels count as grade 0. Queries with no relevant
     judgment emit recall/ndcg 0 (not NULL), keeping macro averages
-    well-defined.
+    well-defined. Scope contract: output has one row per query OF THE
+    RUN — a query present only in ``qrels`` (the run returned nothing
+    for it) emits no row, so it would silently drop out of a macro
+    average; when grading partial runs, outer-join the metric rows back
+    to the qrels query list and fill 0 before averaging.
 
     Plan: one rank window over predictions and one over judgments —
     both PARTITIONED by query (bounded by run depth / judgment count,

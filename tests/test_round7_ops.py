@@ -394,3 +394,20 @@ def test_corpus_datacard_null_text_contract(spark):
     assert out["short_share"] == 0.5
     assert out["avg_chars"] == round((0 + 16) / 2, 4)
     assert out["mean_repetition"] == 0.0
+
+
+def test_retrieval_metrics_scope_is_the_run(spark):
+    from ddataframeoperation_spark.operators import retrieval as RT
+
+    pred = spark.createDataFrame(
+        [(1, 10, 0.9)], "query_id long, doc_id long, score double"
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 1), (2, 20, 1)], "query_id long, doc_id long, grade int"
+    )
+    rows = RT.retrieval_metrics(pred, qrels, k=3).collect()
+    # Documented scope contract: query 2 (judged, but absent from the
+    # run) emits NO row — callers grading partial runs must outer-join
+    # back to the qrels query list before macro-averaging.
+    assert [r["query_id"] for r in rows] == [1]
+    assert rows[0]["recall_at_k"] == 1.0

@@ -208,6 +208,9 @@ def main() -> int:
             lambda d=d: sampling.temperature_mix(d, 200, "source", ["doc_id"]),
         )
         probe(f"lexical_diversity {tag}", lambda d=d: TX.lexical_diversity(d))
+        # Round-7b: the data card — row-local token/trigram math + one
+        # map-side-combined aggregate; must grow with scan width only.
+        probe(f"corpus_datacard {tag}", lambda d=d: TX.corpus_datacard(d))
         probe(
             f"mad_outliers {tag}",
             lambda d=d: relational.mad_outliers(d, "source", "n_chars"),
