@@ -4773,10 +4773,10 @@ def b33ed(spark: SparkSession, sf: str) -> DataFrame:
     wt AS (SELECT window_start, sum(n_cur) AS tc FROM f GROUP BY 1)
     SELECT f.window_start,
            CAST(sum(f.n_cur) AS BIGINT) AS n_events,
-           round(sum(round(
+           CAST(round(sum(CAST(round(
              (greatest(f.n_cur / wt.tc, 1e-6) - greatest(f.n_ref / rt.tr, 1e-6))
              * ln(greatest(f.n_cur / wt.tc, 1e-6) / greatest(f.n_ref / rt.tr, 1e-6))
-           , 6)), 4) AS psi
+           , 6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS psi
     FROM f JOIN wt USING (window_start) CROSS JOIN rt
     GROUP BY f.window_start
     """,
@@ -4844,15 +4844,21 @@ def b36psi(spark: SparkSession, sf: str) -> DataFrame:
     p_cur = F.greatest(F.col("n_cur") / F.col("tc"), F.lit(eps))
     p_ref = F.greatest(F.col("n_ref") / F.lit(rt), F.lit(eps))
     # Per-bucket terms round to 6dp BEFORE the sum (the b33 float-drift
-    # guard): summation order differs between engines, and unrounded
-    # double terms could straddle a 4dp boundary of the final index.
-    term = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6)
+    # guard) and then sum as DECIMAL(18,6): a double sum of ten rounded
+    # terms can land exactly on a 4dp half-boundary (sf0.1 window
+    # 2024-01-18T23: sum 1.379350), where 1-ULP summation-order noise
+    # flips the final digit per engine. The decimal sum is exact and
+    # both engines round decimal ties half-away-from-zero identically;
+    # DOUBLE only at the output boundary (the b11 money policy).
+    term = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).cast(
+        "decimal(18,6)"
+    )
     return (
         f.join(F.broadcast(wt), on="window_start")
         .groupBy("window_start")
         .agg(
             F.sum("n_cur").cast("long").alias("n_events"),
-            F.round(F.sum(term), 4).alias("psi"),
+            F.round(F.sum(term), 4).cast("double").alias("psi"),
         )
     )
 
