@@ -48,6 +48,10 @@ def rrf_fusion(
     ties, and engine-stable when scores are already rounded (the
     convention of the engine's top-k operators). A document missing
     from a list simply contributes nothing for it (the RRF convention).
+    Dirty-input note: a NULL score sorts LAST under ``desc`` (Spark's
+    default), so such a row ranks at the bottom of its list rather than
+    erroring; a NULL id is a real fusion key (one NULL group) — the
+    engine's top-k outputs produce neither.
     Output: one row per (query,) document with the fused score and the
     number of lists that ranked it.
 
@@ -195,7 +199,14 @@ def mmr_diversify(
 
     ``pred`` is a CANDIDATE list (query, doc, relevance score — feed a
     top-N, not a scored corpus); ``vectors`` maps ``id_col`` to the
-    embedding used for the redundancy penalty. The greedy loop runs in
+    embedding used for the redundancy penalty. Dirty-input contract: a
+    candidate whose id is absent from ``vectors`` OR whose embedding is
+    NULL is dropped before selection (no vector → no redundancy
+    penalty is computable; without the NULL filter the Arrow kernel
+    would throw mid-job on ``np.asarray(None)``) — so fewer than ``k``
+    rows can come back for a query. Candidate (query, id) pairs are
+    assumed unique (the upstream top-k contract); duplicates would be
+    selected independently. The greedy loop runs in
     an Arrow-batched ``applyInPandas`` kernel per query — O(N²)
     pairwise cosines + O(N·k) selection over the ≤N-candidate group,
     row-local after one (candidate-list-sized) join and one shuffle by
@@ -210,7 +221,8 @@ def mmr_diversify(
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     cand = pred.select(query_col, id_col, score_col).join(
-        vectors.select(id_col, vec_col), on=id_col
+        vectors.select(id_col, vec_col).filter(F.col(vec_col).isNotNull()),
+        on=id_col,
     )
     out_schema = StructType(
         [

@@ -411,3 +411,21 @@ def test_retrieval_metrics_scope_is_the_run(spark):
     # back to the qrels query list before macro-averaging.
     assert [r["query_id"] for r in rows] == [1]
     assert rows[0]["recall_at_k"] == 1.0
+
+
+def test_mmr_drops_vectorless_candidates(spark):
+    from ddataframeoperation_spark.operators import retrieval as RT
+
+    pred = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7)],
+        "query_id long, vec_id long, cos_sim double",
+    )
+    vectors = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, None), (13, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = RT.mmr_diversify(pred, vectors, k=3).collect()
+    # Documented contract: id 11 (NULL embedding) and id 12 (absent from
+    # vectors) drop before selection instead of crashing the Arrow
+    # kernel — only id 10 survives, so fewer than k rows come back.
+    assert [(r["vec_id"], r["mmr_rank"]) for r in got] == [(10, 1)]
