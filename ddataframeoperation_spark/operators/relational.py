@@ -638,7 +638,10 @@ def cumulative_share(
     from a sequential window scan, so for bit-identical cross-engine
     results feed an association-free ``value_col`` type (DECIMAL sums
     are exact in any order; DOUBLE sums are not — the b11 money policy).
-    Rows with a NULL ``value_col`` are dropped.
+    Rows with a NULL ``value_col`` are dropped. ``tiebreak_col`` must be
+    unique and non-NULL (the module's tiebreak convention): duplicate
+    sort keys make the inclusive running sum order-nondeterministic
+    within the tie, and a NULL tiebreak sorts first engine-dependently.
     """
     from pyspark.sql import Window
 
