@@ -40,6 +40,7 @@ __all__ = [
     "minhash_candidates_incremental",
     "connected_components",
     "cluster_dedup",
+    "cluster_dedup_best",
     "jaccard_pairs",
     "simhash",
     "simhash_table",
@@ -390,6 +391,47 @@ def cluster_dedup(
 
     comp = connected_components(pairs)
     keep_of_cluster = comp.groupBy("component").agg(SF.min("id").alias("keep_id"))
+    drop_ids = (
+        comp.join(
+            keep_of_cluster, comp["id"] == keep_of_cluster["keep_id"], "left_anti"
+        )
+        .select(SF.col("id").alias(id_col))
+        .distinct()
+    )
+    return df.join(drop_ids, on=id_col, how="left_anti")
+
+
+def cluster_dedup_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | Column = "quality",
+) -> DataFrame:
+    """Quality-aware cluster dedup: like :func:`cluster_dedup` but the
+    survivor of each near-dup cluster is the member with the HIGHEST
+    ``score_col`` (ties → lowest id), not the lowest id. The pretraining
+    sweep wants the cleanest copy of a page, not an arbitrary one — a
+    mirror with ads stripped beats the original with boilerplate.
+
+    One ``max_by`` over a lexicographic (score, -id) struct per component
+    — map-side combinable, no window, no sort. Components shuffle as
+    (id, component) longs; scores join in by id. Determinism contract:
+    ``score_col`` must compare identically across engines/partitionings —
+    pass a rounded score (the registered query rounds to 4dp) so fp-ulp
+    drift can never flip a tie against the id tie-break.
+    """
+    from pyspark.sql import functions as SF
+
+    s = SF.col(score_col) if isinstance(score_col, str) else score_col
+    comp = connected_components(pairs)
+    scored = comp.join(
+        df.select(SF.col(id_col).alias("id"), s.alias("_s")), on="id"
+    )
+    keep_of_cluster = scored.groupBy("component").agg(
+        SF.max_by(
+            "id", SF.struct(SF.col("_s").alias("s"), (-SF.col("id")).alias("ni"))
+        ).alias("keep_id")
+    )
     drop_ids = (
         comp.join(
             keep_of_cluster, comp["id"] == keep_of_cluster["keep_id"], "left_anti"

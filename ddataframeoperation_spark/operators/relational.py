@@ -30,6 +30,7 @@ __all__ = [
     "join",
     "join_broadcast",
     "join_star",
+    "prefiltered_join",
     "group_agg",
     "distinct_rows",
     "rollup_agg",
@@ -123,6 +124,55 @@ def join_star(
     for dim, on, bcast in dims:
         out = out.join(F.broadcast(dim) if bcast else dim, on=on)
     return out
+
+
+def prefiltered_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    right_keys: str | Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """B5 at scale — semi-join-reduced join (a hand-rolled runtime filter,
+    the Bloom/DPP idea made explicit): broadcast the filtered dimension's
+    DISTINCT join keys and LEFT-SEMI-filter the fact table BEFORE the main
+    join, so the fact rows that cannot match never enter the join's
+    exchange. With a selective dimension predicate this shrinks the fact
+    shuffle by the predicate's selectivity — at 100 TB that is the
+    difference between shuffling the whole fact table and shuffling only
+    the matching slice. The key set is an aggregated projection of the
+    dimension (bounded by its distinct keys), explicitly broadcast.
+
+    Only result-identical for row-REDUCING joins (``inner``/``left_semi``
+    — the pre-filter drops exactly the rows those joins drop anyway);
+    row-preserving joins (outer) would lose their unmatched rows, so they
+    are rejected.
+
+    ``on`` names the fact-side key columns; ``right_keys`` the dim-side
+    names when they differ (TPC-H style ``o_custkey``/``c_custkey``).
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"prefiltered_join: how={how!r} is row-preserving; the semi "
+            "reduction is only result-identical for inner/left_semi"
+        )
+    left = [on] if isinstance(on, str) else list(on)
+    right = (
+        left
+        if right_keys is None
+        else [right_keys] if isinstance(right_keys, str) else list(right_keys)
+    )
+    key_set = dim.select(
+        *[F.col(r).alias(l) for l, r in zip(left, right)]
+    ).distinct()
+    reduced = fact.join(F.broadcast(key_set), on=left, how="left_semi")
+    if right == left:
+        return reduced.join(dim, on=left, how=how)
+    cond = None
+    for l, r in zip(left, right):
+        c = reduced[l] == dim[r]
+        cond = c if cond is None else (cond & c)
+    return reduced.join(dim, on=cond, how=how)
 
 
 def group_agg(

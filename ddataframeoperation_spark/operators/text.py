@@ -14,6 +14,8 @@ these run at parquet-scan speed.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -48,6 +50,7 @@ __all__ = [
     "lexical_diversity",
     "corpus_balance",
     "corpus_datacard",
+    "remove_boilerplate",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -961,4 +964,78 @@ def corpus_datacard(
             F.avg((F.col("_ntok") < short_tokens).cast("double")), 4
         ).alias("short_share"),
         F.round(F.avg(F.col("_rep")), 4).alias("mean_repetition"),
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 100,
+    delimiter: str = "\n",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal: delete every SEGMENT (line by
+    default) that appears verbatim in at least ``min_docs`` distinct
+    documents — nav menus, cookie banners, license footers. The web-text
+    cleanup that per-document dedup cannot do: ``block_dedup`` keeps the
+    FIRST copy of a repeated span, this removes ALL copies of
+    corpus-frequent ones, because a line shared by thousands of pages is
+    boilerplate in every one of them.
+
+    Plan (100 TB posture):
+
+    1. per-document DISTINCT segment digests (``array_distinct`` row-local,
+       md5 computed BEFORE the explode so only 16-byte digests shuffle,
+       never line bodies);
+    2. digest frequency = one map-side-combined count (distinct-per-doc
+       makes plain ``count(*)`` the distinct-doc count);
+    3. the ``>= min_docs`` survivors collapse to ONE row via
+       ``collect_set`` — bounded by total_lines/min_docs and in practice
+       by the handful of truly shared templates — broadcast to every task;
+    4. removal + re-join is a row-local higher-order ``filter`` +
+       ``array_join`` over the original text: the corpus itself is NEVER
+       shuffled.
+
+    Contracts: empty segments (blank lines) are never counted as
+    boilerplate — removing them would silently reflow documents; a NULL
+    ``text_col`` stays NULL; surviving segments keep their original order;
+    ``delimiter`` is a literal string (regex-escaped for the split).
+    Output = input columns + ``out_col`` + ``n_removed``.
+    """
+    pat = re.escape(delimiter)
+    segs = F.split(F.col(text_col), pat)
+    digests = df.filter(F.col(text_col).isNotNull()).select(
+        F.explode(
+            F.array_distinct(
+                F.filter(segs, lambda s: s != F.lit("")).cast("array<string>")
+            )
+        ).alias("_seg")
+    ).select(F.md5(F.col("_seg")).alias("_h"))
+    bp = (
+        digests.groupBy("_h")
+        .agg(F.count("*").alias("_nd"))
+        .filter(F.col("_nd") >= int(min_docs))
+        .agg(F.collect_set("_h").alias("_bp"))
+    )
+    kept = F.filter(
+        segs,
+        lambda s: ~F.array_contains(
+            F.coalesce(F.col("_bp"), F.array().cast("array<string>")), F.md5(s)
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(bp))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col(text_col).isNull(), F.lit(None).cast("string")
+            ).otherwise(F.array_join(kept, delimiter)),
+        )
+        .withColumn(
+            "n_removed",
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(segs) - F.size(kept))
+            .cast("long"),
+        )
+        .drop("_bp")
     )

@@ -5889,6 +5889,194 @@ def b05ns(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b05_semijoin_reduction",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_totalprice, l.l_quantity
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def b05sr(spark: SparkSession, sf: str) -> DataFrame:
+    # Semi-join-reduced fact join (the runtime-filter idea, explicit): the
+    # filtered orders' DISTINCT keys broadcast as a LEFT SEMI onto
+    # lineitem BEFORE the main join, so non-matching fact rows never enter
+    # the join exchange. Result-identical to the plain inner join — which
+    # is exactly what the oracle runs.
+    l = _t(spark, sf, "lineitem")
+    o = R.filter_rows(
+        _t(spark, sf, "orders"), F.col("o_orderpriority") == "1-URGENT"
+    )
+    j = R.prefiltered_join(l, o, on=["l_orderkey"], right_keys=["o_orderkey"])
+    return R.project(j, "l_orderkey", "l_linenumber", "o_totalprice", "l_quantity")
+
+
+@_q(
+    "b34_boilerplate_removal",
+    """
+    WITH segs AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split(text, ' '),
+                                              s -> s <> ''))) AS seg
+      FROM documents WHERE text IS NOT NULL
+    ), bp AS (
+      SELECT seg FROM segs GROUP BY seg HAVING count(*) >= 300
+    ), pos AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents WHERE text IS NOT NULL
+    ), marked AS (
+      SELECT p.doc_id, p.seg, p.pos, (bp.seg IS NOT NULL) AS is_bp
+      FROM pos p LEFT JOIN bp ON p.seg = bp.seg
+    ), agg AS (
+      SELECT doc_id,
+             coalesce(string_agg(seg, ' ' ORDER BY pos)
+                        FILTER (WHERE NOT is_bp), '') AS clean_text,
+             CAST(count(*) FILTER (WHERE is_bp) AS BIGINT) AS n_removed
+      FROM marked GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE coalesce(a.clean_text, '') END AS clean_text,
+           CAST(CASE WHEN d.text IS NULL THEN 0
+                ELSE coalesce(a.n_removed, 0) END AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def b34bp(spark: SparkSession, sf: str) -> DataFrame:
+    # Corpus-frequency boilerplate removal. The fixture's synthetic docs
+    # have no line structure, so the registered query segments on
+    # whitespace (frequency-filtering corpus-ubiquitous tokens); real web
+    # text runs the same operator with the default '\\n' delimiter —
+    # that path is pinned by unit tests on crafted multi-line docs.
+    d = _t(spark, sf, "documents")
+    return TX.remove_boilerplate(d, min_docs=300, delimiter=" ").select(
+        "doc_id", "clean_text", "n_removed"
+    )
+
+
+@_q(
+    "b32_cluster_dedup_quality",
+    """
+    WITH norm AS (
+      SELECT doc_id AS id, source AS grp,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT id, grp, unnest(list_distinct(string_split(t, ' '))) AS tok FROM norm
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM tok GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.grp = b.grp AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(id, v) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON r.v = e.src
+      ) SELECT id, min(v) AS component FROM r GROUP BY id
+    ), qbase AS (
+      SELECT doc_id,
+             length(text) AS n,
+             length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS alpha,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nrm
+      FROM documents
+    ), qual AS (
+      SELECT doc_id,
+             round(0.4 * (CASE WHEN n >= 50 AND n <= 20000 THEN 1.0 ELSE 0.3 END)
+                   + 0.4 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+                   + 0.2 * (CASE WHEN len(string_split(nrm, ' ')) > 0
+                                      AND (length(nrm) / len(string_split(nrm, ' '))) >= 2.0
+                                      AND (length(nrm) / len(string_split(nrm, ' '))) <= 12.0
+                                 THEN 1.0 ELSE 0.4 END), 4) AS q
+      FROM qbase
+    ), best AS (
+      SELECT component, id FROM (
+        SELECT r.component, r.id,
+               row_number() OVER (PARTITION BY r.component
+                                  ORDER BY q.q DESC, r.id ASC) AS rn
+        FROM reach r JOIN qual q ON q.doc_id = r.id
+      ) WHERE rn = 1
+    ), drops AS (
+      SELECT r.id FROM reach r
+      WHERE NOT EXISTS (SELECT 1 FROM best b WHERE b.id = r.id)
+    )
+    SELECT d.doc_id, q.q AS quality
+    FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.id = d.doc_id)
+    """,
+)
+def b32cdq(spark: SparkSession, sf: str) -> DataFrame:
+    # Quality-aware survivor selection: per near-dup cluster keep the
+    # HIGHEST-quality member (rounded 4dp score, id tie-break), not the
+    # lowest id — the "keep the cleanest copy" policy of a pretraining
+    # sweep. Same pair source + components as b32_cluster_dedup, so the
+    # two queries isolate exactly the survivor-selection change.
+    docs = _t(spark, sf, "documents").withColumn(
+        "quality", TX.quality_score("text")
+    )
+    pairs = dedup.jaccard_pairs(docs, group_col="source", threshold=0.5)
+    return dedup.cluster_dedup_best(
+        docs, pairs.select("id_a", "id_b"), score_col="quality"
+    ).select("doc_id", "quality")
+
+
+def _zvalue_oracle_sql(bits: int = 8) -> str:
+    # Mirror of skew.zvalue's shift/mask arithmetic as DuckDB SQL, built
+    # from the SAME scale constants (exact dyadic doubles, so the decimal
+    # literals below are lossless and both engines run the identical IEEE
+    # floor((x - lo) * scale) quantization).
+    mx = (1 << bits) - 1
+    qu = (
+        f"greatest(least(CAST(floor((CAST(user_id AS DOUBLE) - 0.0) * "
+        f"{mx / 256.0!r}) AS BIGINT), {mx}), 0)"
+    )
+    qv = (
+        f"greatest(least(CAST(floor((CAST(value AS DOUBLE) - 0.0) * "
+        f"{mx / 512.0!r}) AS BIGINT), {mx}), 0)"
+    )
+    terms = []
+    for b in range(bits):
+        for i, q in enumerate(("qu", "qv")):
+            terms.append(f"((({q} >> {b}) & 1) << {b * 2 + i})")
+    z = " | ".join(terms)
+    return f"""
+    WITH q AS (
+      SELECT event_id, user_id, value, {qu} AS qu, {qv} AS qv
+      FROM events
+    )
+    SELECT event_id, user_id, value, CAST({z} AS BIGINT) AS z
+    FROM q
+    """
+
+
+@_q("bzo_zvalue_interleave", _zvalue_oracle_sql())
+def bzo(spark: SparkSession, sf: str) -> DataFrame:
+    # External certification of the Z-order clustering key (skew.zvalue):
+    # the Morton bit-interleave that write_zordered sorts by. Pure integer
+    # shift/mask arithmetic after a broadcast-scalar quantization — the
+    # oracle rebuilds the identical expression in SQL, so a hash match
+    # proves the layout key bit-for-bit. Bounds [0,256)x[0,512) cover the
+    # sf0.01 fixture without clamping; the clamp path is unit-tested.
+    from ddataframeoperation_spark.operators.skew import zvalue
+
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        zvalue(["user_id", "value"], [0.0, 0.0], [256.0, 512.0], bits=8).alias("z"),
+    )
+
+
+@_q(
     "b22_weighted_sample",
     """
     WITH r AS (
@@ -7358,7 +7546,7 @@ _DRIVER_PRIORITY = [
     "bmm_decode_stub",            # multimodal: decode plumbing (stub kernel)
     "b20_latest_per_key",         # B20 top-1-per-group
     "b21_snapshot_diff",          # B21 CDC snapshot diff
-    "b22_leakage_safe_split",     # B22 cluster-aware train/eval split
+    "b05_semijoin_reduction",     # B5 semi-join-reduced fact join (r7b, first-time)
     "b23_string_funcs",           # B23 string fns
     "b24_gapfill_locf",           # B24 calendar gapfill + last-obs-carried-fwd
     "b25_minmax_scale",           # B25 group rescale (r7 null-safe join fix)
@@ -7368,12 +7556,12 @@ _DRIVER_PRIORITY = [
     "b29_nested_json",            # B29 nested-JSON sink roundtrip
     "b30_sql_udf",                # B30 SQL-registered UDF surface
     "b38_stream_dedup",           # B38 streaming dedup (batch-equivalence)
-    "b32_near_dedup_e2e",         # B32 end-to-end near-dup (minhash→components→keep)
+    "b32_cluster_dedup_quality",  # B32 quality-aware survivor selection (r7b, first-time)
     "b32_fuzzy_names_symdelete",  # B32 SymSpell fuzzy entity matching
-    "b33_cosine_topk",            # B33 vector similarity
+    "bzo_zvalue_interleave",      # layout: Z-order clustering key, bit-exact (r7b, first-time)
     "b33_embedding_drift",        # B33 snapshot centroid drift
     "b34_contamination",          # B34 benchmark n-gram decontamination
-    "b34_full_pipeline",          # B34 end-to-end corpus pipeline composite
+    "b34_boilerplate_removal",    # B34 corpus-frequency boilerplate removal (r7b, first-time)
     "b35_retention_cohorts",      # B35 cohort retention matrix
     "b36_stream_sliding",         # B36 sliding streaming windows
     "b36_stream_psi",             # B36 streaming PSI drift monitor
@@ -7433,7 +7621,20 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: Round 7b: b34_bm25_topk (certified r6) → b34_corpus_datacard (new
 #: this round, never certified); B34 keeps contamination +
 #: full_pipeline in-slot, bm25 leads the tail.
+#: Round 7c rotated four slots to the round-7b operators, each first-time
+#: and each displacing an r6-certified query whose family keeps ≥1 slot:
+#: b22_leakage_safe_split → b05_semijoin_reduction (B22 keeps
+#: leakage_safe_kfold), b32_near_dedup_e2e → b32_cluster_dedup_quality
+#: (B32 keeps fuzzy_names_symdelete), b34_full_pipeline →
+#: b34_boilerplate_removal (B34 keeps contamination + corpus_datacard),
+#: b33_cosine_topk → bzo_zvalue_interleave (B33 keeps embedding_drift;
+#: the layout/z-order family gets its first external certificate). The
+#: four displaced lead the tail.
 _BONUS_SLOTS = [
+    "b22_leakage_safe_split",
+    "b32_near_dedup_e2e",
+    "b34_full_pipeline",
+    "b33_cosine_topk",
     "b34_bm25_topk",
     "b09_asof_join",
     "b02_catalog_sql",

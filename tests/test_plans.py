@@ -280,3 +280,40 @@ def test_incremental_agg_delta_join_bounded(spark):
     p = _plan(spark, "b11_incremental_agg")
     assert p.count("HashAggregate") >= 4  # partial+final on both sides
     assert "CartesianProduct" not in p
+
+
+def test_semijoin_reduction_thins_fact_before_join(spark):
+    # The runtime filter made explicit: a broadcast LEFT SEMI against the
+    # filtered dim's distinct keys sits BELOW the main join, so fact rows
+    # that cannot match never enter the join's exchange.
+    p = _plan(spark, "b05_semijoin_reduction")
+    semi = p.index("LeftSemi")
+    assert "BroadcastHashJoin" in p[:semi + 200]
+    # The semi filter appears under the main join in the plan tree (the
+    # inner join prints first, the semi deeper).
+    assert "Inner" in p[:semi]
+
+
+def test_boilerplate_removal_never_shuffles_corpus(spark):
+    # The boilerplate set collapses to ONE row and broadcasts
+    # (BroadcastNestedLoopJoin); the removal itself is a row-local
+    # higher-order filter. Only 16-byte digests ever hash-shuffle.
+    p = _plan(spark, "b34_boilerplate_removal")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "md5" in p  # digests computed before the explode/aggregate
+
+
+def test_cluster_dedup_quality_uses_no_window(spark):
+    # Survivor selection is one map-side-combinable max_by per component —
+    # not a ranking window over cluster members.
+    p = _plan(spark, "b32_cluster_dedup_quality")
+    assert "max_by" in p
+    assert "CartesianProduct" not in p
+
+
+def test_zvalue_interleave_is_shuffle_free(spark):
+    # The Morton key is pure row-local shift/mask arithmetic: scan →
+    # project, no exchange anywhere.
+    p = _plan(spark, "bzo_zvalue_interleave")
+    assert "Exchange" not in p
