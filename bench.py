@@ -102,6 +102,11 @@ BENCH_QUERIES = [
     # text-array scan in the b34 family (tokens + trigrams + distinct per
     # doc) feeding a single map-side-combined aggregate.
     "b34_corpus_datacard",
+    # Round-7c: semi-join-reduced fact join (broadcast LEFT SEMI below the
+    # main join) and corpus-frequency boilerplate removal (digest-only
+    # shuffle + one-row broadcast set + row-local rejoin).
+    "b05_semijoin_reduction",
+    "b34_boilerplate_removal",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
@@ -131,6 +136,8 @@ COUNT_ONLY = {
     "b05_lateral_topn",
     "b34_lexical_diversity",
     "b22_token_budget_mix",
+    "b05_semijoin_reduction",
+    "b34_boilerplate_removal",
 }
 
 

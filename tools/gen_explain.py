@@ -52,6 +52,11 @@ HEADLINE = [
     ("b33_hybrid_rrf", "Hybrid RRF fusion: two top-10 candidate lists (bounded windows), union + sum aggregate"),
     ("b33_mmr_rerank", "MMR diversification: candidate-sized join, one shuffle by query, per-query Arrow greedy kernel"),
     ("b34_corpus_datacard", "Corpus data card: ONE scan, row-local token/n-gram array math, single map-side-combined aggregate — no window, no join"),
+    # Round 7c
+    ("b05_semijoin_reduction", "Semi-join-reduced fact join: broadcast LEFT SEMI on the filtered dim's distinct keys BELOW the main join — non-matching fact rows never shuffle"),
+    ("b34_boilerplate_removal", "Boilerplate removal: digest-only explode/aggregate, ONE-row broadcast boilerplate set, row-local higher-order filter + rejoin — the corpus never shuffles"),
+    ("b32_cluster_dedup_quality", "Quality-aware cluster dedup: iterative components, then ONE map-side max_by((score,-id)) per component — no window, no per-cluster sort"),
+    ("bzo_zvalue_interleave", "Z-order clustering key: pure row-local shift/mask projection — scan speed, zero exchanges"),
 ]
 
 SKIP_PREFIXES = (

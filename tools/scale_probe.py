@@ -1,7 +1,10 @@
 """10x scale probe: replicate the sf0.1 fixtures with shifted keys and time
 the headline operators on the enlarged corpus vs the original.
 
-Usage: python tools/scale_probe.py [factor]
+Usage: python tools/scale_probe.py [factor] [name-substring ...]
+
+With name-substring filters, only probes whose label contains one of the
+substrings run — the per-round loop for newly added operators.
 
 This is the local stand-in for a real cluster scale test: if an operator's
 runtime grows ~linearly (or stays task-overhead-bound) between 1x and Nx
@@ -47,7 +50,12 @@ def replicate(df: DataFrame, factor: int, id_cols: list[str], shift: int) -> Dat
     return out
 
 
+FILTERS: list[str] = []
+
+
 def probe(name, build, action=lambda d: d.count()):
+    if FILTERS and not any(f in name for f in FILTERS):
+        return
     df = build()
     action(df)  # warm / JIT
     t0 = time.time()
@@ -57,6 +65,7 @@ def probe(name, build, action=lambda d: d.count()):
 
 def main() -> int:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    FILTERS.extend(sys.argv[2:])
     spark = get_spark("scale_probe")
     docs1 = read_fixture_table(spark, SF, "documents")
     ev1 = read_fixture_table(spark, SF, "events")
@@ -278,6 +287,57 @@ def main() -> int:
                 ))
                 .groupBy("stage").count()
             )(d.select("doc_id", TX.token_count("text").alias("ntok"))),
+        )
+        # Round-7b: corpus-frequency boilerplate removal — digest-only
+        # explode/aggregate + one-row broadcast set + row-local rejoin.
+        # min_docs scales with the corpus so the boilerplate SET (the
+        # broadcast) stays the same size at every factor.
+        probe(
+            f"remove_boilerplate {tag}",
+            lambda d=d, t=tag: TX.remove_boilerplate(
+                d,
+                min_docs=300 * (1 if t == "1x" else factor),
+                delimiter=" ",
+            ),
+        )
+        # Round-7b: quality-aware cluster dedup over a synthetic bounded
+        # pair set (chains of 3) — isolates the components + max_by
+        # survivor selection from the pair-generation cost that
+        # minhash/jaccard probes already cover.
+        probe(
+            f"cluster_dedup_best {tag}",
+            lambda d=d: dedup.cluster_dedup_best(
+                d.withColumn("q", TX.quality_score("text")),
+                d.filter(F.col("doc_id") % 3 != 2).select(
+                    F.col("doc_id").alias("id_a"),
+                    (F.col("doc_id") + 1).alias("id_b"),
+                ),
+                score_col="q",
+            ),
+        )
+    # Round-7b: semi-join reduction — the broadcast LEFT SEMI must keep
+    # the fact-side cost linear while the dim filter stays selective.
+    for tag, e in (("1x", ev1), (f"{factor}x", ev)):
+        probe(
+            f"prefiltered_join {tag}",
+            lambda e=e: relational.prefiltered_join(
+                e,
+                e.filter(F.col("user_id") % 37 == 0)
+                .select(F.col("user_id").alias("u"), "event_type")
+                .dropDuplicates(["u"]),
+                on=["user_id"],
+                right_keys=["u"],
+            ),
+        )
+        # Round-7b: the Morton/Z-order key — row-local shift/mask
+        # projection, must run at scan speed.
+        from ddataframeoperation_spark.operators.skew import zvalue
+
+        probe(
+            f"zvalue {tag}",
+            lambda e=e: e.select(
+                zvalue(["user_id", "value"], [0.0, 0.0], [1e7, 512.0]).alias("z")
+            ),
         )
     return 0
 
