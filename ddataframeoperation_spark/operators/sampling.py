@@ -42,6 +42,7 @@ __all__ = [
     "epoch_shard_order",
     "kfold_assign",
     "leakage_safe_kfold",
+    "temporal_split",
 ]
 
 #: 2^32 — the md5-prefix domain size.
@@ -587,4 +588,48 @@ def leakage_safe_kfold(
         F.col(id_col),
         key.alias("fold_key"),
         fold.alias("fold"),
+    )
+
+
+def temporal_split(
+    df: DataFrame,
+    time_col: str,
+    cutoff: str,
+    embargo_seconds: float = 0.0,
+    key_col: str | None = None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Time-based train/eval split with an embargo gap and an optional
+    key-level purge — the TEMPORAL leakage gate beside
+    :func:`leakage_safe_split`'s content-based one. Train = rows strictly
+    before ``cutoff``; eval = rows at or after ``cutoff + embargo``; rows
+    inside the embargo window are DROPPED (near-boundary rows are the ones
+    whose context straddles the split). With ``key_col``, train
+    additionally drops every key that appears in eval — no entity
+    contributes to both sides (the purged/embargoed split of financial CV,
+    equally the right shape for user-level holdouts).
+
+    Plan: two pushed-down time filters on one scan lineage + one left-anti
+    equi-join on the key (shuffles only the pre-cutoff slice against the
+    distinct eval keys) + union. No window, no driver collection;
+    partition pruning applies when the table is date-partitioned.
+    Deterministic: membership is a pure function of (time, key-set), so
+    the split is reproducible across engines and partitionings — which is
+    what the DuckDB oracle certifies.
+
+    The embargo boundary is exact integer-microsecond arithmetic
+    (``unix_micros``), so ``ts == cutoff + embargo`` lands in eval on
+    every engine.
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    t = F.col(time_col)
+    train = df.filter(t < cut)
+    ev = df.filter(
+        F.unix_micros(t)
+        >= F.unix_micros(cut) + F.lit(int(round(embargo_seconds * 1e6)))
+    )
+    if key_col is not None:
+        train = train.join(ev.select(key_col).distinct(), on=key_col, how="left_anti")
+    return train.withColumn(split_col, F.lit("train")).unionByName(
+        ev.withColumn(split_col, F.lit("eval"))
     )

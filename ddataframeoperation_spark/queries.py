@@ -6077,6 +6077,42 @@ def bzo(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b22_temporal_split",
+    """
+    WITH ev AS (
+      SELECT o_orderkey, o_custkey, 'eval' AS split
+      FROM orders
+      WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '2001-06-01 00:00:00'
+    ), evk AS (
+      SELECT DISTINCT o_custkey FROM ev
+    ), tr AS (
+      SELECT o.o_orderkey, o.o_custkey, 'train' AS split
+      FROM orders o
+      WHERE CAST(o.o_orderdate AS TIMESTAMP) < TIMESTAMP '2001-05-01 00:00:00'
+        AND NOT EXISTS (SELECT 1 FROM evk WHERE evk.o_custkey = o.o_custkey)
+    )
+    SELECT * FROM tr UNION ALL SELECT * FROM ev
+    """,
+)
+def b22ts(spark: SparkSession, sf: str) -> DataFrame:
+    # Purged/embargoed temporal split: train strictly before the cutoff,
+    # eval after a 31-day embargo, and customers seen in eval purged from
+    # train — the TIME-leakage gate beside b22_leakage_safe_split's
+    # content-based one. Membership is a pure function of (date, eval-key
+    # set), so the oracle certifies the whole contract.
+    from ddataframeoperation_spark.operators import sampling
+
+    o = _t(spark, sf, "orders")
+    return sampling.temporal_split(
+        o,
+        "o_orderdate",
+        "2001-05-01 00:00:00",
+        embargo_seconds=31 * 86400.0,
+        key_col="o_custkey",
+    ).select("o_orderkey", "o_custkey", "split")
+
+
+@_q(
     "b22_weighted_sample",
     """
     WITH r AS (
@@ -7517,7 +7553,7 @@ def b33mmr(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    "b10_flagship_q3",            # flagship (TPC-H Q3 shape)
+    "b22_temporal_split",         # B22 purged/embargoed time split (r7c, first-time)
     "b01_scan_project_filter",    # B1 scan + pushdown
     "b02_parameterized_sql",      # B2 catalog + named-param SQL
     "b03_pandas_api",             # B3 projection / pandas API
@@ -7629,8 +7665,11 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: b34_boilerplate_removal (B34 keeps contamination + corpus_datacard),
 #: b33_cosine_topk → bzo_zvalue_interleave (B33 keeps embedding_drift;
 #: the layout/z-order family gets its first external certificate). The
-#: four displaced lead the tail.
+#: four displaced lead the tail. Also b10_flagship_q3 (certified r1–r6,
+#: and smoke-run by entry() every round regardless) → b22_temporal_split
+#: (new, the purged/embargoed time split; B10 keeps q9 + q21 in-slot).
 _BONUS_SLOTS = [
+    "b10_flagship_q3",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b34_full_pipeline",

@@ -317,3 +317,12 @@ def test_zvalue_interleave_is_shuffle_free(spark):
     # project, no exchange anywhere.
     p = _plan(spark, "bzo_zvalue_interleave")
     assert "Exchange" not in p
+
+
+def test_temporal_split_filters_pushed_no_cartesian(spark):
+    # Both time filters reach the parquet scan; the purge is a hash
+    # left-anti join on the key — never a nested loop.
+    p = _plan(spark, "b22_temporal_split")
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in p or "LessThan(o_orderdate" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p

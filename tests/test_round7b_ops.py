@@ -210,3 +210,46 @@ def test_zvalue_clamps_out_of_range_and_orders_locally(spark):
     assert z[1] == (1 << 8) - 1  # above range clamps to max cell (both dims full)
     assert z[2] == 0
     assert z[3] == (1 << 8) - 1
+
+
+# ------------------------------------------------------------------ E: temporal split
+
+
+def test_temporal_split_boundaries_and_purge(spark):
+    from ddataframeoperation_spark.operators.sampling import temporal_split
+
+    rows = [
+        # (id, user, ts): u1 only before cutoff; u2 straddles; u3 only after.
+        (0, "u1", "2024-01-01 00:00:00"),
+        (1, "u2", "2024-01-02 00:00:00"),
+        (2, "u2", "2024-01-10 00:00:00"),  # exactly cutoff → embargo zone
+        (3, "u2", "2024-01-12 00:00:00"),  # exactly cutoff+embargo → eval
+        (4, "u3", "2024-01-15 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "id long, user string, ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+    got = {
+        r["id"]: r["split"]
+        for r in temporal_split(
+            df, "ts", "2024-01-10 00:00:00",
+            embargo_seconds=2 * 86400.0, key_col="user",
+        ).collect()
+    }
+    # id 2 dropped (embargo); u2's pre-cutoff row 1 purged (u2 in eval);
+    # cutoff+embargo boundary row 3 lands in eval.
+    assert got == {0: "train", 3: "eval", 4: "eval"}
+
+
+def test_temporal_split_no_key_keeps_all_train(spark):
+    from ddataframeoperation_spark.operators.sampling import temporal_split
+
+    rows = [(0, "2024-01-01 00:00:00"), (1, "2024-01-20 00:00:00")]
+    df = spark.createDataFrame(rows, "id long, ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    )
+    got = {
+        r["id"]: r["split"]
+        for r in temporal_split(df, "ts", "2024-01-10 00:00:00").collect()
+    }
+    assert got == {0: "train", 1: "eval"}

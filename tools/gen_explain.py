@@ -57,6 +57,7 @@ HEADLINE = [
     ("b34_boilerplate_removal", "Boilerplate removal: digest-only explode/aggregate, ONE-row broadcast boilerplate set, row-local higher-order filter + rejoin — the corpus never shuffles"),
     ("b32_cluster_dedup_quality", "Quality-aware cluster dedup: iterative components, then ONE map-side max_by((score,-id)) per component — no window, no per-cluster sort"),
     ("bzo_zvalue_interleave", "Z-order clustering key: pure row-local shift/mask projection — scan speed, zero exchanges"),
+    ("b22_temporal_split", "Purged temporal split: pushed-down time filters, one left-anti key join (pre-cutoff slice vs distinct eval keys), union"),
 ]
 
 SKIP_PREFIXES = (

@@ -339,6 +339,15 @@ def main() -> int:
                 zvalue(["user_id", "value"], [0.0, 0.0], [1e7, 512.0]).alias("z")
             ),
         )
+        # Round-7c: purged temporal split — two pushed-down time filters
+        # + one left-anti key join; must scale with the scan.
+        probe(
+            f"temporal_split {tag}",
+            lambda e=e: sampling.temporal_split(
+                e, "ts", "2024-01-22 00:00:00",
+                embargo_seconds=86400.0, key_col="user_id",
+            ),
+        )
     return 0
 
 
