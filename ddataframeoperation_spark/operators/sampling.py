@@ -620,6 +620,13 @@ def temporal_split(
     The embargo boundary is exact integer-microsecond arithmetic
     (``unix_micros``), so ``ts == cutoff + embargo`` lands in eval on
     every engine.
+
+    Dirty-input contract: rows with a NULL ``time_col`` satisfy neither
+    time predicate and are dropped from BOTH splits — an undatable row
+    cannot be placed on either side of a time boundary. A NULL
+    ``key_col`` in eval never purges anything (the anti-join key never
+    matches NULL), and a NULL-key train row survives the purge for the
+    same reason.
     """
     cut = F.lit(cutoff).cast("timestamp")
     t = F.col(time_col)

@@ -253,3 +253,24 @@ def test_temporal_split_no_key_keeps_all_train(spark):
         for r in temporal_split(df, "ts", "2024-01-10 00:00:00").collect()
     }
     assert got == {0: "train", 1: "eval"}
+
+
+def test_temporal_split_null_contracts(spark):
+    from ddataframeoperation_spark.operators.sampling import temporal_split
+
+    rows = [
+        (0, "u1", None),                    # undatable → dropped entirely
+        (1, None, "2024-01-01 00:00:00"),   # NULL key survives the purge
+        (2, None, "2024-01-20 00:00:00"),   # NULL key in eval purges nothing
+        (3, "u1", "2024-01-02 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, user string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    got = {
+        r["id"]: r["split"]
+        for r in temporal_split(
+            df, "ts", "2024-01-10 00:00:00", key_col="user"
+        ).collect()
+    }
+    assert got == {1: "train", 3: "train", 2: "eval"}
