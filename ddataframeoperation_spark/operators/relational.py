@@ -150,6 +150,15 @@ def prefiltered_join(
 
     ``on`` names the fact-side key columns; ``right_keys`` the dim-side
     names when they differ (TPC-H style ``o_custkey``/``c_custkey``).
+
+    Relationship to Catalyst's automatic runtime filter: Spark 4 inserts
+    a bloom-filter reduction for the same pattern on its own
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``, on by default)
+    — but only when its cost model fires (creation side ≤ 10 MB,
+    application-side scan ≥ 10 GB by default), and with false positives.
+    This operator is the guaranteed, exact-key-set form for joins the
+    caller KNOWS are selectivity-dominated; the automatic filter remains
+    a free backstop everywhere else.
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(
