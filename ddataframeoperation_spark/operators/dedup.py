@@ -50,6 +50,7 @@ __all__ = [
     "deletion_neighborhood",
     "token_windows",
     "block_dedup",
+    "dedup_with_provenance",
 ]
 
 
@@ -1099,3 +1100,66 @@ def block_dedup(
         F.count("*").alias("n_blocks_total"),
     )
     return assembled
+
+
+def dedup_with_provenance(
+    df: DataFrame,
+    text_col: str | Column = "text",
+    id_col: str = "doc_id",
+    max_ids: int = 20,
+    only_duplicated: bool = True,
+) -> DataFrame:
+    """B31 with an audit trail — fingerprint dedup that KEEPS the evidence:
+    one row per duplicate group with the surviving id (lowest), the group's
+    copy count, and a bounded, sorted, comma-joined list of the duplicate
+    ids that were dropped. This is the governance/lineage half of dedup —
+    "which documents did this survivor absorb" — needed for takedown
+    propagation, dataset datasheets, and debugging surprising dedup rates.
+
+    Plan shape: ONE shuffle of (16-byte md5 fingerprint, id) pairs, then
+    everything stays on that partitioning — a row_number window ranks
+    ids within each group, and a single groupBy on the same key (Spark
+    reuses the window's hashpartitioning, no second exchange) computes
+    the true copy count alongside a CAPPED id list: ids ranked past
+    ``max_ids + 1`` are NULLed before ``collect_list`` (which skips
+    NULLs), so the aggregation buffer holds at most ``max_ids + 1``
+    longs no matter how pathological the group — a million-copy
+    boilerplate page emits one bounded row, its uncapped ids flowing
+    only through the streaming count. No join, and document bodies
+    never shuffle.
+
+    ``only_duplicated=True`` (default) returns just groups with >= 2
+    copies — the audit report. Set False for the full survivor table.
+    """
+    if max_ids < 1:
+        raise ValueError("max_ids must be >= 1")
+    from pyspark.sql import Window
+
+    with_fp = df.select(
+        fingerprint(text_col).alias("_fp"), F.col(id_col).alias("_id")
+    )
+    w = Window.partitionBy("_fp").orderBy("_id")
+    grouped = (
+        with_fp.withColumn("_rn", F.row_number().over(w))
+        .groupBy("_fp")
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rn") <= max_ids + 1, F.col("_id"))
+                )
+            ).alias("_ids"),
+        )
+    )
+    if only_duplicated:
+        grouped = grouped.filter(F.col("n_copies") >= 2)
+    return grouped.select(
+        F.element_at("_ids", 1).alias(id_col),
+        "n_copies",
+        F.array_join(
+            F.transform(
+                F.slice("_ids", 2, max_ids), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("dup_ids"),
+    )

@@ -51,6 +51,7 @@ __all__ = [
     "corpus_balance",
     "corpus_datacard",
     "remove_boilerplate",
+    "bpe_pair_counts",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -1038,4 +1039,54 @@ def remove_boilerplate(
             .cast("long"),
         )
         .drop("_bp")
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str | Column = "text",
+    top_n: int = 50,
+    min_word_len: int = 2,
+) -> DataFrame:
+    """B34 — the merge-DISCOVERY half of BPE tokenizer training: the
+    frequency of every adjacent character pair across the corpus, weighted
+    by word occurrence. The most frequent pair is the next merge the
+    trainer would adopt; :func:`bpe_subword_stats` is the complementary
+    APPLY step that encodes with an already-learned table.
+
+    Plan shape (the Sennrich trainer's word-frequency formulation,
+    distributed): the corpus first collapses to the VOCABULARY — one
+    two-phase hash aggregate from token occurrences to (word, count) —
+    so the expensive per-character pair explosion runs over distinct
+    words, not over every token of a 100 TB corpus. Pair extraction is a
+    row-local ``transform`` over a ``sequence`` (2-grams of the word,
+    all JVM expressions, no UDF), then one more map-side-combinable
+    aggregate and a global top-k, which Spark plans as
+    TakeOrderedAndProject — per-partition heaps, never a full sort.
+
+    Words shorter than ``min_word_len`` have no adjacent pair and are
+    dropped up front. Output: (pair, pair_count) for the ``top_n`` most
+    frequent pairs, count-desc with the pair string as the deterministic
+    tiebreak.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    words = df.select(
+        F.explode(F.split(normalized_text(text_col), " ")).alias("w")
+    ).filter((F.col("w") != "") & (F.length("w") >= int(min_word_len)))
+    vocab = words.groupBy("w").agg(F.count("*").alias("_c"))
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "_c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("_c").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(int(top_n))
     )

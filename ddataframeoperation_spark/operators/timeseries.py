@@ -26,6 +26,7 @@ __all__ = [
     "ohlc_bars",
     "ewma",
     "twap",
+    "rolling_distinct",
 ]
 
 _GRANULARITIES = ("hour", "day", "week", "month", "quarter", "year")
@@ -294,4 +295,57 @@ def twap(
         F.round(F.sum(v * F.col("_dt")) / F.sum("_dt"), round_to).alias(
             "twap"
         ),
+    )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_days: int = 7,
+    out_col: str = "n_active",
+) -> DataFrame:
+    """Rolling W-day distinct-key count per calendar day — the DAU/WAU/MAU
+    family (7-day actives, 28-day actives) every event pipeline reports.
+
+    COUNT(DISTINCT) over a sliding time frame is not decomposable, so the
+    naive rendering is a RANGE window over the raw event stream — a
+    per-day re-sort of everything, and distinct-within-frame isn't even
+    expressible as a Spark window. The scale-safe shape used here:
+
+        1. reduce to the distinct (day, key) grid first — one two-phase
+           hash aggregate; at 100 TB this collapses the event stream to
+           |keys| × |days| at most, usually orders of magnitude smaller;
+        2. explode each (day, key) into the ``window_days`` target days
+           it contributes to — a bounded, constant-factor row expansion
+           of the REDUCED grid, never of the raw events;
+        3. one count-distinct per target day (again two-phase: partial
+           distinct on (day, key), merge counts) — Spark plans
+           countDistinct as expand+two aggregates, all map-side
+           combinable;
+        4. keep only target days that actually appear in the data (a
+           broadcast semi-join against the tiny distinct-day list), so
+           the trailing ``window_days - 1`` phantom days past the end of
+           the data don't emit partial windows.
+
+    Output: one row per observed day with the distinct-key count over
+    [day - window_days + 1, day]. All shuffles carry (date, key) pairs.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    per = (
+        df.select(
+            F.to_date(F.col(ts_col)).alias("_d"), F.col(key_col).alias("_k")
+        )
+        .filter(F.col("_d").isNotNull() & F.col("_k").isNotNull())
+        .distinct()
+    )
+    days = per.select(F.col("_d").alias("day")).distinct()
+    offsets = F.sequence(F.lit(0), F.lit(window_days - 1))
+    expanded = per.select(
+        "_k", F.explode(F.transform(offsets, lambda i: F.date_add("_d", i))).alias("day")
+    )
+    observed = expanded.join(F.broadcast(days), on="day", how="left_semi")
+    return observed.groupBy("day").agg(
+        F.countDistinct("_k").cast("long").alias(out_col)
     )

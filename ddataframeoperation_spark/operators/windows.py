@@ -34,6 +34,7 @@ __all__ = [
     "retention_cohorts",
     "transition_counts",
     "debounce",
+    "next_event_examples",
 ]
 
 
@@ -352,4 +353,54 @@ def debounce(
         df.withColumn("_gap", gap)
         .filter(F.col("_gap").isNull() | (F.col("_gap") >= min_gap_seconds))
         .drop("_gap")
+    )
+
+
+def next_event_examples(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    label_col: str = "event_type",
+    context: int = 3,
+    tiebreak: Sequence[str] = (),
+    sep: str = " ",
+    context_col: str = "context",
+    target_col: str = "target",
+) -> DataFrame:
+    """Sequence-model training-pair builder: for every event, emit the
+    labels of (up to) the ``context`` immediately preceding events of the
+    same key as the model input, and the event's own label as the target —
+    the (context, next-token) example shape behind next-event-prediction /
+    session-recommendation fine-tunes.
+
+    The context is ``sep``-joined into ONE string column rather than an
+    array: training exports serialize it anyway, and a scalar column keeps
+    the result exactly hashable by engine-independent oracles.
+
+    Rows with no predecessor (each key's first event) are dropped — there
+    is no input to condition on; with fewer than ``context`` predecessors
+    the shorter prefix is kept (the warm-up examples a trainer pads).
+
+    Plan: one PARTITION BY key window (shuffle on the key, per-partition
+    sort by (ts, *tiebreak) — pass a unique tiebreaker for a total order),
+    ``collect_list`` over a bounded ROWS frame (≤ ``context`` elements of
+    state per row — never whole-partition buffering), then a row-local
+    join+filter. No second shuffle; composes with sessionize/debounce on
+    the same exchange.
+    """
+    if context < 1:
+        raise ValueError("context must be >= 1")
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-context, -1)
+    )
+    ctx = F.collect_list(label_col).over(w)
+    return (
+        df.withColumn("_ctx", ctx)
+        .filter(F.size("_ctx") >= 1)
+        .withColumn(context_col, F.array_join("_ctx", sep))
+        .withColumn(target_col, F.col(label_col))
+        .drop("_ctx")
     )

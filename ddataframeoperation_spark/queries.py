@@ -7540,6 +7540,130 @@ def b33mmr(spark: SparkSession, sf: str) -> DataFrame:
     return RT.mmr_diversify(pred, emb, k=5, lamb=0.7)
 
 
+@_q(
+    "b24_rolling_actives",
+    """
+    WITH per AS (
+      SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id AS k
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), days AS (SELECT DISTINCT d AS day FROM per)
+    SELECT day, CAST(count(DISTINCT k) AS BIGINT) AS n_active
+    FROM days JOIN per ON per.d BETWEEN day - 6 AND day
+    GROUP BY day
+    """,
+)
+def b24ra(spark: SparkSession, sf: str) -> DataFrame:
+    # Rolling 7-day distinct actives (the WAU curve). The operator's
+    # scale shape: reduce events to the distinct (day, user) grid FIRST,
+    # then a bounded 7-way explode of the reduced grid — never a RANGE
+    # window over raw events (distinct-in-frame isn't even expressible
+    # as one). The oracle computes the same thing as a day×grid range
+    # join, which is fine at fixture scale and exactly the plan we
+    # refuse to run at 100 TB.
+    from ddataframeoperation_spark.operators.timeseries import rolling_distinct
+
+    return rolling_distinct(
+        _t(spark, sf, "events"), ts_col="ts", key_col="user_id", window_days=7
+    )
+
+
+@_q(
+    "b35_next_event_examples",
+    """
+    SELECT user_id, event_id, context, target FROM (
+      SELECT user_id, event_id,
+             array_to_string(array_agg(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ' ') AS context,
+             event_type AS target
+      FROM events)
+    WHERE context IS NOT NULL AND context <> ''
+    """,
+)
+def b35ne(spark: SparkSession, sf: str) -> DataFrame:
+    # Sequence-model training pairs: per user, the labels of the last 3
+    # events as the input context, the current label as the target. One
+    # key-partitioned window with a bounded ROWS frame (<=3 labels of
+    # state per row); event_id is the total-order tiebreaker that makes
+    # the emitted context strings engine-independent.
+    ex = W.next_event_examples(
+        _t(spark, sf, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        label_col="event_type",
+        context=3,
+        tiebreak=("event_id",),
+    )
+    return ex.select("user_id", "event_id", "context", "target")
+
+
+@_q(
+    "b31_dedup_provenance",
+    """
+    WITH g AS (
+      SELECT md5(array_to_string(
+               (string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))[1:2],
+               ' ')) AS fp,
+             doc_id AS id
+      FROM documents
+    ), c AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS n_copies
+      FROM g GROUP BY fp HAVING count(*) >= 2
+    ), ids AS (
+      SELECT fp, list_sort(list(id)) AS ids FROM g GROUP BY fp
+    )
+    SELECT ids[1] AS doc_id, n_copies,
+           array_to_string(list_transform(ids[2:3], x -> CAST(x AS VARCHAR)), ',') AS dup_ids
+    FROM c JOIN ids USING (fp)
+    """,
+)
+def b31dp(spark: SparkSession, sf: str) -> DataFrame:
+    # Dedup WITH the audit trail: which ids did each survivor absorb.
+    # The fixture's full texts are all distinct, so the registered query
+    # fingerprints the 2-token normalized prefix — 111 real duplicate
+    # groups, max size 4, so max_ids=2 exercises the id-list cap (a
+    # group of 4 reports the survivor, n_copies=4, and only the 2
+    # lowest dropped ids). The capped list is enforced BEFORE
+    # collect_list — the row_number window keeps max_ids+1 ids per
+    # group, so a million-copy group buffers 3 longs, not a million.
+    d = _t(spark, sf, "documents")
+    pre = F.array_join(
+        F.slice(F.split(dedup.normalized_text("text"), " "), 1, 2), " "
+    )
+    return dedup.dedup_with_provenance(
+        d, text_col=pre, id_col="doc_id", max_ids=2
+    )
+
+
+@_q(
+    "b34_bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, count(*) AS c FROM words
+      WHERE w <> '' AND length(w) >= 2 GROUP BY w
+    ), pairs AS (
+      SELECT w[i:i+1] AS pair, c
+      FROM wc, unnest(generate_series(1, CAST(length(w) AS BIGINT) - 1)) AS t(i)
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 50
+    """,
+)
+def b34bpc(spark: SparkSession, sf: str) -> DataFrame:
+    # BPE merge DISCOVERY (bpe_subword_stats is the apply step): corpus
+    # frequency of every adjacent character pair, weighted by word
+    # occurrence — the statistic whose argmax is the trainer's next
+    # merge. Scale shape: corpus -> vocabulary aggregate FIRST, pair
+    # explosion over distinct words only, then a map-side-combinable
+    # count and a TakeOrderedAndProject top-50.
+    return TX.bpe_pair_counts(_t(spark, sf, "documents"), top_n=50)
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #

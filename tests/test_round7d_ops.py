@@ -1,0 +1,266 @@
+"""Round-7d operator checks: rolling distinct actives, next-event
+training pairs, dedup provenance, and BPE pair-count discovery.
+
+Each operator also has a registered query + DuckDB oracle
+(`b24_rolling_actives`, `b35_next_event_examples`, `b31_dedup_provenance`,
+`b34_bpe_pair_counts`); these tests pin the edge cases the fixture cannot
+reach (NULL keys/timestamps, window-of-one, cap enforcement on big
+duplicate groups, tie-breaks, argument validation) and the plan shapes
+the docstrings promise.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ddataframeoperation_spark.operators import dedup
+from ddataframeoperation_spark.operators import text as TX
+from ddataframeoperation_spark.operators.timeseries import rolling_distinct
+from ddataframeoperation_spark.operators.windows import next_event_examples
+
+
+def _ts(d, h=0):
+    return datetime.datetime(2024, 1, d, h)
+
+
+# ------------------------------------------------------------ rolling_distinct
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "ts timestamp, user_id long")
+
+
+def test_rolling_distinct_window_counts(spark):
+    # u1 active days 1,2; u2 active day 3; u3 active days 1 and 5.
+    df = _events(
+        spark,
+        [
+            (_ts(1), 1), (_ts(1, 5), 1), (_ts(2), 1),
+            (_ts(3), 2),
+            (_ts(1), 3), (_ts(5), 3),
+        ],
+    )
+    got = {
+        (r["day"].isoformat(), r["n_active"])
+        for r in rolling_distinct(df, window_days=3).collect()
+    }
+    # day1: {1,3}; day2: {1,3}(d1-2); day3: {1,2,3}(d1-3); day5: {2,3}(d3-5).
+    assert got == {
+        ("2024-01-01", 2),
+        ("2024-01-02", 2),
+        ("2024-01-03", 3),
+        ("2024-01-05", 2),
+    }
+
+
+def test_rolling_distinct_window_one_is_daily_distinct(spark):
+    df = _events(spark, [(_ts(1), 1), (_ts(1), 2), (_ts(2), 1), (_ts(2), 1)])
+    got = {
+        (r["day"].isoformat(), r["n_active"])
+        for r in rolling_distinct(df, window_days=1).collect()
+    }
+    assert got == {("2024-01-01", 2), ("2024-01-02", 1)}
+
+
+def test_rolling_distinct_drops_null_keys_and_timestamps(spark):
+    df = _events(spark, [(_ts(1), 1), (None, 2), (_ts(2), None)])
+    got = {
+        (r["day"].isoformat(), r["n_active"])
+        for r in rolling_distinct(df, window_days=7).collect()
+    }
+    # Only the clean row contributes, and NULL-ts rows create no day.
+    assert got == {("2024-01-01", 1)}
+
+
+def test_rolling_distinct_no_phantom_trailing_days(spark):
+    # A single active day must emit exactly one row — not window_days
+    # partial windows trailing past the end of the data.
+    df = _events(spark, [(_ts(1), 1)])
+    assert rolling_distinct(df, window_days=28).count() == 1
+
+
+def test_rolling_distinct_rejects_bad_window(spark):
+    df = _events(spark, [(_ts(1), 1)])
+    with pytest.raises(ValueError):
+        rolling_distinct(df, window_days=0)
+
+
+def test_rolling_distinct_plan_reduces_before_exploding(spark):
+    # The explode must sit ABOVE the distinct (day,key) aggregate — the
+    # bounded expansion runs on the reduced grid, never on raw events —
+    # and there is no window operator anywhere in the plan.
+    df = _events(spark, [(_ts(1), 1), (_ts(2), 2)])
+    p = str(
+        rolling_distinct(df, window_days=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+    assert "WindowExec" not in p and "Cartesian" not in p
+    assert "Generate explode" in p or "Generate" in p
+
+
+# -------------------------------------------------------- next_event_examples
+
+
+def _seq(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+
+
+def test_next_event_examples_contexts(spark):
+    df = _seq(
+        spark,
+        [
+            (1, _ts(1), 10, "a"),
+            (1, _ts(2), 11, "b"),
+            (1, _ts(3), 12, "c"),
+            (1, _ts(4), 13, "d"),
+            (2, _ts(1), 20, "x"),
+        ],
+    )
+    got = {
+        (r["event_id"], r["context"], r["target"])
+        for r in next_event_examples(df, context=2).collect()
+    }
+    # First event per key has no predecessor and is dropped; warm-up
+    # examples keep the shorter prefix; user 2's lone event emits nothing.
+    assert got == {(11, "a", "b"), (12, "a b", "c"), (13, "b c", "d")}
+
+
+def test_next_event_examples_tiebreak_orders_equal_timestamps(spark):
+    df = _seq(
+        spark,
+        [(1, _ts(1), 2, "b"), (1, _ts(1), 1, "a"), (1, _ts(1), 3, "c")],
+    )
+    got = {
+        (r["event_id"], r["context"])
+        for r in next_event_examples(
+            df, context=3, tiebreak=("event_id",)
+        ).collect()
+    }
+    assert got == {(2, "a"), (3, "a b")}
+
+
+def test_next_event_examples_rejects_bad_context(spark):
+    df = _seq(spark, [(1, _ts(1), 1, "a")])
+    with pytest.raises(ValueError):
+        next_event_examples(df, context=0)
+
+
+def test_next_event_examples_single_window_plan(spark):
+    # One key-partitioned window, bounded ROWS frame — no second
+    # exchange, no unbounded frame.
+    df = _seq(spark, [(1, _ts(1), 1, "a"), (1, _ts(2), 2, "b")])
+    p = str(
+        next_event_examples(df, context=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+    assert p.count("Exchange") == 1
+    assert "unboundedpreceding" not in p.lower()
+
+
+# ------------------------------------------------------ dedup_with_provenance
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_provenance_groups_and_normalizes(spark):
+    df = _docs(
+        spark,
+        [
+            (3, "Hello, World!"),
+            (1, "hello   world"),
+            (2, "HELLO WORLD"),
+            (9, "something else"),
+        ],
+    )
+    rows = dedup.dedup_with_provenance(df, max_ids=20).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # Survivor is the lowest id; the dropped ids are sorted ascending.
+    assert (r["doc_id"], r["n_copies"], r["dup_ids"]) == (1, 2 + 1, "2,3")
+
+
+def test_dedup_provenance_caps_id_list_not_count(spark):
+    df = _docs(spark, [(i, "same text") for i in range(5)])
+    r = dedup.dedup_with_provenance(df, max_ids=2).collect()[0]
+    # n_copies reports the TRUE group size; the id list is capped at
+    # max_ids of the lowest dropped ids.
+    assert (r["doc_id"], r["n_copies"], r["dup_ids"]) == (0, 5, "1,2")
+
+
+def test_dedup_provenance_full_table_mode(spark):
+    df = _docs(spark, [(1, "alpha"), (2, "alpha"), (3, "beta")])
+    got = {
+        (r["doc_id"], r["n_copies"], r["dup_ids"])
+        for r in dedup.dedup_with_provenance(
+            df, only_duplicated=False
+        ).collect()
+    }
+    assert got == {(1, 2, "2"), (3, 1, "")}
+
+
+def test_dedup_provenance_rejects_bad_cap(spark):
+    df = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        dedup.dedup_with_provenance(df, max_ids=0)
+
+
+def test_dedup_provenance_single_fingerprint_exchange(spark):
+    # The window and the count+capped-list aggregate share ONE shuffle of
+    # (fp, id) pairs — the groupBy reuses the window's partitioning, and
+    # there is no join.
+    df = _docs(spark, [(1, "x"), (2, "x")])
+    p = str(
+        dedup.dedup_with_provenance(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+    assert p.count("Exchange hashpartitioning(_fp") == 1
+    assert "Join" not in p
+
+
+# ------------------------------------------------------------ bpe_pair_counts
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    df = _docs(spark, [(1, "aaab aaab"), (2, "ab a")])
+    got = {
+        (r["pair"], r["pair_count"])
+        for r in TX.bpe_pair_counts(df, top_n=10).collect()
+    }
+    # "aaab"x2 -> aa,aa,ab each occurrence; "ab"x1 -> ab. "a" is below
+    # min_word_len and contributes nothing.
+    assert got == {("aa", 4), ("ab", 3)}
+
+
+def test_bpe_pair_counts_topn_tiebreak(spark):
+    # Equal counts break ties on the pair string ascending, so top-1 is
+    # deterministic.
+    df = _docs(spark, [(1, "zz aa")])
+    rows = TX.bpe_pair_counts(df, top_n=1).collect()
+    assert [(r["pair"], r["pair_count"]) for r in rows] == [("aa", 1)]
+
+
+def test_bpe_pair_counts_rejects_bad_topn(spark):
+    df = _docs(spark, [(1, "ab")])
+    with pytest.raises(ValueError):
+        TX.bpe_pair_counts(df, top_n=0)
+
+
+def test_bpe_pair_counts_plan_aggregates_before_exploding(spark):
+    # Vocabulary aggregate below the pair Generate, top-k planned as
+    # TakeOrderedAndProject — per-partition heaps, no global sort.
+    df = _docs(spark, [(1, "hello world")])
+    p = str(
+        TX.bpe_pair_counts(df, top_n=5)._jdf.queryExecution().executedPlan()
+    )
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p.replace("TakeOrderedAndProject", "")
