@@ -52,6 +52,7 @@ __all__ = [
     "corpus_datacard",
     "remove_boilerplate",
     "bpe_pair_counts",
+    "skipgram_pairs",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -1090,3 +1091,54 @@ def bpe_pair_counts(
         .orderBy(F.desc("pair_count"), "pair")
         .limit(int(top_n))
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    text_col: str | Column = "text",
+    window: int = 2,
+    min_count: int = 1,
+) -> DataFrame:
+    """B34 — skip-gram co-occurrence pair counts: for every token, how
+    often each other token appears within ``window`` positions to its
+    RIGHT. This is the sufficient statistic for word2vec-style embedding
+    training and PMI association mining over the corpus (the symmetric
+    left+right count is the mirror sum, ``count(a,b) + count(b,a)``).
+
+    Plan shape: pair generation is entirely ROW-LOCAL — for each offset
+    ``j`` (a bounded Python loop unrolled into the plan, j <= window),
+    ``arrays_zip`` aligns the token array with itself shifted by j; the
+    concatenated struct arrays explode into (w1, w2) rows that feed one
+    map-side-combinable count aggregate. Document bodies never shuffle —
+    only (word, word) pairs — and the explode fan-out is
+    ``window`` x corpus token count, the same order as reading the
+    tokens. NULL texts contribute nothing (null token arrays are dropped
+    by the explode).
+
+    ``min_count`` prunes the long tail post-aggregate (the standard
+    vocabulary floor). Output: (w1, w2, pair_count), w1 preceding w2.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    toks = tokens(text_col)
+    n = F.size(toks)
+    shifted = [
+        # greatest(0) guards docs shorter than the offset — slice
+        # rejects negative lengths.
+        F.arrays_zip(
+            F.slice(toks, 1, F.greatest(n - j, F.lit(0))).alias("w1"),
+            F.slice(toks, j + 1, F.greatest(n - j, F.lit(0))).alias("w2"),
+        )
+        for j in range(1, window + 1)
+    ]
+    pairs = df.select(
+        F.explode(F.concat(*shifted)).alias("_p")
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    counted = (
+        pairs.filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("pair_count"))
+    )
+    return counted.filter(F.col("pair_count") >= int(min_count))

@@ -7664,6 +7664,73 @@ def b34bpc(spark: SparkSession, sf: str) -> DataFrame:
     return TX.bpe_pair_counts(_t(spark, sf, "documents"), top_n=50)
 
 
+@_q(
+    "b24_rolling_actives_approx",
+    """
+    WITH per AS (
+      SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id AS k
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT d AS day, TRUE AS approx_ok FROM per GROUP BY d
+    """,
+)
+def b24raa(spark: SparkSession, sf: str) -> DataFrame:
+    # The sketch path for rolling actives (28-day MAU shape): per-day HLL
+    # sketches merged across the window — state CONSTANT in key
+    # cardinality, vs the exact operator's (day,key) grid. Estimates
+    # can't hash-match an exact oracle, so assert the error bound per
+    # day against the exact twin: lg_config_k=14 puts the HLL rsd at
+    # ~0.8%, so the 5% (+1) bound is a multi-sigma margin —
+    # deterministic for the fixed fixture, red if the sketch algebra or
+    # the window explode breaks.
+    from ddataframeoperation_spark.operators.timeseries import (
+        rolling_distinct,
+        rolling_distinct_approx,
+    )
+
+    ev = _t(spark, sf, "events")
+    approx = rolling_distinct_approx(
+        ev, window_days=7, lg_config_k=14, out_col="approx_n"
+    )
+    exact = rolling_distinct(ev, window_days=7, out_col="exact_n")
+    return approx.join(exact, "day").select(
+        "day",
+        (
+            F.abs(F.col("approx_n") - F.col("exact_n"))
+            <= F.greatest(F.lit(1), F.col("exact_n") * 0.05)
+        ).alias("approx_ok"),
+    )
+
+
+@_q(
+    "b34_skipgram_pairs",
+    """
+    WITH t AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), p AS (
+      SELECT toks[i] AS w1, toks[i + j] AS w2
+      FROM t,
+           unnest(generate_series(1, CAST(len(toks) AS BIGINT) - 1)) AS a(i),
+           unnest(generate_series(1, 2)) AS b(j)
+      WHERE i + j <= len(toks)
+    )
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+    FROM p WHERE w1 <> '' AND w2 <> ''
+    GROUP BY w1, w2 HAVING count(*) >= 3
+    """,
+)
+def b34sg(spark: SparkSession, sf: str) -> DataFrame:
+    # Skip-gram co-occurrence counts (window=2, right-context) — the
+    # word2vec/PMI sufficient statistic. Pair generation is row-local
+    # (arrays_zip against the self-shifted token array, one explode);
+    # only (word, word) pairs ever shuffle, into one map-side-combined
+    # count. min_count=3 is the standard vocabulary floor.
+    return TX.skipgram_pairs(
+        _t(spark, sf, "documents"), window=2, min_count=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -7798,6 +7865,12 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 _BONUS_SLOTS = [
     "b05_semijoin_reduction",
     "b32_cluster_dedup_quality",
+    "b24_rolling_actives",
+    "b35_next_event_examples",
+    "b31_dedup_provenance",
+    "b34_bpe_pair_counts",
+    "b24_rolling_actives_approx",
+    "b34_skipgram_pairs",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

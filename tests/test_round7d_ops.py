@@ -264,3 +264,106 @@ def test_bpe_pair_counts_plan_aggregates_before_exploding(spark):
     )
     assert "TakeOrderedAndProject" in p
     assert "Sort " not in p.replace("TakeOrderedAndProject", "")
+
+
+# ----------------------------------------------------- rolling_distinct_approx
+
+
+def test_rolling_distinct_approx_tracks_exact(spark):
+    from ddataframeoperation_spark.operators.timeseries import (
+        rolling_distinct_approx,
+    )
+
+    rows = [(_ts(d % 9 + 1, d % 23), d % 40) for d in range(400)]
+    df = _events(spark, rows)
+    from ddataframeoperation_spark.operators.timeseries import rolling_distinct
+
+    exact = {
+        r["day"]: r["n_active"]
+        for r in rolling_distinct(df, window_days=3).collect()
+    }
+    approx = {
+        r["day"]: r["n_active_approx"]
+        for r in rolling_distinct_approx(
+            df, window_days=3, lg_config_k=14
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for day, ex in exact.items():
+        assert abs(approx[day] - ex) <= max(1, 0.05 * ex)
+
+
+def test_rolling_distinct_approx_no_key_shuffle(spark):
+    # Raw keys are scanned once into per-day sketches; everything past
+    # the first aggregate shuffles only (day, sketch) rows. No window
+    # operator, no join on the key column.
+    from ddataframeoperation_spark.operators.timeseries import (
+        rolling_distinct_approx,
+    )
+
+    df = _events(spark, [(_ts(1), 1), (_ts(2), 2)])
+    p = str(
+        rolling_distinct_approx(df, window_days=7)
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+    assert "WindowExec" not in p
+    assert "hll_union_agg" in p or "hll_union" in p
+
+
+def test_rolling_distinct_approx_rejects_bad_window(spark):
+    from ddataframeoperation_spark.operators.timeseries import (
+        rolling_distinct_approx,
+    )
+
+    df = _events(spark, [(_ts(1), 1)])
+    with pytest.raises(ValueError):
+        rolling_distinct_approx(df, window_days=0)
+
+
+# ------------------------------------------------------------- skipgram_pairs
+
+
+def test_skipgram_pairs_window_counts(spark):
+    df = _docs(spark, [(1, "a b c a b")])
+    got = {
+        (r["w1"], r["w2"], r["pair_count"])
+        for r in TX.skipgram_pairs(df, window=2).collect()
+    }
+    # Right-context pairs at distance 1: (a,b)x2 (b,c) (c,a);
+    # distance 2: (a,c) (b,a) (c,b).
+    assert got == {
+        ("a", "b", 2),
+        ("b", "c", 1),
+        ("c", "a", 1),
+        ("a", "c", 1),
+        ("b", "a", 1),
+        ("c", "b", 1),
+    }
+
+
+def test_skipgram_pairs_short_docs_and_normalization(spark):
+    # One-token and empty docs emit nothing; punctuation/case normalize.
+    df = _docs(spark, [(1, "Hello, WORLD!"), (2, "x"), (3, ""), (4, None)])
+    got = {
+        (r["w1"], r["w2"], r["pair_count"])
+        for r in TX.skipgram_pairs(df, window=3).collect()
+    }
+    assert got == {("hello", "world", 1)}
+
+
+def test_skipgram_pairs_min_count_floor(spark):
+    df = _docs(spark, [(1, "a b a b c d")])
+    got = {
+        (r["w1"], r["w2"])
+        for r in TX.skipgram_pairs(df, window=1, min_count=2).collect()
+    }
+    assert got == {("a", "b")}
+
+
+def test_skipgram_pairs_rejects_bad_args(spark):
+    df = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        TX.skipgram_pairs(df, window=0)
+    with pytest.raises(ValueError):
+        TX.skipgram_pairs(df, min_count=0)
