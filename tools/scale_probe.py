@@ -348,6 +348,54 @@ def main() -> int:
                 embargo_seconds=86400.0, key_col="user_id",
             ),
         )
+    # Round-7d: rolling distinct actives — exact (reduced (day,key) grid,
+    # bounded explode) and the HLL sketch path (|days| x W sketch rows,
+    # state constant in key cardinality); next-event training pairs (one
+    # bounded-frame window).
+    from ddataframeoperation_spark.operators.timeseries import (
+        rolling_distinct,
+        rolling_distinct_approx,
+    )
+    from ddataframeoperation_spark.operators.windows import next_event_examples
+
+    for tag, e in (("1x", ev1), (f"{factor}x", ev)):
+        probe(
+            f"rolling_actives_exact {tag}",
+            lambda e=e: rolling_distinct(e, window_days=7),
+        )
+        probe(
+            f"rolling_actives_hll {tag}",
+            lambda e=e: rolling_distinct_approx(e, window_days=7),
+        )
+        probe(
+            f"next_event_examples {tag}",
+            lambda e=e: next_event_examples(
+                e, context=3, tiebreak=("event_id",)
+            ),
+        )
+    # Round-7d: dedup provenance (one (fp,id) shuffle, capped id lists),
+    # BPE pair discovery (vocabulary aggregate BEFORE pair explosion),
+    # and skip-gram pairs (row-local pair generation, one count agg).
+    for tag, d in (("1x", docs1), (f"{factor}x", docs)):
+        probe(
+            f"dedup_provenance {tag}",
+            lambda d=d: dedup.dedup_with_provenance(
+                d,
+                text_col=F.array_join(
+                    F.slice(F.split(dedup.normalized_text("text"), " "), 1, 2),
+                    " ",
+                ),
+                max_ids=2,
+            ),
+        )
+        probe(
+            f"bpe_pair_counts {tag}",
+            lambda d=d: TX.bpe_pair_counts(d, top_n=50),
+        )
+        probe(
+            f"skipgram_pairs {tag}",
+            lambda d=d: TX.skipgram_pairs(d, window=2, min_count=3),
+        )
     return 0
 
 
