@@ -7731,6 +7731,35 @@ def b34sg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b33_pq_topk",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 1)
+    SELECT vec_id,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 4) AS cos_sim
+    FROM embeddings, q
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe) DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def b33pq(spark: SparkSession, sf: str) -> DataFrame:
+    # Product quantization, the compression tier below IVF (FAISS PQ8x16:
+    # 8-byte codes, 32x smaller than the float32 vectors): per-subspace
+    # k-means codebooks trained on a bounded driver sample, Arrow-batched
+    # encoding, ADC lookup-table scan over the CODES, exact re-rank of
+    # the shortlist. Shortlisting the whole corpus is exact by
+    # construction — the oracle is brute-force top-k, so a hash match
+    # proves encode/ADC/rerank lose or duplicate no row and the rerank
+    # math matches DuckDB's. The small-shortlist approximate mode is
+    # recall-tested in tests/test_similarity_ivf.py.
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    books = similarity.pq_train(emb, m=8, ksub=16, iters=5)
+    return similarity.pq_topk(
+        emb, qvec, books, k=10, shortlist=1_000_000_000
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -7871,6 +7900,7 @@ _BONUS_SLOTS = [
     "b34_bpe_pair_counts",
     "b24_rolling_actives_approx",
     "b34_skipgram_pairs",
+    "b33_pq_topk",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

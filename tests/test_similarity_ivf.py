@@ -114,3 +114,62 @@ def test_kgram_hashes_matches_polynomial():
     ]
     assert hs.tolist() == expect
     assert TX.kgram_hashes(np.array([1, 2], dtype=np.int64), k=3).size == 0
+
+
+# ------------------------------------------------------- product quantization
+
+
+def test_pq_full_shortlist_equals_exact_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(emb)
+    books = similarity.pq_train(emb, m=8, ksub=16, iters=3)
+    exact = similarity.cosine_topk(emb, q, k=10).collect()
+    pq = similarity.pq_topk(emb, q, books, k=10, shortlist=10**9).collect()
+    assert [(r["vec_id"], r["cos_sim"]) for r in pq] == [
+        (r["vec_id"], r["cos_sim"]) for r in exact
+    ]
+
+
+def test_pq_small_shortlist_recall(spark, sf_dir):
+    # The ADC scan with a 40-of-500 shortlist must keep most of the true
+    # top-10 — this is the approximate mode the registered query's exact
+    # gate can't see.
+    emb = _emb(spark, sf_dir)
+    q = _query_vec(emb)
+    books = similarity.pq_train(emb, m=8, ksub=16, iters=5)
+    exact_ids = {
+        r["vec_id"] for r in similarity.cosine_topk(emb, q, k=10).collect()
+    }
+    pq_ids = {
+        r["vec_id"]
+        for r in similarity.pq_topk(emb, q, books, k=10, shortlist=40).collect()
+    }
+    assert len(pq_ids & exact_ids) >= 6
+    # Re-rank is exact cosine, so the query vector itself always wins.
+    assert 0 in pq_ids
+
+
+def test_pq_train_deterministic_and_shaped(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    b1 = similarity.pq_train(emb, m=4, ksub=8, iters=2)
+    b2 = similarity.pq_train(emb, m=4, ksub=8, iters=2)
+    assert b1 == b2
+    assert len(b1) == 4 and len(b1[0]) == 8 and len(b1[0][0]) == 16
+
+
+def test_pq_train_rejects_indivisible_dim(spark, sf_dir):
+    import pytest
+
+    emb = _emb(spark, sf_dir)
+    with pytest.raises(ValueError):
+        similarity.pq_train(emb, m=7)
+
+
+def test_pq_encode_codes_in_range(spark, sf_dir):
+    emb = _emb(spark, sf_dir).limit(32)
+    books = similarity.pq_train(emb, m=8, ksub=16, iters=2, sample_n=32)
+    rows = similarity.pq_encode(emb, books).collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert len(r["pq_code"]) == 8
+        assert all(0 <= c < 16 for c in r["pq_code"])

@@ -396,6 +396,19 @@ def main() -> int:
             f"skipgram_pairs {tag}",
             lambda d=d: TX.skipgram_pairs(d, window=2, min_count=3),
         )
+    # Round-7d: PQ ANN — codebooks train once on a bounded sample (off
+    # the data path); the ADC scan touches only 8-byte codes and the
+    # re-rank touches `shortlist` full vectors, so growth must track the
+    # code scan alone.
+    books = similarity.pq_train(emb1, m=8, ksub=16, iters=3)
+    qv = emb1.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    for tag, mdf in (("1x", emb1), (f"{factor}x", emb)):
+        probe(
+            f"pq_topk {tag}",
+            lambda mdf=mdf: similarity.pq_topk(
+                mdf, qv, books, k=10, shortlist=100
+            ),
+        )
     return 0
 
 
