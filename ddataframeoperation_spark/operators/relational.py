@@ -62,6 +62,7 @@ __all__ = [
     "retraction_stream",
     "build_group_agg",
     "maintain_group_agg",
+    "group_ols",
 ]
 
 
@@ -1186,3 +1187,48 @@ def maintain_group_agg(
         nv_new.alias("_nv"),
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+def group_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str | Column,
+    y_col: str | Column,
+    ndigits: int = 4,
+) -> DataFrame:
+    """B11 — per-group ordinary-least-squares trend line: slope,
+    intercept, R², and point count of ``y ~ x`` within each group — the
+    "fit a trend per user/source/segment" screen (engagement slopes,
+    quality drift per source, per-key seasonality residuals).
+
+    The line is reported in CENTERED form — (slope, mean_x, mean_y, R²,
+    n), i.e. ``y = mean_y + slope * (x - mean_x)`` — rather than as a
+    raw intercept. Deliberate: the intercept extrapolates to x = 0,
+    which amplifies the engines' co-moment float jitter by |mean_x|
+    (measured 2.5e-5 absolute between Spark and DuckDB on hour-scale x
+    — no rounding contract survives that), while slope and R² agree to
+    ~1e-8 and the means to ~1e-12. The intercept, when a caller wants
+    it, is ``mean_y - slope * mean_x``.
+
+    Entirely algebraic: ``regr_slope``/``regr_r2`` are co-moment
+    aggregates with constant-size partial state, so the whole fit is
+    one scan + one map-side-combined shuffle of (group, moments) — no
+    window, no per-group iteration, identical cost profile to a plain
+    sum at 100 TB. Rows where either coordinate is NULL are ignored per
+    SQL-standard regr_* semantics; groups with zero x-variance yield
+    NULL slope/R² (both engines agree).
+
+    Callers should keep ``x`` in a moderate numeric range (e.g. hours
+    since a fixed epoch, not raw epoch seconds) — OLS moments square x,
+    and the ``ndigits`` boundary rounding that makes the result
+    engine-independent assumes the slope isn't pinned at 1e-9 scale.
+    """
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    return df.groupBy(*group_cols).agg(
+        F.round(F.regr_slope(y, x), ndigits).alias("slope"),
+        F.round(F.regr_avgx(y, x), ndigits).alias("mean_x"),
+        F.round(F.regr_avgy(y, x), ndigits).alias("mean_y"),
+        F.round(F.regr_r2(y, x), ndigits).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n"),
+    )

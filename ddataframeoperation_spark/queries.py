@@ -7733,6 +7733,7 @@ def b34sg(spark: SparkSession, sf: str) -> DataFrame:
 
 @_q(
     "b33_pq_topk",
+    "b11_groupwise_regression",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 1)
     SELECT vec_id,
@@ -7758,6 +7759,39 @@ def b33pq(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.pq_topk(
         emb, qvec, books, k=10, shortlist=1_000_000_000
     )
+
+
+@_q(
+    "b11_groupwise_regression",
+    """
+    SELECT user_id,
+           round(regr_slope(value, x), 4) AS slope,
+           round(regr_avgx(value, x), 4) AS mean_x,
+           round(regr_avgy(value, x), 4) AS mean_y,
+           round(regr_r2(value, x), 4) AS r2,
+           CAST(regr_count(value, x) AS BIGINT) AS n
+    FROM (
+      SELECT user_id, value,
+             (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) / 3600000000.0 AS x
+      FROM events
+    ) GROUP BY user_id
+    """,
+)
+def b11ols(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-group OLS trend fit (engagement slope per user) in CENTERED
+    # form — slope + per-group means, intercept = mean_y - slope*mean_x
+    # derivable: the raw intercept extrapolates to x=0 and amplifies
+    # cross-engine co-moment jitter by |mean_x| (measured 2.5e-5 — no
+    # rounding contract survives), while slope/R2 agree to ~1e-8. All
+    # co-moment aggregates: constant partial state, map-side combined,
+    # one scan + one tiny shuffle at any scale. x is HOURS since a
+    # fixed epoch, not raw epoch seconds, so moments stay well-scaled.
+    # unix_micros, not unix_timestamp: the latter truncates to whole
+    # seconds, which drags every group's mean_x off the oracle's
+    # microsecond-exact value at the 4th decimal.
+    ev = _t(spark, sf, "events")
+    x = (F.unix_micros("ts") - F.lit(1704067200000000)) / 3.6e9
+    return R.group_ols(ev.withColumn("_x", x), ["user_id"], "_x", "value")
 
 
 # ---------------------------------------------------------------------------
@@ -7901,6 +7935,7 @@ _BONUS_SLOTS = [
     "b24_rolling_actives_approx",
     "b34_skipgram_pairs",
     "b33_pq_topk",
+    "b11_groupwise_regression",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

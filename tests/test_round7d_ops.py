@@ -367,3 +367,47 @@ def test_skipgram_pairs_rejects_bad_args(spark):
         TX.skipgram_pairs(df, window=0)
     with pytest.raises(ValueError):
         TX.skipgram_pairs(df, min_count=0)
+
+
+# ------------------------------------------------------------------ group_ols
+
+
+def test_group_ols_exact_fit_and_centered_form(spark):
+    from ddataframeoperation_spark.operators.relational import group_ols
+
+    # Group "a": y = 2x + 1 exactly -> slope 2, r2 1.0.
+    rows = [("a", float(x), 2.0 * x + 1.0) for x in range(5)]
+    # Group "b": constant x -> zero variance -> NULL slope/r2.
+    rows += [("b", 3.0, 1.0), ("b", 3.0, 5.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in group_ols(df, ["g"], "x", "y").collect()}
+    a = got["a"]
+    assert (a["slope"], a["mean_x"], a["mean_y"], a["r2"], a["n"]) == (
+        2.0, 2.0, 5.0, 1.0, 5,
+    )
+    # Centered form reconstructs the intercept: mean_y - slope*mean_x.
+    assert a["mean_y"] - a["slope"] * a["mean_x"] == 1.0
+    b = got["b"]
+    assert b["slope"] is None and b["r2"] is None and b["n"] == 2
+
+
+def test_group_ols_ignores_null_coordinates(spark):
+    from ddataframeoperation_spark.operators.relational import group_ols
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 2.0), ("a", None, 9.0), ("a", 5.0, None)],
+        "g string, x double, y double",
+    )
+    r = group_ols(df, ["g"], "x", "y").collect()[0]
+    # regr_* semantics: only rows with BOTH coordinates count.
+    assert r["n"] == 2 and r["slope"] == 1.0
+
+
+def test_group_ols_plan_is_single_aggregate(spark):
+    from ddataframeoperation_spark.operators.relational import group_ols
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 2.0, 3.0)], "g string, x double, y double"
+    )
+    p = str(group_ols(df, ["g"], "x", "y")._jdf.queryExecution().executedPlan())
+    assert "WindowExec" not in p and "Join" not in p
