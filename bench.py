@@ -107,6 +107,16 @@ BENCH_QUERIES = [
     # shuffle + one-row broadcast set + row-local rejoin).
     "b05_semijoin_reduction",
     "b34_boilerplate_removal",
+    # Round-7d: the perf-interesting slice of the widening batch —
+    # rolling distinct actives (reduced-grid explode + per-day
+    # count-distinct), its constant-state HLL twin, the PQ ADC scan +
+    # re-rank, skip-gram pair counting (the widest row-local explode in
+    # the b34 family), and the bounded-frame next-event pair builder.
+    "b24_rolling_actives",
+    "b24_rolling_actives_approx",
+    "b33_pq_topk",
+    "b34_skipgram_pairs",
+    "b35_next_event_examples",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
@@ -138,6 +148,8 @@ COUNT_ONLY = {
     "b22_token_budget_mix",
     "b05_semijoin_reduction",
     "b34_boilerplate_removal",
+    "b34_skipgram_pairs",
+    "b35_next_event_examples",
 }
 
 

@@ -7733,7 +7733,6 @@ def b34sg(spark: SparkSession, sf: str) -> DataFrame:
 
 @_q(
     "b33_pq_topk",
-    "b11_groupwise_regression",
     """
     WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 1)
     SELECT vec_id,

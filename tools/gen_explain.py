@@ -55,6 +55,10 @@ HEADLINE = [
     # Round 7c
     ("b05_semijoin_reduction", "Semi-join-reduced fact join: broadcast LEFT SEMI on the filtered dim's distinct keys BELOW the main join — non-matching fact rows never shuffle"),
     ("b34_boilerplate_removal", "Boilerplate removal: digest-only explode/aggregate, ONE-row broadcast boilerplate set, row-local higher-order filter + rejoin — the corpus never shuffles"),
+    ("b24_rolling_actives", "Rolling 7-day distinct actives: distinct (day,key) grid FIRST, bounded explode of the reduced grid, two-phase count-distinct per day — no RANGE window over raw events"),
+    ("b31_dedup_provenance", "Dedup audit trail: ONE (fp,id) exchange shared by the ranking window and the count+capped-list aggregate — no join, bounded collect_list"),
+    ("b33_pq_topk", "Product quantization: Arrow encode, ADC lookup-table scan over 8-byte codes, TakeOrdered shortlist, broadcast-join exact re-rank"),
+    ("b34_skipgram_pairs", "Skip-gram pairs: row-local self-shifted arrays_zip explode into one map-side-combined count — only (word,word) pairs shuffle"),
     ("b32_cluster_dedup_quality", "Quality-aware cluster dedup: iterative components, then ONE map-side max_by((score,-id)) per component — no window, no per-cluster sort"),
     ("bzo_zvalue_interleave", "Z-order clustering key: pure row-local shift/mask projection — scan speed, zero exchanges"),
     ("b22_temporal_split", "Purged temporal split: pushed-down time filters, one left-anti key join (pre-cutoff slice vs distinct eval keys), union"),
