@@ -63,6 +63,7 @@ __all__ = [
     "build_group_agg",
     "maintain_group_agg",
     "group_ols",
+    "hll_overlap",
 ]
 
 
@@ -1231,4 +1232,49 @@ def group_ols(
         F.round(F.regr_avgy(y, x), ndigits).alias("mean_y"),
         F.round(F.regr_r2(y, x), ndigits).alias("r2"),
         F.regr_count(y, x).cast("long").alias("n"),
+    )
+
+
+def hll_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    lg_config_k: int = 14,
+) -> DataFrame:
+    """B12 — approximate audience overlap between two cohorts via HLL
+    inclusion-exclusion: |A∩B| ≈ |A| + |B| − |A∪B|, with |A∪B| from a
+    lossless sketch UNION — the "how many users do both / how much do
+    these corpora share" question answered WITHOUT ever shuffling or
+    joining the key sets. Each side collapses to ONE few-KB sketch in a
+    single map-side-combined pass; the union/subtraction is driver-trivial
+    1-row algebra. At 100 TB this is the only tractable shape: the exact
+    answer is a distinct-join of two billion-key sets.
+
+    Error note: the subtraction amplifies relative error — the absolute
+    error tracks ~|A∪B|·rsd, so the INTERSECTION estimate is only
+    meaningful when the true overlap isn't tiny relative to the union
+    (the registered query gates it against the exact answer at the
+    union-scaled bound). lg_config_k=14 puts rsd at ~0.8%.
+
+    Returns one row: (est_a, est_b, est_union, est_intersect) as longs
+    (intersect floored at 0 — inclusion-exclusion can go slightly
+    negative on disjoint sets).
+    """
+    sk = lambda d, n: d.agg(  # noqa: E731
+        F.hll_sketch_agg(key_col, F.lit(lg_config_k)).alias(n)
+    )
+    both = sk(a, "_ska").crossJoin(sk(b, "_skb"))
+    est = both.select(
+        F.hll_sketch_estimate("_ska").alias("_ea"),
+        F.hll_sketch_estimate("_skb").alias("_eb"),
+        F.hll_sketch_estimate(F.hll_union("_ska", "_skb")).alias("_eu"),
+    )
+    return est.select(
+        F.round("_ea").cast("long").alias("est_a"),
+        F.round("_eb").cast("long").alias("est_b"),
+        F.round("_eu").cast("long").alias("est_union"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.round("_ea") + F.round("_eb") - F.round("_eu")).cast("long"),
+        ).alias("est_intersect"),
     )

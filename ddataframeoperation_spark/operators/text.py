@@ -53,6 +53,7 @@ __all__ = [
     "remove_boilerplate",
     "bpe_pair_counts",
     "skipgram_pairs",
+    "normalize_unicode",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -1142,3 +1143,37 @@ def skipgram_pairs(
         .agg(F.count("*").cast("long").alias("pair_count"))
     )
     return counted.filter(F.col("pair_count") >= int(min_count))
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """B23/B34 — Unicode normalization (NFC/NFKC/NFD/NFKD) of a text
+    column — the canonicalization step multilingual corpora need BEFORE
+    any fingerprint/dedup/tokenize pass (composed vs decomposed accents,
+    full-width forms, ligatures all hash differently un-normalized;
+    :func:`~ddataframeoperation_spark.operators.dedup.normalized_text`
+    deliberately handles only ASCII-ish case/punctuation).
+
+    Spark has no normalization builtin, so this is a B30-boundary
+    Pandas UDF (Arrow-batched, row-local, shuffle-free — scan speed at
+    any scale); the NFC path is exactly reproducible by DuckDB's
+    ``nfc_normalize`` — the registered query's oracle. NULLs pass
+    through as NULL.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _norm(vs: pd.Series) -> pd.Series:
+        return vs.map(
+            lambda t: unicodedata.normalize(form, t)
+            if isinstance(t, str)
+            else None
+        )
+
+    return df.withColumn(out_col or text_col, _norm(F.col(text_col)))

@@ -7793,6 +7793,83 @@ def b11ols(spark: SparkSession, sf: str) -> DataFrame:
     return R.group_ols(ev.withColumn("_x", x), ["user_id"], "_x", "value")
 
 
+@_q(
+    "b12_hll_overlap",
+    """
+    SELECT 'a' AS metric, TRUE AS approx_ok
+    UNION ALL SELECT 'b', TRUE
+    UNION ALL SELECT 'union', TRUE
+    UNION ALL SELECT 'intersect', TRUE
+    """,
+)
+def b12ov(spark: SparkSession, sf: str) -> DataFrame:
+    # Audience overlap WITHOUT joining key sets: HLL inclusion-exclusion
+    # (|A∩B| ≈ |A|+|B|−|A∪B|, union via lossless sketch merge). Each
+    # cohort collapses to one few-KB sketch in a single map-side pass —
+    # the only tractable shape when both sides hold billions of keys.
+    # Estimates can't hash-match, so the query gates each metric against
+    # the exact answer computed alongside: 5%(+2) of the exact value,
+    # union-scaled for the intersection (subtraction amplifies absolute
+    # error to ~union·rsd). Deterministic for the fixed fixture.
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    est = R.hll_overlap(a, b, "user_id", lg_config_k=14)
+    ex = (
+        a.agg(F.countDistinct("user_id").alias("xa"))
+        .crossJoin(b.agg(F.countDistinct("user_id").alias("xb")))
+        .crossJoin(
+            a.select("user_id")
+            .intersect(b.select("user_id"))
+            .agg(F.count("*").alias("xi"))
+        )
+        .select(
+            "xa", "xb", "xi",
+            (F.col("xa") + F.col("xb") - F.col("xi")).alias("xu"),
+        )
+    )
+    j = est.crossJoin(ex)
+    ok = lambda e, x, s: (  # noqa: E731
+        F.abs(e - x) <= F.greatest(F.lit(2), s * 0.05)
+    )
+    rows = [
+        j.select(F.lit("a").alias("metric"),
+                 ok(F.col("est_a"), F.col("xa"), F.col("xa")).alias("approx_ok")),
+        j.select(F.lit("b").alias("metric"),
+                 ok(F.col("est_b"), F.col("xb"), F.col("xb")).alias("approx_ok")),
+        j.select(F.lit("union").alias("metric"),
+                 ok(F.col("est_union"), F.col("xu"), F.col("xu")).alias("approx_ok")),
+        j.select(F.lit("intersect").alias("metric"),
+                 ok(F.col("est_intersect"), F.col("xi"), F.col("xu")).alias("approx_ok")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@_q(
+    "b23_unicode_normalize",
+    """
+    SELECT doc_id, nfc_normalize(text) AS text_nfc, length(nfc_normalize(text)) AS n_nfc
+    FROM documents
+    """,
+)
+def b23un(spark: SparkSession, sf: str) -> DataFrame:
+    # Unicode NFC canonicalization — the pre-fingerprint hygiene pass for
+    # multilingual corpora (composed vs decomposed accents hash apart).
+    # Spark has no normalization builtin: Arrow-batched pandas UDF,
+    # row-local, shuffle-free; DuckDB's nfc_normalize is the oracle. The
+    # fixture is ASCII (normalization is identity there), so the byte
+    # semantics are additionally pinned on crafted unicode in unit tests.
+    d = TX.normalize_unicode(
+        _t(spark, sf, "documents"), "text", form="NFC", out_col="text_nfc"
+    )
+    return d.select(
+        "doc_id", "text_nfc", F.length("text_nfc").cast("long").alias("n_nfc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -7935,6 +8012,8 @@ _BONUS_SLOTS = [
     "b34_skipgram_pairs",
     "b33_pq_topk",
     "b11_groupwise_regression",
+    "b12_hll_overlap",
+    "b23_unicode_normalize",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

@@ -411,3 +411,68 @@ def test_group_ols_plan_is_single_aggregate(spark):
     )
     p = str(group_ols(df, ["g"], "x", "y")._jdf.queryExecution().executedPlan())
     assert "WindowExec" not in p and "Join" not in p
+
+
+# ---------------------------------------------------------------- hll_overlap
+
+
+def test_hll_overlap_partial_and_disjoint(spark):
+    from ddataframeoperation_spark.operators.relational import hll_overlap
+
+    a = spark.range(1000).withColumnRenamed("id", "k")
+    b = spark.range(500, 2000).withColumnRenamed("id", "k")
+    r = hll_overlap(a, b, "k").collect()[0]
+    # True: |A|=1000 |B|=1500 |A∪B|=2000 |A∩B|=500; rsd ~0.8% at lg_k 14.
+    assert abs(r["est_a"] - 1000) <= 30
+    assert abs(r["est_b"] - 1500) <= 45
+    assert abs(r["est_union"] - 2000) <= 60
+    assert abs(r["est_intersect"] - 500) <= 80
+    # Disjoint sets: inclusion-exclusion may dip negative — floored at 0.
+    c = spark.range(5000, 6000).withColumnRenamed("id", "k")
+    r2 = hll_overlap(a, c, "k").collect()[0]
+    assert 0 <= r2["est_intersect"] <= 60
+
+
+def test_hll_overlap_no_key_join_in_plan(spark):
+    from ddataframeoperation_spark.operators.relational import hll_overlap
+
+    a = spark.range(100).withColumnRenamed("id", "k")
+    p = str(hll_overlap(a, a, "k")._jdf.queryExecution().executedPlan())
+    # The whole computation is two 1-row sketch aggregates + 1-row cross
+    # join algebra: the key sets themselves are never hash-joined.
+    assert "SortMergeJoin" not in p and "hashpartitioning(k" not in p
+
+
+# ----------------------------------------------------------- normalize_unicode
+
+
+def test_normalize_unicode_nfc_nfkc(spark):
+    from ddataframeoperation_spark.operators.text import normalize_unicode
+
+    rows = [
+        (1, "Café"),        # decomposed accent -> é under NFC
+        (2, "Ｈｉ"),      # full-width Hi — unchanged by NFC, folded by NFKC
+        (3, "ﬁle"),          # ﬁ ligature — NFKC expands to "fi"
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {
+        r["doc_id"]: r["text"]
+        for r in normalize_unicode(df, "text", form="NFC").collect()
+    }
+    assert nfc[1] == "Café"
+    assert nfc[2] == "Ｈｉ"
+    assert nfc[4] is None
+    nfkc = {
+        r["doc_id"]: r["text"]
+        for r in normalize_unicode(df, "text", form="NFKC").collect()
+    }
+    assert nfkc[2] == "Hi" and nfkc[3] == "file"
+
+
+def test_normalize_unicode_rejects_bad_form(spark):
+    from ddataframeoperation_spark.operators.text import normalize_unicode
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        normalize_unicode(df, "text", form="NFX")
