@@ -409,6 +409,33 @@ def main() -> int:
                 mdf, qv, books, k=10, shortlist=100
             ),
         )
+    # Round-7d second batch: HLL cohort overlap (two 1-row sketch
+    # aggregates, key sets never joined), per-group OLS (pure co-moment
+    # aggregate), unicode NFC (row-local Arrow UDF).
+    for tag, e in (("1x", ev1), (f"{factor}x", ev)):
+        probe(
+            f"hll_overlap {tag}",
+            lambda e=e: relational.hll_overlap(
+                e.filter(F.col("event_type") == "click"),
+                e.filter(F.col("event_type") == "purchase"),
+                "user_id",
+            ),
+        )
+        probe(
+            f"group_ols {tag}",
+            lambda e=e: relational.group_ols(
+                e.withColumn(
+                    "_x",
+                    (F.unix_micros("ts") - F.lit(1704067200000000)) / 3.6e9,
+                ),
+                ["user_id"], "_x", "value",
+            ),
+        )
+    for tag, d in (("1x", docs1), (f"{factor}x", docs)):
+        probe(
+            f"normalize_unicode {tag}",
+            lambda d=d: TX.normalize_unicode(d, "text"),
+        )
     return 0
 
 
