@@ -1202,36 +1202,71 @@ def group_ols(
     "fit a trend per user/source/segment" screen (engagement slopes,
     quality drift per source, per-key seasonality residuals).
 
-    The line is reported in CENTERED form — (slope, mean_x, mean_y, R²,
-    n), i.e. ``y = mean_y + slope * (x - mean_x)`` — rather than as a
-    raw intercept. Deliberate: the intercept extrapolates to x = 0,
-    which amplifies the engines' co-moment float jitter by |mean_x|
-    (measured 2.5e-5 absolute between Spark and DuckDB on hour-scale x
-    — no rounding contract survives that), while slope and R² agree to
-    ~1e-8 and the means to ~1e-12. The intercept, when a caller wants
-    it, is ``mean_y - slope * mean_x``.
+    The line is reported in CENTERED-SUM form — (slope, R², sum_x,
+    sum_y, n), i.e. ``y = sum_y/n + slope * (x - sum_x/n)`` — rather
+    than as means or a raw intercept. Two reasons: the intercept
+    extrapolates to x = 0 and amplifies float jitter by |mean_x|; and
+    MEANS manufacture exact rounding ties — sum/n of fixed-precision
+    data lands exactly on .ddd5 half-boundaries (observed at sf0.1),
+    where Spark's BigDecimal HALF_UP and DuckDB's float round()
+    legitimately disagree. The SUMS are exact multiples of the
+    quantization grid, so rounding them at the grid is a tie-free
+    identity. ``mean = sum/n`` and ``intercept = (sum_y - slope*sum_x)
+    / n`` are caller-side one-liners.
 
-    Entirely algebraic: ``regr_slope``/``regr_r2`` are co-moment
-    aggregates with constant-size partial state, so the whole fit is
-    one scan + one map-side-combined shuffle of (group, moments) — no
-    window, no per-group iteration, identical cost profile to a plain
-    sum at 100 TB. Rows where either coordinate is NULL are ignored per
-    SQL-standard regr_* semantics; groups with zero x-variance yield
-    NULL slope/R² (both engines agree).
+    Engine-independence by construction (the §17f PSI lesson, applied
+    to regression): the builtin ``regr_*`` co-moments accumulate in
+    float, so two engines disagree at ~1e-8 — and with thousands of
+    groups some value always lands within that jitter of a rounding
+    half-boundary and flips the 4dp contract (observed at sf0.1).
+    Instead, x and y are QUANTIZED to exact decimals (1e-6 for x, 1e-4
+    for y — the operator's stated precision), the five moments
+    Σx Σy Σxy Σx² Σy² are summed EXACTLY in decimal, and floats enter
+    only at the final slope/R² expression — written identically in the
+    oracle SQL, over bit-identical double inputs, so both engines
+    produce bit-identical outputs (residual disagreement is the
+    ~1e-10-probability round() tie on an exact-input expression, not a
+    per-group coin flip).
 
-    Callers should keep ``x`` in a moderate numeric range (e.g. hours
-    since a fixed epoch, not raw epoch seconds) — OLS moments square x,
-    and the ``ndigits`` boundary rounding that makes the result
-    engine-independent assumes the slope isn't pinned at 1e-9 scale.
+    Cost is one scan + one map-side-combined shuffle of (group, 5
+    decimal moments + count) — no window, no per-group iteration; the
+    decimal adds the same modest CPU premium as the b11 money policy
+    (SCALE.md §9). Rows where either coordinate is NULL are dropped
+    (regr_* semantics); zero x-variance (or y-variance, for R²) yields
+    NULL — both engines agree because the zero test is on an exact
+    decimal. Keep x in a moderate range (hours since an epoch, not
+    epoch seconds): x is quantized at 1e-6 and squared into a
+    DECIMAL(38) accumulator.
     """
     x = F.col(x_col) if isinstance(x_col, str) else x_col
     y = F.col(y_col) if isinstance(y_col, str) else y_col
-    return df.groupBy(*group_cols).agg(
-        F.round(F.regr_slope(y, x), ndigits).alias("slope"),
-        F.round(F.regr_avgx(y, x), ndigits).alias("mean_x"),
-        F.round(F.regr_avgy(y, x), ndigits).alias("mean_y"),
-        F.round(F.regr_r2(y, x), ndigits).alias("r2"),
-        F.regr_count(y, x).cast("long").alias("n"),
+    xd = x.cast("decimal(16,6)")
+    yd = y.cast("decimal(14,4)")
+    base = df.filter(xd.isNotNull() & yd.isNotNull())
+    m = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(xd).cast("double").alias("_sx"),
+        F.sum(yd).cast("double").alias("_sy"),
+        F.sum(xd * yd).cast("double").alias("_sxy"),
+        F.sum(xd * xd).cast("double").alias("_sxx"),
+        F.sum(yd * yd).cast("double").alias("_syy"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    denx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    deny = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    return m.select(
+        *group_cols,
+        F.round(F.when(denx != 0.0, num / denx), ndigits).alias("slope"),
+        F.round(
+            F.when((denx != 0.0) & (deny != 0.0), num * num / (denx * deny)),
+            ndigits,
+        ).alias("r2"),
+        # Rounding AT each input's quantization grid is a tie-free
+        # identity (the exact decimal sum IS a grid point); it only
+        # scrubs the double-representation noise of the cast.
+        F.round("_sx", 6).alias("sum_x"),
+        F.round("_sy", 4).alias("sum_y"),
+        F.col("_n").cast("long").alias("n"),
     )
 
 

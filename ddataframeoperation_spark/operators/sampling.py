@@ -43,6 +43,7 @@ __all__ = [
     "kfold_assign",
     "leakage_safe_kfold",
     "temporal_split",
+    "shard_manifest",
 ]
 
 #: 2^32 — the md5-prefix domain size.
@@ -639,4 +640,63 @@ def temporal_split(
         train = train.join(ev.select(key_col).distinct(), on=key_col, how="left_anti")
     return train.withColumn(split_col, F.lit("train")).unionByName(
         ev.withColumn(split_col, F.lit("eval"))
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    key_cols: Sequence[str | Column],
+    token_col: str | Column | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """B22/B29 — reproducible training-shard manifest: assign every row a
+    deterministic shard (md5 of the keys + salt, same hash family as
+    :func:`hash_uniform` — engine- and partitioning-stable), and emit per
+    shard the document count, total token budget, and an ORDER-INSENSITIVE
+    content digest (the sum of each member's 48-bit key hash). Two
+    independently-built copies of a shard — different cluster, different
+    engine, different day — match iff their (n_docs, total_tokens,
+    id_digest) rows match: the "did every reader build the same shard"
+    check distributed training needs before an epoch starts.
+
+    The digest is a SUM of per-row hashes, so it is insensitive to row
+    order and partitioning by construction (addition commutes) and needs
+    no sort anywhere; 48-bit summands keep the total well inside a 64-bit
+    long up to ~10^13 rows per shard. One scan, one map-side-combined
+    aggregate of ``n_shards`` rows.
+
+    NULL keys hash to NULL, land in no shard, and are dropped — the same
+    contract as every hash_* operator here (and the oracle expression).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    u = hash_uniform(key_cols, salt)
+    shard = F.floor(u * n_shards).cast("int")
+    cols = [
+        F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
+        for c in key_cols
+    ]
+    parts: list[Column] = []
+    for c in cols:
+        parts += [c, F.lit("|")]
+    h48 = F.conv(
+        F.substring(F.md5(F.concat(*parts, F.lit(salt))), 9, 12), 16, 10
+    ).cast("long")
+    ntok = (
+        F.lit(0).cast("long")
+        if token_col is None
+        else (
+            F.col(token_col) if isinstance(token_col, str) else token_col
+        ).cast("long")
+    )
+    return (
+        df.select(shard.alias("shard"), h48.alias("_h"), ntok.alias("_t"))
+        .filter(F.col("shard").isNotNull())
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("total_tokens"),
+            F.sum("_h").cast("long").alias("id_digest"),
+        )
     )

@@ -712,7 +712,7 @@ def pq_topk(
     query_vec: Sequence[float],
     codebooks: Sequence[Sequence[Sequence[float]]],
     k: int = 10,
-    shortlist: int = 100,
+    shortlist: int | None = 100,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -732,9 +732,14 @@ def pq_topk(
            ``shortlist`` rows of the full-width table — and exact cosine
            + TakeOrdered returns the final k.
 
-    ``shortlist >= corpus`` short-lists everything and is exact by
-    construction — the correctness gate; small shortlists are the
-    latency knob, recall-tested in tests. Ties break on id everywhere.
+    ``shortlist=None`` bypasses the ADC cut entirely — every encoded id
+    flows to the re-rank (the plan still runs encode, so a hash match
+    proves it neither drops nor duplicates rows), which is exact by
+    construction: the correctness gate. Do NOT emulate it with a huge
+    shortlist integer: TakeOrdered allocates a k-slot heap buffer PER
+    PARTITION, so a billion-row "limit" is an OOM, not a no-op (found
+    the hard way at sf0.1). Small shortlists are the latency knob,
+    recall-tested in tests. Ties break on id everywhere.
     """
     import numpy as np
 
@@ -752,14 +757,21 @@ def pq_topk(
         return pd.Series(table[np.arange(m)[None, :], c].sum(axis=1))
 
     coded = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
-    cand = (
-        coded.select(id_col, _adc(F.col("pq_code")).alias("_adc"))
-        .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
-        .limit(int(shortlist))
-        .select(id_col)
-    )
+    if shortlist is None:
+        # Exact gate: no ADC cut, no broadcast hint (the candidate set is
+        # the whole corpus — let Catalyst pick the join strategy).
+        cand = coded.select(id_col)
+        joined = df.join(cand, on=id_col)
+    else:
+        cand = (
+            coded.select(id_col, _adc(F.col("pq_code")).alias("_adc"))
+            .orderBy(F.col("_adc").desc(), F.col(id_col).asc())
+            .limit(int(shortlist))
+            .select(id_col)
+        )
+        joined = df.join(F.broadcast(cand), on=id_col)
     qlit = F.array(*[F.lit(float(v)) for v in query_vec])
-    rerank = df.join(F.broadcast(cand), on=id_col).select(
+    rerank = joined.select(
         F.col(id_col), cosine(F.col(vec_col), qlit).alias("_cos")
     )
     return (

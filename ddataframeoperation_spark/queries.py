@@ -7755,41 +7755,67 @@ def b33pq(spark: SparkSession, sf: str) -> DataFrame:
     emb = _t(spark, sf, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
     books = similarity.pq_train(emb, m=8, ksub=16, iters=5)
-    return similarity.pq_topk(
-        emb, qvec, books, k=10, shortlist=1_000_000_000
-    )
+    # shortlist=None = the exact gate (every encoded id reranked). NOT a
+    # huge integer: TakeOrdered allocates a k-slot buffer per partition,
+    # so limit(10^9) is a heap OOM, not a no-op.
+    return similarity.pq_topk(emb, qvec, books, k=10, shortlist=None)
 
 
 @_q(
     "b11_groupwise_regression",
     """
-    SELECT user_id,
-           round(regr_slope(value, x), 4) AS slope,
-           round(regr_avgx(value, x), 4) AS mean_x,
-           round(regr_avgy(value, x), 4) AS mean_y,
-           round(regr_r2(value, x), 4) AS r2,
-           CAST(regr_count(value, x) AS BIGINT) AS n
-    FROM (
-      SELECT user_id, value,
-             (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) / 3600000000.0 AS x
+    WITH q AS (
+      SELECT user_id,
+             CAST(CAST((epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000) // 3600
+                       AS DECIMAL(20,0)) * CAST(0.000001 AS DECIMAL(7,6))
+                  AS DECIMAL(16,6)) AS xd,
+             CAST(value AS DECIMAL(14,4)) AS yd
       FROM events
-    ) GROUP BY user_id
+    ), m AS (
+      SELECT user_id,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(xd) AS DOUBLE) AS sx,
+             CAST(sum(yd) AS DOUBLE) AS sy,
+             CAST(sum(xd * yd) AS DOUBLE) AS sxy,
+             CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+             CAST(sum(yd * yd) AS DOUBLE) AS syy
+      FROM q WHERE xd IS NOT NULL AND yd IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           round(CASE WHEN (n * sxx - sx * sx) <> 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 4) AS slope,
+           round(CASE WHEN (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
+                      THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 4) AS r2,
+           round(sx, 6) AS sum_x,
+           round(sy, 4) AS sum_y,
+           CAST(n AS BIGINT) AS n
+    FROM m
     """,
 )
 def b11ols(spark: SparkSession, sf: str) -> DataFrame:
     # Per-group OLS trend fit (engagement slope per user) in CENTERED
-    # form — slope + per-group means, intercept = mean_y - slope*mean_x
-    # derivable: the raw intercept extrapolates to x=0 and amplifies
-    # cross-engine co-moment jitter by |mean_x| (measured 2.5e-5 — no
-    # rounding contract survives), while slope/R2 agree to ~1e-8. All
-    # co-moment aggregates: constant partial state, map-side combined,
-    # one scan + one tiny shuffle at any scale. x is HOURS since a
-    # fixed epoch, not raw epoch seconds, so moments stay well-scaled.
-    # unix_micros, not unix_timestamp: the latter truncates to whole
-    # seconds, which drags every group's mean_x off the oracle's
-    # microsecond-exact value at the 4th decimal.
+    # sum form (means and intercept derivable as sum/n one-liners —
+    # emitting MEANS manufactures exact .ddd5 rounding ties where the
+    # engines' round() mechanisms disagree). Moments are
+    # summed as EXACT DECIMALS of 1e-6-quantized x / 1e-4-quantized y;
+    # float enters only at the final slope/R2 expression, written
+    # identically here and in the oracle over bit-identical inputs —
+    # the builtin regr_* co-moments jitter ~1e-8 across engines, which
+    # flips 4dp rounding ties once there are enough groups (observed
+    # at sf0.1). Constant partial state, map-side combined, one scan.
+    # x is built as an EXACT DECIMAL in micro-hour units from integer
+    # microsecond arithmetic (integer div 3600 -> 1e-6-hour units ->
+    # exact decimal multiply): quantizing a DOUBLE x diverges across
+    # engines (Spark's decimal cast rounds the double's shortest repr,
+    # DuckDB rounds its exact binary expansion — they pick different
+    # 1e-6 grid points whenever the data is finer than the grid).
     ev = _t(spark, sf, "events")
-    x = (F.unix_micros("ts") - F.lit(1704067200000000)) / 3.6e9
+    u = ((F.unix_micros("ts") - F.lit(1704067200000000)) / F.lit(3600)).cast(
+        "long"
+    )
+    x = u.cast("decimal(20,0)") * F.lit("0.000001").cast("decimal(7,6)")
     return R.group_ols(ev.withColumn("_x", x), ["user_id"], "_x", "value")
 
 
@@ -7867,6 +7893,39 @@ def b23un(spark: SparkSession, sf: str) -> DataFrame:
     )
     return d.select(
         "doc_id", "text_nfc", F.length("text_nfc").cast("long").alias("n_nfc")
+    )
+
+
+@_q(
+    "b22_shard_manifest",
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || 'r7'), 1, 8))::BIGINT
+               AS BIGINT) AS h32,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || 'r7'), 9, 12))::BIGINT
+               AS BIGINT) AS h48,
+             len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS ntok
+      FROM documents
+    )
+    SELECT CAST(floor(h32 / 4294967296.0 * 16) AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS total_tokens,
+           CAST(sum(h48) AS BIGINT) AS id_digest
+    FROM h GROUP BY shard
+    """,
+)
+def b22sm(spark: SparkSession, sf: str) -> DataFrame:
+    # Reproducible shard manifest: deterministic md5 shard assignment +
+    # per-shard (count, token budget, order-insensitive 48-bit-sum
+    # content digest). A DuckDB hash match here proves BOTH engines
+    # construct byte-identical shards — the pre-epoch reproducibility
+    # gate for distributed training readers. One scan, one
+    # map-side-combined 16-row aggregate.
+    from ddataframeoperation_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    return sampling.shard_manifest(
+        d, 16, ["doc_id"], token_col=TX.token_count("text"), salt="r7"
     )
 
 
@@ -8014,6 +8073,7 @@ _BONUS_SLOTS = [
     "b11_groupwise_regression",
     "b12_hll_overlap",
     "b23_unicode_normalize",
+    "b22_shard_manifest",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

@@ -382,11 +382,12 @@ def test_group_ols_exact_fit_and_centered_form(spark):
     df = spark.createDataFrame(rows, "g string, x double, y double")
     got = {r["g"]: r for r in group_ols(df, ["g"], "x", "y").collect()}
     a = got["a"]
-    assert (a["slope"], a["mean_x"], a["mean_y"], a["r2"], a["n"]) == (
-        2.0, 2.0, 5.0, 1.0, 5,
+    assert (a["slope"], a["sum_x"], a["sum_y"], a["r2"], a["n"]) == (
+        2.0, 10.0, 25.0, 1.0, 5,
     )
-    # Centered form reconstructs the intercept: mean_y - slope*mean_x.
-    assert a["mean_y"] - a["slope"] * a["mean_x"] == 1.0
+    # Centered-sum form reconstructs mean and intercept:
+    # intercept = (sum_y - slope*sum_x) / n.
+    assert (a["sum_y"] - a["slope"] * a["sum_x"]) / a["n"] == 1.0
     b = got["b"]
     assert b["slope"] is None and b["r2"] is None and b["n"] == 2
 
@@ -476,3 +477,61 @@ def test_normalize_unicode_rejects_bad_form(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         normalize_unicode(df, "text", form="NFX")
+
+
+# -------------------------------------------------------------- shard_manifest
+
+
+def test_shard_manifest_order_and_partitioning_invariant(spark):
+    from ddataframeoperation_spark.operators.sampling import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(200)], "doc_id long, w double"
+    )
+    base = {
+        r["shard"]: (r["n_docs"], r["total_tokens"], r["id_digest"])
+        for r in shard_manifest(df, 8, ["doc_id"], token_col="w").collect()
+    }
+    # Same rows, reversed order, different partitioning -> identical
+    # manifest (the digest is a commutative sum).
+    shuffled = df.orderBy(F.desc("doc_id")).repartition(13)
+    again = {
+        r["shard"]: (r["n_docs"], r["total_tokens"], r["id_digest"])
+        for r in shard_manifest(shuffled, 8, ["doc_id"], token_col="w").collect()
+    }
+    assert base == again
+    assert sum(v[0] for v in base.values()) == 200
+
+
+def test_shard_manifest_detects_membership_change(spark):
+    from ddataframeoperation_spark.operators.sampling import shard_manifest
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = {r["shard"]: r["id_digest"] for r in shard_manifest(df, 4, ["doc_id"]).collect()}
+    # Swap one member for another: counts can collide, the digest cannot
+    # (different 48-bit hash enters the sum).
+    df2 = df.withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") == 5, F.lit(100)).otherwise(F.col("doc_id")),
+    )
+    b = {r["shard"]: r["id_digest"] for r in shard_manifest(df2, 4, ["doc_id"]).collect()}
+    assert a != b
+
+
+def test_shard_manifest_null_keys_dropped_and_salt_reshards(spark):
+    from ddataframeoperation_spark.operators.sampling import shard_manifest
+
+    df = spark.createDataFrame([(1,), (2,), (None,)], "doc_id long")
+    m = shard_manifest(df, 2, ["doc_id"]).collect()
+    assert sum(r["n_docs"] for r in m) == 2
+    a = {r["shard"]: r["id_digest"] for r in shard_manifest(df, 2, ["doc_id"], salt="x").collect()}
+    b = {r["shard"]: r["id_digest"] for r in shard_manifest(df, 2, ["doc_id"], salt="y").collect()}
+    assert a != b
+
+
+def test_shard_manifest_rejects_bad_n(spark):
+    from ddataframeoperation_spark.operators.sampling import shard_manifest
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        shard_manifest(df, 0, ["doc_id"])

@@ -124,7 +124,7 @@ def test_pq_full_shortlist_equals_exact_topk(spark, sf_dir):
     q = _query_vec(emb)
     books = similarity.pq_train(emb, m=8, ksub=16, iters=3)
     exact = similarity.cosine_topk(emb, q, k=10).collect()
-    pq = similarity.pq_topk(emb, q, books, k=10, shortlist=10**9).collect()
+    pq = similarity.pq_topk(emb, q, books, k=10, shortlist=None).collect()
     assert [(r["vec_id"], r["cos_sim"]) for r in pq] == [
         (r["vec_id"], r["cos_sim"]) for r in exact
     ]
