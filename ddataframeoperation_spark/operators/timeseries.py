@@ -28,6 +28,7 @@ __all__ = [
     "twap",
     "rolling_distinct",
     "rolling_distinct_approx",
+    "rolling_zscore",
 ]
 
 _GRANULARITIES = ("hour", "day", "week", "month", "quarter", "year")
@@ -405,4 +406,61 @@ def rolling_distinct_approx(
     observed = expanded.join(F.broadcast(days), on="day", how="left_semi")
     return observed.groupBy("day").agg(
         F.hll_sketch_estimate(F.hll_union_agg("_sk")).cast("long").alias(out_col)
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_rows: int = 20,
+    min_periods: int = 5,
+    threshold: float = 3.0,
+    tiebreak_col: str | None = None,
+    ndigits: int = 4,
+) -> DataFrame:
+    """B19 — per-key rolling z-score anomaly screen: each observation
+    scored against the mean/stddev of its ``window_rows`` PRECEDING
+    observations (exclusive — the point under test never contaminates
+    its own baseline), flagged when |z| exceeds ``threshold``. The
+    metric-monitoring staple (latency spikes, spend anomalies, sensor
+    drift) in its streaming-friendly per-key form.
+
+    Plan: ONE key-partitioned window with a bounded ROWS frame — at most
+    ``window_rows`` values of state per row, never whole-partition
+    buffering; mean and stddev share the frame, so Spark computes both
+    in a single WindowExec over a single exchange. Rows with fewer than
+    ``min_periods`` predecessors emit NULL z (warm-up); zero-variance
+    baselines emit NULL z rather than ±inf. Pass a unique
+    ``tiebreak_col`` for a total order when timestamps can collide.
+    """
+    if window_rows < 2:
+        raise ValueError("window_rows must be >= 2")
+    if not 1 <= min_periods <= window_rows:
+        raise ValueError("need 1 <= min_periods <= window_rows")
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-window_rows, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    cnt = F.count(value_col).over(w)
+    z = F.when(
+        (cnt >= min_periods) & sd.isNotNull() & (sd != 0.0),
+        (F.col(value_col) - mean) / sd,
+    )
+    # The flag derives from the ROUNDED score — the value actually
+    # published (and hash-compared): flagging on the unrounded z would
+    # let a z straddling the rounding grid disagree with its own column.
+    out = df.withColumn("zscore", F.round(z, ndigits))
+    return out.withColumn(
+        "is_anomaly",
+        F.coalesce(F.abs(F.col("zscore")) > threshold, F.lit(False)),
     )

@@ -208,6 +208,7 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    max_gap_seconds: float | None = None,
 ) -> DataFrame:
     """B35 adjunct — ordered conversion funnel: how many users performed
     step 1, then step 2 STRICTLY AFTER their first step 1, then step 3
@@ -222,20 +223,40 @@ def funnel_counts(
     k small hash-aggregates over one scan each (or one multi-min scan if
     the event table is pre-filtered to the step types).
 
+    ``max_gap_seconds`` bounds each conversion: stage k counts only
+    users whose earliest qualifying stage-k event falls within the gap
+    of their stage-(k-1) anchor — the "converted within 7 days" form
+    every product funnel actually reports. The bound is applied to the
+    CANDIDATE events before the min, so an event past the window never
+    becomes an anchor (and a later within-window event can't be hidden
+    by it). Gap arithmetic is exact integer microseconds.
+
     Returns (step, step_name, n_users) with step 1..len(steps), n_users
     non-increasing.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if max_gap_seconds is not None and max_gap_seconds <= 0:
+        raise ValueError("max_gap_seconds must be > 0")
+    gap_us = (
+        None if max_gap_seconds is None else int(round(max_gap_seconds * 1e6))
+    )
     prev: DataFrame | None = None
     for i, s in enumerate(steps):
         ev = df.filter(F.col(type_col) == s)
         if prev is None:
             cur = ev.groupBy(user_col).agg(F.min(ts_col).alias(f"_t{i}"))
         else:
+            cond = F.col(ts_col) > F.col(f"_t{i-1}")
+            if gap_us is not None:
+                cond = cond & (
+                    F.unix_micros(F.col(ts_col))
+                    - F.unix_micros(F.col(f"_t{i-1}"))
+                    <= gap_us
+                )
             cur = (
                 ev.join(prev, on=user_col)
-                .filter(F.col(ts_col) > F.col(f"_t{i-1}"))
+                .filter(cond)
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias(f"_t{i}"))
             )

@@ -7929,6 +7929,84 @@ def b22sm(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b35_funnel_windowed",
+    """
+    WITH t1 AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.t
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(t1.t) <= 86400000000
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2.t
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(t2.t) <= 86400000000
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS step_name, CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT count(*) FROM t2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM t3) AS BIGINT)
+    """,
+)
+def b35fw(spark: SparkSession, sf: str) -> DataFrame:
+    # Conversion-window funnel — view -> click -> purchase, each stage
+    # converting only within 24h of its anchor (the "converted within N
+    # days" form funnels actually report). Same chained filtered
+    # min-aggregate plan as the unbounded funnel (every shuffle on the
+    # user key), with the gap predicate applied to CANDIDATE events
+    # before the min, in exact integer microseconds.
+    return W.funnel_counts(
+        _t(spark, sf, "events"),
+        ["view", "click", "purchase"],
+        max_gap_seconds=86400.0,
+    )
+
+
+@_q(
+    "b19_rolling_zscore",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER win AS m,
+             stddev_samp(value) OVER win AS sd,
+             count(value) OVER win AS c
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id,
+           round(CASE WHEN c >= 5 AND sd IS NOT NULL AND sd <> 0
+                      THEN (value - m) / sd END, 4) AS zscore,
+           coalesce(abs(round(CASE WHEN c >= 5 AND sd IS NOT NULL AND sd <> 0
+                                   THEN (value - m) / sd END, 4)) > 3.0,
+                    FALSE) AS is_anomaly
+    FROM w
+    """,
+)
+def b19rz(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-key rolling z-score anomaly screen: one key-partitioned window,
+    # bounded 20-row PRECEDING frame (exclusive — the tested point never
+    # contaminates its own baseline), warm-up and zero-variance rows NULL
+    # out, and the anomaly flag derives from the rounded published score.
+    from ddataframeoperation_spark.operators.timeseries import rolling_zscore
+
+    r = rolling_zscore(
+        _t(spark, sf, "events"),
+        window_rows=20,
+        min_periods=5,
+        threshold=3.0,
+        tiebreak_col="event_id",
+    )
+    return r.select("event_id", "zscore", "is_anomaly")
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -8074,6 +8152,8 @@ _BONUS_SLOTS = [
     "b12_hll_overlap",
     "b23_unicode_normalize",
     "b22_shard_manifest",
+    "b35_funnel_windowed",
+    "b19_rolling_zscore",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

@@ -535,3 +535,114 @@ def test_shard_manifest_rejects_bad_n(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError):
         shard_manifest(df, 0, ["doc_id"])
+
+
+# ------------------------------------------------------------- windowed funnel
+
+
+def test_funnel_windowed_gap_bounds_conversion(spark):
+    from ddataframeoperation_spark.operators.windows import funnel_counts
+
+    rows = [
+        # u1: view then click 30s later -> converts at gap 60, not 10.
+        (1, _ts(1, 0), "view"), (1, datetime.datetime(2024, 1, 1, 0, 0, 30), "click"),
+        # u2: view then click 2h later -> never converts at 60s.
+        (2, _ts(1, 0), "view"), (2, _ts(1, 2), "click"),
+        # u3: click with NO prior view -> not even step 1... has view after.
+        (3, _ts(1, 1), "click"), (3, _ts(1, 2), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    tight = {
+        (r["step"], r["n_users"])
+        for r in funnel_counts(df, ["view", "click"], max_gap_seconds=60.0).collect()
+    }
+    assert tight == {(1, 3), (2, 1)}
+    loose = {
+        (r["step"], r["n_users"])
+        for r in funnel_counts(df, ["view", "click"], max_gap_seconds=7200.0).collect()
+    }
+    assert loose == {(1, 3), (2, 2)}
+
+
+def test_funnel_windowed_within_gap_event_not_hidden_by_earlier(spark):
+    from ddataframeoperation_spark.operators.windows import funnel_counts
+
+    # u1 clicks at +2h (outside 1h gap) AND +30min (inside): the outside
+    # event must not mask the inside one (gap applies BEFORE the min).
+    rows = [
+        (1, _ts(1, 0), "view"),
+        (1, datetime.datetime(2024, 1, 1, 0, 30), "click"),
+        (1, _ts(1, 2), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        (r["step"], r["n_users"])
+        for r in funnel_counts(df, ["view", "click"], max_gap_seconds=3600.0).collect()
+    }
+    assert got == {(1, 1), (2, 1)}
+
+
+def test_funnel_windowed_rejects_bad_gap(spark):
+    from ddataframeoperation_spark.operators.windows import funnel_counts
+
+    df = spark.createDataFrame([(1, _ts(1), "view")], "user_id long, ts timestamp, event_type string")
+    with pytest.raises(ValueError):
+        funnel_counts(df, ["view"], max_gap_seconds=0.0)
+
+
+# -------------------------------------------------------------- rolling_zscore
+
+
+def test_rolling_zscore_flags_spike_and_warmup(spark):
+    from ddataframeoperation_spark.operators.timeseries import rolling_zscore
+
+    vals = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 50.0]
+    rows = [(1, _ts(1, h), h, v) for h, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    got = {r["event_id"]: (r["zscore"], r["is_anomaly"]) for r in rolling_zscore(
+        df, window_rows=10, min_periods=5, threshold=3.0, tiebreak_col="event_id"
+    ).collect()}
+    # First five rows: fewer than min_periods predecessors -> NULL, not flagged.
+    for i in range(5):
+        assert got[i] == (None, False)
+    # Sixth row: baseline of 5, normal value -> small |z|.
+    assert got[5][1] is False and abs(got[5][0]) < 1
+    # The spike: z far above threshold.
+    assert got[6][1] is True and got[6][0] > 3
+
+
+def test_rolling_zscore_zero_variance_baseline_nulls(spark):
+    from ddataframeoperation_spark.operators.timeseries import rolling_zscore
+
+    rows = [(1, _ts(1, h), h, 5.0) for h in range(6)] + [(1, _ts(1, 7), 7, 9.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, value double")
+    got = {r["event_id"]: r["zscore"] for r in rolling_zscore(
+        df, window_rows=10, min_periods=3, tiebreak_col="event_id"
+    ).collect()}
+    # Constant baseline -> sd 0 -> NULL z even for the jump.
+    assert got[7] is None
+
+
+def test_rolling_zscore_single_window_single_exchange(spark):
+    from ddataframeoperation_spark.operators.timeseries import rolling_zscore
+
+    df = spark.createDataFrame(
+        [(1, _ts(1), 1, 1.0), (1, _ts(2), 2, 2.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    p = str(
+        rolling_zscore(df, tiebreak_col="event_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+    assert p.count("Exchange") == 1 and p.count("Window") <= 1
+
+
+def test_rolling_zscore_rejects_bad_args(spark):
+    from ddataframeoperation_spark.operators.timeseries import rolling_zscore
+
+    df = spark.createDataFrame([(1, _ts(1), 1, 1.0)], "user_id long, ts timestamp, event_id long, value double")
+    with pytest.raises(ValueError):
+        rolling_zscore(df, window_rows=1)
+    with pytest.raises(ValueError):
+        rolling_zscore(df, window_rows=5, min_periods=6)
