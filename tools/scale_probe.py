@@ -436,6 +436,28 @@ def main() -> int:
             f"normalize_unicode {tag}",
             lambda d=d: TX.normalize_unicode(d, "text"),
         )
+        probe(
+            f"shard_manifest {tag}",
+            lambda d=d: sampling.shard_manifest(
+                d, 64, ["doc_id"], token_col=TX.token_count("text"), salt="p"
+            ),
+        )
+    # Round-7d third batch: conversion-window funnel (chained filtered
+    # min-aggs + gap predicate) and rolling z-score (one bounded-frame
+    # key window).
+    from ddataframeoperation_spark.operators.timeseries import rolling_zscore
+
+    for tag, e in (("1x", ev1), (f"{factor}x", ev)):
+        probe(
+            f"funnel_windowed {tag}",
+            lambda e=e: funnel_counts(
+                e, ["view", "click", "purchase"], max_gap_seconds=86400.0
+            ),
+        )
+        probe(
+            f"rolling_zscore {tag}",
+            lambda e=e: rolling_zscore(e, tiebreak_col="event_id"),
+        )
     return 0
 
 
