@@ -44,6 +44,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "semantic_join",
 ]
 
 
@@ -778,4 +779,85 @@ def pq_topk(
         rerank.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
         .limit(k)
         .select(F.col(id_col), F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
+def semantic_join(
+    left: DataFrame,
+    right: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    nprobe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """B33 — semantic (embedding) join: for every LEFT row, the single
+    nearest RIGHT row by cosine — the entity-resolution / "match this
+    record against the catalog" primitive, where both sides are large
+    tables (unlike :func:`cosine_topk_multi`, whose query side must
+    broadcast).
+
+    Scale shape — the IVF idea applied to a join: both sides get a
+    coarse-centroid cell id (Arrow matmul, :func:`ivf_assign`); the left
+    side is exploded to its ``nprobe`` nearest cells; candidates come
+    from an EQUI-JOIN on the cell id (a plain shuffled hash join — never
+    a cross product); exact cosine + a per-left-row top-1 window settles
+    the match. Cost ∝ sum of cell-pair sizes, and both shuffles carry
+    (cell, id, vector) — at 100 TB you pre-partition both tables by cell
+    at ingest and the join co-locates for free.
+
+    ``nprobe=None`` probes every cell: candidates are exhaustive, the
+    result is the exact nearest neighbor — the correctness gate the
+    registered query hash-matches against brute force. Small ``nprobe``
+    is the latency knob (recall pinned in tests); a left row whose
+    probed cells hold no right rows drops out (inner-join semantics —
+    the no-match sentinel a caller can recover with a left join on the
+    result).
+
+    Ties break to the lower right id. Output: (l_<id>, r_<id>, cos_sim).
+    """
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    c = np.asarray(centroids, dtype=np.float64)
+    ncell = len(c)
+    np_ = ncell if nprobe is None else min(int(nprobe), ncell)
+    if np_ < 1:
+        raise ValueError("nprobe must be >= 1")
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("array<int>")
+    def _cells(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        sc = x @ cn.T
+        order = np.argsort(-sc, axis=1, kind="stable")[:, :np_].astype("int32")
+        return pd.Series(list(order))
+
+    lv = left.select(
+        F.col(id_col).alias("_lid"), F.col(vec_col).alias("_lv")
+    ).withColumn("_cell", F.explode(_cells(F.col("_lv"))))
+    rv = ivf_assign(
+        right.select(F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rv")),
+        centroids,
+        vec_col="_rv",
+        cell_col="_cell",
+    )
+    cand = lv.join(rv, on="_cell").select(
+        "_lid", "_rid", cosine(F.col("_lv"), F.col("_rv")).alias("_cos")
+    )
+    w = Window.partitionBy("_lid").orderBy(
+        F.col("_cos").desc(), F.col("_rid").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_lid").alias(f"{left_prefix}{id_col}"),
+            F.col("_rid").alias(f"{right_prefix}{id_col}"),
+            F.round("_cos", 4).alias("cos_sim"),
+        )
     )

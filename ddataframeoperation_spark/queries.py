@@ -8007,6 +8007,41 @@ def b19rz(spark: SparkSession, sf: str) -> DataFrame:
     return r.select("event_id", "zscore", "is_anomaly")
 
 
+@_q(
+    "b33_semantic_join",
+    """
+    WITH l AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 250
+    ), r AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id >= 250
+    ), scored AS (
+      SELECT l.vec_id AS l_vec_id, r.vec_id AS r_vec_id,
+             list_cosine_similarity(l.e, r.e) AS c,
+             row_number() OVER (PARTITION BY l.vec_id
+                                ORDER BY list_cosine_similarity(l.e, r.e) DESC,
+                                         r.vec_id ASC) AS rn
+      FROM l CROSS JOIN r
+    )
+    SELECT l_vec_id, r_vec_id, round(c, 4) AS cos_sim
+    FROM scored WHERE rn = 1
+    """,
+)
+def b33sj(spark: SparkSession, sf: str) -> DataFrame:
+    # Semantic join — every left embedding matched to its nearest right
+    # embedding (entity resolution where BOTH sides are large): IVF cell
+    # assignment on both sides, candidates from an EQUI-join on the cell
+    # (never a cross product in the approximate mode), exact cosine +
+    # per-left top-1. nprobe=None probes every cell = exhaustive
+    # candidates = the exact nearest neighbor, which is what the
+    # brute-force oracle computes; the small-nprobe mode is recall-pinned
+    # in tests/test_similarity_ivf.py.
+    emb = _t(spark, sf, "embeddings")
+    l = emb.filter(F.col("vec_id") < 250)
+    r = emb.filter(F.col("vec_id") >= 250)
+    cents = similarity.kmeans_centroids(emb, k=8, iters=5)
+    return similarity.semantic_join(l, r, cents, nprobe=None)
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -8154,6 +8189,7 @@ _BONUS_SLOTS = [
     "b22_shard_manifest",
     "b35_funnel_windowed",
     "b19_rolling_zscore",
+    "b33_semantic_join",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

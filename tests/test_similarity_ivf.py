@@ -173,3 +173,65 @@ def test_pq_encode_codes_in_range(spark, sf_dir):
     for r in rows:
         assert len(r["pq_code"]) == 8
         assert all(0 <= c < 16 for c in r["pq_code"])
+
+
+# ------------------------------------------------------------- semantic join
+
+
+def test_semantic_join_full_probe_is_exact(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    l = emb.filter(F.col("vec_id") < 100)
+    r = emb.filter(F.col("vec_id") >= 100)
+    cents = similarity.kmeans_centroids(emb, k=4, iters=3)
+    got = {
+        row["l_vec_id"]: row["r_vec_id"]
+        for row in similarity.semantic_join(l, r, cents, nprobe=None).collect()
+    }
+    # Brute-force expectation via cosine_topk_multi with k=1.
+    q = l.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        row["query_id"]: row["vec_id"]
+        for row in similarity.cosine_topk_multi(r, q, k=1).collect()
+    }
+    assert got == exact
+    assert len(got) == 100
+
+
+def test_semantic_join_partial_probe_recall(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    l = emb.filter(F.col("vec_id") < 100)
+    r = emb.filter(F.col("vec_id") >= 100)
+    cents = similarity.kmeans_centroids(emb, k=8, iters=5)
+    exact = {
+        row["l_vec_id"]: row["r_vec_id"]
+        for row in similarity.semantic_join(l, r, cents, nprobe=None).collect()
+    }
+    approx = {
+        row["l_vec_id"]: row["r_vec_id"]
+        for row in similarity.semantic_join(l, r, cents, nprobe=3).collect()
+    }
+    hits = sum(1 for k, v in exact.items() if approx.get(k) == v)
+    # Probing 3 of 8 cells keeps the true match for most rows.
+    assert hits >= 70
+
+
+def test_semantic_join_no_cartesian_in_partial_mode(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.kmeans_centroids(emb, k=4, iters=2)
+    p = str(
+        similarity.semantic_join(emb, emb, cents, nprobe=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+    assert "Cartesian" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_semantic_join_rejects_bad_nprobe(spark, sf_dir):
+    import pytest
+
+    emb = _emb(spark, sf_dir)
+    cents = similarity.kmeans_centroids(emb, k=4, iters=2)
+    with pytest.raises(ValueError):
+        similarity.semantic_join(emb, emb, cents, nprobe=0)
