@@ -803,7 +803,11 @@ def semantic_join(
     side is exploded to its ``nprobe`` nearest cells; candidates come
     from an EQUI-JOIN on the cell id (a plain shuffled hash join — never
     a cross product); exact cosine + a per-left-row top-1 window settles
-    the match. Cost ∝ sum of cell-pair sizes, and both shuffles carry
+    the match. Cost ∝ sum of cell-pair sizes — which makes the CELL
+    COUNT the scale contract: SIZE ncells TO THE CORPUS (bounded cell
+    population, the FAISS rule). With ncells fixed, cell-pair cost grows
+    as n²/ncells (measured: 11× wall at 10× corpus in the scale probe);
+    with ncells ∝ n it stays linear (measured flat). Both shuffles carry
     (cell, id, vector) — at 100 TB you pre-partition both tables by cell
     at ingest and the join co-locates for free.
 

@@ -458,6 +458,22 @@ def main() -> int:
             f"rolling_zscore {tag}",
             lambda e=e: rolling_zscore(e, tiebreak_col="event_id"),
         )
+    # Round-7d: semantic join in its production (partial-probe) mode.
+    # The cell count SCALES WITH THE CORPUS (bounded cell population —
+    # the FAISS sizing rule): with ncells fixed, candidate pairs grow as
+    # n²/ncells (measured 4.95→54.5 s at 10×); with ncells ∝ n the
+    # equi-join stays linear in the corpus.
+    for tag, m, k7 in (("1x", emb1, 8), (f"{factor}x", emb, 8 * factor)):
+        cents7 = similarity.kmeans_centroids(m, k=k7, iters=3)
+        probe(
+            f"semantic_join {tag}",
+            lambda m=m, cents7=cents7: similarity.semantic_join(
+                m.filter(F.col("vec_id") % 2 == 0),
+                m.filter(F.col("vec_id") % 2 == 1),
+                cents7,
+                nprobe=2,
+            ),
+        )
     return 0
 
 
