@@ -64,6 +64,7 @@ __all__ = [
     "maintain_group_agg",
     "group_ols",
     "hll_overlap",
+    "cohens_kappa",
 ]
 
 
@@ -1312,4 +1313,58 @@ def hll_overlap(
             F.lit(0).cast("long"),
             (F.round("_ea") + F.round("_eb") - F.round("_eu")).cast("long"),
         ).alias("est_intersect"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str | Column,
+    col_b: str | Column,
+    ndigits: int = 4,
+) -> DataFrame:
+    """B28 — Cohen's kappa agreement between two categorical columns
+    (model-vs-ground-truth, annotator-vs-annotator — the labeling-ops
+    QA statistic): observed agreement corrected for the agreement two
+    independent raters with these marginals would reach by chance,
+    ``kappa = (po - pe) / (1 - pe)``.
+
+    Everything reduces to exact integer counts first — N, the diagonal,
+    and the per-category marginal products (category set assumed small:
+    labels, languages, sources) — so po and pe are ratios of exact
+    longs and the final expression runs over bit-identical doubles on
+    any engine (§20 rule). Plan: two tiny marginal aggregates equi-
+    joined on the category + one diagonal count — each a map-side
+    combine over one scan; no window. Rows where either side is NULL
+    are excluded (no agreement opinion). Degenerate pe=1 (both sides
+    constant and equal) yields NULL kappa.
+
+    Returns one row: (n, po, pe, kappa).
+    """
+    a = (F.col(col_a) if isinstance(col_a, str) else col_a).alias("_a")
+    b = (F.col(col_b) if isinstance(col_b, str) else col_b).alias("_b")
+    base = df.select(a, b).filter(
+        F.col("_a").isNotNull() & F.col("_b").isNotNull()
+    )
+    tot = base.agg(
+        F.count("*").cast("long").alias("_n"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long")).alias("_diag"),
+    )
+    ma = base.groupBy("_a").agg(F.count("*").cast("long").alias("_ca"))
+    mb = base.groupBy("_b").agg(F.count("*").cast("long").alias("_cb"))
+    cross = (
+        ma.join(mb, ma["_a"] == mb["_b"])
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("_pe_num"))
+    )
+    j = tot.crossJoin(cross)
+    po = F.col("_diag").cast("double") / F.col("_n").cast("double")
+    pe = F.col("_pe_num").cast("double") / (
+        F.col("_n").cast("double") * F.col("_n").cast("double")
+    )
+    return j.select(
+        F.col("_n").alias("n"),
+        F.round(po, ndigits).alias("po"),
+        F.round(pe, ndigits).alias("pe"),
+        F.round(
+            F.when(pe != 1.0, (po - pe) / (F.lit(1.0) - pe)), ndigits
+        ).alias("kappa"),
     )

@@ -35,6 +35,7 @@ __all__ = [
     "transition_counts",
     "debounce",
     "next_event_examples",
+    "last_touch_attribution",
 ]
 
 
@@ -424,4 +425,76 @@ def next_event_examples(
         .withColumn(context_col, F.array_join("_ctx", sep))
         .withColumn(target_col, F.col(label_col))
         .drop("_ctx")
+    )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str | None = "value",
+    max_gap_seconds: float = 86400.0,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """B35 — last-touch conversion attribution: every conversion event is
+    credited to the user's most recent preceding touch event (click,
+    view, ...) within the attribution window, or to ``'none'`` if no
+    touch qualifies — the standard marketing-analytics report.
+
+    Plan: ONE key-partitioned window. Touch rows project their (ts,
+    type) into nullable columns; ``last(..., ignorenulls=True)`` over
+    rows-unbounded-preceding-to-1-preceding carries the latest touch
+    forward (conversion rows never see themselves or later events);
+    a row-local gap test (exact integer microseconds) decides in-window
+    vs 'none'; one map-side-combined aggregate emits the report. No
+    self-join, no explode — the event table shuffles once on the user
+    key, which sessionize/funnel reuse.
+
+    Returns (touch_type, n_conversions, attributed_value) — value summed
+    over DECIMAL(20,4)-quantized inputs so the total is engine-exact
+    (the §20 numerics rule); NULL values count as 0.
+    """
+    if max_gap_seconds <= 0:
+        raise ValueError("max_gap_seconds must be > 0")
+    from pyspark.sql import Window
+
+    gap_us = int(round(max_gap_seconds * 1e6))
+    is_touch = F.col(type_col).isin(*touch_types)
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_ts = F.last(
+        F.when(is_touch, F.col(ts_col)), ignorenulls=True
+    ).over(w)
+    touch_ty = F.last(
+        F.when(is_touch, F.col(type_col)), ignorenulls=True
+    ).over(w)
+    conv = (
+        df.withColumn("_tts", touch_ts)
+        .withColumn("_tty", touch_ty)
+        .filter(F.col(type_col) == conversion_type)
+    )
+    in_window = F.col("_tts").isNotNull() & (
+        F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_tts")) <= gap_us
+    )
+    credited = conv.withColumn(
+        "touch_type", F.when(in_window, F.col("_tty")).otherwise(F.lit("none"))
+    )
+    val = (
+        F.lit(0).cast("decimal(20,4)")
+        if value_col is None
+        else F.coalesce(
+            F.col(value_col).cast("decimal(20,4)"),
+            F.lit(0).cast("decimal(20,4)"),
+        )
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count("*").cast("long").alias("n_conversions"),
+        F.round(F.sum(val).cast("double"), 4).alias("attributed_value"),
     )

@@ -8042,6 +8042,102 @@ def b33sj(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.semantic_join(l, r, cents, nprobe=None)
 
 
+@_q(
+    "b28_cohens_kappa",
+    r"""
+    WITH s AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS sde,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|with)\b')) AS sen,
+             len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|una|por|con)\b')) AS ses,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|des|est|une|dans|pour)\b')) AS sfr
+      FROM documents
+    ), pairs AS (
+      SELECT lang AS a,
+             CASE WHEN greatest(sde, sen, ses, sfr) = 0 THEN 'und'
+                  WHEN sde = greatest(sde, sen, ses, sfr) THEN 'de'
+                  WHEN sen = greatest(sde, sen, ses, sfr) THEN 'en'
+                  WHEN ses = greatest(sde, sen, ses, sfr) THEN 'es'
+                  ELSE 'fr' END AS b
+      FROM s WHERE lang IS NOT NULL
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS diag
+      FROM pairs
+    ), ma AS (SELECT a, CAST(count(*) AS BIGINT) AS ca FROM pairs GROUP BY a),
+    mb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM pairs GROUP BY b),
+    pen AS (
+      SELECT CAST(sum(ca * cb) AS BIGINT) AS pe_num
+      FROM ma JOIN mb ON ma.a = mb.b
+    )
+    SELECT n,
+           round(CAST(diag AS DOUBLE) / CAST(n AS DOUBLE), 4) AS po,
+           round(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4) AS pe,
+           round(CASE WHEN CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) <> 1.0
+                      THEN (CAST(diag AS DOUBLE) / CAST(n AS DOUBLE)
+                            - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                           / (1.0 - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 END, 4) AS kappa
+    FROM tot, pen
+    """,
+)
+def b28ck(spark: SparkSession, sf: str) -> DataFrame:
+    # Cohen's kappa between the recorded language and the n-gram
+    # language-ID heuristic — the labeling-ops agreement statistic
+    # (classifier vs ground truth). po/pe are ratios of EXACT integer
+    # counts (diagonal + marginal products over the tiny category set),
+    # so the final expression runs over bit-identical doubles on both
+    # engines (§20 numerics rule). Two tiny marginal aggregates + one
+    # diagonal count; no window.
+    d = _t(spark, sf, "documents")
+    return R.cohens_kappa(
+        d.select(F.col("lang").alias("a"), TX.language_id("text").alias("b")),
+        "a",
+        "b",
+    )
+
+
+@_q(
+    "b35_attribution",
+    """
+    WITH w AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+               OVER win AS tts,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER win AS tty
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), c AS (
+      SELECT CASE WHEN tts IS NOT NULL
+                   AND epoch_us(t) - epoch_us(tts) <= 3600000000
+                  THEN tty ELSE 'none' END AS touch_type,
+             value
+      FROM w WHERE event_type = 'purchase'
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           round(CAST(sum(coalesce(CAST(value AS DECIMAL(20,4)), CAST(0 AS DECIMAL(20,4)))) AS DOUBLE), 4)
+             AS attributed_value
+    FROM c GROUP BY touch_type
+    """,
+)
+def b35at(spark: SparkSession, sf: str) -> DataFrame:
+    # Last-touch attribution: every purchase credited to the user's most
+    # recent preceding click/view within 1h, else 'none'. One
+    # key-partitioned window (last ignore-nulls over an exclusive
+    # unbounded-preceding frame), row-local microsecond gap test, one
+    # aggregate; attributed value summed over DECIMAL-quantized inputs.
+    return W.last_touch_attribution(
+        _t(spark, sf, "events"),
+        max_gap_seconds=3600.0,
+        tiebreak=("event_id",),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -8190,6 +8286,8 @@ _BONUS_SLOTS = [
     "b35_funnel_windowed",
     "b19_rolling_zscore",
     "b33_semantic_join",
+    "b28_cohens_kappa",
+    "b35_attribution",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

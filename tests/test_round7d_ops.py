@@ -646,3 +646,97 @@ def test_rolling_zscore_rejects_bad_args(spark):
         rolling_zscore(df, window_rows=1)
     with pytest.raises(ValueError):
         rolling_zscore(df, window_rows=5, min_periods=6)
+
+
+# ------------------------------------------------------- last-touch attribution
+
+
+def test_attribution_credits_latest_touch_within_window(spark):
+    from ddataframeoperation_spark.operators.windows import last_touch_attribution
+
+    rows = [
+        # u1: view@0, click@0:30, purchase@0:45 -> credited to click.
+        (1, _ts(1, 0), 1, "view", 1.0),
+        (1, datetime.datetime(2024, 1, 1, 0, 30), 2, "click", 1.0),
+        (1, datetime.datetime(2024, 1, 1, 0, 45), 3, "purchase", 10.0),
+        # u2: view@0, purchase@5h -> outside 1h window -> 'none'.
+        (2, _ts(1, 0), 4, "view", 1.0),
+        (2, _ts(1, 5), 5, "purchase", 7.5),
+        # u3: purchase with no preceding touch at all -> 'none'.
+        (3, _ts(1, 0), 6, "purchase", 2.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    got = {
+        r["touch_type"]: (r["n_conversions"], r["attributed_value"])
+        for r in last_touch_attribution(
+            df, max_gap_seconds=3600.0, tiebreak=("event_id",)
+        ).collect()
+    }
+    assert got == {"click": (1, 10.0), "none": (2, 9.75)}
+
+
+def test_attribution_conversion_never_self_credits(spark):
+    from ddataframeoperation_spark.operators.windows import last_touch_attribution
+
+    # Two purchases back-to-back: the second must not credit the first
+    # (purchases aren't touches), and a touch AT the same ts as the
+    # conversion but later in tiebreak order is not visible.
+    rows = [
+        (1, _ts(1, 0), 1, "purchase", 1.0),
+        (1, _ts(1, 0), 2, "click", 1.0),
+        (1, _ts(1, 1), 3, "purchase", 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string, value double"
+    )
+    got = {
+        r["touch_type"]: r["n_conversions"]
+        for r in last_touch_attribution(
+            df, max_gap_seconds=7200.0, tiebreak=("event_id",)
+        ).collect()
+    }
+    # First purchase: nothing precedes it. Second: the click precedes.
+    assert got == {"none": 1, "click": 1}
+
+
+def test_attribution_rejects_bad_gap(spark):
+    from ddataframeoperation_spark.operators.windows import last_touch_attribution
+
+    df = spark.createDataFrame(
+        [(1, _ts(1), 1, "purchase", 1.0)],
+        "user_id long, ts timestamp, event_id long, event_type string, value double",
+    )
+    with pytest.raises(ValueError):
+        last_touch_attribution(df, max_gap_seconds=0.0)
+
+
+# ---------------------------------------------------------------- cohens_kappa
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    from ddataframeoperation_spark.operators.relational import cohens_kappa
+
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("x", "x")], "a string, b string"
+    )
+    r = cohens_kappa(perfect, "a", "b").collect()[0]
+    assert (r["n"], r["po"], r["kappa"]) == (3, 1.0, 1.0)
+    # Independent-looking marginals with 50% agreement: kappa ~ 0.
+    chance = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")], "a string, b string"
+    )
+    r2 = cohens_kappa(chance, "a", "b").collect()[0]
+    assert r2["po"] == 0.5 and r2["pe"] == 0.5 and r2["kappa"] == 0.0
+
+
+def test_cohens_kappa_degenerate_and_nulls(spark):
+    from ddataframeoperation_spark.operators.relational import cohens_kappa
+
+    # Both constant and equal -> pe = 1 -> NULL kappa; NULLs excluded.
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", "x"), (None, "x"), ("x", None)], "a string, b string"
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 2 and r["po"] == 1.0 and r["kappa"] is None
