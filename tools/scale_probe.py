@@ -30,6 +30,7 @@ from ddataframeoperation_spark.operators.asof import interval_overlap_join
 from ddataframeoperation_spark.operators.timeseries import ewma, ohlc_bars, twap
 from ddataframeoperation_spark.operators.windows import (
     debounce,
+    last_touch_attribution,
     funnel_counts,
     retention_cohorts,
     scd2_history,
@@ -457,6 +458,24 @@ def main() -> int:
         probe(
             f"rolling_zscore {tag}",
             lambda e=e: rolling_zscore(e, tiebreak_col="event_id"),
+        )
+        probe(
+            f"last_touch_attribution {tag}",
+            lambda e=e: last_touch_attribution(
+                e, max_gap_seconds=3600.0, tiebreak=("event_id",)
+            ),
+        )
+        probe(
+            f"cohens_kappa {tag}",
+            lambda e=e: relational.cohens_kappa(
+                e.select(
+                    F.col("event_type").alias("a"),
+                    F.when(F.col("value") > 10, F.col("event_type"))
+                    .otherwise(F.lit("other"))
+                    .alias("b"),
+                ),
+                "a", "b",
+            ),
         )
     # Round-7d: semantic join in its production (partial-probe) mode.
     # The cell count SCALES WITH THE CORPUS (bounded cell population —
