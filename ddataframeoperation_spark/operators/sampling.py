@@ -44,6 +44,7 @@ __all__ = [
     "leakage_safe_kfold",
     "temporal_split",
     "shard_manifest",
+    "negative_samples",
 ]
 
 #: 2^32 — the md5-prefix domain size.
@@ -699,4 +700,79 @@ def shard_manifest(
             F.sum("_t").cast("long").alias("total_tokens"),
             F.sum("_h").cast("long").alias("id_digest"),
         )
+    )
+
+
+def negative_samples(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    anchor_col: str = "id_a",
+    positive_col: str = "id_b",
+    buckets: int = 64,
+    salt: str = "",
+) -> DataFrame:
+    """B22 — deterministic negative sampling for contrastive training:
+    turn (anchor, positive) pairs — near-dup output, citation links,
+    click pairs — into (anchor, positive, neg_rank, negative) triplet
+    rows, with each negative drawn pseudo-randomly from the corpus by
+    pure hash arithmetic. Rerunning on any engine, any partitioning,
+    any day draws the IDENTICAL negatives — the reproducibility
+    property `df.sample()` cannot give.
+
+    Draw i for an anchor: hash the (anchor, i, salt) tuple to a corpus
+    BUCKET (the corpus is pre-bucketed by the same md5 family as
+    :func:`hash_uniform`), then take the bucket member minimizing
+    md5(member, anchor, i) — a per-draw pseudo-random pick, not the
+    bucket's constant minimum — excluding the anchor and its positive.
+
+    Scale contract (the same rule as semantic_join's cells): candidate
+    cost per draw is the bucket population, so SIZE ``buckets`` ∝
+    corpus. All joins are equi-joins on the bucket id; no global index,
+    no zipWithIndex, no data-sized window. A draw whose bucket holds
+    only the anchor/positive yields no row (inner-join semantics) —
+    with buckets ≪ corpus this is measure-zero.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+
+    def _h32(col: Column, extra: Column | str) -> Column:
+        e = F.lit(extra) if isinstance(extra, str) else extra
+        return F.conv(
+            F.substring(F.md5(F.concat(col.cast("string"), F.lit("|"), e)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+
+    corp = corpus.select(F.col(id_col).alias("_cid")).withColumn(
+        "_bkt", F.pmod(_h32(F.col("_cid"), salt), F.lit(buckets))
+    )
+    drawn = pairs.select(
+        F.col(anchor_col).alias("_a"), F.col(positive_col).alias("_p")
+    ).withColumn("_i", F.explode(F.array(*[F.lit(i) for i in range(1, k + 1)])))
+    drawn = drawn.withColumn(
+        "_bkt",
+        F.pmod(
+            _h32(F.col("_a"), F.concat(F.lit("#"), F.col("_i").cast("string"), F.lit(salt))),
+            F.lit(buckets),
+        ),
+    )
+    cand = drawn.join(corp, on="_bkt").filter(
+        (F.col("_cid") != F.col("_a")) & (F.col("_cid") != F.col("_p"))
+    )
+    pick = _h32(
+        F.col("_cid"),
+        F.concat(F.col("_a").cast("string"), F.lit("#"), F.col("_i").cast("string")),
+    )
+    best = cand.groupBy("_a", "_p", "_i").agg(
+        F.min(F.struct(pick.alias("_h"), F.col("_cid").alias("_c"))).alias("_m")
+    )
+    return best.select(
+        F.col("_a").alias(anchor_col),
+        F.col("_p").alias(positive_col),
+        F.col("_i").alias("neg_rank"),
+        F.col("_m._c").alias("negative"),
     )

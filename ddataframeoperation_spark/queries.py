@@ -8138,6 +8138,61 @@ def b35at(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b22_negative_samples",
+    """
+    WITH pairs AS (
+      SELECT d.doc_id AS id_a, d.doc_id + 1 AS id_b
+      FROM documents d
+      WHERE d.doc_id % 5 = 0
+        AND EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = d.doc_id + 1)
+    ), corp AS (
+      SELECT doc_id AS cid,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || 'neg'), 1, 8))::BIGINT % 64 AS bkt
+      FROM documents
+    ), drawn AS (
+      SELECT id_a, id_b, i,
+             ('0x' || substring(md5(CAST(id_a AS VARCHAR) || '|' || '#' || CAST(i AS VARCHAR) || 'neg'), 1, 8))::BIGINT % 64 AS bkt
+      FROM pairs, unnest(generate_series(1, 3)) AS t(i)
+    ), cand AS (
+      SELECT d.id_a, d.id_b, d.i, c.cid,
+             ('0x' || substring(md5(CAST(c.cid AS VARCHAR) || '|' || CAST(d.id_a AS VARCHAR) || '#' || CAST(d.i AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM drawn d JOIN corp c ON d.bkt = c.bkt
+      WHERE c.cid <> d.id_a AND c.cid <> d.id_b
+    ), ranked AS (
+      SELECT id_a, id_b, i, cid,
+             row_number() OVER (PARTITION BY id_a, id_b, i ORDER BY h, cid) AS rn
+      FROM cand
+    )
+    SELECT id_a, id_b, CAST(i AS INTEGER) AS neg_rank, cid AS negative
+    FROM ranked WHERE rn = 1
+    """,
+)
+def b22ns(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic contrastive negatives: (anchor, positive) pairs get k
+    # hash-drawn corpus negatives — bucket by md5, per-draw pseudo-random
+    # member pick, anchor/positive excluded. Pure hash arithmetic end to
+    # end, so the draws are engine-, partitioning-, and day-stable (the
+    # reproducibility df.sample can't give); a DuckDB hash match proves
+    # both engines draw the identical triplets. Buckets scale with the
+    # corpus (semantic_join's cell rule) to bound per-draw cost.
+    from ddataframeoperation_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    ids = d.select("doc_id")
+    pairs = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+        .join(ids.withColumnRenamed("doc_id", "id_b"), on="id_b", how="left_semi")
+    )
+    return sampling.negative_samples(pairs, d, k=3, salt="neg").withColumn(
+        "neg_rank", F.col("neg_rank").cast("int")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -8288,6 +8343,7 @@ _BONUS_SLOTS = [
     "b33_semantic_join",
     "b28_cohens_kappa",
     "b35_attribution",
+    "b22_negative_samples",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

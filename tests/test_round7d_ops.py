@@ -740,3 +740,61 @@ def test_cohens_kappa_degenerate_and_nulls(spark):
     )
     r = cohens_kappa(df, "a", "b").collect()[0]
     assert r["n"] == 2 and r["po"] == 1.0 and r["kappa"] is None
+
+
+# ------------------------------------------------------------ negative_samples
+
+
+def test_negative_samples_deterministic_and_exclusive(spark):
+    from ddataframeoperation_spark.operators.sampling import negative_samples
+
+    # buckets sized to the corpus (the documented contract): 16 buckets
+    # over 100 ids leaves no empty bucket, so all k draws land.
+    corpus = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (10, 11)], "id_a long, id_b long")
+    a = sorted(
+        map(tuple, negative_samples(pairs, corpus, k=4, buckets=16).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            negative_samples(
+                pairs.repartition(7), corpus.repartition(5), k=4, buckets=16
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 8
+    for id_a, id_b, rank, neg in a:
+        assert neg not in (id_a, id_b)
+        assert 1 <= rank <= 4
+
+
+def test_negative_samples_salt_changes_draws(spark):
+    from ddataframeoperation_spark.operators.sampling import negative_samples
+
+    corpus = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (3, 4), (5, 6)], "id_a long, id_b long")
+    a = {tuple(r) for r in negative_samples(pairs, corpus, k=3, salt="x").collect()}
+    b = {tuple(r) for r in negative_samples(pairs, corpus, k=3, salt="y").collect()}
+    assert a != b
+
+
+def test_negative_samples_draws_vary_per_rank(spark):
+    from ddataframeoperation_spark.operators.sampling import negative_samples
+
+    corpus = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    pairs = spark.createDataFrame([(7, 8)], "id_a long, id_b long")
+    negs = [r["negative"] for r in negative_samples(pairs, corpus, k=5).collect()]
+    # Five draws from different buckets: near-certainly not all equal.
+    assert len(set(negs)) >= 3
+
+
+def test_negative_samples_rejects_bad_args(spark):
+    from ddataframeoperation_spark.operators.sampling import negative_samples
+
+    corpus = spark.createDataFrame([(1,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError):
+        negative_samples(pairs, corpus, k=0)
+    with pytest.raises(ValueError):
+        negative_samples(pairs, corpus, buckets=0)
