@@ -36,6 +36,7 @@ __all__ = [
     "debounce",
     "next_event_examples",
     "last_touch_attribution",
+    "activity_streaks",
 ]
 
 
@@ -497,4 +498,59 @@ def last_touch_attribution(
     return credited.groupBy("touch_type").agg(
         F.count("*").cast("long").alias("n_conversions"),
         F.round(F.sum(val).cast("double"), 4).alias("attributed_value"),
+    )
+
+
+def activity_streaks(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    top_per_key: int = 1,
+) -> DataFrame:
+    """B18 — consecutive-day activity streaks (gaps-and-islands): per
+    key, maximal runs of consecutive calendar days with ≥1 event, ranked
+    longest-first — the engagement-streak metric, and the canonical
+    islands idiom (``day - row_number()`` is constant within an island).
+
+    Plan: events reduce to the DISTINCT (key, day) grid first (the same
+    first move as rolling_distinct — one aggregate, the only pass over
+    raw events), then ONE key-partitioned window assigns row numbers,
+    a row-local date_sub derives the island anchor, and a (key, anchor)
+    aggregate + per-key ranking window emit the streaks. Everything
+    after the grid shuffles (key, date) pairs on the key; both windows
+    and the aggregate share that one exchange. NULL keys/timestamps are
+    dropped.
+
+    Returns (key, streak_start, streak_days, streak_rank), the
+    ``top_per_key`` longest streaks per key (ties: earlier start wins).
+    """
+    if top_per_key < 1:
+        raise ValueError("top_per_key must be >= 1")
+    per = (
+        df.select(
+            F.col(key_col).alias("_k"), F.to_date(F.col(ts_col)).alias("_d")
+        )
+        .filter(F.col("_k").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("_k").orderBy("_d")
+    anchored = per.withColumn(
+        "_anchor", F.date_sub(F.col("_d"), F.row_number().over(w))
+    )
+    streaks = anchored.groupBy("_k", "_anchor").agg(
+        F.min("_d").alias("streak_start"),
+        F.count("*").cast("long").alias("streak_days"),
+    )
+    r = Window.partitionBy("_k").orderBy(
+        F.desc("streak_days"), F.asc("streak_start")
+    )
+    return (
+        streaks.withColumn("streak_rank", F.row_number().over(r))
+        .filter(F.col("streak_rank") <= top_per_key)
+        .select(
+            F.col("_k").alias(key_col),
+            "streak_start",
+            "streak_days",
+            "streak_rank",
+        )
     )

@@ -8193,6 +8193,42 @@ def b22ns(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b18_activity_streaks",
+    """
+    WITH per AS (
+      SELECT DISTINCT user_id AS k, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), anchored AS (
+      SELECT k, d,
+             d - CAST(row_number() OVER (PARTITION BY k ORDER BY d) AS INTEGER) AS anchor
+      FROM per
+    ), streaks AS (
+      SELECT k, anchor, min(d) AS streak_start,
+             CAST(count(*) AS BIGINT) AS streak_days
+      FROM anchored GROUP BY k, anchor
+    ), ranked AS (
+      SELECT k, streak_start, streak_days,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY streak_days DESC, streak_start ASC) AS streak_rank
+      FROM streaks
+    )
+    SELECT k AS user_id, streak_start, streak_days,
+           CAST(streak_rank AS INTEGER) AS streak_rank
+    FROM ranked WHERE streak_rank <= 2
+    """,
+)
+def b18st(spark: SparkSession, sf: str) -> DataFrame:
+    # Gaps-and-islands: per-user maximal consecutive-day activity runs,
+    # two longest each. Distinct (user, day) grid first (one aggregate —
+    # the only pass over raw events), then the day-minus-row_number
+    # island anchor, one (user, anchor) aggregate, one ranking window —
+    # all sharing the user-key exchange.
+    return W.activity_streaks(
+        _t(spark, sf, "events"), top_per_key=2
+    ).withColumn("streak_rank", F.col("streak_rank").cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -8344,6 +8380,7 @@ _BONUS_SLOTS = [
     "b28_cohens_kappa",
     "b35_attribution",
     "b22_negative_samples",
+    "b18_activity_streaks",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

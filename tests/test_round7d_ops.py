@@ -798,3 +798,49 @@ def test_negative_samples_rejects_bad_args(spark):
         negative_samples(pairs, corpus, k=0)
     with pytest.raises(ValueError):
         negative_samples(pairs, corpus, buckets=0)
+
+
+# ------------------------------------------------------------ activity_streaks
+
+
+def test_activity_streaks_islands_and_ranking(spark):
+    from ddataframeoperation_spark.operators.windows import activity_streaks
+
+    # u1: days 1-3 (streak 3), day 6 (streak 1); u2: days 2,4,6 (three 1s).
+    rows = [(1, _ts(d)) for d in (1, 2, 3, 6)] + [
+        (1, _ts(2, 5)),  # duplicate day collapses in the grid
+        (2, _ts(2)), (2, _ts(4)), (2, _ts(6)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["user_id"], r["streak_rank"]): (
+            r["streak_start"].isoformat(),
+            r["streak_days"],
+        )
+        for r in activity_streaks(df, top_per_key=2).collect()
+    }
+    assert got[(1, 1)] == ("2024-01-01", 3)
+    assert got[(1, 2)] == ("2024-01-06", 1)
+    # u2 ties broken to the earliest start.
+    assert got[(2, 1)] == ("2024-01-02", 1)
+    assert got[(2, 2)] == ("2024-01-04", 1)
+
+
+def test_activity_streaks_single_exchange(spark):
+    from ddataframeoperation_spark.operators.windows import activity_streaks
+
+    df = spark.createDataFrame([(1, _ts(1)), (1, _ts(2))], "user_id long, ts timestamp")
+    p = str(
+        activity_streaks(df)._jdf.queryExecution().executedPlan()
+    )
+    # The grid aggregate, both windows, and the streak aggregate all key
+    # on user_id: one real exchange (plus AQE reads), no join.
+    assert "Join" not in p
+
+
+def test_activity_streaks_rejects_bad_top(spark):
+    from ddataframeoperation_spark.operators.windows import activity_streaks
+
+    df = spark.createDataFrame([(1, _ts(1))], "user_id long, ts timestamp")
+    with pytest.raises(ValueError):
+        activity_streaks(df, top_per_key=0)

@@ -379,6 +379,18 @@ def main() -> int:
     # and skip-gram pairs (row-local pair generation, one count agg).
     for tag, d in (("1x", docs1), (f"{factor}x", docs)):
         probe(
+            f"negative_samples {tag}",
+            lambda d=d: sampling.negative_samples(
+                d.filter(F.col("doc_id") % 5 == 0).select(
+                    F.col("doc_id").alias("id_a"),
+                    (F.col("doc_id") + 1).alias("id_b"),
+                ),
+                d,
+                k=3,
+                buckets=64,
+            ),
+        )
+        probe(
             f"dedup_provenance {tag}",
             lambda d=d: dedup.dedup_with_provenance(
                 d,
@@ -464,6 +476,13 @@ def main() -> int:
             lambda e=e: last_touch_attribution(
                 e, max_gap_seconds=3600.0, tiebreak=("event_id",)
             ),
+        )
+        probe(
+            f"activity_streaks {tag}",
+            lambda e=e: __import__(
+                "ddataframeoperation_spark.operators.windows",
+                fromlist=["activity_streaks"],
+            ).activity_streaks(e, top_per_key=2),
         )
         probe(
             f"cohens_kappa {tag}",
