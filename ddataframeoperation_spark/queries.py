@@ -2739,6 +2739,35 @@ def b36ssx(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b36_stream_semi_join",
+    """
+    SELECT l.user_id, l.event_id AS l_event_id, l.ts AS l_ts
+    FROM events l
+    WHERE l.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events r
+        WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+          AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE)
+    """,
+)
+def b36ssemi(spark: SparkSession, sf: str) -> DataFrame:
+    # Stream-stream LEFT SEMI interval join: clicks that converted within
+    # 30 minutes. Each positive is FINAL the moment its first matching
+    # purchase arrives — unlike the outer join's no-match verdicts, no
+    # watermark-cutoff restriction is needed for replay equivalence, so
+    # the oracle is the plain batch EXISTS over the full fixture. Same
+    # bounded-state posture as the inner join: the two-sided time bound
+    # lets the engine evict buffered rows at rate x horizon.
+    stream = STR.events_as_stream(spark, sf)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = STR.stream_interval_join(
+        clicks, purchases, max_gap="30 minutes", how="left_semi"
+    )
+    return STR.run_to_memory(joined, output_mode="append")
+
+
+@_q(
     "b36_stream_outer_join",
     """
     WITH mx AS (
@@ -8381,6 +8410,7 @@ _BONUS_SLOTS = [
     "b35_attribution",
     "b22_negative_samples",
     "b18_activity_streaks",
+    "b36_stream_semi_join",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

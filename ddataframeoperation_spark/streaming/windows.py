@@ -207,13 +207,22 @@ def stream_interval_join(
         F.col("event_id").alias("r_event_id"),
         F.col("ts").alias("r_ts"),
     ).withWatermark("r_ts", watermark)
-    return l.join(
+    j = l.join(
         r,
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap}")),
         how,
-    ).select(
+    )
+    if how == "left_semi":
+        # Semi join: left rows that HAVE a match — no right columns
+        # exist, and each positive is FINAL the moment its first match
+        # arrives (no watermark wait), unlike the outer join's
+        # "no-match" verdicts.
+        return j.select(
+            F.col("l_key").alias("user_id"), "l_event_id", "l_ts"
+        )
+    return j.select(
         F.col("l_key").alias("user_id"),
         "l_event_id",
         "r_event_id",
