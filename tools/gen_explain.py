@@ -59,6 +59,10 @@ HEADLINE = [
     ("b31_dedup_provenance", "Dedup audit trail: ONE (fp,id) exchange shared by the ranking window and the count+capped-list aggregate — no join, bounded collect_list"),
     ("b33_pq_topk", "Product quantization: Arrow encode, ADC lookup-table scan over 8-byte codes, TakeOrdered shortlist, broadcast-join exact re-rank"),
     ("b34_skipgram_pairs", "Skip-gram pairs: row-local self-shifted arrays_zip explode into one map-side-combined count — only (word,word) pairs shuffle"),
+    ("b33_semantic_join", "Semantic join: IVF cells on both sides, cell equi-join candidates (no cross product), exact per-left top-1"),
+    ("b35_attribution", "Last-touch attribution: one key window (last ignore-nulls, exclusive frame), row-local gap test, one aggregate"),
+    ("b18_activity_streaks", "Gaps-and-islands streaks: grid aggregate + anchor window + streak aggregate on ONE user-key exchange"),
+    ("b22_negative_samples", "Hash-bucket negative draws: equi-joins on bucket id only — no global index, no data-sized window"),
     ("b32_cluster_dedup_quality", "Quality-aware cluster dedup: iterative components, then ONE map-side max_by((score,-id)) per component — no window, no per-cluster sort"),
     ("bzo_zvalue_interleave", "Z-order clustering key: pure row-local shift/mask projection — scan speed, zero exchanges"),
     ("b22_temporal_split", "Purged temporal split: pushed-down time filters, one left-anti key join (pre-cutoff slice vs distinct eval keys), union"),
