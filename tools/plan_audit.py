@@ -44,6 +44,10 @@ GLOBAL_WINDOW_ALLOWLIST = {
 BNLJ_ALLOWLIST = {
     "b18_scd2_asof",            # 3-row literal probe-instant dim,
                                 # interval-containment condition
+    "b12_hll_overlap",          # scalar x scalar: every join input is a
+                                # 1-row global sketch/count aggregate
+                                # (Spark may pick BuildLeft, which the
+                                # textual 1-row-scalar check can't see)
 }
 
 
