@@ -65,6 +65,7 @@ __all__ = [
     "group_ols",
     "hll_overlap",
     "cohens_kappa",
+    "rank_sum_test",
 ]
 
 
@@ -1367,4 +1368,119 @@ def cohens_kappa(
         F.round(
             F.when(pe != 1.0, (po - pe) / (F.lit(1.0) - pe)), ndigits
         ).alias("kappa"),
+    )
+
+
+def rank_sum_test(
+    df: DataFrame,
+    group_col: str | Column,
+    value_col: str | Column,
+    group_a: str,
+    buckets: int = 512,
+    ndigits: int = 4,
+) -> DataFrame:
+    """B11 — Mann-Whitney/Wilcoxon rank-sum test between two cohorts
+    (the nonparametric A/B test: "does cohort A's value distribution
+    stochastically dominate B's"), with EXACT tie-corrected average
+    ranks — computed WITHOUT a global sort.
+
+    The scale shape (the two-level prefix-sum machinery of
+    token_budget_mix/equidepth, applied to order statistics): values
+    reduce to per-DISTINCT-value counts first (one aggregate); approx
+    percentile cut points (broadcast scalars — they only balance the
+    buckets, correctness never depends on them) assign each distinct
+    value a bucket row-locally; the cross-bucket offset is a window
+    over the ≤``buckets``-row bucket-total table (bounded by
+    construction), and the within-bucket prefix is a window PARTITIONED
+    by bucket. Average ranks come out exact: rank_avg(v) =
+    #less(v) + (#eq(v)+1)/2.
+
+    Engine-exactness (§20 rules): ranks are carried DOUBLED as exact
+    longs (average ranks are half-integers), every statistic is a sum
+    of exact integer products, and floats enter only in the final
+    identically-written z expression — bit-identical on any engine.
+    The tie-corrected normal approximation:
+    ``z = (U - n1 n2/2) / sqrt(n1 n2/12 ((n+1) - Σ(t³-t)/(n(n-1))))``.
+
+    Returns one row: (n_a, n_b, rank_sum_a, u_a, z). NULL groups/values
+    are excluded; z is NULL when either cohort is empty or all values
+    tie (zero variance).
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    from pyspark.sql import Window
+
+    g = (F.col(group_col) if isinstance(group_col, str) else group_col)
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col)
+    base = df.select(g.alias("_g"), v.alias("_v")).filter(
+        F.col("_g").isNotNull() & F.col("_v").isNotNull()
+    )
+    per = base.groupBy("_v").agg(
+        F.count("*").cast("long").alias("_c"),
+        F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
+    )
+    if buckets == 1:
+        # Degenerate single-bucket mode (used by the invariance test):
+        # no cut points, everything in bucket 0 — one partition does the
+        # whole prefix, exactly the cost profile bucketing exists to avoid.
+        bucketed = per.withColumn("_bkt", F.lit(0))
+    else:
+        probs = [i / buckets for i in range(1, buckets)]
+        cuts = per.agg(
+            F.percentile_approx("_v", probs, 10_000).alias("_cuts")
+        )
+        bucketed = per.crossJoin(F.broadcast(cuts)).withColumn(
+            "_bkt",
+            F.size(F.filter(F.col("_cuts"), lambda x: F.col("_v") > x)),
+        )
+    # Cross-bucket offsets: a window over the <=buckets-row totals table
+    # (bounded by construction — the plan-audit allowlist class).
+    btot = bucketed.groupBy("_bkt").agg(F.sum("_c").alias("_bc"))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.withColumn(
+        "_off", F.coalesce(F.sum("_bc").over(wb), F.lit(0)).cast("long")
+    ).select("_bkt", "_off")
+    ww = (
+        Window.partitionBy("_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        bucketed.withColumn(
+            "_pre", F.coalesce(F.sum("_c").over(ww), F.lit(0)).cast("long")
+        )
+        .join(F.broadcast(boff), on="_bkt")
+        # rank2 = twice the average rank — an exact long.
+        .withColumn(
+            "_rank2",
+            2 * (F.col("_off") + F.col("_pre")) + F.col("_c") + F.lit(1),
+        )
+    )
+    stats = ranked.agg(
+        F.sum("_ca").cast("long").alias("_n1"),
+        F.sum("_c").cast("long").alias("_n"),
+        F.sum(F.col("_ca") * F.col("_rank2")).cast("long").alias("_r2a"),
+        F.sum(
+            F.col("_c") * F.col("_c") * F.col("_c") - F.col("_c")
+        ).cast("long").alias("_ties"),
+    )
+    n1 = F.col("_n1").cast("double")
+    n2 = (F.col("_n") - F.col("_n1")).cast("double")
+    n = F.col("_n").cast("double")
+    r_a = F.col("_r2a").cast("double") / F.lit(2.0)
+    u_a = r_a - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
+    var = (
+        n1 * n2 / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("_ties").cast("double") / (n * (n - F.lit(1.0))))
+    )
+    z = F.when(
+        (F.col("_n1") > 0) & (F.col("_n") > F.col("_n1")) & (var > 0.0),
+        (u_a - n1 * n2 / F.lit(2.0)) / F.sqrt(var),
+    )
+    return stats.select(
+        F.col("_n1").alias("n_a"),
+        (F.col("_n") - F.col("_n1")).alias("n_b"),
+        F.round(r_a, ndigits).alias("rank_sum_a"),
+        F.round(u_a, ndigits).alias("u_a"),
+        F.round(z, ndigits).alias("z"),
     )

@@ -8258,6 +8258,60 @@ def b18st(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumn("streak_rank", F.col("streak_rank").cast("int"))
 
 
+@_q(
+    "b11_rank_sum_test",
+    """
+    WITH base AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ), per AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca
+      FROM base GROUP BY v
+    ), r AS (
+      SELECT v, c, ca,
+             CAST(coalesce(sum(c) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      FROM per
+    ), s AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n1, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(ca * (2 * off + c + 1)) AS BIGINT) AS r2a,
+             CAST(sum(c * c * c - c) AS BIGINT) AS ties
+      FROM r
+    )
+    SELECT n1 AS n_a, n - n1 AS n_b,
+           round(CAST(r2a AS DOUBLE) / 2.0, 4) AS rank_sum_a,
+           round(CAST(r2a AS DOUBLE) / 2.0
+                 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0, 4) AS u_a,
+           round(CASE WHEN n1 > 0 AND n > n1
+                       AND CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
+                           * ((CAST(n AS DOUBLE) + 1.0)
+                              - CAST(ties AS DOUBLE)
+                                / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) > 0.0
+                      THEN (CAST(r2a AS DOUBLE) / 2.0
+                            - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0
+                            - CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 2.0)
+                           / sqrt(CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) / 12.0
+                                  * ((CAST(n AS DOUBLE) + 1.0)
+                                     - CAST(ties AS DOUBLE)
+                                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+                 END, 4) AS z
+    FROM s
+    """,
+)
+def b11mw(spark: SparkSession, sf: str) -> DataFrame:
+    # Mann-Whitney rank-sum A/B test (click vs view values) with exact
+    # tie-corrected average ranks — and NO global sort: per-distinct-value
+    # counts, broadcast approx cut points (balance only — correctness
+    # never depends on them), bounded cross-bucket offset window +
+    # bucket-partitioned within-bucket prefix. Ranks carried doubled as
+    # exact longs; floats only in the final identically-written z.
+    ev = _t(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    return R.rank_sum_test(ev, "event_type", "value", group_a="click")
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -8411,6 +8465,7 @@ _BONUS_SLOTS = [
     "b22_negative_samples",
     "b18_activity_streaks",
     "b36_stream_semi_join",
+    "b11_rank_sum_test",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

@@ -844,3 +844,52 @@ def test_activity_streaks_rejects_bad_top(spark):
     df = spark.createDataFrame([(1, _ts(1))], "user_id long, ts timestamp")
     with pytest.raises(ValueError):
         activity_streaks(df, top_per_key=0)
+
+
+# --------------------------------------------------------------- rank_sum_test
+
+
+def test_rank_sum_matches_manual_with_ties(spark):
+    from ddataframeoperation_spark.operators.relational import rank_sum_test
+
+    a = [1.0, 2.0, 3.0, 3.0, 5.0]
+    b = [2.0, 4.0, 4.0, 6.0]
+    df = spark.createDataFrame(
+        [("A", x) for x in a] + [("B", x) for x in b], "g string, v double"
+    )
+    r = rank_sum_test(df, "g", "v", "A", buckets=4).collect()[0]
+    # Hand-computed tie-averaged ranks: R_A = 20.5, U_A = 5.5.
+    assert (r["n_a"], r["n_b"], r["rank_sum_a"], r["u_a"]) == (5, 4, 20.5, 5.5)
+    assert r["z"] is not None and -2 < r["z"] < 0
+
+
+def test_rank_sum_bucketing_invariant(spark):
+    from ddataframeoperation_spark.operators.relational import rank_sum_test
+
+    rows = [("A", float(i % 17)) for i in range(300)] + [
+        ("B", float((i % 23) + 2)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    # Correctness must not depend on the bucket count (it only balances).
+    r1 = rank_sum_test(df, "g", "v", "A", buckets=1).collect()[0]
+    r64 = rank_sum_test(df, "g", "v", "A", buckets=64).collect()[0]
+    assert tuple(r1) == tuple(r64)
+
+
+def test_rank_sum_degenerate_all_ties(spark):
+    from ddataframeoperation_spark.operators.relational import rank_sum_test
+
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 1.0), ("B", 1.0)], "g string, v double"
+    )
+    r = rank_sum_test(df, "g", "v", "A").collect()[0]
+    # All values tie: zero variance -> NULL z; ranks still exact.
+    assert r["z"] is None and r["rank_sum_a"] == 4.0
+
+
+def test_rank_sum_rejects_bad_buckets(spark):
+    from ddataframeoperation_spark.operators.relational import rank_sum_test
+
+    df = spark.createDataFrame([("A", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        rank_sum_test(df, "g", "v", "A", buckets=0)

@@ -37,6 +37,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "b33_hybrid_rrf",           # two top-10 candidate lists
     "b12_heavy_hitters",        # sketch output (<= tracked-capacity rows)
     "b22_temperature_mix",      # |distinct sources|-row quota table
+    "b11_rank_sum_test",        # <=buckets-row cross-bucket offset table
 }
 
 #: BroadcastNestedLoopJoin shapes beyond the 1-row Cross/BuildRight
