@@ -66,6 +66,8 @@ __all__ = [
     "hll_overlap",
     "cohens_kappa",
     "rank_sum_test",
+    "ks_test",
+    "chi_square_test",
 ]
 
 
@@ -1483,4 +1485,155 @@ def rank_sum_test(
         F.round(r_a, ndigits).alias("rank_sum_a"),
         F.round(u_a, ndigits).alias("u_a"),
         F.round(z, ndigits).alias("z"),
+    )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str | Column,
+    value_col: str | Column,
+    group_a: str,
+    buckets: int = 512,
+    ndigits: int = 4,
+) -> DataFrame:
+    """B11 — two-sample Kolmogorov-Smirnov distance: D = max over the
+    observed values of |ECDF_A − ECDF_B| — the distribution-shift test
+    that reads the WHOLE distribution (where PSI buckets and the
+    rank-sum's location shift can both miss shape changes).
+
+    Same scale machinery as :func:`rank_sum_test` (exact global order
+    statistics, no global sort): per-distinct-value counts per cohort,
+    bucketed two-level prefix sums give each value its exact cumulative
+    count per cohort, and D is one max-aggregate over
+    |cumA/n1 − cumB/n2|. The ECDF ratios are exact-integer quotients in
+    an identically-written expression — bit-identical cross-engine; the
+    max of bit-identical doubles is bit-identical (§20 rules).
+
+    Returns one row: (n_a, n_b, ks_d). NULL when a cohort is empty.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    from pyspark.sql import Window
+
+    g = (F.col(group_col) if isinstance(group_col, str) else group_col)
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col)
+    base = df.select(g.alias("_g"), v.alias("_v")).filter(
+        F.col("_g").isNotNull() & F.col("_v").isNotNull()
+    )
+    per = base.groupBy("_v").agg(
+        F.sum((F.col("_g") == group_a).cast("long")).alias("_ca"),
+        F.sum((F.col("_g") != group_a).cast("long")).alias("_cb"),
+    )
+    if buckets == 1:
+        bucketed = per.withColumn("_bkt", F.lit(0))
+    else:
+        probs = [i / buckets for i in range(1, buckets)]
+        cuts = per.agg(
+            F.percentile_approx("_v", probs, 10_000).alias("_cuts")
+        )
+        bucketed = per.crossJoin(F.broadcast(cuts)).withColumn(
+            "_bkt",
+            F.size(F.filter(F.col("_cuts"), lambda x: F.col("_v") > x)),
+        )
+    btot = bucketed.groupBy("_bkt").agg(
+        F.sum("_ca").alias("_ba"), F.sum("_cb").alias("_bb")
+    )
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "_bkt",
+        F.coalesce(F.sum("_ba").over(wb), F.lit(0)).cast("long").alias("_offa"),
+        F.coalesce(F.sum("_bb").over(wb), F.lit(0)).cast("long").alias("_offb"),
+    )
+    ww = (
+        Window.partitionBy("_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        bucketed.withColumn("_pa", F.sum("_ca").over(ww).cast("long"))
+        .withColumn("_pb", F.sum("_cb").over(ww).cast("long"))
+        .join(F.broadcast(boff), on="_bkt")
+        .select(
+            (F.col("_offa") + F.col("_pa")).alias("_cuma"),
+            (F.col("_offb") + F.col("_pb")).alias("_cumb"),
+        )
+    )
+    tot = base.agg(
+        F.sum((F.col("_g") == group_a).cast("long")).alias("_n1"),
+        F.sum((F.col("_g") != group_a).cast("long")).alias("_n2"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    d = F.abs(
+        F.col("_cuma").cast("double") / F.col("_n1").cast("double")
+        - F.col("_cumb").cast("double") / F.col("_n2").cast("double")
+    )
+    return j.groupBy().agg(
+        F.first("_n1").alias("n_a"),
+        F.first("_n2").alias("n_b"),
+        F.round(
+            F.when((F.first("_n1") > 0) & (F.first("_n2") > 0), F.max(d)),
+            ndigits,
+        ).alias("ks_d"),
+    )
+
+
+def chi_square_test(
+    df: DataFrame,
+    col_a: str | Column,
+    col_b: str | Column,
+    ndigits: int = 4,
+) -> DataFrame:
+    """B28 — chi-square test of independence between two categorical
+    columns (is source mix independent of language? does segment predict
+    event type?). Everything reduces to exact integer contingency and
+    marginal counts over the small category sets; expected counts and
+    the statistic are identically-written expressions over bit-identical
+    doubles (§20). Plan: one contingency aggregate + two marginal
+    aggregates equi-joined back on the categories — all tiny,
+    map-side-combined; no window.
+
+    Returns one row: (n, dof, chi2). NULL-category rows are excluded;
+    dof = (|A|−1)(|B|−1); chi2 NULL when dof is 0.
+    """
+    a = (F.col(col_a) if isinstance(col_a, str) else col_a).alias("_a")
+    b = (F.col(col_b) if isinstance(col_b, str) else col_b).alias("_b")
+    base = df.select(a, b).filter(
+        F.col("_a").isNotNull() & F.col("_b").isNotNull()
+    )
+    obs = base.groupBy("_a", "_b").agg(F.count("*").cast("long").alias("_o"))
+    ma = base.groupBy("_a").agg(F.count("*").cast("long").alias("_ra"))
+    mb = base.groupBy("_b").agg(F.count("*").cast("long").alias("_cb"))
+    n = base.agg(F.count("*").cast("long").alias("_n"))
+    e = (
+        obs.join(ma, on="_a")
+        .join(mb, on="_b")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "_e",
+            F.col("_ra").cast("double")
+            * F.col("_cb").cast("double")
+            / F.col("_n").cast("double"),
+        )
+    )
+    term = (F.col("_o").cast("double") - F.col("_e")) * (
+        F.col("_o").cast("double") - F.col("_e")
+    ) / F.col("_e")
+    # Observed-zero cells contribute (0-e)^2/e too, but they are absent
+    # from the contingency aggregate: add their total analytically —
+    # sum over missing cells of e = n - sum over present cells of e.
+    agg = e.agg(
+        F.first("_n").alias("n"),
+        F.sum(term).alias("_chi_present"),
+        F.sum("_e").alias("_e_present"),
+        F.count_distinct("_a").cast("long").alias("_ka"),
+        F.count_distinct("_b").cast("long").alias("_kb"),
+    )
+    dof = (F.col("_ka") - 1) * (F.col("_kb") - 1)
+    chi2 = F.col("_chi_present") + (
+        F.col("n").cast("double") - F.col("_e_present")
+    )
+    return agg.select(
+        "n",
+        dof.alias("dof"),
+        F.round(F.when(dof > 0, chi2), ndigits).alias("chi2"),
     )

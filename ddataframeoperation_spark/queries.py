@@ -8312,6 +8312,86 @@ def b11mw(spark: SparkSession, sf: str) -> DataFrame:
     return R.rank_sum_test(ev, "event_type", "value", group_a="click")
 
 
+@_q(
+    "b11_ks_test",
+    """
+    WITH base AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ), per AS (
+      SELECT v,
+             CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN g <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM base GROUP BY v
+    ), cum AS (
+      SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+             CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+      FROM per
+    ), tot AS (
+      SELECT CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN g <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM base
+    )
+    SELECT n1 AS n_a, n2 AS n_b,
+           round(CASE WHEN n1 > 0 AND n2 > 0
+                      THEN max(abs(CAST(cuma AS DOUBLE) / CAST(n1 AS DOUBLE)
+                                   - CAST(cumb AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                 END, 4) AS ks_d
+    FROM cum, tot GROUP BY n1, n2
+    """,
+)
+def b11ks(spark: SparkSession, sf: str) -> DataFrame:
+    # Two-sample Kolmogorov-Smirnov distance (click vs view values) —
+    # the whole-distribution shift test beside PSI's buckets and the
+    # rank-sum's location shift. Same no-global-sort machinery as
+    # b11_rank_sum_test; ECDF ratios are exact-integer quotients, the
+    # max of bit-identical doubles.
+    ev = _t(spark, sf, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    return R.ks_test(ev, "event_type", "value", group_a="click")
+
+
+@_q(
+    "b28_chi_square",
+    """
+    WITH base AS (
+      SELECT lang AS a, source AS b FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+    ), obs AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY a, b
+    ), ma AS (SELECT a, CAST(count(*) AS BIGINT) AS ra FROM base GROUP BY a),
+    mb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM base GROUP BY b),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    e AS (
+      SELECT o.o, CAST(ma.ra AS DOUBLE) * CAST(mb.cb AS DOUBLE) / CAST(tot.n AS DOUBLE) AS e,
+             tot.n
+      FROM obs o JOIN ma ON o.a = ma.a JOIN mb ON o.b = mb.b CROSS JOIN tot
+    ), agg AS (
+      SELECT CAST(max(n) AS BIGINT) AS n,
+             sum((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e) AS chi_present,
+             sum(e) AS e_present,
+             (SELECT CAST(count(DISTINCT a) AS BIGINT) FROM base) AS ka,
+             (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM base) AS kb
+      FROM e
+    )
+    SELECT n, (ka - 1) * (kb - 1) AS dof,
+           round(CASE WHEN (ka - 1) * (kb - 1) > 0
+                      THEN chi_present + (CAST(n AS DOUBLE) - e_present) END, 4) AS chi2
+    FROM agg
+    """,
+)
+def b28cs(spark: SparkSession, sf: str) -> DataFrame:
+    # Chi-square independence: is the source mix independent of the
+    # language (the corpus-composition diagnostic beside PSI and the
+    # balance entropy)? Exact integer contingency + marginals; expected
+    # counts and the statistic from bit-identical doubles; zero-observed
+    # cells contribute analytically (n − Σ_present e), so the sparse
+    # contingency aggregate never materializes empty cells.
+    d = _t(spark, sf, "documents")
+    return R.chi_square_test(d, "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -8466,6 +8546,8 @@ _BONUS_SLOTS = [
     "b18_activity_streaks",
     "b36_stream_semi_join",
     "b11_rank_sum_test",
+    "b11_ks_test",
+    "b28_chi_square",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

@@ -893,3 +893,61 @@ def test_rank_sum_rejects_bad_buckets(spark):
     df = spark.createDataFrame([("A", 1.0)], "g string, v double")
     with pytest.raises(ValueError):
         rank_sum_test(df, "g", "v", "A", buckets=0)
+
+
+# --------------------------------------------------------------------- ks_test
+
+
+def test_ks_test_known_distance_and_invariance(spark):
+    from ddataframeoperation_spark.operators.relational import ks_test
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [3.0, 4.0, 5.0, 6.0, 7.0]
+    df = spark.createDataFrame(
+        [("A", x) for x in a] + [("B", x) for x in b], "g string, v double"
+    )
+    r = ks_test(df, "g", "v", "A", buckets=4).collect()[0]
+    # ECDFs diverge most at v=2: A 0.4, B 0.0.
+    assert (r["n_a"], r["n_b"], r["ks_d"]) == (5, 5, 0.4)
+    r1 = ks_test(df, "g", "v", "A", buckets=1).collect()[0]
+    assert tuple(r1) == tuple(r)
+
+
+def test_ks_test_identical_distributions_zero(spark):
+    from ddataframeoperation_spark.operators.relational import ks_test
+
+    rows = [("A", float(i % 10)) for i in range(100)] + [
+        ("B", float(i % 10)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    assert ks_test(df, "g", "v", "A").collect()[0]["ks_d"] == 0.0
+
+
+# ------------------------------------------------------------- chi_square_test
+
+
+def test_chi_square_known_value_and_missing_cells(spark):
+    from ddataframeoperation_spark.operators.relational import chi_square_test
+
+    rows = [("x", "p")] * 10 + [("x", "q")] * 20 + [("y", "p")] * 20 + [("y", "q")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square_test(df, "a", "b").collect()[0]
+    assert (r["n"], r["dof"], r["chi2"]) == (60, 1, 6.6667)
+    # A structurally-missing cell (y,q absent): its (0-e)^2/e = e term
+    # must be counted via the analytic n - sum(e_present) correction.
+    rows2 = [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 10
+    r2 = chi_square_test(
+        spark.createDataFrame(rows2, "a string, b string"), "a", "b"
+    ).collect()[0]
+    # e(y,q) = 10*5/20 = 2.5; chi2 = (5-7.5)^2/7.5*... compute: cells
+    # (x,p): o5 e7.5 ->0.8333; (x,q): o5 e2.5 ->2.5; (y,p): o10 e7.5
+    # ->0.8333; missing (y,q): e2.5 ->2.5. total 6.6667 (dof 1).
+    assert (r2["dof"], r2["chi2"]) == (1, 6.6667)
+
+
+def test_chi_square_degenerate_single_category(spark):
+    from ddataframeoperation_spark.operators.relational import chi_square_test
+
+    df = spark.createDataFrame([("x", "p"), ("x", "q")], "a string, b string")
+    r = chi_square_test(df, "a", "b").collect()[0]
+    assert r["dof"] == 0 and r["chi2"] is None

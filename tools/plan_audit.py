@@ -38,6 +38,7 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "b12_heavy_hitters",        # sketch output (<= tracked-capacity rows)
     "b22_temperature_mix",      # |distinct sources|-row quota table
     "b11_rank_sum_test",        # <=buckets-row cross-bucket offset table
+    "b11_ks_test",              # <=buckets-row cross-bucket offset table
 }
 
 #: BroadcastNestedLoopJoin shapes beyond the 1-row Cross/BuildRight
