@@ -485,6 +485,20 @@ def main() -> int:
             ).activity_streaks(e, top_per_key=2),
         )
         probe(
+            f"rank_sum_test {tag}",
+            lambda e=e: relational.rank_sum_test(
+                e.filter(F.col("event_type").isin("click", "view")),
+                "event_type", "value", group_a="click",
+            ),
+        )
+        probe(
+            f"ks_test {tag}",
+            lambda e=e: relational.ks_test(
+                e.filter(F.col("event_type").isin("click", "view")),
+                "event_type", "value", group_a="click",
+            ),
+        )
+        probe(
             f"cohens_kappa {tag}",
             lambda e=e: relational.cohens_kappa(
                 e.select(
