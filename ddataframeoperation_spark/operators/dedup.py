@@ -51,6 +51,7 @@ __all__ = [
     "token_windows",
     "block_dedup",
     "dedup_with_provenance",
+    "triangle_count",
 ]
 
 
@@ -1163,3 +1164,52 @@ def dedup_with_provenance(
             ",",
         ).alias("dup_ids"),
     )
+
+
+def triangle_count(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """B32 adjunct — triangle census of an undirected similarity graph
+    (e.g. the near-dup pair set): how many triangles each edge closes,
+    plus the global triangle count — the transitivity diagnostic that
+    tells you whether "near-duplicate" is behaving like an equivalence
+    relation (dense triangles → clean clusters for cluster_dedup) or a
+    hairball of accidental bridges.
+
+    The standard distributed shape: edges are canonicalized to
+    ``lo < hi`` and deduplicated; wedges come from the self-join of
+    edges on their LOW endpoint (each wedge generated exactly once by
+    ordering the two high endpoints); a final equi-join against the
+    edge set closes the wedge. Cost ∝ Σ_v deg(v)² for the wedge step —
+    the known hot-vertex sensitivity; at corpus scale run it on the
+    CLUSTERED pair set (post-LSH candidates, bounded cluster sizes),
+    not on a raw similarity matrix. No cartesian anywhere — both steps
+    are equi-joins.
+
+    Returns one row: (n_edges, n_wedges, n_triangles). Self-loops are
+    dropped; duplicate/reversed input pairs collapse.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("lo"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+    )
+    e1 = e.select(F.col("lo").alias("v"), F.col("hi").alias("w1"))
+    e2 = e.select(F.col("lo").alias("v"), F.col("hi").alias("w2"))
+    wedges = e1.join(e2, on="v").filter(F.col("w1") < F.col("w2"))
+    closed = wedges.join(
+        e,
+        (wedges["w1"] == e["lo"]) & (wedges["w2"] == e["hi"]),
+        "left_semi",
+    )
+    stats = e.agg(F.count("*").cast("long").alias("n_edges")).crossJoin(
+        wedges.agg(F.count("*").cast("long").alias("n_wedges"))
+    ).crossJoin(
+        closed.agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return stats

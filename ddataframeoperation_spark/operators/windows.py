@@ -37,6 +37,7 @@ __all__ = [
     "next_event_examples",
     "last_touch_attribution",
     "activity_streaks",
+    "top_paths",
 ]
 
 
@@ -553,4 +554,51 @@ def activity_streaks(
             "streak_days",
             "streak_rank",
         )
+    )
+
+
+def top_paths(
+    df: DataFrame,
+    path_len: int = 3,
+    top_n: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: Sequence[str] = (),
+    sep: str = " > ",
+) -> DataFrame:
+    """B35 — most frequent length-k event paths: every window of
+    ``path_len`` consecutive events in a user's time-ordered sequence
+    counts one occurrence of its label path — the journey-mining report
+    one order above :func:`transition_counts`' first-order pairs.
+
+    Plan: ``path_len - 1`` ``lead()`` expressions over ONE user-key
+    window (a single shuffle+sort — the same exchange transitions /
+    sessionize use; lead holds O(path_len) state per row, never the
+    partition), a row-local concat, one map-side-combined count, and a
+    TakeOrderedAndProject top-k. Windows shorter than ``path_len``
+    (sequence tails) emit nothing.
+
+    Returns (path, n) — count-desc, path-asc tiebreak.
+    """
+    if path_len < 2:
+        raise ValueError("path_len must be >= 2")
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, path_len)
+    ]
+    # Window expressions must materialize before the filter can see them.
+    paths = (
+        df.withColumn("_last", steps[-1])
+        .withColumn("_path", F.concat_ws(sep, *steps[:-1], F.col("_last")))
+        .filter(F.col("_last").isNotNull())
+    )
+    return (
+        paths.groupBy(F.col("_path").alias("path"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(int(top_n))
     )

@@ -8392,6 +8392,76 @@ def b28cs(spark: SparkSession, sf: str) -> DataFrame:
     return R.chi_square_test(d, "lang", "source")
 
 
+@_q(
+    "b35_top_paths",
+    """
+    WITH w AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER win AS e2,
+             lead(event_type, 2) OVER win AS e3
+      FROM events
+      WINDOW win AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    )
+    SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def b35tp(spark: SparkSession, sf: str) -> DataFrame:
+    # Frequent 3-step journey paths — one order above the Markov
+    # transition matrix: two lead() expressions on ONE user-key window,
+    # row-local concat, map-side count, TakeOrdered top-20.
+    return W.top_paths(
+        _t(spark, sf, "events"), path_len=3, top_n=20, tiebreak=("event_id",)
+    )
+
+
+@_q(
+    "b32_triangle_count",
+    """
+    WITH g AS (
+      SELECT md5(array_to_string(
+               (string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))[1:2],
+               ' ')) AS fp,
+             doc_id AS id
+      FROM documents
+    ), e AS (
+      SELECT DISTINCT least(a.id, b.id) AS lo, greatest(a.id, b.id) AS hi
+      FROM g a JOIN g b ON a.fp = b.fp AND a.id < b.id
+    ), wedges AS (
+      SELECT e1.lo AS v, e1.hi AS w1, e2.hi AS w2
+      FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+    ), closed AS (
+      SELECT w.* FROM wedges w
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.lo = w.w1 AND e.hi = w.w2)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_triangles
+    """,
+)
+def b32tc(spark: SparkSession, sf: str) -> DataFrame:
+    # Triangle census of the near-dup graph (edges = intra-group pairs of
+    # the 2-token-prefix fingerprint groups): the transitivity check on
+    # "is near-duplicate an equivalence relation here". Oriented-wedge
+    # generation (low-endpoint self-join, w1 < w2) finds each triangle
+    # exactly once; the close is a LEFT SEMI equi-join. No cartesian;
+    # wedge cost ∝ Σ out-degree² of the ORIENTED graph — the standard
+    # hot-vertex mitigation.
+    d = _t(spark, sf, "documents")
+    pre = F.array_join(
+        F.slice(F.split(dedup.normalized_text("text"), " "), 1, 2), " "
+    )
+    g = d.select(F.md5(pre).alias("fp"), F.col("doc_id").alias("id"))
+    g2 = g.select(F.col("fp"), F.col("id").alias("id2"))
+    pairs = g.join(g2, on="fp").filter(F.col("id") < F.col("id2")).select(
+        F.col("id").alias("id_a"), F.col("id2").alias("id_b")
+    )
+    return dedup.triangle_count(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -8548,6 +8618,8 @@ _BONUS_SLOTS = [
     "b11_rank_sum_test",
     "b11_ks_test",
     "b28_chi_square",
+    "b35_top_paths",
+    "b32_triangle_count",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

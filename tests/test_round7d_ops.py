@@ -951,3 +951,101 @@ def test_chi_square_degenerate_single_category(spark):
     df = spark.createDataFrame([("x", "p"), ("x", "q")], "a string, b string")
     r = chi_square_test(df, "a", "b").collect()[0]
     assert r["dof"] == 0 and r["chi2"] is None
+
+
+# ------------------------------------------------------------------- top_paths
+
+
+def test_top_paths_counts_and_tails(spark):
+    from ddataframeoperation_spark.operators.windows import top_paths
+
+    rows = [
+        (1, _ts(1, h), h, t)
+        for h, t in enumerate(["a", "b", "c", "a", "b", "c"])
+    ] + [(2, _ts(1, 0), 10, "x"), (2, _ts(1, 1), 11, "y")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r["path"], r["n"])
+        for r in top_paths(df, path_len=3, top_n=10, tiebreak=("event_id",)).collect()
+    }
+    # u1's sequence a b c a b c -> windows: abc, bca, cab, abc; u2 too
+    # short for length 3 and emits nothing.
+    assert got == {("a > b > c", 2), ("b > c > a", 1), ("c > a > b", 1)}
+
+
+def test_top_paths_pairs_match_transitions(spark):
+    from ddataframeoperation_spark.operators.windows import (
+        top_paths,
+        transition_counts,
+    )
+
+    rows = [(1, _ts(1, h), h, t) for h, t in enumerate(["a", "b", "a", "b"])]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    p2 = {
+        tuple(r["path"].split(" > ")): r["n"]
+        for r in top_paths(df, path_len=2, top_n=100, tiebreak=("event_id",)).collect()
+    }
+    tc = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in transition_counts(df, tiebreak=["event_id"]).collect()
+        if r["to_type"] is not None
+    }
+    assert p2 == tc
+
+
+def test_top_paths_rejects_bad_args(spark):
+    from ddataframeoperation_spark.operators.windows import top_paths
+
+    df = spark.createDataFrame(
+        [(1, _ts(1), 1, "a")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    with pytest.raises(ValueError):
+        top_paths(df, path_len=1)
+    with pytest.raises(ValueError):
+        top_paths(df, top_n=0)
+
+
+# -------------------------------------------------------------- triangle_count
+
+
+def test_triangle_count_known_graph(spark):
+    from ddataframeoperation_spark.operators.dedup import triangle_count
+
+    # Graph: triangle {1,2,3} + pendant edge 3-4 + duplicate/reversed
+    # noise + a self-loop.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (2, 1), (4, 3), (5, 5)],
+        "id_a long, id_b long",
+    )
+    r = triangle_count(pairs).collect()[0]
+    # Edges: {12,13,23,34}. Oriented wedges (low-centered, w1<w2):
+    # (1;2,3), (2;3?) 2's higher neighbors {3} -> none, (3;4?) {4} ->
+    # none... plus (1;2,3) only. Closed: (2,3) is an edge -> 1 triangle.
+    assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (4, 1, 1)
+
+
+def test_triangle_count_clique_counts(spark):
+    from ddataframeoperation_spark.operators.dedup import triangle_count
+
+    # K4: 6 edges, C(4,3)=4 triangles.
+    import itertools
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in itertools.combinations(range(4), 2)],
+        "id_a long, id_b long",
+    )
+    r = triangle_count(pairs).collect()[0]
+    assert (r["n_edges"], r["n_triangles"]) == (6, 4)
+
+
+def test_triangle_count_no_cartesian_plan(spark):
+    from ddataframeoperation_spark.operators.dedup import triangle_count
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    p = str(triangle_count(pairs)._jdf.queryExecution().executedPlan())
+    assert "Cartesian" not in p
