@@ -390,6 +390,55 @@ def main() -> int:
                 buckets=64,
             ),
         )
+        # Replica-salt the group key: replicate() copies TEXTS, so an
+        # unsalted prefix group would grow 10x denser (edge count ~x100)
+        # — probing the INPUT's degree growth, not the operator. Cost is
+        # documented as deg-bounded; hold degree constant, scale groups.
+        probe(
+            f"triangle_count {tag}",
+            lambda d=d: dedup.triangle_count(
+                d.select(
+                    F.md5(
+                        F.concat(
+                            F.array_join(
+                                F.slice(
+                                    F.split(
+                                        dedup.normalized_text("text"), " "
+                                    ),
+                                    1, 2,
+                                ),
+                                " ",
+                            ),
+                            (F.col("doc_id") / 10_000_000).cast("long").cast("string"),
+                        )
+                    ).alias("fp"),
+                    F.col("doc_id").alias("id"),
+                )
+                .alias("g")
+                .join(
+                    d.select(
+                        F.md5(
+                            F.concat(
+                                F.array_join(
+                                    F.slice(
+                                        F.split(
+                                            dedup.normalized_text("text"), " "
+                                        ),
+                                        1, 2,
+                                    ),
+                                    " ",
+                                ),
+                                (F.col("doc_id") / 10_000_000).cast("long").cast("string"),
+                            )
+                        ).alias("fp"),
+                        F.col("doc_id").alias("id2"),
+                    ),
+                    on="fp",
+                )
+                .filter(F.col("id") < F.col("id2"))
+                .select(F.col("id").alias("id_a"), F.col("id2").alias("id_b")),
+            ),
+        )
         probe(
             f"dedup_provenance {tag}",
             lambda d=d: dedup.dedup_with_provenance(
@@ -483,6 +532,13 @@ def main() -> int:
                 "ddataframeoperation_spark.operators.windows",
                 fromlist=["activity_streaks"],
             ).activity_streaks(e, top_per_key=2),
+        )
+        probe(
+            f"top_paths {tag}",
+            lambda e=e: __import__(
+                "ddataframeoperation_spark.operators.windows",
+                fromlist=["top_paths"],
+            ).top_paths(e, path_len=3, top_n=20, tiebreak=("event_id",)),
         )
         probe(
             f"rank_sum_test {tag}",
