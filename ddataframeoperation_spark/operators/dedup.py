@@ -52,6 +52,7 @@ __all__ = [
     "block_dedup",
     "dedup_with_provenance",
     "triangle_count",
+    "containment_pairs",
 ]
 
 
@@ -1213,3 +1214,63 @@ def triangle_count(
         closed.agg(F.count("*").cast("long").alias("n_triangles"))
     )
     return stats
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """B32 — ASYMMETRIC near-dup: token-set containment
+    ``|A ∩ B| / |A|`` — "how much of A is inside B". The quote/snippet/
+    subset-absorption detector symmetric Jaccard structurally misses: a
+    200-token excerpt inside a 10k-token page scores Jaccard ≈ 0.02 but
+    containment ≈ 1.0. The dedup policy it feeds is "drop the contained
+    side, keep the superset".
+
+    Same sparse-inverted-index shape as :func:`jaccard_pairs` (explode
+    distinct units, equi-join on the unit, hapax pruning — result-
+    identical because sizes come from the unpruned table; only pairs
+    sharing a unit ever materialize, never a cross join). Both
+    directions of every overlapping pair are scored in the one join
+    (containment is directional), and only rows meeting ``threshold``
+    survive.
+
+    Returns (id_small, id_big, containment) where id_small is the
+    CONTAINED side; a mutual-containment pair (near-identical sets)
+    emits both directions.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    pre = df.withColumn("_toks", F.split(normalized_text(text_col), " "))
+    units = (
+        ngram_shingles(F.col("_toks"), shingle_n) if shingle_n else F.col("_toks")
+    )
+    tok = pre.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(units)).alias("tok")
+    )
+    sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
+    w = Window.partitionBy("tok")
+    pruned = (
+        tok.withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") >= 2)
+        .drop("_df")
+    )
+    other = pruned.select(F.col("id").alias("id2"), "tok")
+    inter = (
+        pruned.join(other, on="tok")
+        .filter(F.col("id") != F.col("id2"))
+        .groupBy("id", "id2")
+        .agg(F.count("*").cast("long").alias("_i"))
+    )
+    scored = inter.join(
+        sizes.select(F.col("id"), F.col("sz").alias("_sza")), on="id"
+    ).select(
+        F.col("id").alias("id_small"),
+        F.col("id2").alias("id_big"),
+        F.round(F.col("_i") / F.col("_sza"), 4).alias("containment"),
+        (F.col("_i") / F.col("_sza")).alias("_raw"),
+    )
+    return scored.filter(F.col("_raw") >= threshold).drop("_raw")

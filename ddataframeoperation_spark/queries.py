@@ -8462,6 +8462,45 @@ def b32tc(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.triangle_count(pairs)
 
 
+@_q(
+    "b32_containment_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id AS id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT id, array_to_string(toks[i : i + 2], ' ') AS tok
+      FROM t, unnest(generate_series(1, greatest(CAST(len(toks) AS BIGINT) - 2, 1))) AS u(i)
+    ), tok AS (
+      SELECT DISTINCT id, tok FROM sh
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM tok GROUP BY id
+    ), inter AS (
+      SELECT a.id AS ida, b.id AS idb, CAST(count(*) AS BIGINT) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.id <> b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT ida AS id_small, idb AS id_big,
+           round(CAST(i AS DOUBLE) / sz, 4) AS containment
+    FROM inter JOIN sizes ON sizes.id = ida
+    WHERE CAST(i AS DOUBLE) / sz >= 0.5
+    """,
+)
+def b32cp(spark: SparkSession, sf: str) -> DataFrame:
+    # Asymmetric containment |A∩B|/|A| — the snippet/subset-absorption
+    # detector symmetric Jaccard misses (a contained excerpt scores
+    # Jaccard ~0 but containment ~1). Unit = 3-gram shingles, not word
+    # tokens: the fixture docs share most of their VOCABULARY (word
+    # containment matched 225k pairs — meaningless), while shared
+    # shingles mean shared passages. Same inverted-index shape as
+    # jaccard_pairs: only unit-sharing pairs materialize, hapax pruning
+    # is result-identical because sizes come from the unpruned table.
+    return dedup.containment_pairs(
+        _t(spark, sf, "documents"), threshold=0.5, shingle_n=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -8620,6 +8659,7 @@ _BONUS_SLOTS = [
     "b28_chi_square",
     "b35_top_paths",
     "b32_triangle_count",
+    "b32_containment_pairs",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

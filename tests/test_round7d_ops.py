@@ -1049,3 +1049,45 @@ def test_triangle_count_no_cartesian_plan(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     p = str(triangle_count(pairs)._jdf.queryExecution().executedPlan())
     assert "Cartesian" not in p
+
+
+# ----------------------------------------------------------- containment_pairs
+
+
+def test_containment_detects_subset_jaccard_misses(spark):
+    from ddataframeoperation_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    big = " ".join(f"w{i}" for i in range(100))
+    small = " ".join(f"w{i}" for i in range(10))  # strict subset
+    other = " ".join(f"q{i}" for i in range(50))
+    df = _docs(spark, [(1, big), (2, small), (3, other)])
+    cont = {
+        (r["id_small"], r["id_big"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.8).collect()
+    }
+    # The excerpt is fully contained; the superset direction is NOT.
+    assert cont == {(2, 1): 1.0}
+    jac = jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard (10/100) can't see it
+
+
+def test_containment_mutual_for_identical_sets(spark):
+    from ddataframeoperation_spark.operators.dedup import containment_pairs
+
+    df = _docs(spark, [(1, "a b c"), (2, "c b a a")])
+    got = {
+        (r["id_small"], r["id_big"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    assert got == {(1, 2): 1.0, (2, 1): 1.0}
+
+
+def test_containment_rejects_bad_threshold(spark):
+    from ddataframeoperation_spark.operators.dedup import containment_pairs
+
+    df = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        containment_pairs(df, threshold=0.0)
