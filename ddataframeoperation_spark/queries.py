@@ -8501,6 +8501,39 @@ def b32cp(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b36_stream_actives",
+    """
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+           TRUE AS approx_ok
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def b36sa(spark: SparkSession, sf: str) -> DataFrame:
+    # Streaming daily distinct actives (the live DAU counter): exact
+    # COUNT(DISTINCT) is structurally unsupported in streaming (per-key
+    # state), so the supported shape is the mergeable HLL — constant
+    # state per open window. The replayed estimate can't hash-match, so
+    # gate per day against the batch exact count at 5%(+1); rsd=0.01
+    # makes that a multi-sigma margin.
+    stream = STR.events_as_stream(spark, sf)
+    out = STR.run_to_memory(STR.stream_daily_actives(stream))
+    exact = (
+        _t(spark, sf, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(F.date_trunc("day", "ts").alias("window_start"))
+        .agg(F.countDistinct("user_id").alias("_ex"))
+    )
+    return out.join(exact, "window_start").select(
+        "window_start",
+        (
+            F.abs(F.col("n_active_approx") - F.col("_ex"))
+            <= F.greatest(F.lit(1), F.col("_ex") * 0.05)
+        ).alias("approx_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -8660,6 +8693,7 @@ _BONUS_SLOTS = [
     "b35_top_paths",
     "b32_triangle_count",
     "b32_containment_pairs",
+    "b36_stream_actives",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

@@ -17,6 +17,7 @@ from ddataframeoperation_spark.streaming.windows import (
     run_to_memory,
     ohlc_stream,
     stream_psi_bucket_counts,
+    stream_daily_actives,
 )
 
 __all__ = [
@@ -29,6 +30,7 @@ __all__ = [
     "run_to_memory",
     "ohlc_stream",
     "stream_psi_bucket_counts",
+    "stream_daily_actives",
     "running_totals_per_user",
     "running_totals_per_user_tws",
     "token_budget_admission",

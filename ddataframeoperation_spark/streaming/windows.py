@@ -35,6 +35,7 @@ __all__ = [
     "run_to_memory",
     "ohlc_stream",
     "stream_psi_bucket_counts",
+    "stream_daily_actives",
 ]
 
 
@@ -312,4 +313,35 @@ def stream_psi_bucket_counts(
         .groupBy(F.window(ts_col, window).alias("win"), bucket.alias("bucket"))
         .agg(F.count("*").cast("long").alias("n_cur"))
         .select(F.col("win.start").alias("window_start"), "bucket", "n_cur")
+    )
+
+
+def stream_daily_actives(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+    rsd: float = 0.01,
+) -> DataFrame:
+    """B36 — streaming daily distinct actives: per event-time day, the
+    approximate distinct-key count — the live DAU counter. Streaming
+    aggregation cannot hold exact per-key distinct state (Spark rejects
+    COUNT(DISTINCT) in streaming for exactly that reason);
+    ``approx_count_distinct`` is the supported shape because its HLL
+    partial state is CONSTANT per window and mergeable across
+    micro-batches — the same sketch argument as the batch
+    rolling_distinct_approx twin. The watermark bounds how long a day's
+    window stays open; state is (#open windows) x sketch size,
+    independent of key cardinality and stream length.
+
+    Returns (window_start, n_active_approx); the registered query gates
+    the estimate against the exact batch count per day.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 day").alias("w"))
+        .agg(
+            F.approx_count_distinct(key_col, rsd).alias("n_active_approx")
+        )
+        .select(F.col("w.start").alias("window_start"), "n_active_approx")
     )

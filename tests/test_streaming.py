@@ -492,3 +492,27 @@ def test_stream_psi_counts_multi_batch_equals_batch(spark, sf_dir, tmp_path):
         .select(F.col("win.start").alias("window_start"), "bucket", "n_cur")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_daily_actives_tracks_exact(spark, sf_dir):
+    from ddataframeoperation_spark import streaming as STR
+    from ddataframeoperation_spark.catalog import read_fixture_table
+    from pyspark.sql import functions as F
+
+    stream = STR.events_as_stream(spark, sf_dir)
+    got = {
+        r["window_start"]: r["n_active_approx"]
+        for r in STR.run_to_memory(
+            STR.stream_daily_actives(stream)
+        ).collect()
+    }
+    ev = read_fixture_table(spark, sf_dir, "events")
+    exact = {
+        r["d"]: r["n"]
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for d, n in exact.items():
+        assert abs(got[d] - n) <= max(1, 0.05 * n)
