@@ -53,6 +53,7 @@ __all__ = [
     "dedup_with_provenance",
     "triangle_count",
     "containment_pairs",
+    "containment_dedup",
 ]
 
 
@@ -1274,3 +1275,53 @@ def containment_pairs(
         (F.col("_i") / F.col("_sza")).alias("_raw"),
     )
     return scored.filter(F.col("_raw") >= threshold).drop("_raw")
+
+
+def containment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.9,
+    shingle_n: int | None = 3,
+) -> DataFrame:
+    """B32 — subset-absorption dedup: drop every document whose unit set
+    is ≥``threshold`` contained in ANOTHER document (the snippet/excerpt
+    cleanup :func:`containment_pairs` detects), keeping supersets. The
+    policy: a doc survives unless something else contains it — with the
+    mutual-containment tie (near-identical sets, both directions ≥
+    threshold) broken to the LOWER id, so exact-duplicate groups keep
+    exactly one survivor rather than annihilating each other.
+
+    Composition: one containment-pair pass (inverted index — only
+    unit-sharing pairs materialize) + one LEFT ANTI join of the corpus
+    against the contained-id set. Cost is the pair pass; the anti join
+    shuffles ids only.
+    """
+    pairs = containment_pairs(
+        df, id_col=id_col, text_col=text_col,
+        threshold=threshold, shingle_n=shingle_n,
+    )
+    mutual = pairs.select(
+        F.col("id_small").alias("a"), F.col("id_big").alias("b")
+    ).join(
+        pairs.select(
+            F.col("id_big").alias("a"), F.col("id_small").alias("b")
+        ),
+        on=["a", "b"],
+        how="left_semi",
+    )
+    # Drop: every contained id, EXCEPT the lower id of a mutual pair
+    # (which survives its partner; it may still be dropped by a third
+    # doc that contains it one-way).
+    one_way = pairs.select(F.col("id_small").alias("_drop")).join(
+        mutual.select(F.col("a").alias("_drop")).distinct(),
+        on="_drop",
+        how="left_anti",
+    )
+    mutual_losers = mutual.filter(F.col("a") > F.col("b")).select(
+        F.col("a").alias("_drop")
+    )
+    drops = one_way.unionByName(mutual_losers).distinct()
+    return df.join(
+        drops.withColumnRenamed("_drop", id_col), on=id_col, how="left_anti"
+    )

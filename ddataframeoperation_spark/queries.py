@@ -8534,6 +8534,52 @@ def b36sa(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b31_containment_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id AS id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT id, array_to_string(toks[i : i + 2], ' ') AS tok
+      FROM t, unnest(generate_series(1, greatest(CAST(len(toks) AS BIGINT) - 2, 1))) AS u(i)
+    ), tok AS (
+      SELECT DISTINCT id, tok FROM sh
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM tok GROUP BY id
+    ), inter AS (
+      SELECT a.id AS ida, b.id AS idb, CAST(count(*) AS BIGINT) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.id <> b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT ida AS id_small, idb AS id_big
+      FROM inter JOIN sizes ON sizes.id = ida
+      WHERE CAST(i AS DOUBLE) / sz >= 0.5
+    ), mutual AS (
+      SELECT p.id_small AS a, p.id_big AS b FROM pairs p
+      WHERE EXISTS (SELECT 1 FROM pairs q
+                    WHERE q.id_small = p.id_big AND q.id_big = p.id_small)
+    ), drops AS (
+      SELECT id_small AS d FROM pairs
+      WHERE id_small NOT IN (SELECT a FROM mutual)
+      UNION
+      SELECT a FROM mutual WHERE a > b
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT d FROM drops)
+    """,
+)
+def b31cd(spark: SparkSession, sf: str) -> DataFrame:
+    # Subset-absorption dedup policy: drop docs >=50%-contained (3-gram
+    # shingles) in another doc, keep supersets; mutual-containment ties
+    # keep the lower id so exact-dup groups never annihilate. One
+    # inverted-index pair pass + an id-only LEFT ANTI join.
+    return dedup.containment_dedup(
+        _t(spark, sf, "documents"), threshold=0.5, shingle_n=3
+    ).select("doc_id", "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -8694,6 +8740,7 @@ _BONUS_SLOTS = [
     "b32_triangle_count",
     "b32_containment_pairs",
     "b36_stream_actives",
+    "b31_containment_dedup",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

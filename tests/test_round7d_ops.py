@@ -1091,3 +1091,53 @@ def test_containment_rejects_bad_threshold(spark):
     df = _docs(spark, [(1, "x")])
     with pytest.raises(ValueError):
         containment_pairs(df, threshold=0.0)
+
+
+# ------------------------------------------------------------ containment_dedup
+
+
+def test_containment_dedup_drops_excerpts_keeps_supersets(spark):
+    from ddataframeoperation_spark.operators.dedup import containment_dedup
+
+    big = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"q{i}" for i in range(40))
+    df = _docs(spark, [(1, big), (2, excerpt), (3, other)])
+    kept = {
+        r["doc_id"]
+        for r in containment_dedup(df, threshold=0.9, shingle_n=None).collect()
+    }
+    assert kept == {1, 3}
+
+
+def test_containment_dedup_mutual_keeps_exactly_one(spark):
+    from ddataframeoperation_spark.operators.dedup import containment_dedup
+
+    # Near-identical token sets in both directions: the lower id wins —
+    # the group must not annihilate itself.
+    df = _docs(spark, [(5, "a b c d"), (9, "d c b a a")])
+    kept = {
+        r["doc_id"]
+        for r in containment_dedup(df, threshold=0.9, shingle_n=None).collect()
+    }
+    assert kept == {5}
+
+
+def test_containment_dedup_chain_of_mutuals_and_excerpt(spark):
+    from ddataframeoperation_spark.operators.dedup import containment_dedup
+
+    # 1 == 2 (mutual), 3 is an excerpt of both; unrelated 4 survives.
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),
+            (2, "f e d c b a"),
+            (3, "a b c"),
+            (4, "z y x w"),
+        ],
+    )
+    kept = {
+        r["doc_id"]
+        for r in containment_dedup(df, threshold=0.8, shingle_n=None).collect()
+    }
+    assert kept == {1, 4}
