@@ -54,6 +54,7 @@ __all__ = [
     "bpe_pair_counts",
     "skipgram_pairs",
     "normalize_unicode",
+    "skipgram_pmi",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -1177,3 +1178,59 @@ def normalize_unicode(
         )
 
     return df.withColumn(out_col or text_col, _norm(F.col(text_col)))
+
+
+def skipgram_pmi(
+    df: DataFrame,
+    text_col: str | Column = "text",
+    window: int = 2,
+    min_count: int = 5,
+    top_n: int = 100,
+    ndigits: int = 4,
+) -> DataFrame:
+    """B34 — pointwise mutual information over the skip-gram pairs:
+    ``pmi(a,b) = log( P(a,b) / (P(a)·P(b)) )`` with probabilities from
+    the pair/marginal counts of :func:`skipgram_pairs` — the word-
+    association score (collocations, multi-word expressions) word2vec
+    implicitly factorizes.
+
+    Plan: the pair counts (row-local generation, one aggregate) plus two
+    marginal aggregates DERIVED FROM THE PAIR TABLE (sum over each side
+    — no second corpus pass), equi-joined back on the word. P(·) ratios
+    are exact-integer quotients and the log runs over bit-identical
+    doubles in an identically-written expression (§20 rules). The
+    ``min_count`` floor is the standard PMI guard (rare pairs otherwise
+    dominate with inflated scores). Top-``top_n`` by PMI, (w1, w2)
+    tiebreak.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    pairs = skipgram_pairs(df, text_col=text_col, window=window, min_count=1)
+    total = pairs.agg(F.sum("pair_count").cast("long").alias("_n"))
+    ma = pairs.groupBy("w1").agg(F.sum("pair_count").cast("long").alias("_c1"))
+    mb = pairs.groupBy("w2").agg(F.sum("pair_count").cast("long").alias("_c2"))
+    scored = (
+        pairs.filter(F.col("pair_count") >= int(min_count))
+        .join(ma, on="w1")
+        .join(mb, on="w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    (
+                        F.col("pair_count").cast("double")
+                        * F.col("_n").cast("double")
+                    )
+                    / (
+                        F.col("_c1").cast("double")
+                        * F.col("_c2").cast("double")
+                    )
+                ),
+                ndigits,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(int(top_n))

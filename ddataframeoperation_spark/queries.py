@@ -8580,6 +8580,44 @@ def b31cd(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+@_q(
+    "b34_skipgram_pmi",
+    """
+    WITH t AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), p AS (
+      SELECT toks[i] AS w1, toks[i + j] AS w2
+      FROM t,
+           unnest(generate_series(1, CAST(len(toks) AS BIGINT) - 1)) AS a(i),
+           unnest(generate_series(1, 2)) AS b(j)
+      WHERE i + j <= len(toks)
+    ), pairs AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_count
+      FROM p WHERE w1 <> '' AND w2 <> ''
+      GROUP BY w1, w2
+    ), tot AS (SELECT CAST(sum(pair_count) AS BIGINT) AS n FROM pairs),
+    ma AS (SELECT w1, CAST(sum(pair_count) AS BIGINT) AS c1 FROM pairs GROUP BY w1),
+    mb AS (SELECT w2, CAST(sum(pair_count) AS BIGINT) AS c2 FROM pairs GROUP BY w2)
+    SELECT p.w1, p.w2, p.pair_count,
+           round(ln((CAST(p.pair_count AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                    / (CAST(ma.c1 AS DOUBLE) * CAST(mb.c2 AS DOUBLE))), 4) AS pmi
+    FROM pairs p JOIN ma ON p.w1 = ma.w1 JOIN mb ON p.w2 = mb.w2 CROSS JOIN tot
+    WHERE p.pair_count >= 5
+    ORDER BY pmi DESC, p.w1, p.w2 LIMIT 100
+    """,
+)
+def b34pmi(spark: SparkSession, sf: str) -> DataFrame:
+    # Word-association PMI over the skip-gram pair counts (the statistic
+    # word2vec implicitly factorizes; collocation mining): marginals
+    # derived FROM the pair table (no second corpus pass), exact-integer
+    # probability ratios, log over bit-identical doubles. min_count=5 is
+    # the standard rare-pair guard.
+    return TX.skipgram_pmi(
+        _t(spark, sf, "documents"), window=2, min_count=5, top_n=100
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -8741,6 +8779,7 @@ _BONUS_SLOTS = [
     "b32_containment_pairs",
     "b36_stream_actives",
     "b31_containment_dedup",
+    "b34_skipgram_pmi",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",

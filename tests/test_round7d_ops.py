@@ -1189,3 +1189,50 @@ def test_write_training_shards_partition_layout(spark, tmp_path):
     write_training_shards(df, out, 4, ["doc_id"])
     dirs = {d for d in os.listdir(f"{out}/data") if d.startswith("shard=")}
     assert dirs == {f"shard={i}" for i in range(4)}
+
+
+# ---------------------------------------------------------------- skipgram_pmi
+
+
+def test_skipgram_pmi_matches_bruteforce(spark):
+    import math
+
+    from ddataframeoperation_spark.operators.text import skipgram_pmi
+
+    df = _docs(spark, [(1, "a b a b c"), (2, "a b x y a b")])
+    got = {
+        (r["w1"], r["w2"]): (r["pair_count"], r["pmi"])
+        for r in skipgram_pmi(df, window=1, min_count=1, top_n=100).collect()
+    }
+    # Window-1 right pairs: doc1: ab, ba, ab, bc; doc2: ab, bx, xy, ya, ab.
+    pairs = {"a b": 4, "b a": 1, "b c": 1, "b x": 1, "x y": 1, "y a": 1}
+    n = sum(pairs.values())
+    c1: dict[str, int] = {}
+    c2: dict[str, int] = {}
+    for k, v in pairs.items():
+        a, b = k.split()
+        c1[a] = c1.get(a, 0) + v
+        c2[b] = c2.get(b, 0) + v
+    for k, v in pairs.items():
+        a, b = k.split()
+        pmi = round(math.log(v * n / (c1[a] * c2[b])), 4)
+        assert got[(a, b)] == (v, pmi)
+
+
+def test_skipgram_pmi_min_count_guard(spark):
+    from ddataframeoperation_spark.operators.text import skipgram_pmi
+
+    df = _docs(spark, [(1, "a b a b c d")])
+    got = {
+        (r["w1"], r["w2"])
+        for r in skipgram_pmi(df, window=1, min_count=2, top_n=10).collect()
+    }
+    assert got == {("a", "b")}
+
+
+def test_skipgram_pmi_rejects_bad_topn(spark):
+    from ddataframeoperation_spark.operators.text import skipgram_pmi
+
+    df = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        skipgram_pmi(df, top_n=0)
