@@ -8618,6 +8618,37 @@ def b34pmi(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b22_eval_holdout",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || 'eval'), 1, 8))::BIGINT,
+                        doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def b22eh(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact-count stratified eval holdout: EXACTLY 20 docs per language,
+    # picked by md5-hash order — unbiased within each stratum yet a pure
+    # function of the data (rebuildable on any engine, any day), where
+    # fraction-based sampling only hits stratum sizes in expectation.
+    # Composition: cap_per_source quota machinery ordered by the
+    # hash_uniform draw; one stratum-partitioned window.
+    from ddataframeoperation_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    return sampling.cap_per_source(
+        d,
+        20,
+        source_col="lang",
+        order_by=[sampling.hash_uniform(["doc_id"], "eval").asc()],
+    ).select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -8780,6 +8811,7 @@ _BONUS_SLOTS = [
     "b36_stream_actives",
     "b31_containment_dedup",
     "b34_skipgram_pmi",
+    "b22_eval_holdout",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",
