@@ -1173,9 +1173,9 @@ def triangle_count(
     a_col: str = "id_a",
     b_col: str = "id_b",
 ) -> DataFrame:
-    """B32 adjunct — triangle census of an undirected similarity graph
-    (e.g. the near-dup pair set): how many triangles each edge closes,
-    plus the global triangle count — the transitivity diagnostic that
+    """B32 adjunct — global triangle census of an undirected similarity
+    graph (e.g. the near-dup pair set): one row of
+    (n_edges, n_wedges, n_triangles) — the transitivity diagnostic that
     tells you whether "near-duplicate" is behaving like an equivalence
     relation (dense triangles → clean clusters for cluster_dedup) or a
     hairball of accidental bridges.
@@ -1310,14 +1310,19 @@ def containment_dedup(
         on=["a", "b"],
         how="left_semi",
     )
-    # Drop: every contained id, EXCEPT the lower id of a mutual pair
-    # (which survives its partner; it may still be dropped by a third
-    # doc that contains it one-way).
-    one_way = pairs.select(F.col("id_small").alias("_drop")).join(
-        mutual.select(F.col("a").alias("_drop")).distinct(),
-        on="_drop",
+    # Drop: every contained id, EXCEPT against its own mutual partner —
+    # the exemption is per-PAIR, not per-id (ADVICE r7: a bare-id anti
+    # join let the lower id of a mutual pair survive even when a THIRD
+    # doc contained it one-way). Anti-join on the (small, big) pair, so
+    # only the mutual edges themselves are exempted; any one-way edge
+    # into a mutual member still drops it.
+    one_way = pairs.join(
+        mutual.select(
+            F.col("a").alias("id_small"), F.col("b").alias("id_big")
+        ),
+        on=["id_small", "id_big"],
         how="left_anti",
-    )
+    ).select(F.col("id_small").alias("_drop"))
     mutual_losers = mutual.filter(F.col("a") > F.col("b")).select(
         F.col("a").alias("_drop")
     )

@@ -1232,6 +1232,18 @@ def group_ols(
     ~1e-10-probability round() tie on an exact-input expression, not a
     per-group coin flip).
 
+    The zero-variance test itself is also EXACT (ADVICE r7): it compares
+    the decimal ``min(x) != max(x)`` (and min/max of y for R²), NOT the
+    float-rounded ``n·Σx² − (Σx)²`` — the double moments carry ~1e-8
+    cast noise, so a constant-x group (x not representable at the 1e-6
+    grid's double image, e.g. x = 2.336625) yields denx ≈ 1e-8 instead
+    of 0 and would emit a garbage slope. min != max on the exact
+    decimals is noise-free and implies n ≥ 2. The double ``den != 0``
+    guard is kept as a secondary backstop against catastrophic
+    cancellation rounding a genuinely-tiny variance to exactly 0.0
+    (division by it would emit ±Inf); both guards appear verbatim in
+    the oracle.
+
     Cost is one scan + one map-side-combined shuffle of (group, 5
     decimal moments + count) — no window, no per-group iteration; the
     decimal adds the same modest CPU premium as the b11 money policy
@@ -1254,15 +1266,28 @@ def group_ols(
         F.sum(xd * yd).cast("double").alias("_sxy"),
         F.sum(xd * xd).cast("double").alias("_sxx"),
         F.sum(yd * yd).cast("double").alias("_syy"),
+        F.min(xd).alias("_xmin"),
+        F.max(xd).alias("_xmax"),
+        F.min(yd).alias("_ymin"),
+        F.max(yd).alias("_ymax"),
     )
     num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
     denx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     deny = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    # Exact-decimal variance tests (min != max implies n >= 2); the
+    # double den != 0 stays only as the cancellation-to-exact-0 backstop.
+    xvar = F.col("_xmin") != F.col("_xmax")
+    yvar = F.col("_ymin") != F.col("_ymax")
     return m.select(
         *group_cols,
-        F.round(F.when(denx != 0.0, num / denx), ndigits).alias("slope"),
+        F.round(F.when(xvar & (denx != 0.0), num / denx), ndigits).alias(
+            "slope"
+        ),
         F.round(
-            F.when((denx != 0.0) & (deny != 0.0), num * num / (denx * deny)),
+            F.when(
+                xvar & yvar & (denx != 0.0) & (deny != 0.0),
+                num * num / (denx * deny),
+            ),
             ndigits,
         ).alias("r2"),
         # Rounding AT each input's quantization grid is a tie-free

@@ -579,12 +579,22 @@ def top_paths(
     TakeOrderedAndProject top-k. Windows shorter than ``path_len``
     (sequence tails) emit nothing.
 
+    NULL contract (ADVICE r7): rows with a NULL ``type_col`` are
+    dropped UP FRONT — a NULL label is an unlabeled event, not a path
+    step. Without the filter, ``concat_ws`` silently skips NULLs, so a
+    NULL mid-sequence would emit a shortened, malformed path counted
+    under the wrong key (and diverge from the NULL-propagating
+    ``e1 || sep || e2`` SQL form). The sibling operators
+    (:func:`transition_counts`, :func:`sessionize`) state the same
+    drop-unlabeled contract.
+
     Returns (path, n) — count-desc, path-asc tiebreak.
     """
     if path_len < 2:
         raise ValueError("path_len must be >= 2")
     if top_n < 1:
         raise ValueError("top_n must be >= 1")
+    df = df.filter(F.col(type_col).isNotNull())
     order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
     w = Window.partitionBy(user_col).orderBy(*order)
     steps = [F.col(type_col)] + [

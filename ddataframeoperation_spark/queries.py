@@ -7807,14 +7807,17 @@ def b33pq(spark: SparkSession, sf: str) -> DataFrame:
              CAST(sum(yd) AS DOUBLE) AS sy,
              CAST(sum(xd * yd) AS DOUBLE) AS sxy,
              CAST(sum(xd * xd) AS DOUBLE) AS sxx,
-             CAST(sum(yd * yd) AS DOUBLE) AS syy
+             CAST(sum(yd * yd) AS DOUBLE) AS syy,
+             min(xd) <> max(xd) AS xvar,
+             min(yd) <> max(yd) AS yvar
       FROM q WHERE xd IS NOT NULL AND yd IS NOT NULL
       GROUP BY user_id
     )
     SELECT user_id,
-           round(CASE WHEN (n * sxx - sx * sx) <> 0
+           round(CASE WHEN xvar AND (n * sxx - sx * sx) <> 0
                       THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 4) AS slope,
-           round(CASE WHEN (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
+           round(CASE WHEN xvar AND yvar
+                       AND (n * sxx - sx * sx) <> 0 AND (n * syy - sy * sy) <> 0
                       THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
                            / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 4) AS r2,
            round(sx, 6) AS sum_x,
@@ -8400,6 +8403,7 @@ def b28cs(spark: SparkSession, sf: str) -> DataFrame:
              lead(event_type, 1) OVER win AS e2,
              lead(event_type, 2) OVER win AS e3
       FROM events
+      WHERE event_type IS NOT NULL
       WINDOW win AS (PARTITION BY user_id
                      ORDER BY CAST(ts AS TIMESTAMP), event_id)
     )
@@ -8561,8 +8565,11 @@ def b36sa(spark: SparkSession, sf: str) -> DataFrame:
       WHERE EXISTS (SELECT 1 FROM pairs q
                     WHERE q.id_small = p.id_big AND q.id_big = p.id_small)
     ), drops AS (
-      SELECT id_small AS d FROM pairs
-      WHERE id_small NOT IN (SELECT a FROM mutual)
+      -- per-PAIR exemption (ADVICE r7): only the mutual edge itself is
+      -- exempt; a one-way edge into a mutual member still drops it
+      SELECT id_small AS d FROM pairs p
+      WHERE NOT EXISTS (SELECT 1 FROM mutual m
+                        WHERE m.a = p.id_small AND m.b = p.id_big)
       UNION
       SELECT a FROM mutual WHERE a > b
     )

@@ -392,6 +392,27 @@ def test_group_ols_exact_fit_and_centered_form(spark):
     assert b["slope"] is None and b["r2"] is None and b["n"] == 2
 
 
+def test_group_ols_zero_variance_guard_is_exact(spark):
+    from ddataframeoperation_spark.operators.relational import group_ols
+
+    # ADVICE r7 (high): x = 2.336625 is NOT exactly representable in
+    # double, so the float-rounded denx = n*sxx - sx*sx lands near 1e-8
+    # instead of 0 and the old guard emitted slope=1.0 / r2=-0.0 for
+    # this constant-x group. The exact decimal min!=max guard must NULL
+    # both. Also: n=1 groups and constant-y (r2 only) groups.
+    rows = [
+        ("cx", 2.336625, 1.0), ("cx", 2.336625, 5.0),   # constant x
+        ("n1", 7.125, 3.0),                              # single point
+        ("cy", 1.0, 4.337775), ("cy", 2.0, 4.337775),    # constant y
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in group_ols(df, ["g"], "x", "y").collect()}
+    assert got["cx"]["slope"] is None and got["cx"]["r2"] is None
+    assert got["n1"]["slope"] is None and got["n1"]["r2"] is None
+    # Constant y: slope is a legitimate 0.0, but r2 is undefined.
+    assert got["cy"]["slope"] == 0.0 and got["cy"]["r2"] is None
+
+
 def test_group_ols_ignores_null_coordinates(spark):
     from ddataframeoperation_spark.operators.relational import group_ols
 
@@ -975,6 +996,28 @@ def test_top_paths_counts_and_tails(spark):
     assert got == {("a > b > c", 2), ("b > c > a", 1), ("c > a > b", 1)}
 
 
+def test_top_paths_drops_null_labels_up_front(spark):
+    from ddataframeoperation_spark.operators.windows import top_paths
+
+    # ADVICE r7 (low): a NULL event_type mid-sequence must not shorten
+    # a path via concat_ws's NULL-skipping (a b NULL c would have
+    # emitted the malformed 2-step "a > b > c" counted as a 3-path).
+    # Contract: NULL-labeled events are dropped from the sequence, so
+    # the u1 sequence a b NULL c d yields windows over (a b c d).
+    rows = [
+        (1, _ts(1, h), h, t)
+        for h, t in enumerate(["a", "b", None, "c", "d"])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r["path"], r["n"])
+        for r in top_paths(df, path_len=3, top_n=10, tiebreak=("event_id",)).collect()
+    }
+    assert got == {("a > b > c", 1), ("b > c > d", 1)}
+
+
 def test_top_paths_pairs_match_transitions(spark):
     from ddataframeoperation_spark.operators.windows import (
         top_paths,
@@ -1121,6 +1164,28 @@ def test_containment_dedup_mutual_keeps_exactly_one(spark):
         for r in containment_dedup(df, threshold=0.9, shingle_n=None).collect()
     }
     assert kept == {5}
+
+
+def test_containment_dedup_mutual_member_still_dropped_by_third_doc(spark):
+    from ddataframeoperation_spark.operators.dedup import containment_dedup
+
+    # ADVICE r7 (medium): the mutual exemption is per-PAIR, not per-id.
+    # 1 == 2 (mutual; 1 would win the tie), but superset 3 contains 1
+    # one-way — so 1 must STILL be dropped by 3. Survivors: 3 only
+    # (2 loses the mutual tie AND is contained in 3).
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d"),
+            (2, "d c b a a"),
+            (3, "a b c d e f g h i j k l m n o p q r s t"),
+        ],
+    )
+    kept = {
+        r["doc_id"]
+        for r in containment_dedup(df, threshold=0.9, shingle_n=None).collect()
+    }
+    assert kept == {3}
 
 
 def test_containment_dedup_chain_of_mutuals_and_excerpt(spark):
