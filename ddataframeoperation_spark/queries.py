@@ -8669,54 +8669,54 @@ def b22eh(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_PRIORITY = [
-    "b10_flagship_q3",            # flagship (TPC-H Q3 shape)
+    "b10_flagship_q3",            # flagship (TPC-H Q3 shape) — pinned slot 0
     "b01_scan_project_filter",    # B1 scan + pushdown
     "b02_parameterized_sql",      # B2 catalog + named-param SQL
     "b03_pandas_api",             # B3 projection / pandas API
     "b04_filter_predicates",      # B4 filter family
-    "b05_lateral_topn",           # B5 joins (LATERAL top-N per key)
+    "b05_semijoin_reduction",     # B5 explicit runtime-filter semi-join (r8 rotation)
     "b06_join_left_agg",          # B6 outer join (agg-below-join plan)
     "b07_join_semi",              # B7 semi/anti
     "b08_star_join_broadcast",    # B8 broadcast join
     "b09_interval_overlap",       # B9 two-sided interval-overlap (bucketed)
-    "bmm_media_stats",            # multimodal: typed-metadata rollup
-    "b10_q21_waiting_suppliers",  # B10 multi-way star (semi+anti self-joins)
-    "b31_block_dedup",            # B31 sub-document block dedup (C4-style)
-    "b19_abc_classification",     # B19 bucketed cumulative share (r7 re-plan)
-    "b22_leakage_safe_kfold",     # B22 cluster-aware k-fold CV
-    "b10_q9_profit_by_nation",    # B10 multi-way star (5-table profit)
-    "b11_agg_pricing_summary",    # B11 group-by agg (TPC-H Q1 shape)
+    "b24_rolling_actives_approx", # B24 rolling distinct actives, HLL tier (r8)
+    "b35_funnel_windowed",        # B35 time-bounded conversion funnel (r8)
+    "b31_dedup_provenance",       # B31 survivor->duplicate audit map (r8)
+    "b19_rolling_zscore",         # B19 framed rolling z-score anomaly gate (r8)
+    "b22_shard_manifest",         # B22 deterministic training-shard manifest (r8)
+    "b33_semantic_join",          # B33 IVF-celled large-x-large semantic join (r8)
+    "b11_groupwise_regression",   # B11 per-group exact-moment OLS (r8 + ADVICE fix)
     "bmm_media_neardup",          # multimodal: perceptual-fingerprint near-dup
-    "b12_heavy_hitters",          # B12 approx frequent items
-    "b34_corpus_datacard",        # B34 one-call pretraining data card (r7, first-time)
+    "b12_hll_overlap",            # B12 HLL audience overlap, gated vs exact (r8)
+    "b34_bpe_pair_counts",        # B34 BPE-style adjacent-pair counts (r8)
     "b13_rollup",                 # B13 rollup/cube/grouping sets
     "b14_having",                 # B14 having
     "b15_sort_null_ordering",     # B15 sort w/ null ordering
     "b16_skyline_2d",             # B16 bucketed Pareto frontier (r7 re-plan)
     "b17_window_ntile_partitioned",  # B17 genuine ntile behind one hash exchange
-    "b18_transition_matrix",      # B18 lag-composed Markov transitions
-    "bmm_decode_stub",            # multimodal: decode plumbing (stub kernel)
+    "b18_activity_streaks",       # B18 gaps-and-islands daily streaks (r8)
+    "b35_attribution",            # B35 last/first-touch conversion attribution (r8)
     "b20_latest_per_key",         # B20 top-1-per-group
     "b21_snapshot_diff",          # B21 CDC snapshot diff
-    "b22_temporal_split",         # B22 purged/embargoed time split (r7c, first-time)
-    "b23_string_funcs",           # B23 string fns
-    "b24_gapfill_locf",           # B24 calendar gapfill + last-obs-carried-fwd
+    "b22_negative_samples",       # B22 seeded in-batch negative sampling (r8)
+    "b23_unicode_normalize",      # B23 NFC normalization + confusable scrub (r8)
+    "b24_rolling_actives",        # B24 rolling 7-day distinct actives, exact (r8)
     "b25_minmax_scale",           # B25 group rescale (r7 null-safe join fix)
     "b26_variant",                # B26 VARIANT semi-structured codec
     "b27_posexplode_dims",        # B27 array explode family
-    "b28_psi_drift",              # B28 numeric PSI drift gate
+    "b28_cohens_kappa",           # B28 inter-rater agreement, exact integers (r8)
     "b29_nested_json",            # B29 nested-JSON sink roundtrip
     "b30_sql_udf",                # B30 SQL-registered UDF surface
-    "b38_stream_dedup",           # B38 streaming dedup (batch-equivalence)
-    "b34_boilerplate_removal",    # B34 corpus-frequency boilerplate removal (r7c, first-time)
-    "b32_fuzzy_names_symdelete",  # B32 SymSpell fuzzy entity matching
-    "bzo_zvalue_interleave",      # layout: Z-order clustering key, bit-exact (r7b, first-time)
-    "b33_embedding_drift",        # B33 snapshot centroid drift
-    "b34_contamination",          # B34 benchmark n-gram decontamination
-    "b34_full_pipeline",          # B34 end-to-end corpus pipeline composite
-    "b35_retention_cohorts",      # B35 cohort retention matrix
-    "b36_stream_sliding",         # B36 sliding streaming windows
-    "b36_stream_psi",             # B36 streaming PSI drift monitor
+    "b11_rank_sum_test",          # B11 Mann-Whitney rank-sum A/B test (r8)
+    "b34_skipgram_pairs",         # B34 windowed skip-gram pair counts (r8)
+    "b32_cluster_dedup_quality",  # B32 quality-aware survivor pick (r8)
+    "bzo_zvalue_interleave",      # layout: Z-order clustering key, bit-exact
+    "b33_pq_topk",                # B33 product-quantization ADC top-k (r8)
+    "b34_skipgram_pmi",           # B34 PMI association over skip-gram pairs (r8)
+    "b34_full_pipeline",          # B34 end-to-end corpus pipeline composite — pinned
+    "b35_next_event_examples",    # B35 bounded next-event example lists (r8)
+    "b36_stream_semi_join",       # B36 stream-stream LEFT SEMI interval join (r8)
+    "b36_stream_actives",         # B36 streaming daily HLL actives (r8)
     "b37_stream_session",         # B37 streaming session window
     "b38_stream_token_budget",    # B38 stateful token-budget admission
 ]
@@ -8787,38 +8787,61 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: rotate in next round. The displaced certified queries follow them. Also b10_flagship_q3 (certified r1–r6,
 #: and smoke-run by entry() every round regardless) → b22_temporal_split
 #: (new, the purged/embargoed time split; B10 keeps q9 + q21 in-slot).
+#: Round 8 rotated TWENTY-FOUR slots (VERDICT r7 #1: 119 of 238 never
+#: driver-certified; the queue at the tail head rotates in-order):
+#: 19 in-family swaps (b05_lateral_topn→b05_semijoin_reduction,
+#: b31_block_dedup→b31_dedup_provenance, b19_abc→b19_rolling_zscore,
+#: b22_kfold→b22_shard_manifest, b11_pricing→b11_groupwise_regression,
+#: b12_heavy_hitters→b12_hll_overlap, b34_datacard→b34_bpe_pair_counts,
+#: b18_transitions→b18_activity_streaks, b22_temporal→b22_negative_samples,
+#: b23_string→b23_unicode_normalize, b24_gapfill→b24_rolling_actives,
+#: b28_psi→b28_cohens_kappa, b34_boilerplate→b34_skipgram_pairs,
+#: b32_fuzzy→b32_cluster_dedup_quality, b33_drift→b33_pq_topk,
+#: b34_contamination→b34_skipgram_pmi, b35_retention→b35_next_event_examples,
+#: b36_sliding→b36_stream_semi_join, b36_psi→b36_stream_actives) plus 5
+#: extra slots freed by multi-slot families (bmm keeps media_neardup, B10
+#: keeps the pinned flagship, B38 keeps token_budget):
+#: bmm_media_stats→b24_rolling_actives_approx, b10_q21→b35_funnel_windowed,
+#: b10_q9→b33_semantic_join, bmm_decode_stub→b35_attribution,
+#: b38_stream_dedup→b11_rank_sum_test. Every displaced query is green in
+#: CORRECTNESS_r07 and its family keeps >=1 slot; the 7 still-never-
+#: certified queries (ks_test, chi_square, top_paths, triangle_count,
+#: containment_pairs, containment_dedup, eval_holdout) lead the tail for
+#: round 9, the 24 displaced follow.
 _BONUS_SLOTS = [
-    "b05_semijoin_reduction",
-    "b32_cluster_dedup_quality",
-    "b24_rolling_actives",
-    "b35_next_event_examples",
-    "b31_dedup_provenance",
-    "b34_bpe_pair_counts",
-    "b24_rolling_actives_approx",
-    "b34_skipgram_pairs",
-    "b33_pq_topk",
-    "b11_groupwise_regression",
-    "b12_hll_overlap",
-    "b23_unicode_normalize",
-    "b22_shard_manifest",
-    "b35_funnel_windowed",
-    "b19_rolling_zscore",
-    "b33_semantic_join",
-    "b28_cohens_kappa",
-    "b35_attribution",
-    "b22_negative_samples",
-    "b18_activity_streaks",
-    "b36_stream_semi_join",
-    "b11_rank_sum_test",
+    # -- still never-certified, in rotation order for round 9 --
     "b11_ks_test",
     "b28_chi_square",
     "b35_top_paths",
     "b32_triangle_count",
     "b32_containment_pairs",
-    "b36_stream_actives",
     "b31_containment_dedup",
-    "b34_skipgram_pmi",
     "b22_eval_holdout",
+    # -- displaced by the r8 rotation (all r07-certified) --
+    "b05_lateral_topn",
+    "bmm_media_stats",
+    "b10_q21_waiting_suppliers",
+    "b31_block_dedup",
+    "b19_abc_classification",
+    "b22_leakage_safe_kfold",
+    "b10_q9_profit_by_nation",
+    "b11_agg_pricing_summary",
+    "b12_heavy_hitters",
+    "b34_corpus_datacard",
+    "b18_transition_matrix",
+    "bmm_decode_stub",
+    "b22_temporal_split",
+    "b23_string_funcs",
+    "b24_gapfill_locf",
+    "b28_psi_drift",
+    "b38_stream_dedup",
+    "b34_boilerplate_removal",
+    "b32_fuzzy_names_symdelete",
+    "b33_embedding_drift",
+    "b34_contamination",
+    "b35_retention_cohorts",
+    "b36_stream_sliding",
+    "b36_stream_psi",
     "b22_leakage_safe_split",
     "b32_near_dedup_e2e",
     "b33_cosine_topk",
