@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ddataframeoperation_spark.catalog import load_fixture_tables, read_fixture_table
@@ -59,6 +59,46 @@ def _q(name: str, oracle: str | None = None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_fixture_table(spark, sf_dir, name)
+
+
+# --- LONG fixed-point money arithmetic (r8; VERDICT r7 "What's wrong" #1) --
+#
+# The exact-money policy (engine/order-independent sums, SCALE.md §9/§20)
+# originally cast each input to decimal per row — 2-4 BigDecimal births plus
+# BigDecimal multiplies per row, which dominated the bench on the fixture's
+# single-row-group (hence single-core) scans. Same guarantee, cheaper form:
+# clean 2-decimal money converts to EXACT int64 cents via floor(x*100+0.5)
+# (pure double ops, >=0.49 from any half-boundary for 2-decimal data, so
+# Spark and DuckDB agree bit-for-bit; F.round would be BigDecimal again,
+# and a bare CAST truncates in Spark but rounds in DuckDB). Products of
+# cents x percent-points stay exact in int64 (<= ~1.2e11 per row); the one
+# decimal appearance is the cast feeding SUM so partial sums can't wrap
+# int64 at the 100 TB horizon; the exact integer sum descales ONCE per
+# group via double division, written identically in the oracle SQL.
+
+def _cents(col: str) -> Column:
+    """Exact int64 cents of a clean-2-decimal nonnegative double column."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+def _sum_fixed(expr: Column, scale_div: float) -> Column:
+    """Exact decimal sum of a long fixed-point expr, descaled to double."""
+    return F.sum(expr.cast("decimal(20,0)")).cast("double") / F.lit(
+        float(scale_div)
+    )
+
+
+def _rev_cents4() -> Column:
+    """l_extendedprice*(1-l_discount) in exact 1e-4-dollar long units."""
+    return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+
+
+#: SQL twins (DuckDB): keep these textually in sync with the Python above.
+_SQL_CENTS = "CAST(floor({c} * 100 + 0.5) AS BIGINT)"
+_SQL_REV4 = (
+    "CAST(floor({p} * 100 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor({d} * 100 + 0.5) AS BIGINT))"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -233,9 +273,9 @@ def b07a(spark: SparkSession, sf: str) -> DataFrame:
     "b08_star_join_broadcast",
     """
     SELECT r.r_name,
-           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(8,2))))
-                AS DOUBLE) AS revenue,
+           CAST(sum(CAST(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                         * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+                    AS DECIMAL(20,0))) AS DOUBLE) / 10000.0 AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -260,21 +300,13 @@ def b08(spark: SparkSession, sf: str) -> DataFrame:
         j,
         ["r_name"],
         [
-            # Exact decimal summation: at sf0.1 these sums reach ~6e9, where
-            # double partial-agg order noise (~1e-12 relative = ~6e-3 abs)
-            # exceeds the round(4) grid and flips last digits between
-            # engines. Decimal addition is exact, hence order- and
-            # engine-independent. The FINAL cast is DOUBLE, not decimal:
-            # fixed-scale decimal output cells render with trailing zeros
-            # (22586.5300) on one engine and trimmed (22586.53) on the
-            # other under the driver's hash canonicalization; decimal→double
-            # of the same exact value is identical round-to-nearest on both.
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
-            )
-            .cast("double")
-            .alias("revenue"),
+            # Exact revenue sum in LONG fixed-point (r8 re-plan; rationale
+            # at _cents/_sum_fixed): at sf0.1 these sums reach ~6e9, where
+            # double partial-agg order noise exceeds the 4dp grid and flips
+            # digits between engines — the sum must stay exact. Integer
+            # cents x percent-points replace the per-row BigDecimal work;
+            # the final value is a double on both engines.
+            _sum_fixed(_rev_cents4(), 10000.0).alias("revenue"),
             F.count("*").alias("n_items"),
         ],
     )
@@ -315,24 +347,26 @@ def b09(spark: SparkSession, sf: str) -> DataFrame:
 @_q(
     "b11_agg_pricing_summary",
     """
+    WITH q AS (
+      SELECT l_returnflag, l_linestatus,
+             l_quantity, l_extendedprice, l_discount,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q2,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p2,
+             100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d2,
+             100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS t2
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    )
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(8,2))))
-                AS DOUBLE) AS sum_disc_price,
-           -- scale 6, the product's natural scale: DuckDB TRUNCATES decimal
-           -- downscales while Spark rounds half-up, so never downscale.
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l_discount AS DECIMAL(8,2)))
-                    * (1 + CAST(l_tax AS DECIMAL(8,2))))
-                AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(q2 AS DECIMAL(20,0))) AS DOUBLE) / 100.0 AS sum_qty,
+           CAST(sum(CAST(p2 AS DECIMAL(20,0))) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(sum(CAST(p2 * d2 AS DECIMAL(20,0))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(sum(CAST(p2 * d2 * t2 AS DECIMAL(20,0))) AS DOUBLE) / 1000000.0 AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
            count(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    FROM q
     GROUP BY l_returnflag, l_linestatus
     """,
 )
@@ -341,29 +375,33 @@ def b11(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "lineitem"),
         F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"),
     )
-    # ALL-decimal money arithmetic: the fixture's prices/discounts/taxes
-    # are clean 2-decimal values, so casting the INPUTS to decimal and
-    # multiplying/summing in decimal is exact end-to-end — identical on any
-    # engine and any partial-agg order (casting the double PRODUCT still
-    # diverged at sf0.1: engines disagree rounding doubles near a decimal
-    # boundary). Output columns cast decimal→DOUBLE on both engines: the
-    # exact sum survives, but fixed-scale decimal CELLS hash asymmetrically
-    # (trailing zeros) under the driver's canonicalization.
-    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_d = F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
-    tax_d = F.lit(1) + F.col("l_tax").cast("decimal(8,2)")
+    # LONG fixed-point money arithmetic (r8, VERDICT r7 "What's wrong" #1):
+    # the fixture's prices/discounts/taxes are clean 2-decimal values, so
+    # cents (p2, q2) and percent points (d2, t2) are EXACT int64 per row —
+    # round(x*100) is >=0.49 away from any half-boundary for 2-decimal
+    # data, so Spark's shortest-repr HALF_UP and DuckDB's exact-binary
+    # round() agree. Per-row work is then double->long + long multiplies
+    # (whole-stage codegen, no BigDecimal); the single decimal appearance
+    # is the cast feeding SUM, kept so partial sums can't wrap int64 at
+    # the 100 TB horizon (per-row product <= ~1.2e11; a 1e8-row executor
+    # partition would overflow a LONG accumulator). The exact integer sum
+    # descales ONCE per group via double division — written identically
+    # in the oracle, so both engines round identically. Replaces the r5
+    # all-decimal plan (4 BigDecimal casts + 2 BigDecimal multiplies per
+    # row) whose first-run decimal codegen dominated the bench: same
+    # exact-sum guarantee, ~1.6x less per-row CPU (SCALE.md §9).
+    q2 = _cents("l_quantity")
+    p2 = _cents("l_extendedprice")
+    d2 = F.lit(100) - _cents("l_discount")
+    t2 = F.lit(100) + _cents("l_tax")
     return R.group_agg(
         li,
         ["l_returnflag", "l_linestatus"],
         [
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double").alias("sum_qty"),
-            F.sum(price_d).cast("double").alias("sum_base_price"),
-            F.sum(price_d * disc_d).cast("double").alias("sum_disc_price"),
-            # scale 6 = the product's natural scale; a downscale would hit
-            # DuckDB's truncating rescale vs Spark's half-up rounding.
-            F.sum(price_d * disc_d * tax_d)
-            .cast("double").alias("sum_charge"),
+            _sum_fixed(q2, 100.0).alias("sum_qty"),
+            _sum_fixed(p2, 100.0).alias("sum_base_price"),
+            _sum_fixed(p2 * d2, 10000.0).alias("sum_disc_price"),
+            _sum_fixed(p2 * d2 * t2, 1000000.0).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -7057,8 +7095,9 @@ def b11ed(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH rev AS (
       SELECT l.l_suppkey, s.s_name,
-             sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                 * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS r
+             sum(CAST(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+                 AS DECIMAL(20,0))) AS r
       FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
       GROUP BY l.l_suppkey, s.s_name
     ), ranked AS (
@@ -7070,7 +7109,7 @@ def b11ed(spark: SparkSession, sf: str) -> DataFrame:
       FROM rev
     )
     SELECT s_name,
-           round(CAST(r AS DOUBLE), 4) AS revenue,
+           round(CAST(r AS DOUBLE) / 10000.0, 4) AS revenue,
            round(cum / total, 4) AS cum_share,
            CASE WHEN cum / total <= 0.7 THEN 'A'
                 WHEN cum / total <= 0.9 THEN 'B'
@@ -7092,18 +7131,22 @@ def b19abc(spark: SparkSession, sf: str) -> DataFrame:
     # policy) and casts to DOUBLE only at the output boundary.
     li = _t(spark, sf, "lineitem")
     sup = _t(spark, sf, "supplier")
-    price_d = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_d = F.lit(1) - F.col("l_discount").cast("decimal(8,2)")
+    # Revenue in LONG fixed-point 1e-4-dollar units (r8; see _cents): the
+    # exact integer sum is still exact under ANY association, so the
+    # bucketed prefix sums equal DuckDB's sequential window bit-for-bit;
+    # the scale factor cancels in cum/total, and the per-supplier descale
+    # happens once at the output boundary (revenue has exactly 4 decimals,
+    # so round(·,4) of the identically-computed double is tie-free).
     rev = (
         li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
         .groupBy("l_suppkey", "s_name")
-        .agg(F.sum(price_d * disc_d).alias("r"))
+        .agg(F.sum(_rev_cents4().cast("decimal(20,0)")).alias("r"))
     )
     ranked = R.cumulative_share(rev, "r", "l_suppkey")
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     return ranked.select(
         "s_name",
-        F.round(F.col("r").cast("double"), 4).alias("revenue"),
+        F.round(F.col("r").cast("double") / F.lit(10000.0), 4).alias("revenue"),
         F.round(share, 4).alias("cum_share"),
         F.when(share <= 0.7, "A").when(share <= 0.9, "B").otherwise("C").alias(
             "abc_class"
