@@ -2860,6 +2860,64 @@ def b36soj(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b36_stream_full_outer",
+    """
+    WITH mx AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS m
+    ), l AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT coalesce(l.user_id, r.user_id) AS user_id,
+           l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.ts AS l_ts, r.ts AS r_ts
+    FROM l FULL JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    CROSS JOIN mx
+    WHERE coalesce(l.ts, r.ts) < mx.m - INTERVAL 210 MINUTE
+    """,
+)
+def b36sfo(spark: SparkSession, sf: str) -> DataFrame:
+    # FULL OUTER interval join (r8 — the last watermark-join shape):
+    # matched pairs + click-without-conversion (null right) +
+    # conversion-without-click (null left). Each side's "no match" is
+    # final off the two-sided time bound: a left at watermark past
+    # l_ts + gap, a right at watermark past r_ts (later lefts with
+    # l_ts < r_ts would be sub-watermark and dropped). The replay's
+    # global watermark is the MIN across both streams, so BOTH row
+    # classes restrict to the same conservative cutoff as the
+    # left-outer twin (min-stream max_ts − watermark − gap − 1h margin)
+    # on COALESCE(l_ts, r_ts) — right-only rows have no l_ts. State
+    # stays bounded by rate × (watermark + gap) per side (SCALE.md §23).
+    import datetime
+
+    stream = STR.events_as_stream(spark, sf)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = STR.stream_interval_join(
+        clicks, purchases, max_gap="30 minutes", how="full_outer"
+    )
+    out = STR.run_to_memory(joined, output_mode="append")
+    e = _t(spark, sf, "events")
+    mx = (
+        e.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+        )
+        .head()[0]
+    )
+    cutoff = mx - datetime.timedelta(minutes=210)
+    return out.filter(F.coalesce("l_ts", "r_ts") < F.lit(cutoff))
+
+
+@_q(
     "b37_stream_session",
     """
     WITH flagged AS (
@@ -8860,6 +8918,7 @@ _BONUS_SLOTS = [
     "b32_containment_pairs",
     "b31_containment_dedup",
     "b22_eval_holdout",
+    "b36_stream_full_outer",      # r8: last watermark-join shape, first-time
     # -- displaced by the r8 rotation (all r07-certified) --
     "b05_lateral_topn",
     "bmm_media_stats",

@@ -187,7 +187,13 @@ def stream_interval_join(
     ``(l.ts, l.ts + max_gap]`` — the click→conversion attribution shape.
     ``how="left_outer"`` additionally emits click-without-conversion rows
     (null right columns) once the right watermark passes ``l.ts + max_gap``
-    — i.e., when no future match is possible.
+    — i.e., when no future match is possible. ``how="full_outer"`` (r8,
+    VERDICT r7 task 6 — the last watermark-join shape) also emits
+    conversion-without-click rows (null LEFT columns): a right row's
+    no-match verdict is final once the left watermark passes ``r.ts``
+    (any later-arriving left with ``l.ts < r.ts`` would be below the
+    watermark and dropped), so both sides' unmatched rows finalize off
+    the same two-sided time bound.
 
     Both sides carry watermarks and the join condition bounds event time
     in BOTH directions, which is what lets the engine evict buffered rows:
@@ -223,8 +229,13 @@ def stream_interval_join(
         return j.select(
             F.col("l_key").alias("user_id"), "l_event_id", "l_ts"
         )
+    # full_outer: right-only rows carry a NULL l_key, so the output key
+    # must coalesce across sides (inner/left_outer always have l_key).
+    key_out = (
+        F.coalesce("l_key", "r_key") if how == "full_outer" else F.col("l_key")
+    )
     return j.select(
-        F.col("l_key").alias("user_id"),
+        key_out.alias("user_id"),
         "l_event_id",
         "r_event_id",
         "l_ts",
