@@ -1234,3 +1234,113 @@ def skipgram_pmi(
         )
     )
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(int(top_n))
+
+
+def gopher_quality_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """B34 — Gopher-style document quality rule bundle (Rae et al. 2021,
+    "Scaling Language Models", Appendix A — the public pretraining-corpus
+    filter the MassiveText pipeline popularized): per-document signals
+    plus the combined pass/fail gate. The production shape for "filter
+    the crawl before tokenization": every signal is row-local builtins
+    computed in the scan stage — zero shuffle, zero Python — so at 100 TB
+    this runs at scan speed and the gate predicate pushes into the same
+    stage as the read.
+
+    Signals (names follow the paper's rules):
+      n_words          whitespace tokens of the normalized text
+      mean_word_len    word characters / words, 4dp
+      symbol_ratio     (# '#' chars + '...' occurrences) / words, 4dp
+      bullet_frac      fraction of lines starting with a bullet, 4dp
+      ellipsis_frac    fraction of lines ending in '...', 4dp
+      alpha_frac       fraction of words containing a letter, 4dp
+      n_stop_hits      how many of 8 canonical English stopwords appear
+      passes_gopher    50<=n_words<=100000 AND 3<=mean_word_len<=10 AND
+                       symbol_ratio<=0.1 AND bullet_frac<=0.9 AND
+                       ellipsis_frac<=0.3 AND alpha_frac>=0.8 AND
+                       n_stop_hits>=2
+
+    Cross-engine numerics: counts are exact integers; every ratio divides
+    two exact integers in double IDENTICALLY in the oracle SQL, and the
+    4dp rounding is tie-free while denominators stay < 20000 (an exact
+    x.xxxx5 boundary needs a denominator divisible by 2*10^4 — SCALE.md
+    §22's analysis; per-document word/line counts sit far below that).
+    The pass thresholds compare the same doubles on both engines. The
+    ellipsis count uses non-overlapping replace() semantics, identical in
+    Spark and DuckDB.
+    """
+    from ddataframeoperation_spark.operators.dedup import normalized_text
+
+    c = F.col(text_col)
+    norm = normalized_text(text_col)
+    toks = F.split(norm, " ")
+    n_words = F.when(norm == "", F.lit(0)).otherwise(F.size(toks))
+    # word chars = normalized length minus the (n_words - 1) separators
+    word_chars = F.when(
+        n_words > 0, F.length(norm) - (n_words - F.lit(1))
+    ).otherwise(F.lit(0))
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("- ")
+            | x.startswith("* ")
+            | x.startswith("• "),
+        )
+    )
+    n_ell_lines = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    n_alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[a-z]")))
+    stop = F.concat(F.lit(" "), norm, F.lit(" "))
+    stopwords = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_stop = sum(
+        F.when(stop.contains(f" {w} "), 1).otherwise(0) for w in stopwords
+    )
+    d = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        word_chars.cast("long").alias("_wc"),
+        n_hash.cast("long").alias("_nh"),
+        n_ellipsis.cast("long").alias("_ne"),
+        n_lines.cast("long").alias("_nl"),
+        n_bullet.cast("long").alias("_nb"),
+        n_ell_lines.cast("long").alias("_nel"),
+        n_alpha_words.cast("long").alias("_naw"),
+        n_stop.cast("long").alias("n_stop_hits"),
+    )
+    mean_wl = F.when(F.col("n_words") > 0, F.col("_wc") / F.col("n_words"))
+    sym = F.when(
+        F.col("n_words") > 0, (F.col("_nh") + F.col("_ne")) / F.col("n_words")
+    )
+    bullet = F.col("_nb") / F.col("_nl")
+    ell = F.col("_nel") / F.col("_nl")
+    alpha = F.when(F.col("n_words") > 0, F.col("_naw") / F.col("n_words"))
+    passes = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (sym <= 0.1)
+        & (bullet <= 0.9)
+        & (ell <= 0.3)
+        & (alpha >= 0.8)
+        & (F.col("n_stop_hits") >= 2)
+    )
+    return d.select(
+        id_col,
+        "n_words",
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(sym, 4).alias("symbol_ratio"),
+        F.round(bullet, 4).alias("bullet_frac"),
+        F.round(ell, 4).alias("ellipsis_frac"),
+        F.round(alpha, 4).alias("alpha_frac"),
+        "n_stop_hits",
+        F.coalesce(passes, F.lit(False)).alias("passes_gopher"),
+    )
