@@ -812,3 +812,82 @@ def write_training_shards(
     )
     manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
     return df.sparkSession.read.parquet(f"{path}/_manifest")
+
+
+def mixture_weights(
+    df: DataFrame,
+    target_shares_bp: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """B22 — domain-mixture reweighting: given a target mixture (shares in
+    integer BASIS POINTS, summing to 10000) and a total token budget,
+    compute per-domain sampling weights against what the corpus actually
+    has — the planning step before token_budget_mix/temperature_mix
+    executes a draw. For each domain s:
+
+        avail_s   = Σ tokens in s                  (exact long)
+        target_s  = budget * share_bp(s) / 10000   (exact integer floor)
+        weight_bp = min(10000, target_s*10000/avail_s)  (exact int floor)
+        expected  = min(avail_s, target_s)
+        deficit   = target_s - expected   (>0 ⇒ the corpus can't fill the
+                                           target at weight 1.0 — the
+                                           "need more French" signal)
+
+    Integer basis points end-to-end — shares, weights, and token counts
+    never touch floating point, so the output is bit-identical on any
+    engine and any partial-agg order (the §20/§22 ladder's strongest
+    rung: no floats, no rounding contract at all). Domains present in
+    the corpus but absent from the target get share 0 (weight 0) —
+    they're excluded, not passed through. Cost: one map-side-combined
+    aggregate over the corpus + a broadcast of the |domains|-row target
+    table; nothing here grows with corpus size except the one scan.
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    total_bp = sum(target_shares_bp.values())
+    if total_bp != 10000:
+        raise ValueError(
+            f"target shares must sum to 10000 bp, got {total_bp}"
+        )
+    if any(v < 0 for v in target_shares_bp.values()):
+        raise ValueError("target shares must be nonnegative")
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(target_shares_bp.items())],
+        f"{source_col} string, _share_bp long",
+    )
+    avail = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("avail_tokens")
+    )
+    j = avail.join(F.broadcast(targets), on=source_col, how="left")
+    share = F.coalesce(F.col("_share_bp"), F.lit(0))
+    j = j.select(
+        source_col, "avail_tokens", share.alias("target_share_bp")
+    ).select(
+        source_col,
+        "avail_tokens",
+        "target_share_bp",
+        # `div` is INTEGER division (Spark `/` on longs goes through
+        # DOUBLE, which loses exactness past 2^53 — budget*bp reaches
+        # 1e16); DuckDB's `//` twin is integer division too.
+        F.expr(
+            f"(cast({int(budget_tokens)} as bigint) * target_share_bp)"
+            " div 10000"
+        ).alias("target_tokens"),
+    )
+    weight_bp = F.least(
+        F.lit(10000).cast("long"),
+        F.expr("(target_tokens * 10000) div avail_tokens"),
+    )
+    expected = F.least(F.col("avail_tokens"), F.col("target_tokens"))
+    return j.select(
+        source_col,
+        "avail_tokens",
+        "target_share_bp",
+        "target_tokens",
+        weight_bp.alias("weight_bp"),
+        expected.alias("expected_tokens"),
+        (F.col("target_tokens") - expected).alias("deficit_tokens"),
+    )

@@ -334,3 +334,52 @@ def compact(
     staging = path.rstrip("/") + "__staging"
     df.write.mode("overwrite").format(fmt).save(staging)
     _swap_staging(spark, staging, path)
+
+
+def key_skew_audit(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """B28/§4 — join-key skew census: the diagnostic you run BEFORE
+    choosing plain vs salted vs broadcast for a big join or aggregation.
+    Returns the ``top_n`` heaviest keys with exact counts plus corpus
+    context, all integers (bit-identical on any engine — no rounding
+    contract at all):
+
+      key_value   the key, cast to string (NULL keys audit as NULL — the
+                  classic accidental hot key)
+      n_rows      exact occurrence count
+      share_bp    n_rows * 10000 div total_rows (basis points, floor)
+      total_rows  corpus row count
+      n_keys      distinct key count
+
+    ``n_rows * n_keys / total_rows`` (the skew factor vs a uniform
+    spread) is a caller-side one-liner from these exact columns —
+    emitting it pre-divided would reintroduce a float rounding contract
+    for zero information.
+
+    Plan shape: one map-side-combined count per key, a TakeOrdered
+    top-n (count desc, key asc — deterministic), and a 1-row global
+    aggregate broadcast onto the n rows. The per-key count table never
+    sorts globally and nothing here grows beyond the one scan at 100 TB.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key_value")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    globals_ = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc_nulls_first("key_value")).limit(
+        int(top_n)
+    )
+    return top.crossJoin(F.broadcast(globals_)).select(
+        "key_value",
+        "n_rows",
+        F.expr("(n_rows * 10000) div total_rows").alias("share_bp"),
+        "total_rows",
+        "n_keys",
+    )

@@ -8757,6 +8757,152 @@ def b22eh(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@_q(
+    "b34_gopher_quality",
+    """
+    WITH s AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CASE WHEN norm = '' THEN 0
+                  ELSE len(string_split(norm, ' ')) END AS n_words,
+             CASE WHEN norm = '' THEN 0
+                  ELSE length(norm) - (len(string_split(norm, ' ')) - 1)
+             END AS wc,
+             length(text) - length(replace(text, '#', '')) AS nh,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3
+                  AS BIGINT) AS ne,
+             len(string_split(text, chr(10))) AS nl,
+             len(list_filter(string_split(text, chr(10)),
+                 x -> starts_with(x, '- ') OR starts_with(x, '* ')
+                      OR starts_with(x, '• '))) AS nb,
+             len(list_filter(string_split(text, chr(10)),
+                 x -> ends_with(x, '...'))) AS nel,
+             len(list_filter(string_split(norm, ' '),
+                 w -> regexp_matches(w, '[a-z]'))) AS naw,
+             (CASE WHEN contains(' ' || norm || ' ', ' the ') THEN 1 ELSE 0 END
+              + CASE WHEN contains(' ' || norm || ' ', ' be ') THEN 1 ELSE 0 END
+              + CASE WHEN contains(' ' || norm || ' ', ' to ') THEN 1 ELSE 0 END
+              + CASE WHEN contains(' ' || norm || ' ', ' of ') THEN 1 ELSE 0 END
+              + CASE WHEN contains(' ' || norm || ' ', ' and ') THEN 1 ELSE 0 END
+              + CASE WHEN contains(' ' || norm || ' ', ' that ') THEN 1 ELSE 0 END
+              + CASE WHEN contains(' ' || norm || ' ', ' have ') THEN 1 ELSE 0 END
+              + CASE WHEN contains(' ' || norm || ' ', ' with ') THEN 1 ELSE 0 END
+             ) AS n_stop_hits
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(CASE WHEN n_words > 0 THEN CAST(wc AS DOUBLE) / n_words END, 4)
+               AS mean_word_len,
+           round(CASE WHEN n_words > 0 THEN CAST(nh + ne AS DOUBLE) / n_words END, 4)
+               AS symbol_ratio,
+           round(CAST(nb AS DOUBLE) / nl, 4) AS bullet_frac,
+           round(CAST(nel AS DOUBLE) / nl, 4) AS ellipsis_frac,
+           round(CASE WHEN n_words > 0 THEN CAST(naw AS DOUBLE) / n_words END, 4)
+               AS alpha_frac,
+           CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+           coalesce(
+             n_words >= 50 AND n_words <= 100000
+             AND CAST(wc AS DOUBLE) / n_words >= 3.0
+             AND CAST(wc AS DOUBLE) / n_words <= 10.0
+             AND CAST(nh + ne AS DOUBLE) / n_words <= 0.1
+             AND CAST(nb AS DOUBLE) / nl <= 0.9
+             AND CAST(nel AS DOUBLE) / nl <= 0.3
+             AND CAST(naw AS DOUBLE) / n_words >= 0.8
+             AND n_stop_hits >= 2, FALSE) AS passes_gopher
+    FROM b
+    """,
+)
+def b34gq(spark: SparkSession, sf: str) -> DataFrame:
+    # Gopher-rule corpus filter (Rae et al. 2021 App. A): word-count band,
+    # mean-word-length band, symbol ratio, bullet/ellipsis line fractions,
+    # alphabetic-word fraction, stopword presence — the pre-tokenization
+    # crawl gate. Row-local builtins in the scan stage; exact-integer
+    # counts with 4dp tie-free ratios (per-doc denominators << 2e4).
+    return TX.gopher_quality_signals(_t(spark, sf, "documents"))
+
+
+@_q(
+    "b22_mixture_weights",
+    """
+    WITH tok AS (
+      SELECT lang,
+             len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+                 AS n_tokens
+      FROM documents
+    ), avail AS (
+      SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS avail_tokens
+      FROM tok GROUP BY lang
+    ), t(lang, share_bp) AS (
+      VALUES ('de', 2000), ('en', 3000), ('es', 2000), ('fr', 1500), ('zh', 1500)
+    )
+    SELECT a.lang, a.avail_tokens,
+           CAST(coalesce(t.share_bp, 0) AS BIGINT) AS target_share_bp,
+           (50000 * coalesce(t.share_bp, 0)) // 10000 AS target_tokens,
+           least(10000,
+                 (((50000 * coalesce(t.share_bp, 0)) // 10000) * 10000)
+                 // a.avail_tokens) AS weight_bp,
+           least(a.avail_tokens,
+                 (50000 * coalesce(t.share_bp, 0)) // 10000) AS expected_tokens,
+           (50000 * coalesce(t.share_bp, 0)) // 10000
+             - least(a.avail_tokens,
+                     (50000 * coalesce(t.share_bp, 0)) // 10000) AS deficit_tokens
+    FROM avail a LEFT JOIN t ON a.lang = t.lang
+    """,
+)
+def b22mw(spark: SparkSession, sf: str) -> DataFrame:
+    # Domain-mixture reweighting (the DoReMi-style planning step before
+    # token_budget_mix executes the draw): per-language availability vs a
+    # target mixture in integer basis points, capped weights, and the
+    # deficit signal where the corpus can't fill its target. Integer
+    # arithmetic end-to-end (div, not /) — no float contract anywhere.
+    from ddataframeoperation_spark.operators import sampling
+
+    d = _t(spark, sf, "documents").withColumn(
+        "n_tokens", F.size(TX.tokens("text")).cast("long")
+    )
+    return sampling.mixture_weights(
+        d,
+        {"en": 3000, "es": 2000, "de": 2000, "fr": 1500, "zh": 1500},
+        budget_tokens=50_000,
+        source_col="lang",
+        token_col="n_tokens",
+    )
+
+
+@_q(
+    "b28_key_skew_audit",
+    """
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS key_value,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ), g AS (
+      SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM c
+    )
+    SELECT key_value, n_rows,
+           (n_rows * 10000) // total_rows AS share_bp,
+           total_rows, n_keys
+    FROM c CROSS JOIN g
+    ORDER BY n_rows DESC, key_value ASC NULLS FIRST
+    LIMIT 20
+    """,
+)
+def b28ksa(spark: SparkSession, sf: str) -> DataFrame:
+    # Join-key skew census over the natural hot key (events.user_id):
+    # exact top-20 heavy keys + corpus context, all integers — the
+    # diagnostic that decides plain vs salted vs broadcast before a big
+    # join. Map-side-combined counts, TakeOrdered top-n, 1-row broadcast.
+    from ddataframeoperation_spark.operators import skew as SKW
+
+    return SKW.key_skew_audit(_t(spark, sf, "events"), "user_id", top_n=20)
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -8919,6 +9065,9 @@ _BONUS_SLOTS = [
     "b31_containment_dedup",
     "b22_eval_holdout",
     "b36_stream_full_outer",      # r8: last watermark-join shape, first-time
+    "b34_gopher_quality",         # r8: Gopher-rule corpus filter, first-time
+    "b22_mixture_weights",        # r8: domain-mixture reweighting, first-time
+    "b28_key_skew_audit",         # r8: join-key skew census, first-time
     # -- displaced by the r8 rotation (all r07-certified) --
     "b05_lateral_topn",
     "bmm_media_stats",

@@ -85,7 +85,27 @@ def main() -> int:
             f"cap_per_source {tag}",
             lambda d=d: sampling.cap_per_source(d, 10, order_by=[F.col("n_chars").desc()]),
         )
+        probe(
+            f"gopher_quality {tag}",
+            lambda d=d: TX.gopher_quality_signals(d),
+        )
+        probe(
+            f"mixture_weights {tag}",
+            lambda d=d: sampling.mixture_weights(
+                d.withColumn("n_tokens", F.size(TX.tokens("text")).cast("long")),
+                {"en": 3000, "es": 2000, "de": 2000, "fr": 1500, "zh": 1500},
+                budget_tokens=50_000,
+                source_col="lang",
+                token_col="n_tokens",
+            ),
+        )
     for tag, e in (("1x", ev1), (f"{factor}x", ev)):
+        probe(
+            f"key_skew_audit {tag}",
+            lambda e=e: __import__(
+                "ddataframeoperation_spark.operators.skew", fromlist=["skew"]
+            ).key_skew_audit(e, "user_id", top_n=20),
+        )
         iv = lambda e=e: e.select(  # noqa: E731
             "event_id",
             F.unix_micros("ts").alias("s"),
