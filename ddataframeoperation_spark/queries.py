@@ -5817,45 +5817,40 @@ def b10q20(spark: SparkSession, sf: str) -> DataFrame:
 )
 def b10q21(spark: SparkSession, sf: str) -> DataFrame:
     # Q21 shape: EXISTS + NOT EXISTS correlated on the fact table — the
-    # supplier who shipped last in a multi-supplier failed order. Semi join
-    # (other supplier exists) then anti join (nobody shipped later), both
-    # on l_orderkey with cross-side predicates; self-join shuffles co-locate
-    # on the same key so AQE can reuse the exchange.
+    # supplier who shipped last in a multi-supplier failed order. r8
+    # re-plan: the row-level predicate "no OTHER supplier shipped
+    # strictly later" is equivalent to "this supplier's best shipdate
+    # attains the order's max" (ties qualify on both sides of the
+    # equivalence — strictly-greater is what the NOT EXISTS negates), and
+    # "another supplier exists" is a per-order supplier count. So instead
+    # of semi+anti SELF-JOINS (three lineitem shuffles, inequality fanout
+    # on hot orders), aggregate once: max shipdate per (order, supplier),
+    # then per order the supplier count + max — the fact table shuffles
+    # ONCE on its natural key and everything downstream is order-sized.
+    # The oracle keeps the textbook EXISTS/NOT-EXISTS form, so the hash
+    # match proves the rewrite exact.
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("_ds")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.max("_ds").alias("_m1"), F.count(F.lit(1)).alias("_n_supp")
+    )
+    qual = (
+        per_os.join(per_o, "l_orderkey")
+        .filter((F.col("_n_supp") >= 2) & (F.col("_ds") == F.col("_m1")))
+    )
     o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
     )
-    l1 = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
-    )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    )
-    l3 = li.select(
-        F.col("l_orderkey").alias("o3_orderkey"),
-        F.col("l_suppkey").alias("o3_suppkey"),
-        F.col("l_shipdate").alias("o3_shipdate"),
-    )
-    with_other = R.join(
-        l1,
-        l2,
-        on=(F.col("l_orderkey") == F.col("o2_orderkey"))
-        & (F.col("l_suppkey") != F.col("o2_suppkey")),
-        how="left_semi",
-    )
-    last_shipper = R.join(
-        with_other,
-        l3,
-        on=(F.col("l_orderkey") == F.col("o3_orderkey"))
-        & (F.col("l_suppkey") != F.col("o3_suppkey"))
-        & (F.col("o3_shipdate") > F.col("l_shipdate")),
-        how="left_anti",
-    )
+    qual_f = qual.join(o, qual["l_orderkey"] == o["o_orderkey"], "left_semi")
     s = _t(spark, sf, "supplier").select("s_suppkey", "s_name")
     agg = (
-        last_shipper.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        qual_f.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+        # (l_orderkey, l_suppkey) is unique post-aggregation, so count(*)
+        # IS the distinct-order count the oracle's COUNT(DISTINCT) asks for.
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
     return R.top_k(agg, [F.col("numwait").desc(), F.col("s_name").asc()], 20)
 

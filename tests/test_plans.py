@@ -86,12 +86,20 @@ def test_range_join_keeps_equi_conjunct(spark):
 
 
 def test_q21_exists_shapes_no_cartesian(spark):
-    # EXISTS/NOT EXISTS render as semi/anti hash joins on the order key —
-    # never a nested-loop/cartesian fallback.
+    # r8 re-plan: the EXISTS/NOT-EXISTS pair is computed by per-(order,
+    # supplier) aggregation (the fact table shuffles ONCE on its natural
+    # key) + an order-key semi join against status-F orders — never a
+    # nested-loop/cartesian fallback, and no lineitem self-join remains.
     p = _plan(spark, "b10_q21_waiting_suppliers")
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "LeftSemi" in p
     assert "TakeOrderedAndProject" in p
+    # the inequality anti self-join is gone...
+    assert "LeftAnti" not in p
+    # ...and the static plan holds at most the per_os subtree twice (its
+    # (orderkey, suppkey) exchange is identical in both branches, so AQE
+    # reuses it at runtime) — down from three lineitem self-join scans.
+    assert p.count("lineitem.parquet") <= 2
 
 
 def test_pack_sequences_single_shard_shuffle(spark):
