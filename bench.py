@@ -117,6 +117,11 @@ BENCH_QUERIES = [
     "b33_pq_topk",
     "b34_skipgram_pairs",
     "b35_next_event_examples",
+    # Round-8: the Gopher-rule scan-stage corpus gate, the all-integer
+    # hot-key census, and the basis-point mixture planner.
+    "b34_gopher_quality",
+    "b28_key_skew_audit",
+    "b22_mixture_weights",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
@@ -150,6 +155,7 @@ COUNT_ONLY = {
     "b34_boilerplate_removal",
     "b34_skipgram_pairs",
     "b35_next_event_examples",
+    "b34_gopher_quality",
 }
 
 
