@@ -865,3 +865,49 @@ def semantic_join(
             F.round("_cos", 4).alias("cos_sim"),
         )
     )
+
+
+def embedding_health(
+    df: DataFrame,
+    expected_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """B33/B28 — embedding-column health audit: the data-quality gate an
+    embedding pipeline runs BEFORE building any index (a single bad batch
+    from an encoder ships NULLs, zero vectors, NaNs, or wrong dims — and
+    every one of those silently poisons cosine math downstream). One row
+    of exact integer counts:
+
+      n_vecs           total rows
+      n_null_vecs      NULL embedding cells
+      n_dim_mismatch   non-NULL vectors whose length != expected_dim
+      n_zero_vecs      vectors of all exact zeros (cosine undefined)
+      n_nan_vecs       vectors containing a NaN element
+
+    All-integer output — no rounding contract. Row-local higher-order
+    functions (exists/size) in the scan stage feeding one map-side
+    aggregate: scan-bound at any scale, no shuffle beyond the 1-row
+    merge.
+    """
+    if expected_dim < 1:
+        raise ValueError("expected_dim must be >= 1")
+    v = F.col(vec_col)
+    is_null = v.isNull()
+    dim_bad = ~is_null & (F.size(v) != expected_dim)
+    has_nan = ~is_null & F.exists(v, lambda x: F.isnan(x.cast("double")))
+    all_zero = (
+        ~is_null
+        & ~has_nan
+        & (F.size(v) > 0)
+        & ~F.exists(v, lambda x: x.cast("double") != 0.0)
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    return df.agg(
+        F.count(one).cast("long").alias("n_vecs"),
+        F.sum(F.when(is_null, one).otherwise(zero)).cast("long").alias("n_null_vecs"),
+        F.sum(F.when(dim_bad, one).otherwise(zero)).cast("long").alias("n_dim_mismatch"),
+        F.sum(F.when(all_zero, one).otherwise(zero)).cast("long").alias("n_zero_vecs"),
+        F.sum(F.when(has_nan, one).otherwise(zero)).cast("long").alias("n_nan_vecs"),
+    )

@@ -38,6 +38,8 @@ __all__ = [
     "last_touch_attribution",
     "activity_streaks",
     "top_paths",
+    "period_over_period",
+    "time_to_convert",
 ]
 
 
@@ -611,4 +613,104 @@ def top_paths(
         .agg(F.count("*").cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(int(top_n))
+    )
+
+
+def period_over_period(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    period: Column,
+    value_cents: Column,
+) -> DataFrame:
+    """B17/B24 — period-over-period growth per group, exact to the basis
+    point: aggregate ``value_cents`` (an exact integer fixed-point
+    expression, e.g. ``floor(x*100+0.5)`` cents) per (group, period),
+    then growth vs the previous period as INTEGER basis points:
+
+        growth_bp = (cur - prev) * 10000 div prev
+
+    Integer end-to-end (the §22/§25 no-float rung): sums accumulate in
+    decimal so map-side partials can't wrap, land in long (bound: per
+    period-group totals under 9.2e16 cents — $9.2e14 — far above any real
+    period revenue), and the division is truncating integer `div`, which
+    Spark and DuckDB agree on. The first period of each group has NULL
+    prev/growth. One shuffle for the aggregate, one lag() over the
+    (group)-partitioned period order — periods per group are
+    calendar-bounded, never corpus-bounded.
+    """
+    per = df.groupBy(*group_cols, period.alias("period")).agg(
+        F.sum(value_cents.cast("decimal(20,0)"))
+        .cast("long")
+        .alias("value_cents")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("period")
+    lagged = per.withColumn("prev_cents", F.lag("value_cents").over(w))
+    growth = F.when(
+        F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0),
+        F.expr("((value_cents - prev_cents) * 10000) div prev_cents"),
+    )
+    return lagged.select(
+        *group_cols,
+        "period",
+        "value_cents",
+        "prev_cents",
+        growth.alias("growth_bp"),
+    )
+
+
+def time_to_convert(
+    df: DataFrame,
+    from_type: str,
+    to_type: str,
+    bucket_minutes: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """B35 — conversion-latency histogram: for each user, the time from
+    their FIRST ``from_type`` event to the first ``to_type`` event at or
+    after it, bucketed into ``bucket_minutes`` bins — the "how long does
+    click→purchase take" distribution one level above funnel_counts'
+    yes/no. Returns (latency_bucket, n_users): bucket b covers
+    [b*bucket, (b+1)*bucket) minutes; bucket -1 counts users who started
+    but never converted (NULL-safe explicit, not a dropped row — funnel
+    leakage IS the signal). A conversion at the exact same timestamp
+    counts (>=, zero latency).
+
+    Exact integers end-to-end: latency in integer microseconds
+    (``unix_micros``, never second-truncating unix_timestamp), truncating
+    integer `div` to the bucket. Plan: the first-start is a user-window
+    min (one shuffle on user), the conversion min and the bucket count
+    stay co-partitioned, so the whole histogram is one user shuffle plus
+    a bucket-sized aggregate.
+    """
+    if bucket_minutes < 1:
+        raise ValueError("bucket_minutes must be >= 1")
+    w = Window.partitionBy(user_col)
+    t0 = F.min(
+        F.when(F.col(type_col) == from_type, F.col(ts_col))
+    ).over(w)
+    e = df.withColumn("_t0", t0).filter(F.col("_t0").isNotNull())
+    starters = e.select(user_col, "_t0").distinct()
+    conv = (
+        e.filter(
+            (F.col(type_col) == to_type) & (F.col(ts_col) >= F.col("_t0"))
+        )
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t1"))
+    )
+    j = starters.join(conv, user_col, "left")
+    bucket_us = int(bucket_minutes) * 60_000_000
+    lat = F.unix_micros(F.col("_t1")) - F.unix_micros(F.col("_t0"))
+    # Truncating div of the NONNEGATIVE latency (t1 >= t0 by
+    # construction): x - x%m is an exact multiple of m, so the double
+    # division is exact well past any real latency (m divides it; the
+    # quotient stays far under 2^53).
+    bucket = F.when(F.col("_t1").isNull(), F.lit(-1)).otherwise(
+        ((lat - lat % F.lit(bucket_us)) / F.lit(bucket_us)).cast("long")
+    )
+    return (
+        j.select(bucket.alias("latency_bucket"))
+        .groupBy("latency_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )

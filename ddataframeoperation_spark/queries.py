@@ -8898,6 +8898,109 @@ def b28ksa(spark: SparkSession, sf: str) -> DataFrame:
     return SKW.key_skew_audit(_t(spark, sf, "events"), "user_id", top_n=20)
 
 
+@_q(
+    "b17_period_over_period",
+    """
+    WITH per AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS period,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, period, value_cents,
+             lag(value_cents) OVER (PARTITION BY event_type ORDER BY period)
+                 AS prev_cents
+      FROM per
+    )
+    SELECT event_type, period, value_cents, prev_cents,
+           CASE WHEN prev_cents IS NOT NULL AND prev_cents <> 0
+                THEN ((value_cents - prev_cents) * 10000) // prev_cents
+           END AS growth_bp
+    FROM lagged
+    """,
+)
+def b17pop(spark: SparkSession, sf: str) -> DataFrame:
+    # Day-over-day growth per event type, exact to the basis point: value
+    # sums as integer cents (floor(x*100+0.5) — the §22 fixed-point form),
+    # growth as truncating integer div, which Spark `div` and DuckDB `//`
+    # agree on (both truncate toward zero, verified on negatives). First
+    # day per type has NULL prev/growth.
+    ev = _t(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return W.period_over_period(
+        ev, ["event_type"], F.date_trunc("day", "ts"), cents
+    )
+
+
+@_q(
+    "b33_embedding_health",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_vecs,
+           CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_mismatch,
+           CAST(sum(CASE WHEN embedding IS NOT NULL
+                         AND len(list_filter(embedding,
+                                 x -> isnan(CAST(x AS DOUBLE)))) = 0
+                         AND len(embedding) > 0
+                         AND len(list_filter(embedding,
+                                 x -> CAST(x AS DOUBLE) <> 0.0)) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+           CAST(sum(CASE WHEN embedding IS NOT NULL
+                         AND len(list_filter(embedding,
+                                 x -> isnan(CAST(x AS DOUBLE)))) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_nan_vecs
+    FROM embeddings
+    """,
+)
+def b33eh(spark: SparkSession, sf: str) -> DataFrame:
+    # Embedding-column health audit (NULL / wrong-dim / all-zero / NaN
+    # counts) — the data-quality gate before any index build; all-integer
+    # output, row-local higher-order exprs, one map-side aggregate.
+    return similarity.embedding_health(
+        _t(spark, sf, "embeddings"), expected_dim=64
+    )
+
+
+@_q(
+    "b35_time_to_convert",
+    """
+    WITH t0 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t0
+      FROM events GROUP BY user_id
+    ), s AS (
+      SELECT user_id, t0 FROM t0 WHERE t0 IS NOT NULL
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.t0
+      GROUP BY e.user_id
+    )
+    SELECT CAST(CASE WHEN c.t1 IS NULL THEN -1
+                ELSE (epoch_us(CAST(c.t1 AS TIMESTAMP))
+                      - epoch_us(CAST(s.t0 AS TIMESTAMP))) // 21600000000
+           END AS BIGINT) AS latency_bucket,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM s LEFT JOIN c ON s.user_id = c.user_id
+    GROUP BY 1
+    """,
+)
+def b35ttc(spark: SparkSession, sf: str) -> DataFrame:
+    # Conversion-latency histogram (first click -> first purchase at or
+    # after it), 6-hour buckets, bucket -1 = started-but-never-converted.
+    # Exact integer microseconds (unix_micros) + truncating div; one user
+    # shuffle, bucket-sized output.
+    return W.time_to_convert(
+        _t(spark, sf, "events"),
+        from_type="click",
+        to_type="purchase",
+        bucket_minutes=360,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -9063,6 +9166,9 @@ _BONUS_SLOTS = [
     "b34_gopher_quality",         # r8: Gopher-rule corpus filter, first-time
     "b22_mixture_weights",        # r8: domain-mixture reweighting, first-time
     "b28_key_skew_audit",         # r8: join-key skew census, first-time
+    "b17_period_over_period",     # r8: exact basis-point DoD growth, first-time
+    "b33_embedding_health",       # r8: embedding-column quality audit, first-time
+    "b35_time_to_convert",        # r8: conversion-latency histogram, first-time
     # -- displaced by the r8 rotation (all r07-certified) --
     "b05_lateral_topn",
     "bmm_media_stats",

@@ -154,3 +154,134 @@ def test_key_skew_audit_null_key_surfaces(spark):
     assert got[0]["share_bp"] == (5 * 10000) // 7
     with pytest.raises(ValueError):
         key_skew_audit(df, "k", top_n=0)
+
+
+# ------------------------------------------------------ period_over_period
+
+
+def test_period_over_period_exact_growth(spark):
+    from pyspark.sql import functions as F
+
+    from ddataframeoperation_spark.operators.windows import period_over_period
+
+    rows = [
+        ("a", "2024-01-01", 100.0),
+        ("a", "2024-01-02", 150.0),
+        ("a", "2024-01-03", 75.0),
+        ("b", "2024-01-01", 10.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, d string, v double").select(
+        "g", F.col("d").cast("timestamp").alias("d"), "v"
+    )
+    cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+    got = {
+        (r["g"], str(r["period"])[:10]): r
+        for r in period_over_period(df, ["g"], F.col("d"), cents).collect()
+    }
+    assert got[("a", "2024-01-01")]["growth_bp"] is None
+    assert got[("a", "2024-01-02")]["growth_bp"] == 5000   # +50%
+    assert got[("a", "2024-01-03")]["growth_bp"] == -5000  # -50%
+    assert got[("b", "2024-01-01")]["prev_cents"] is None
+
+
+def test_period_over_period_truncates_like_duckdb(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from ddataframeoperation_spark.operators.windows import period_over_period
+
+    # -1/3 period drop: truncating div must give -3333 on BOTH engines.
+    rows = [("a", "2024-01-01", 3.0), ("a", "2024-01-02", 2.0)]
+    df = spark.createDataFrame(rows, "g string, d string, v double").select(
+        "g", F.col("d").cast("timestamp").alias("d"), "v"
+    )
+    cents = F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long")
+    r = {
+        str(x["period"])[:10]: x["growth_bp"]
+        for x in period_over_period(df, ["g"], F.col("d"), cents).collect()
+    }
+    duck = duckdb.sql("SELECT ((200 - 300) * 10000) // 300").fetchone()[0]
+    assert r["2024-01-02"] == duck == -3333
+
+
+# ------------------------------------------------------- embedding_health
+
+
+def test_embedding_health_counts_every_defect(spark):
+    from ddataframeoperation_spark.operators.similarity import embedding_health
+
+    rows = [
+        (1, [1.0, 2.0, 3.0]),          # healthy
+        (2, None),                      # null
+        (3, [1.0, 2.0]),                # wrong dim
+        (4, [0.0, 0.0, 0.0]),           # all zero
+        (5, [1.0, float("nan"), 3.0]),  # NaN
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_health(df, expected_dim=3).collect()[0]
+    assert (
+        r["n_vecs"], r["n_null_vecs"], r["n_dim_mismatch"],
+        r["n_zero_vecs"], r["n_nan_vecs"],
+    ) == (5, 1, 1, 1, 1)
+
+
+def test_embedding_health_validates_dim(spark):
+    from ddataframeoperation_spark.operators.similarity import embedding_health
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        embedding_health(df, expected_dim=0)
+
+
+# ------------------------------------------------------- time_to_convert
+
+
+def test_time_to_convert_buckets_and_nonconverters(spark):
+    from pyspark.sql import functions as F
+
+    from ddataframeoperation_spark.operators.windows import time_to_convert
+
+    rows = [
+        # u1: click 00:00, purchase 00:30 -> bucket 0 (60-min buckets)
+        (1, "2024-01-01 00:00:00", "click"),
+        (1, "2024-01-01 00:30:00", "purchase"),
+        # u2: click 00:00, purchase 02:30 -> bucket 2
+        (2, "2024-01-01 00:00:00", "click"),
+        (2, "2024-01-01 02:30:00", "purchase"),
+        # u3: click but never purchases -> bucket -1
+        (3, "2024-01-01 05:00:00", "click"),
+        # u4: purchase BEFORE any click (ignored), then click, no later
+        # purchase -> bucket -1
+        (4, "2024-01-01 00:00:00", "purchase"),
+        (4, "2024-01-01 01:00:00", "click"),
+        # u5: never clicks -> absent entirely
+        (5, "2024-01-01 00:00:00", "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    got = {
+        r["latency_bucket"]: r["n_users"]
+        for r in time_to_convert(
+            df, "click", "purchase", bucket_minutes=60
+        ).collect()
+    }
+    assert got == {0: 1, 2: 1, -1: 2}
+
+
+def test_time_to_convert_same_instant_is_zero_latency(spark):
+    from pyspark.sql import functions as F
+
+    from ddataframeoperation_spark.operators.windows import time_to_convert
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "click"),
+        (1, "2024-01-01 00:00:00", "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    got = time_to_convert(df, "click", "purchase", bucket_minutes=60).collect()
+    assert {(r["latency_bucket"], r["n_users"]) for r in got} == {(0, 1)}
+    with pytest.raises(ValueError):
+        time_to_convert(df, "click", "purchase", bucket_minutes=0)

@@ -106,6 +106,25 @@ def main() -> int:
                 "ddataframeoperation_spark.operators.skew", fromlist=["skew"]
             ).key_skew_audit(e, "user_id", top_n=20),
         )
+        probe(
+            f"period_over_period {tag}",
+            lambda e=e: __import__(
+                "ddataframeoperation_spark.operators.windows",
+                fromlist=["windows"],
+            ).period_over_period(
+                e,
+                ["event_type"],
+                F.date_trunc("day", "ts"),
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ),
+        )
+        probe(
+            f"time_to_convert {tag}",
+            lambda e=e: __import__(
+                "ddataframeoperation_spark.operators.windows",
+                fromlist=["windows"],
+            ).time_to_convert(e, "click", "purchase", bucket_minutes=360),
+        )
         iv = lambda e=e: e.select(  # noqa: E731
             "event_id",
             F.unix_micros("ts").alias("s"),
@@ -207,6 +226,10 @@ def main() -> int:
         )
     for tag, m in (("1x", emb1), (f"{factor}x", emb)):
         probe(f"quantized_topk {tag}", lambda m=m: similarity.quantized_topk(m, 0, k=10))
+        probe(
+            f"embedding_health {tag}",
+            lambda m=m: similarity.embedding_health(m, expected_dim=64),
+        )
         probe(
             f"centroid_confusion {tag}",
             lambda m=m: similarity.nearest_centroid_confusion(m),
