@@ -9001,6 +9001,46 @@ def b35ttc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b29_partitioned_sink",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM documents GROUP BY lang
+    """,
+)
+def b29ps(spark: SparkSession, sf: str) -> DataFrame:
+    # Hive-layout partitioned sink + DYNAMIC partition overwrite: write
+    # documents partitioned by lang, then overwrite ONE partition (en)
+    # with mode=overwrite + partitionOverwriteMode=dynamic — the
+    # incremental-reload idiom; static overwrite would clobber every
+    # other partition. The read-back per-partition (count, exact id sum)
+    # must equal the source aggregate, proving (a) the roundtrip is
+    # lossless, (b) the partition column survives directory encoding,
+    # (c) dynamic overwrite touched only its own partition. Partition
+    # pruning on the read side comes free from the layout.
+    import shutil
+    import tempfile
+
+    src = _t(spark, sf, "documents").select("doc_id", "lang")
+    out = tempfile.mkdtemp(prefix="ddfo_psink_")
+    try:
+        src.write.mode("overwrite").partitionBy("lang").parquet(out)
+        src.filter(F.col("lang") == "en").write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("lang").parquet(out)
+        back = spark.read.parquet(out).groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+        )
+        rows = back.collect()  # bounded: |langs| rows; dir is deleted below
+        return spark.createDataFrame(
+            rows, "lang string, n_rows long, sum_ids long"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -9169,6 +9209,7 @@ _BONUS_SLOTS = [
     "b17_period_over_period",     # r8: exact basis-point DoD growth, first-time
     "b33_embedding_health",       # r8: embedding-column quality audit, first-time
     "b35_time_to_convert",        # r8: conversion-latency histogram, first-time
+    "b29_partitioned_sink",       # r8: dynamic partition overwrite sink, first-time
     # -- displaced by the r8 rotation (all r07-certified) --
     "b05_lateral_topn",
     "bmm_media_stats",

@@ -285,3 +285,31 @@ def test_time_to_convert_same_instant_is_zero_latency(spark):
     assert {(r["latency_bucket"], r["n_users"]) for r in got} == {(0, 1)}
     with pytest.raises(ValueError):
         time_to_convert(df, "click", "purchase", bucket_minutes=0)
+
+
+# ----------------------------------------------------- partitioned sink
+
+
+def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "psink")
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr"), (4, "de")], "doc_id long, lang string"
+    )
+    df.write.mode("overwrite").partitionBy("lang").parquet(out)
+    # Dynamic overwrite of ONE partition must leave the others intact...
+    df.filter(F.col("lang") == "en").write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("lang").parquet(out)
+    back = {
+        (r["lang"], r["doc_id"]) for r in spark.read.parquet(out).collect()
+    }
+    assert back == {("en", 1), ("en", 2), ("fr", 3), ("de", 4)}
+    # ...where STATIC overwrite clobbers them (the failure mode the
+    # dynamic option exists to prevent).
+    df.filter(F.col("lang") == "en").write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("lang").parquet(out)
+    langs = {r["lang"] for r in spark.read.parquet(out).collect()}
+    assert langs == {"en"}
