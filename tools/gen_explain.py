@@ -25,7 +25,7 @@ HEADLINE = [
     ("b17_window_rank", "Ranking window: single hash-partition exchange"),
     ("b32_jaccard_pairs", "Blocked exact Jaccard: one shuffle on the block key -> per-block matmul kernel"),
     ("b34_full_pipeline", "Full training-data prep: decontaminate -> quality -> dedup -> sample -> pack"),
-    ("b10_q21_waiting_suppliers", "Q21 shape: semi + anti hash joins, no nested loop"),
+    ("b10_q21_waiting_suppliers", "Q21 shape (r8 re-plan): ONE (order,supplier) aggregate replaces the semi+anti self-joins; AQE reuses the fact exchange"),
     ("b30_script_zscore", "Grouped-map script: explicit repartition pins Python-stage parallelism (no AQE coalesce), single exchange"),
     ("b32_simhash_candidates", "SimHash block-permutation join: windowed bucket cap, star linkage on hot chunks"),
     ("b31_block_dedup", "Sub-document block dedup: exactly two exchanges (digest window + reassembly agg), blocks shuffle as md5 digests"),
@@ -66,6 +66,12 @@ HEADLINE = [
     ("b32_cluster_dedup_quality", "Quality-aware cluster dedup: iterative components, then ONE map-side max_by((score,-id)) per component — no window, no per-cluster sort"),
     ("bzo_zvalue_interleave", "Z-order clustering key: pure row-local shift/mask projection — scan speed, zero exchanges"),
     ("b22_temporal_split", "Purged temporal split: pushed-down time filters, one left-anti key join (pre-cutoff slice vs distinct eval keys), union"),
+    # Round 8
+    ("b11_agg_pricing_summary", "TPC-H Q1 money in LONG fixed-point: floor(x*100+.5) cents, int64 products, ONE decimal cast at the SUM — no per-row BigDecimal"),
+    ("b34_gopher_quality", "Gopher quality rules: every signal row-local in the scan stage — the gate predicate costs one scan at any corpus size"),
+    ("b28_key_skew_audit", "Hot-key census: map-side-combined counts, TakeOrdered top-n, 1-row global broadcast — all-integer output"),
+    ("b17_period_over_period", "Day-over-day growth in exact basis points: integer-cent aggregate + one calendar-bounded lag window"),
+    ("b35_time_to_convert", "Conversion-latency histogram: first-start window min + co-partitioned conversion min on ONE user exchange, integer-microsecond buckets"),
 ]
 
 SKIP_PREFIXES = (
