@@ -1662,3 +1662,49 @@ def chi_square_test(
         dof.alias("dof"),
         F.round(F.when(dof > 0, chi2), ndigits).alias("chi2"),
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """B28 — reliability-diagram bins for a [0,1] classifier score (the
+    quality-classifier calibration check a filtering pipeline runs before
+    trusting its threshold): bucket scores into ``n_bins`` equal-width
+    bins, and per bin report exact counts plus the positive rate in
+    integer basis points:
+
+      bin           least(n_bins-1, floor(score * n_bins)) — so 1.0
+                    lands in the top bin, not past it
+      n             rows in the bin
+      n_pos         rows with a true label
+      pos_rate_bp   n_pos * 10000 div n
+      mid_bp        bin midpoint in basis points — (2*bin+1)*10000
+                    div (2*n_bins); |pos_rate_bp − mid_bp| is the
+                    per-bin calibration error, summable to ECE caller-side
+
+    All-integer output (no rounding contract); the float boundary is the
+    bin assignment itself, where both engines floor the identically
+    computed ``score * n_bins`` double. NULL scores/labels are dropped.
+    One map-side-combined aggregate — scan-bound at any scale, output
+    bounded by n_bins.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    s = F.col(score_col)
+    lbl = F.col(label_col).cast("boolean")
+    base = df.filter(s.isNotNull() & lbl.isNotNull())
+    b = F.least(F.lit(n_bins - 1), F.floor(s * n_bins)).cast("long")
+    g = base.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(lbl, 1).otherwise(0)).cast("long").alias("n_pos"),
+    )
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.expr("(n_pos * 10000) div n").alias("pos_rate_bp"),
+        F.expr(f"((2 * bin + 1) * 10000) div {2 * n_bins}").alias("mid_bp"),
+    )

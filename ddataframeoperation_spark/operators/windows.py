@@ -40,6 +40,7 @@ __all__ = [
     "top_paths",
     "period_over_period",
     "time_to_convert",
+    "churn_cohorts",
 ]
 
 
@@ -713,4 +714,59 @@ def time_to_convert(
         j.select(bucket.alias("latency_bucket"))
         .groupBy("latency_bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def churn_cohorts(
+    df: DataFrame,
+    inactive_days: int = 14,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    cohort_granularity: str = "week",
+) -> DataFrame:
+    """B35 — inactivity churn by signup cohort: a user is churned when
+    their LAST activity is more than ``inactive_days`` before the
+    corpus's observation end (max ts — the as-of-now convention for an
+    event log). Users are cohorted by the ``cohort_granularity``
+    (day/week/month) of their FIRST activity;
+    per cohort week the output is exact integers:
+
+      cohort_week   date_trunc('week', first activity)
+      n_users       cohort size
+      n_churned     users whose last activity < max_ts − inactive_days
+      churn_bp      n_churned * 10000 div n_users
+
+    The churn boundary is exact integer-microsecond arithmetic off the
+    corpus max (one 1-row broadcast aggregate); per-user first/last are
+    ONE map-side-combined aggregate on the user key. Output is bounded
+    by the calendar, never the corpus. NULL users/timestamps drop.
+    """
+    if inactive_days < 1:
+        raise ValueError("inactive_days must be >= 1")
+    if cohort_granularity not in ("day", "week", "month"):
+        raise ValueError(
+            f"cohort_granularity must be day/week/month, got "
+            f"{cohort_granularity!r}"
+        )
+    base = df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+    per_user = base.groupBy(user_col).agg(
+        F.min(ts_col).alias("_first"), F.max(ts_col).alias("_last")
+    )
+    mx = base.agg(F.max(ts_col).alias("_mx"))
+    cutoff_us = F.unix_micros(F.col("_mx")) - F.lit(
+        int(inactive_days) * 86_400_000_000
+    )
+    j = per_user.crossJoin(F.broadcast(mx))
+    churned = F.unix_micros(F.col("_last")) < cutoff_us
+    g = j.groupBy(
+        F.date_trunc(cohort_granularity, "_first").alias("cohort_week")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(churned, 1).otherwise(0)).cast("long").alias("n_churned"),
+    )
+    return g.select(
+        "cohort_week",
+        "n_users",
+        "n_churned",
+        F.expr("(n_churned * 10000) div n_users").alias("churn_bp"),
     )

@@ -9041,6 +9041,92 @@ def b29ps(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(out, ignore_errors=True)
 
 
+@_q(
+    "b28_calibration_bins",
+    """
+    WITH m AS (
+      SELECT lang,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    ), scored AS (
+      SELECT round(least(1.0, greatest(0.0,
+                 (length(norm) * 1.0 / len(string_split(norm, ' ')) - 4.0)
+                 / 3.0)), 4) AS score,
+             (lang = 'en') AS label
+      FROM m WHERE norm <> ''
+    ), g AS (
+      SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      FROM scored GROUP BY 1
+    )
+    SELECT bin, n, n_pos,
+           (n_pos * 10000) // n AS pos_rate_bp,
+           ((2 * bin + 1) * 10000) // 20 AS mid_bp
+    FROM g
+    """,
+)
+def b28cb(spark: SparkSession, sf: str) -> DataFrame:
+    # Reliability-diagram calibration of a continuous quality signal
+    # (mean word length, band-scaled to [0,1] — the only signal with real
+    # spread in the all-Latin fixture) against an is-English proxy label:
+    # equal-width score bins, exact counts, positive rate in
+    # integer basis points vs the bin midpoint — the per-bin calibration
+    # error (|pos_rate-mid|) sums to ECE caller-side. The only float is
+    # the bin assignment, floored identically on both engines over the
+    # identically-rounded score.
+    from ddataframeoperation_spark.operators.dedup import normalized_text
+
+    d = _t(spark, sf, "documents")
+    norm = normalized_text("text")
+    mwl = F.length(norm) / F.size(F.split(norm, " "))
+    score = F.round(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), (mwl - 4.0) / 3.0)), 4
+    )
+    scored = d.filter(norm != "").select(
+        score.alias("score"), (F.col("lang") == "en").alias("label")
+    )
+    return R.calibration_bins(scored, "score", "label", n_bins=10)
+
+
+@_q(
+    "b35_churn_cohorts",
+    """
+    WITH b AS (
+      SELECT user_id, ts FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type = 'purchase'
+    ), u AS (
+      SELECT user_id, min(ts) AS f, max(ts) AS l FROM b GROUP BY user_id
+    ), m AS (SELECT max(ts) AS mx FROM b)
+    SELECT CAST(date_trunc('day', CAST(f AS TIMESTAMP)) AS TIMESTAMP)
+               AS cohort_week,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN epoch_us(CAST(l AS TIMESTAMP))
+                              < epoch_us(CAST(m.mx AS TIMESTAMP)) - 172800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+           (CAST(sum(CASE WHEN epoch_us(CAST(l AS TIMESTAMP))
+                               < epoch_us(CAST(m.mx AS TIMESTAMP)) - 172800000000
+                      THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*)
+               AS churn_bp
+    FROM u CROSS JOIN m
+    GROUP BY 1
+    """,
+)
+def b35cc(spark: SparkSession, sf: str) -> DataFrame:
+    # PURCHASE-activity churn by first-purchase-day cohort: churned =
+    # last purchase more than 2 days before the corpus max (exact
+    # integer-microsecond boundary off a 1-row broadcast); rates in
+    # integer basis points. The purchase slice + day granularity give the
+    # fixture a real churned/retained mix across several cohorts (the
+    # all-events form degenerates: every user's first/last event hugs the
+    # corpus edges). One user-key aggregate; output calendar-bounded.
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    return W.churn_cohorts(
+        ev, inactive_days=2, cohort_granularity="day"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -9210,6 +9296,8 @@ _BONUS_SLOTS = [
     "b33_embedding_health",       # r8: embedding-column quality audit, first-time
     "b35_time_to_convert",        # r8: conversion-latency histogram, first-time
     "b29_partitioned_sink",       # r8: dynamic partition overwrite sink, first-time
+    "b28_calibration_bins",       # r8: classifier reliability bins, first-time
+    "b35_churn_cohorts",          # r8: inactivity churn by cohort, first-time
     # -- displaced by the r8 rotation (all r07-certified) --
     "b05_lateral_topn",
     "bmm_media_stats",

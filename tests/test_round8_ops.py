@@ -313,3 +313,66 @@ def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
     ).partitionBy("lang").parquet(out)
     langs = {r["lang"] for r in spark.read.parquet(out).collect()}
     assert langs == {"en"}
+
+
+# -------------------------------------------------------- calibration_bins
+
+
+def test_calibration_bins_exact_counts_and_midpoints(spark):
+    from ddataframeoperation_spark.operators.relational import calibration_bins
+
+    rows = [
+        (0.05, True), (0.08, False),          # bin 0: 1/2 pos
+        (0.55, True), (0.58, True),           # bin 5: 2/2
+        (1.0, False),                          # score 1.0 -> TOP bin (9)
+        (0.95, True),                          # bin 9: with the 1.0 row, 1/2
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = {r["bin"]: r for r in calibration_bins(df, "score", "label").collect()}
+    assert got[0]["n"] == 2 and got[0]["n_pos"] == 1
+    assert got[0]["pos_rate_bp"] == 5000 and got[0]["mid_bp"] == 500
+    assert got[5]["pos_rate_bp"] == 10000 and got[5]["mid_bp"] == 5500
+    assert got[9]["n"] == 2 and got[9]["n_pos"] == 1  # 1.0 stays in-bin
+    assert got[9]["mid_bp"] == 9500
+
+
+def test_calibration_bins_drops_nulls_and_validates(spark):
+    from ddataframeoperation_spark.operators.relational import calibration_bins
+
+    rows = [(0.5, True), (None, True), (0.5, None)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = calibration_bins(df, "score", "label").collect()
+    assert len(got) == 1 and got[0]["n"] == 1
+    with pytest.raises(ValueError):
+        calibration_bins(df, "score", "label", n_bins=1)
+
+
+# ---------------------------------------------------------- churn_cohorts
+
+
+def test_churn_cohorts_exact_boundary(spark):
+    import datetime
+
+    from ddataframeoperation_spark.operators.windows import churn_cohorts
+
+    base = datetime.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        # u1: first Jan-1, last Jan-20 (active at max=Jan-21, 14d window)
+        (1, base), (1, base + datetime.timedelta(days=19)),
+        # u2: first Jan-1, last Jan-2 -> churned (> 14d before Jan-21)
+        (2, base), (2, base + datetime.timedelta(days=1)),
+        # u3: first Jan-8 (next week cohort), last = Jan-21 = corpus max
+        (3, base + datetime.timedelta(days=7)),
+        (3, base + datetime.timedelta(days=20)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        str(r["cohort_week"])[:10]: (r["n_users"], r["n_churned"], r["churn_bp"])
+        for r in churn_cohorts(df, inactive_days=14).collect()
+    }
+    assert got["2024-01-01"] == (2, 1, 5000)
+    assert got["2024-01-08"] == (1, 0, 0)
+    with pytest.raises(ValueError):
+        churn_cohorts(df, inactive_days=0)
+    with pytest.raises(ValueError):
+        churn_cohorts(df, cohort_granularity="quarter")

@@ -90,6 +90,26 @@ def main() -> int:
             lambda d=d: TX.gopher_quality_signals(d),
         )
         probe(
+            f"calibration_bins {tag}",
+            lambda d=d: relational.calibration_bins(
+                d.select(
+                    F.round(
+                        F.least(
+                            F.lit(1.0),
+                            F.greatest(
+                                F.lit(0.0),
+                                (F.col("n_chars") / 2000.0 - 0.5),
+                            ),
+                        ),
+                        4,
+                    ).alias("score"),
+                    (F.col("lang") == "en").alias("label"),
+                ),
+                "score",
+                "label",
+            ),
+        )
+        probe(
             f"mixture_weights {tag}",
             lambda d=d: sampling.mixture_weights(
                 d.withColumn("n_tokens", F.size(TX.tokens("text")).cast("long")),
@@ -124,6 +144,17 @@ def main() -> int:
                 "ddataframeoperation_spark.operators.windows",
                 fromlist=["windows"],
             ).time_to_convert(e, "click", "purchase", bucket_minutes=360),
+        )
+        probe(
+            f"churn_cohorts {tag}",
+            lambda e=e: __import__(
+                "ddataframeoperation_spark.operators.windows",
+                fromlist=["windows"],
+            ).churn_cohorts(
+                e.filter(F.col("event_type") == "purchase"),
+                inactive_days=2,
+                cohort_granularity="day",
+            ),
         )
         iv = lambda e=e: e.select(  # noqa: E731
             "event_id",
