@@ -54,6 +54,7 @@ __all__ = [
     "triangle_count",
     "containment_pairs",
     "containment_dedup",
+    "dup_rate_by_source",
 ]
 
 
@@ -1378,4 +1379,47 @@ def containment_dedup(
     drops = one_way.unionByName(mutual_losers).distinct()
     return df.join(
         drops.withColumnRenamed("_drop", id_col), on=id_col, how="left_anti"
+    )
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """B31 — per-source duplication-rate report: for each source, how
+    many of its documents are exact (normalized-fingerprint) duplicates
+    of an earlier document ANYWHERE in the corpus — the corpus-health
+    number a crawl dashboard tracks per feed ("which source is
+    re-serving us content"). A doc counts as a duplicate when its
+    fingerprint's minimum id belongs to a different doc, so cross-source
+    copies are charged to the later source. Exact integers:
+
+      n_docs    documents from the source
+      n_dups    of those, exact duplicates of an earlier doc
+      dup_bp    n_dups * 10000 div n_docs
+
+    One (16-byte fingerprint)-key window min over the corpus — the same
+    single shuffle as dedup_by_fingerprint — then a map-side-combined
+    per-source aggregate; output bounded by |sources|.
+    """
+    from pyspark.sql import Window as _W
+
+    with_fp = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        fingerprint(text_col).alias("_fp"),
+    )
+    keep = F.min("_id").over(_W.partitionBy("_fp"))
+    flagged = with_fp.withColumn("_dup", F.col("_id") != keep)
+    g = flagged.groupBy(F.col("_grp").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0)).cast("long").alias("n_dups"),
+    )
+    return g.select(
+        group_col,
+        "n_docs",
+        "n_dups",
+        F.expr("(n_dups * 10000) div n_docs").alias("dup_bp"),
     )

@@ -9127,6 +9127,34 @@ def b35cc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b31_dup_rate_by_source",
+    """
+    WITH f AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM documents
+    ), m AS (
+      SELECT fp, min(doc_id) AS keep FROM f GROUP BY fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dups,
+           (CAST(sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END) AS BIGINT)
+            * 10000) // count(*) AS dup_bp
+    FROM f JOIN m USING (fp)
+    GROUP BY source
+    """,
+)
+def b31dr(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-source duplication-rate dashboard: which feed re-serves content.
+    # Cross-source copies charge the LATER source (fingerprint min-id is
+    # the survivor). One 16-byte-fingerprint window + per-source
+    # aggregate; all-integer output in basis points.
+    return dedup.dup_rate_by_source(_t(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -9298,6 +9326,7 @@ _BONUS_SLOTS = [
     "b29_partitioned_sink",       # r8: dynamic partition overwrite sink, first-time
     "b28_calibration_bins",       # r8: classifier reliability bins, first-time
     "b35_churn_cohorts",          # r8: inactivity churn by cohort, first-time
+    "b31_dup_rate_by_source",     # r8: per-source dup-rate report, first-time
     # -- displaced by the r8 rotation (all r07-certified) --
     "b05_lateral_topn",
     "bmm_media_stats",

@@ -376,3 +376,22 @@ def test_churn_cohorts_exact_boundary(spark):
         churn_cohorts(df, inactive_days=0)
     with pytest.raises(ValueError):
         churn_cohorts(df, cohort_granularity="quarter")
+
+
+# ------------------------------------------------------ dup_rate_by_source
+
+
+def test_dup_rate_by_source_charges_later_source(spark):
+    from ddataframeoperation_spark.operators.dedup import dup_rate_by_source
+
+    rows = [
+        (1, "srcA", "hello world"),
+        (2, "srcB", "HELLO,  world!"),   # normalized dup of 1 -> srcB charged
+        (3, "srcB", "unique text here"),
+        (4, "srcA", "hello world"),      # dup of 1 -> srcA charged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in dup_rate_by_source(df).collect()}
+    assert (got["srcA"]["n_docs"], got["srcA"]["n_dups"]) == (2, 1)
+    assert got["srcA"]["dup_bp"] == 5000
+    assert (got["srcB"]["n_docs"], got["srcB"]["n_dups"]) == (2, 1)
