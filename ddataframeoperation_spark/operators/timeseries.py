@@ -29,6 +29,7 @@ __all__ = [
     "rolling_distinct",
     "rolling_distinct_approx",
     "rolling_zscore",
+    "calendar_spine",
 ]
 
 _GRANULARITIES = ("hour", "day", "week", "month", "quarter", "year")
@@ -463,4 +464,48 @@ def rolling_zscore(
     return out.withColumn(
         "is_anomaly",
         F.coalesce(F.abs(F.col("zscore")) > threshold, F.lit(False)),
+    )
+
+
+def calendar_spine(
+    df: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """B24 — date-dimension generator (the warehouse calendar spine):
+    one row per calendar day spanning [min(ts), max(ts)] of the input,
+    with the standard derived attributes —
+
+      day          (timestamp, midnight)
+      year, month, day_of_month, quarter   exact integers
+      day_of_week  1=Monday..7=Sunday (ISO — Spark's ``dayofweek`` is
+                   1=Sunday, so this uses ``weekday()+1`` which both
+                   engines agree on)
+      is_weekend   day_of_week >= 6
+      week_start   date_trunc('week', day)
+
+    Built from ONE 2-value global aggregate (min/max — broadcastable
+    1-row) + ``sequence``/``explode``: output is calendar-bounded (days,
+    not rows), so the spine costs one scan regardless of corpus size.
+    The spine is what gapfill joins against; exposing it standalone
+    gives downstream marts the conformed date dimension.
+    """
+    bounds = df.agg(
+        F.date_trunc("day", F.min(ts_col)).alias("_lo"),
+        F.date_trunc("day", F.max(ts_col)).alias("_hi"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    dow = F.weekday("day") + F.lit(1)
+    return days.select(
+        "day",
+        F.year("day").cast("long").alias("year"),
+        F.month("day").cast("long").alias("month"),
+        F.dayofmonth("day").cast("long").alias("day_of_month"),
+        F.quarter("day").cast("long").alias("quarter"),
+        dow.cast("long").alias("day_of_week"),
+        (dow >= 6).alias("is_weekend"),
+        F.date_trunc("week", "day").alias("week_start"),
     )

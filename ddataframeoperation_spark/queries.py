@@ -9155,6 +9155,37 @@ def b31dr(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.dup_rate_by_source(_t(spark, sf, "documents"))
 
 
+@_q(
+    "b24_calendar_spine",
+    """
+    WITH b AS (
+      SELECT date_trunc('day', CAST(min(ts) AS TIMESTAMP)) AS lo,
+             date_trunc('day', CAST(max(ts) AS TIMESTAMP)) AS hi
+      FROM events
+    ), d AS (
+      SELECT CAST(u.day AS TIMESTAMP) AS day
+      FROM b, unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS u(day)
+    )
+    SELECT day,
+           CAST(year(day) AS BIGINT) AS year,
+           CAST(month(day) AS BIGINT) AS month,
+           CAST(day(day) AS BIGINT) AS day_of_month,
+           CAST(quarter(day) AS BIGINT) AS quarter,
+           CAST(isodow(day) AS BIGINT) AS day_of_week,
+           isodow(day) >= 6 AS is_weekend,
+           CAST(date_trunc('week', day) AS TIMESTAMP) AS week_start
+    FROM d
+    """,
+)
+def b24cs(spark: SparkSession, sf: str) -> DataFrame:
+    # Conformed date dimension over the corpus span: one 1-row min/max
+    # aggregate + sequence/explode — output calendar-bounded. ISO
+    # day-of-week (1=Mon..7=Sun) via Spark weekday()+1 = DuckDB isodow.
+    from ddataframeoperation_spark.operators import timeseries as TS
+
+    return TS.calendar_spine(_t(spark, sf, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -9327,6 +9358,7 @@ _BONUS_SLOTS = [
     "b28_calibration_bins",       # r8: classifier reliability bins, first-time
     "b35_churn_cohorts",          # r8: inactivity churn by cohort, first-time
     "b31_dup_rate_by_source",     # r8: per-source dup-rate report, first-time
+    "b24_calendar_spine",         # r8: conformed date dimension, first-time
     # -- displaced by the r8 rotation (all r07-certified) --
     "b05_lateral_topn",
     "bmm_media_stats",

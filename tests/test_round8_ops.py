@@ -395,3 +395,31 @@ def test_dup_rate_by_source_charges_later_source(spark):
     assert (got["srcA"]["n_docs"], got["srcA"]["n_dups"]) == (2, 1)
     assert got["srcA"]["dup_bp"] == 5000
     assert (got["srcB"]["n_docs"], got["srcB"]["n_dups"]) == (2, 1)
+
+
+# -------------------------------------------------------- calendar_spine
+
+
+def test_calendar_spine_attributes_exact(spark):
+    import datetime
+
+    from ddataframeoperation_spark.operators.timeseries import calendar_spine
+
+    # Span Fri 2024-03-29 .. Mon 2024-04-01: crosses month/quarter AND a
+    # weekend, and pins the ISO day-of-week convention.
+    rows = [
+        (datetime.datetime(2024, 3, 29, 15, 30),),
+        (datetime.datetime(2024, 4, 1, 2, 0),),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {str(r["day"])[:10]: r for r in calendar_spine(df).collect()}
+    assert sorted(got) == ["2024-03-29", "2024-03-30", "2024-03-31", "2024-04-01"]
+    fri = got["2024-03-29"]
+    assert (fri["day_of_week"], fri["is_weekend"], fri["quarter"]) == (5, False, 1)
+    sat = got["2024-03-30"]
+    assert (sat["day_of_week"], sat["is_weekend"]) == (6, True)
+    sun = got["2024-03-31"]
+    assert (sun["day_of_week"], sun["is_weekend"]) == (7, True)
+    mon = got["2024-04-01"]
+    assert (mon["day_of_week"], mon["month"], mon["quarter"]) == (1, 4, 2)
+    assert str(mon["week_start"])[:10] == "2024-04-01"
