@@ -169,3 +169,51 @@ def test_time_to_convert_matches_bruteforce_random(spark):
             lat_us = int((min(purch) - t0).total_seconds() * 1_000_000)
             want[lat_us // (97 * 60_000_000)] += 1
     assert got == dict(want)
+
+
+def test_fixed_point_money_helpers_match_decimal_bruteforce(spark):
+    """The r8 money re-plan (queries._cents/_sum_fixed/_rev_cents4) must
+    reproduce exact Decimal arithmetic on random clean-2-decimal money:
+    per-row cents, the revenue product, and the descaled group sums."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from ddataframeoperation_spark.queries import _cents, _rev_cents4, _sum_fixed
+
+    rng = random.Random(36)
+    rows = []
+    for i in range(400):
+        price = rng.randint(90, 11_000_000) / 100.0   # up to $110k, 2dp
+        disc = rng.randint(0, 10) / 100.0
+        rows.append((i, i % 7, price, disc))
+    df = spark.createDataFrame(
+        rows, "rid long, g long, l_extendedprice double, l_discount double"
+    )
+    # per-row: cents and the 1e-4-dollar revenue product (keyed by rid —
+    # collect() order is not a contract)
+    per_row = {
+        r["rid"]: r
+        for r in df.select(
+            "rid",
+            _cents("l_extendedprice").alias("p2"),
+            _rev_cents4().alias("rev4"),
+        ).collect()
+    }
+    want_rows = {}
+    for rid, g, price, disc in rows:
+        p2 = int(Decimal(str(price)) * 100)
+        d2 = 100 - int(Decimal(str(disc)) * 100)
+        assert per_row[rid]["p2"] == p2
+        assert per_row[rid]["rev4"] == p2 * d2
+        want_rows.setdefault(g, Decimal(0))
+        want_rows[g] += Decimal(p2 * d2)
+    # group sums: exact decimal sum descaled once, vs Decimal brute force
+    got = {
+        r["g"]: r["revenue"]
+        for r in df.groupBy("g")
+        .agg(_sum_fixed(_rev_cents4(), 10000.0).alias("revenue"))
+        .collect()
+    }
+    for g, total4 in want_rows.items():
+        assert got[g] == float(total4) / 10000.0
