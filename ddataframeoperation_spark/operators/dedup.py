@@ -1400,6 +1400,12 @@ def dup_rate_by_source(
       n_dups    of those, exact duplicates of an earlier doc
       dup_bp    n_dups * 10000 div n_docs
 
+    NULL-text contract (r8 ADVICE): text is coalesced to '' BEFORE
+    fingerprinting, so NULL-text docs share the empty-document
+    fingerprint group on every engine — Spark's window would otherwise
+    group NULL fingerprints into one partition while a SQL oracle's
+    equi-join on fp drops them, a latent cross-engine divergence.
+
     One (16-byte fingerprint)-key window min over the corpus — the same
     single shuffle as dedup_by_fingerprint — then a map-side-combined
     per-source aggregate; output bounded by |sources|.
@@ -1409,7 +1415,7 @@ def dup_rate_by_source(
     with_fp = df.select(
         F.col(id_col).alias("_id"),
         F.col(group_col).alias("_grp"),
-        fingerprint(text_col).alias("_fp"),
+        fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
     )
     keep = F.min("_id").over(_W.partitionBy("_fp"))
     flagged = with_fp.withColumn("_dup", F.col("_id") != keep)

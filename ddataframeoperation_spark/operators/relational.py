@@ -1676,8 +1676,11 @@ def calibration_bins(
     bins, and per bin report exact counts plus the positive rate in
     integer basis points:
 
-      bin           least(n_bins-1, floor(score * n_bins)) — so 1.0
-                    lands in the top bin, not past it
+      bin           greatest(0, least(n_bins-1, floor(score * n_bins)))
+                    — clamped at BOTH ends, so 1.0 lands in the top bin
+                    and an out-of-contract score below 0 lands in bin 0
+                    instead of silently minting a negative phantom bin
+                    with a nonsensical negative midpoint (r8 ADVICE fix)
       n             rows in the bin
       n_pos         rows with a true label
       pos_rate_bp   n_pos * 10000 div n
@@ -1696,7 +1699,10 @@ def calibration_bins(
     s = F.col(score_col)
     lbl = F.col(label_col).cast("boolean")
     base = df.filter(s.isNotNull() & lbl.isNotNull())
-    b = F.least(F.lit(n_bins - 1), F.floor(s * n_bins)).cast("long")
+    b = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(n_bins - 1), F.floor(s * n_bins)).cast("long"),
+    )
     g = base.groupBy(b.alias("bin")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(lbl, 1).otherwise(0)).cast("long").alias("n_pos"),

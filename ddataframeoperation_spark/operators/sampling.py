@@ -840,9 +840,13 @@ def mixture_weights(
     engine and any partial-agg order (the §20/§22 ladder's strongest
     rung: no floats, no rounding contract at all). Domains present in
     the corpus but absent from the target get share 0 (weight 0) —
-    they're excluded, not passed through. Cost: one map-side-combined
-    aggregate over the corpus + a broadcast of the |domains|-row target
-    table; nothing here grows with corpus size except the one scan.
+    they're excluded, not passed through. Targeted domains with ZERO
+    corpus presence still emit a row (FULL outer join, avail coalesced
+    to 0): weight_bp 0, expected 0, deficit = target_tokens — the
+    "need more French" signal survives exactly when the deficit is
+    total (r8 ADVICE fix). Cost: one map-side-combined aggregate over
+    the corpus + a broadcast of the |domains|-row target table;
+    nothing here grows with corpus size except the one scan.
     """
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
@@ -861,10 +865,20 @@ def mixture_weights(
     avail = df.groupBy(source_col).agg(
         F.sum(F.col(token_col).cast("long")).alias("avail_tokens")
     )
-    j = avail.join(F.broadcast(targets), on=source_col, how="left")
+    # FULL outer: corpus-only domains get share 0; target-only domains
+    # (zero corpus presence) get avail 0 so the total deficit surfaces.
+    # BroadcastHashJoin can't build a full-outer side, so this is a
+    # sort-merge join — of two |domains|-row inputs (the corpus has
+    # already collapsed to its map-side-combined per-domain aggregate),
+    # so the exchange moves |domains| rows, not corpus rows.
+    j = avail.join(targets, on=source_col, how="full_outer")
     share = F.coalesce(F.col("_share_bp"), F.lit(0))
     j = j.select(
-        source_col, "avail_tokens", share.alias("target_share_bp")
+        source_col,
+        F.coalesce(F.col("avail_tokens"), F.lit(0).cast("long")).alias(
+            "avail_tokens"
+        ),
+        share.alias("target_share_bp"),
     ).select(
         source_col,
         "avail_tokens",
@@ -877,9 +891,13 @@ def mixture_weights(
             " div 10000"
         ).alias("target_tokens"),
     )
-    weight_bp = F.least(
-        F.lit(10000).cast("long"),
-        F.expr("(target_tokens * 10000) div avail_tokens"),
+    # Guard the zero-avail division explicitly (ANSI mode errors, non-ANSI
+    # NULLs — neither is the contract): nothing available ⇒ weight 0.
+    weight_bp = F.when(F.col("avail_tokens") == 0, F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.lit(10000).cast("long"),
+            F.expr("(target_tokens * 10000) div avail_tokens"),
+        )
     )
     expected = F.least(F.col("avail_tokens"), F.col("target_tokens"))
     return j.select(

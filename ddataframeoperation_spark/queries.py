@@ -5829,16 +5829,27 @@ def b10q21(spark: SparkSession, sf: str) -> DataFrame:
     # ONCE on its natural key and everything downstream is order-sized.
     # The oracle keeps the textbook EXISTS/NOT-EXISTS form, so the hash
     # match proves the rewrite exact.
+    # NULL-shipdate exactness (r8 ADVICE): in the textbook form a row with
+    # NULL l_shipdate ALWAYS passes the NOT EXISTS (`l3.l_shipdate > NULL`
+    # is never true), so a supplier with any NULL-shipdate line qualifies
+    # unconditionally — while max() ignores NULLs and `_ds == _m1` would
+    # drop it. Carry an any-NULL flag per (order, supplier) so the rewrite
+    # stays exact on arbitrary data (TPC-H l_shipdate happens to be
+    # NOT NULL, so the fixture hash is unchanged).
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("l_shipdate").alias("_ds")
+        F.max("l_shipdate").alias("_ds"),
+        F.max(F.col("l_shipdate").isNull().cast("int")).alias("_anynull"),
     )
     per_o = per_os.groupBy("l_orderkey").agg(
         F.max("_ds").alias("_m1"), F.count(F.lit(1)).alias("_n_supp")
     )
     qual = (
         per_os.join(per_o, "l_orderkey")
-        .filter((F.col("_n_supp") >= 2) & (F.col("_ds") == F.col("_m1")))
+        .filter(
+            (F.col("_n_supp") >= 2)
+            & ((F.col("_anynull") == 1) | (F.col("_ds") == F.col("_m1")))
+        )
     )
     o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
@@ -8834,18 +8845,20 @@ def b34gq(spark: SparkSession, sf: str) -> DataFrame:
     ), t(lang, share_bp) AS (
       VALUES ('de', 2000), ('en', 3000), ('es', 2000), ('fr', 1500), ('zh', 1500)
     )
-    SELECT a.lang, a.avail_tokens,
+    SELECT coalesce(a.lang, t.lang) AS lang,
+           CAST(coalesce(a.avail_tokens, 0) AS BIGINT) AS avail_tokens,
            CAST(coalesce(t.share_bp, 0) AS BIGINT) AS target_share_bp,
            (50000 * coalesce(t.share_bp, 0)) // 10000 AS target_tokens,
-           least(10000,
+           CASE WHEN coalesce(a.avail_tokens, 0) = 0 THEN 0
+                ELSE least(10000,
                  (((50000 * coalesce(t.share_bp, 0)) // 10000) * 10000)
-                 // a.avail_tokens) AS weight_bp,
-           least(a.avail_tokens,
+                 // a.avail_tokens) END AS weight_bp,
+           least(coalesce(a.avail_tokens, 0),
                  (50000 * coalesce(t.share_bp, 0)) // 10000) AS expected_tokens,
            (50000 * coalesce(t.share_bp, 0)) // 10000
-             - least(a.avail_tokens,
+             - least(coalesce(a.avail_tokens, 0),
                      (50000 * coalesce(t.share_bp, 0)) // 10000) AS deficit_tokens
-    FROM avail a LEFT JOIN t ON a.lang = t.lang
+    FROM avail a FULL JOIN t ON a.lang = t.lang
     """,
 )
 def b22mw(spark: SparkSession, sf: str) -> DataFrame:
@@ -9055,7 +9068,7 @@ def b29ps(spark: SparkSession, sf: str) -> DataFrame:
              (lang = 'en') AS label
       FROM m WHERE norm <> ''
     ), g AS (
-      SELECT least(9, CAST(floor(score * 10) AS BIGINT)) AS bin,
+      SELECT greatest(0, least(9, CAST(floor(score * 10) AS BIGINT))) AS bin,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
       FROM scored GROUP BY 1
@@ -9132,7 +9145,8 @@ def b35cc(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH f AS (
       SELECT doc_id, source,
-             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+             md5(trim(regexp_replace(lower(coalesce(text, '')),
+                                     '[^a-z0-9]+', ' ', 'g'))) AS fp
       FROM documents
     ), m AS (
       SELECT fp, min(doc_id) AS keep FROM f GROUP BY fp
