@@ -9214,55 +9214,55 @@ def b24cs(spark: SparkSession, sf: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     "b10_flagship_q3",            # flagship (TPC-H Q3 shape) — pinned slot 0
-    "b01_scan_project_filter",    # B1 scan + pushdown
+    "b01_csv_external_schema",    # B1 headerless-CSV + external schema (r9)
     "b02_parameterized_sql",      # B2 catalog + named-param SQL
     "b03_pandas_api",             # B3 projection / pandas API
     "b04_filter_predicates",      # B4 filter family
-    "b05_semijoin_reduction",     # B5 explicit runtime-filter semi-join (r8 rotation)
+    "b05_correlated_subquery",    # B5 correlated scalar subquery (r9)
     "b06_join_left_agg",          # B6 outer join (agg-below-join plan)
     "b07_join_semi",              # B7 semi/anti
     "b08_star_join_broadcast",    # B8 broadcast join
-    "b09_interval_overlap",       # B9 two-sided interval-overlap (bucketed)
-    "b24_rolling_actives_approx", # B24 rolling distinct actives, HLL tier (r8)
-    "b35_funnel_windowed",        # B35 time-bounded conversion funnel (r8)
-    "b31_dedup_provenance",       # B31 survivor->duplicate audit map (r8)
-    "b19_rolling_zscore",         # B19 framed rolling z-score anomaly gate (r8)
-    "b22_shard_manifest",         # B22 deterministic training-shard manifest (r8)
-    "b33_semantic_join",          # B33 IVF-celled large-x-large semantic join (r8)
-    "b11_groupwise_regression",   # B11 per-group exact-moment OLS (r8 + ADVICE fix)
+    "b09_asof_tolerance",         # B9 as-of join w/ max-staleness bound (r9)
+    "b24_calendar_spine",         # B24 conformed calendar-spine dimension (r9)
+    "b35_top_paths",              # B35 frequent k-step journey paths (r9)
+    "b31_containment_dedup",      # B31 keep-superset containment policy (r9)
+    "b19_time_range_window",      # B19 time-based RANGE frame (r9)
+    "b22_eval_holdout",           # B22 deterministic eval holdout (r9)
+    "b33_embedding_health",       # B33 embedding-column quality census (r9)
+    "b11_ks_test",                # B11 two-sample KS distance, no global sort (r9)
     "bmm_media_neardup",          # multimodal: perceptual-fingerprint near-dup
-    "b12_hll_overlap",            # B12 HLL audience overlap, gated vs exact (r8)
-    "b34_bpe_pair_counts",        # B34 BPE-style adjacent-pair counts (r8)
+    "b12_hll_sketch_rollup",      # B12 persistable HLL sketch rollup (r9)
+    "b34_gopher_quality",         # B34 Gopher-rule corpus filter (r9)
     "b13_rollup",                 # B13 rollup/cube/grouping sets
     "b14_having",                 # B14 having
     "b15_sort_null_ordering",     # B15 sort w/ null ordering
-    "b16_skyline_2d",             # B16 bucketed Pareto frontier (r7 re-plan)
-    "b17_window_ntile_partitioned",  # B17 genuine ntile behind one hash exchange
-    "b18_activity_streaks",       # B18 gaps-and-islands daily streaks (r8)
-    "b35_attribution",            # B35 last/first-touch conversion attribution (r8)
+    "b16_skyline_2d",             # B16 bucketed Pareto frontier
+    "b17_period_over_period",     # B17 exact basis-point DoD growth (r9)
+    "b18_first_last",             # B18 first/last value windows (r9)
+    "b35_time_to_convert",        # B35 conversion-latency histogram (r9)
     "b20_latest_per_key",         # B20 top-1-per-group
     "b21_snapshot_diff",          # B21 CDC snapshot diff
-    "b22_negative_samples",       # B22 seeded in-batch negative sampling (r8)
-    "b23_unicode_normalize",      # B23 NFC normalization + confusable scrub (r8)
-    "b24_rolling_actives",        # B24 rolling 7-day distinct actives, exact (r8)
-    "b25_minmax_scale",           # B25 group rescale (r7 null-safe join fix)
-    "b26_variant",                # B26 VARIANT semi-structured codec
-    "b27_posexplode_dims",        # B27 array explode family
-    "b28_cohens_kappa",           # B28 inter-rater agreement, exact integers (r8)
-    "b29_nested_json",            # B29 nested-JSON sink roundtrip
+    "b22_mixture_weights",        # B22 domain-mixture reweighting (r9 + ADVICE fix)
+    "b23_unicode_normalize",      # B23 NFC normalization + confusable scrub
+    "b31_dup_rate_by_source",     # B31 per-source dup-rate report (r9 + ADVICE fix)
+    "b25_winsorize",              # B25 per-group percentile winsorization (r9)
+    "b26_xml_roundtrip",          # B26 to_xml/from_xml lossless roundtrip (r9)
+    "b27_array_predicates",       # B27 exists/forall array quantifiers (r9)
+    "b28_chi_square",             # B28 chi-square independence, exact ints (r9)
+    "b29_partitioned_sink",       # B29 dynamic partition overwrite sink (r9)
     "b30_sql_udf",                # B30 SQL-registered UDF surface
-    "b11_rank_sum_test",          # B11 Mann-Whitney rank-sum A/B test (r8)
-    "b34_skipgram_pairs",         # B34 windowed skip-gram pair counts (r8)
-    "b32_cluster_dedup_quality",  # B32 quality-aware survivor pick (r8)
+    "b11_unpivot",                # B11 unpivot/melt via the Expand node (r9)
+    "b32_containment_pairs",      # B32 asymmetric containment pairs (r9)
+    "b32_triangle_count",         # B32 near-dup graph triangle census (r9)
     "bzo_zvalue_interleave",      # layout: Z-order clustering key, bit-exact
-    "b33_pq_topk",                # B33 product-quantization ADC top-k (r8)
-    "b34_skipgram_pmi",           # B34 PMI association over skip-gram pairs (r8)
+    "b28_calibration_bins",       # B28 classifier reliability bins (r9 + ADVICE fix)
+    "b28_key_skew_audit",         # B28 join-key skew census (r9)
     "b34_full_pipeline",          # B34 end-to-end corpus pipeline composite — pinned
-    "b35_next_event_examples",    # B35 bounded next-event example lists (r8)
-    "b36_stream_semi_join",       # B36 stream-stream LEFT SEMI interval join (r8)
-    "b36_stream_actives",         # B36 streaming daily HLL actives (r8)
+    "b35_churn_cohorts",          # B35 inactivity churn by cohort (r9)
+    "b36_stream_full_outer",      # B36 stream-stream FULL outer interval join (r9)
+    "b36_stream_static_join",     # B36 stream-static enrichment join (r9)
     "b37_stream_session",         # B37 streaming session window
-    "b38_stream_token_budget",    # B38 stateful token-budget admission
+    "b38_stream_dedup_ingest",    # B38 foreachBatch incremental corpus ingest (r9)
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
@@ -9352,101 +9352,137 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: certified queries (ks_test, chi_square, top_paths, triangle_count,
 #: containment_pairs, containment_dedup, eval_holdout) lead the tail for
 #: round 9, the 24 displaced follow.
+#: Round 9 rotated THIRTY-ONE slots (VERDICT r8 #1: 107 of 250 never
+#: driver-certified). All 19 queue-head entries placed: 15 in-family
+#: swaps plus 4 cross-family extras freed by multi-slot families in
+#: strict queue order (b34_skipgram_pairs→b32_containment_pairs,
+#: b34_skipgram_pmi→b28_key_skew_audit, b33_pq_topk→b28_calibration_bins,
+#: b24_rolling_actives→b31_dup_rate_by_source; B34 keeps gopher_quality +
+#: the pinned full_pipeline, B33 keeps embedding_health, B24 keeps
+#: calendar_spine). Then 12 more in-family first-in-queue swaps:
+#: b01_scan→csv_external_schema, b05_semijoin_reduction→correlated_subquery,
+#: b09_interval_overlap→asof_tolerance, b12_hll_overlap→hll_sketch_rollup,
+#: b19_rolling_zscore→time_range_window, b18_activity_streaks→first_last,
+#: b25_minmax_scale→winsorize, b26_variant→xml_roundtrip,
+#: b27_posexplode_dims→array_predicates, b11_rank_sum_test→unpivot,
+#: b36_stream_semi_join→stream_full_outer + b36_stream_actives→
+#: stream_static_join (B36 keeps two slots per the checker contract),
+#: b38_stream_token_budget→stream_dedup_ingest. bmm keeps media_neardup
+#: (bmm_binary_ingest is rows-only and slots must be oracle-backed).
+#: Every displaced query is green in CORRECTNESS_r08 and its family
+#: keeps >=1 slot; the displaced 31 follow the never-certified queue.
 _BONUS_SLOTS = [
-    # -- still never-certified, in rotation order for round 9 --
-    "b11_ks_test",
-    "b28_chi_square",
-    "b35_top_paths",
-    "b32_triangle_count",
-    "b32_containment_pairs",
-    "b31_containment_dedup",
-    "b22_eval_holdout",
-    "b36_stream_full_outer",      # r8: last watermark-join shape, first-time
-    "b34_gopher_quality",         # r8: Gopher-rule corpus filter, first-time
-    "b22_mixture_weights",        # r8: domain-mixture reweighting, first-time
-    "b28_key_skew_audit",         # r8: join-key skew census, first-time
-    "b17_period_over_period",     # r8: exact basis-point DoD growth, first-time
-    "b33_embedding_health",       # r8: embedding-column quality audit, first-time
-    "b35_time_to_convert",        # r8: conversion-latency histogram, first-time
-    "b29_partitioned_sink",       # r8: dynamic partition overwrite sink, first-time
-    "b28_calibration_bins",       # r8: classifier reliability bins, first-time
-    "b35_churn_cohorts",          # r8: inactivity churn by cohort, first-time
-    "b31_dup_rate_by_source",     # r8: per-source dup-rate report, first-time
-    "b24_calendar_spine",         # r8: conformed date dimension, first-time
-    # -- displaced by the r8 rotation (all r07-certified) --
-    "b05_lateral_topn",
-    "bmm_media_stats",
-    "b10_q21_waiting_suppliers",
-    "b31_block_dedup",
-    "b19_abc_classification",
-    "b22_leakage_safe_kfold",
-    "b10_q9_profit_by_nation",
-    "b11_agg_pricing_summary",
-    "b12_heavy_hitters",
-    "b34_corpus_datacard",
-    "b18_transition_matrix",
-    "bmm_decode_stub",
-    "b22_temporal_split",
-    "b23_string_funcs",
-    "b24_gapfill_locf",
-    "b28_psi_drift",
-    "b38_stream_dedup",
-    "b34_boilerplate_removal",
-    "b32_fuzzy_names_symdelete",
-    "b33_embedding_drift",
-    "b34_contamination",
-    "b35_retention_cohorts",
-    "b36_stream_sliding",
-    "b36_stream_psi",
-    "b22_leakage_safe_split",
-    "b32_near_dedup_e2e",
-    "b33_cosine_topk",
-    "b34_bm25_topk",
-    "b09_asof_join",
-    "b02_catalog_sql",
-    "b05_join_inner",
-    "b10_q7_nation_volume",
-    "b10_q22_global_sales_opp",
-    "b11_incremental_agg",
-    "b12_count_distinct",
-    "b16_top_k",
-    "b17_window_rank",
-    "b18_scd2_history",
-    "b19_ewma",
-    "b19_window_running_sum",
-    "b21_cdc_apply",
-    "b22_token_budget_mix",
-    "b24_ohlc_bars",
-    "b25_math_conditional",
-    "b26_json_funcs",
-    "b27_array_set_ops",
-    "b28_schema_manifest",
-    "b29_sink_roundtrip",
-    "b30_script_zscore",
-    "b31_dedup_increment",
-    "b32_minhash_candidates",
-    "b33_ivf_topk",
-    "b34_pack_sequences",
-    "b35_sessionize",
-    "b36_stream_tumbling",
-    "b36_stream_outer_join",
-    "b38_stateful_totals",
-    "b22_temperature_mix",
-    "b11_salted_agg",
-    "b21_union_distinct",
-    "b18_window_lag_lead",
-    "b22_stratified_sample",
-    "b32_cluster_dedup",
-    "b33_embedding_neardup",
-    "b34_tfidf",
-    "b10_q14_promo_ratio",
-    "b10_q19_disjunctive",
-    "b24_date_funcs",
-    "b10_q12_priority_lines",
-    "b12_approx_count_distinct",
-    "b09_range_join",
-    "b28_profile",
-    "b32_jaccard_pairs",
+    # -- still never-certified, in rotation order for round 10
+    #    (oracle-backed first; the 4 rows-only entries close the queue
+    #    since their certificates are rows-checks by contract) --
+    "b22_random_split",
+    "b11_histogram",
+    "b32_minhash_increment",
+    "b33_embedding_dedup",
+    "b33_quantized_topk",
+    "b34_token_ids",
+    "b34_word_stats",
+    "b34_quality_score",
+    "b34_language_id",
+    "b11_time_rollup",
+    "b34_vocabulary",
+    "b34_prepare_corpus",
+    "b34_fingerprints",
+    "b34_fingerprint_pairs",
+    "b36_stream_stream_join",
+    "b19_moving_avg",
+    "b26_from_json_struct",
+    "b29_jsonl_roundtrip",
+    "b29_orc_roundtrip",
+    "b01_schema_evolution",
+    "b01_corrupt_records",
+    "b11_percentiles",
+    "b05_in_subquery",
+    "b10_q5_regional_revenue",
+    "b10_q10_returned_revenue",
+    "b10_q16_supplier_variety",
+    "b10_q18_large_orders",
+    "b34_repetition",
+    "b34_pii_redaction",
+    "b32_fuzzy_names",
+    "b28_expectations",
+    "b34_chunking",
+    "b34_curriculum",
+    "b28_psi_categorical",
+    "b11_approx_percentiles",
+    "b22_hash_sample",
+    "b22_hash_split",
+    "b22_source_mix",
+    "b22_source_cap",
+    "b34_bigram_lm",
+    "b10_q2_min_cost_supplier",
+    "b10_q4_priority_late",
+    "b10_q6_forecast_revenue",
+    "b10_q8_market_share",
+    "b10_q11_important_parts",
+    "b10_q13_order_distribution",
+    "b10_q15_top_supplier",
+    "b10_q17_small_qty_revenue",
+    "b10_q20_excess_shippers",
+    "b11_corr_stats",
+    "b05_nullsafe_join",
+    "b22_weighted_sample",
+    "b22_epoch_order",
+    "b34_length_outliers",
+    "b34_lexical_diversity",
+    "b35_funnel",
+    "b33_centroid_confusion",
+    "b34_corpus_balance",
+    "b18_debounce",
+    "b01_text_log_parse",
+    "b24_twap",
+    "b18_scd2_asof",
+    "b35_cooccurrence",
+    "b11_pivot_roundtrip",
+    "b11_equidepth_histogram",
+    "b36_stream_ohlc",
+    "b22_kfold",
+    "b25_try_arithmetic",
+    "b33_multi_topk",
+    "b33_hybrid_rrf",
+    "b33_retrieval_metrics",
+    "b33_mmr_rerank",
+    "b32_minhash_raw",
+    "b32_simhash_candidates",
+    "b33_lsh_topk",
+    "bmm_binary_ingest",
+    # -- displaced by the r9 rotation (all r08-certified) --
+    "b01_scan_project_filter",
+    "b05_semijoin_reduction",
+    "b09_interval_overlap",
+    "b24_rolling_actives_approx",
+    "b35_funnel_windowed",
+    "b31_dedup_provenance",
+    "b19_rolling_zscore",
+    "b22_shard_manifest",
+    "b33_semantic_join",
+    "b11_groupwise_regression",
+    "b12_hll_overlap",
+    "b34_bpe_pair_counts",
+    "b17_window_ntile_partitioned",
+    "b18_activity_streaks",
+    "b35_attribution",
+    "b22_negative_samples",
+    "b24_rolling_actives",
+    "b25_minmax_scale",
+    "b26_variant",
+    "b27_posexplode_dims",
+    "b28_cohens_kappa",
+    "b29_nested_json",
+    "b11_rank_sum_test",
+    "b34_skipgram_pairs",
+    "b32_cluster_dedup_quality",
+    "b33_pq_topk",
+    "b34_skipgram_pmi",
+    "b35_next_event_examples",
+    "b36_stream_semi_join",
+    "b36_stream_actives",
+    "b38_stream_token_budget",
 ]
 
 _rest = [

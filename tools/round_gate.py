@@ -84,6 +84,9 @@ def main() -> int:
             ("oracles_sf0.1", ["tools/check_oracles.py", "/root/testdata/sf0.1"])
         )
     stages.append(("plan_audit", ["tools/plan_audit.py"]))
+    # Regenerate the COVERAGE.md certification ledger from the
+    # CORRECTNESS artifacts so the counts can't drift (VERDICT r8 #4).
+    stages.append(("cert_ledger", ["tools/cert_ledger.py"]))
     if with_pytest:
         stages.append(("pytest", ["-m", "pytest", "tests/", "-q"]))
 
