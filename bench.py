@@ -122,6 +122,21 @@ BENCH_QUERIES = [
     "b34_gopher_quality",
     "b28_key_skew_audit",
     "b22_mixture_weights",
+    # Round-9 (VERDICT r8 #2): the heaviest previously-UNBENCHED operators,
+    # put under floors so regressions can't hide outside the suite. The
+    # 100x-probe table (SCALE.md §24) showed rank_sum/ks_test at ~2.2-2.5s
+    # warm — heavier than anything then benched; the rest are the
+    # multi-stage dedup/similarity/sampling composites.
+    "b11_rank_sum_test",
+    "b11_ks_test",
+    "b33_semantic_join",
+    "b32_containment_pairs",
+    "b32_triangle_count",
+    "b32_near_dedup_e2e",
+    "b31_containment_dedup",
+    "b22_leakage_safe_split",
+    "b22_leakage_safe_kfold",
+    "b12_hll_sketch_rollup",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
@@ -156,6 +171,12 @@ COUNT_ONLY = {
     "b34_skipgram_pairs",
     "b35_next_event_examples",
     "b34_gopher_quality",
+    "b33_semantic_join",
+    "b32_containment_pairs",
+    "b32_near_dedup_e2e",
+    "b31_containment_dedup",
+    "b22_leakage_safe_split",
+    "b22_leakage_safe_kfold",
 }
 
 

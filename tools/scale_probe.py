@@ -640,6 +640,43 @@ def main() -> int:
                 "a", "b",
             ),
         )
+    # Round-9 (VERDICT r8 #5): the r8 newcomers that only had sf-ladder
+    # evidence. calendar_spine is calendar-bounded (output constant under
+    # replication — the probe times the 1-row min/max scan);
+    # dup_rate_by_source is one fingerprint window + a |sources| agg;
+    # partitioned_sink exercises DYNAMIC partition overwrite under 128
+    # partitions (the many-partition case the fixture's 5 langs can't).
+    from ddataframeoperation_spark.operators.timeseries import calendar_spine
+
+    for tag, e in (("1x", ev1), (f"{factor}x", ev)):
+        probe(f"calendar_spine {tag}", lambda e=e: calendar_spine(e))
+    for tag, d in (("1x", docs1), (f"{factor}x", docs)):
+        probe(
+            f"dup_rate_by_source {tag}",
+            lambda d=d: dedup.dup_rate_by_source(d),
+        )
+
+        def _psink(d=d):
+            import shutil
+            import tempfile
+
+            out = tempfile.mkdtemp(prefix="ddfo_probe_psink_")
+            try:
+                part = d.select(
+                    "doc_id", (F.col("doc_id") % 128).alias("p")
+                )
+                part.write.mode("overwrite").partitionBy("p").parquet(out)
+                part.filter(F.col("p") == 7).write.mode("overwrite").option(
+                    "partitionOverwriteMode", "dynamic"
+                ).partitionBy("p").parquet(out)
+                return spark.createDataFrame(
+                    [(spark.read.parquet(out).count(),)], "n long"
+                )
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+
+        probe(f"partitioned_sink_128p {tag}", _psink)
+
     # Round-7d: semantic join in its production (partial-probe) mode.
     # The cell count SCALES WITH THE CORPUS (bounded cell population —
     # the FAISS sizing rule): with ncells fixed, candidate pairs grow as
