@@ -37,6 +37,8 @@ __all__ = [
     "merge_upsert",
     "merge_upsert_partitioned",
     "compact",
+    "key_skew_audit",
+    "join_strategy_advice",
 ]
 
 
@@ -382,4 +384,95 @@ def key_skew_audit(
         F.expr("(n_rows * 10000) div total_rows").alias("share_bp"),
         "total_rows",
         "n_keys",
+    )
+
+
+def join_strategy_advice(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    broadcast_max_rows: int = 10_000_000,
+    skew_share_bp: int = 500,
+    target_parallelism: int = 200,
+) -> DataFrame:
+    """B28/§4 — the cost-based "explain advisor" twin of
+    :func:`key_skew_audit` (VERDICT r8 #8): given the two sides of a
+    planned equi-join, recommend plain / salted / broadcast from the
+    same census the audit already computes. One row, all decision
+    inputs exact integers so the verdict is bit-identical on any
+    engine:
+
+      fact_rows, fact_keys      exact fact-side census
+      fact_top_key              heaviest fact key (string; NULL audits
+                                as NULL — the classic accidental hot key)
+      fact_top_share_bp         its share in basis points (floor)
+      dim_rows                  exact dim-side row count
+      strategy                  'broadcast'  if dim_rows <= broadcast_max_rows
+                                'salted'     elif fact_top_share_bp >= skew_share_bp
+                                'shuffle'    otherwise
+      salt_buckets              0 unless salted; else the bucket count
+                                that spreads the hot key to ~1/target_
+                                parallelism of the shuffle:
+                                least(target_parallelism,
+                                      (top_share_bp * target_parallelism)
+                                      div 10000 + 1)
+
+    The thresholds are arguments, not magic: ``broadcast_max_rows``
+    mirrors what you'd give ``spark.sql.autoBroadcastJoinThreshold``
+    (rows, since the census has no byte sizes), ``skew_share_bp`` is
+    the hot-key share above which AQE's skew-join split still leaves
+    one straggler per hot key and pre-salting wins.
+
+    Plan shape: one map-side-combined count per fact key collapsing to
+    a 1-row ``max_by`` census, one 1-row dim count, one broadcast
+    cross of the two 1-row tables. Nothing beyond the two scans at any
+    scale — this is strictly cheaper than the join it advises on.
+    """
+    if broadcast_max_rows < 0:
+        raise ValueError("broadcast_max_rows must be >= 0")
+    if not 0 < skew_share_bp <= 10000:
+        raise ValueError("skew_share_bp must be in (0, 10000]")
+    if target_parallelism < 1:
+        raise ValueError("target_parallelism must be >= 1")
+    counts = fact.groupBy(
+        F.col(fact_key).cast("string").alias("_k")
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    # Deterministic top key: min_by over the struct (-n, key) — structs
+    # compare field-by-field, so the largest count wins and count ties
+    # resolve to the smallest key string (integer negation is exact).
+    fact_census = counts.agg(
+        F.sum("_n").cast("long").alias("fact_rows"),
+        F.count(F.lit(1)).cast("long").alias("fact_keys"),
+        F.min_by(
+            "_k", F.struct((-F.col("_n")).alias("a"), F.col("_k").alias("b"))
+        ).alias("fact_top_key"),
+        F.max("_n").cast("long").alias("_top_n"),
+    )
+    dim_census = dim.agg(F.count(F.lit(1)).cast("long").alias("dim_rows"))
+    j = fact_census.crossJoin(F.broadcast(dim_census))
+    top_share = F.expr("(_top_n * 10000) div fact_rows")
+    strategy = (
+        F.when(F.col("dim_rows") <= F.lit(int(broadcast_max_rows)), "broadcast")
+        .when(top_share >= F.lit(int(skew_share_bp)), "salted")
+        .otherwise("shuffle")
+    )
+    salt = F.when(
+        strategy == "salted",
+        F.least(
+            F.lit(int(target_parallelism)).cast("long"),
+            F.expr(
+                f"(((_top_n * 10000) div fact_rows) * {int(target_parallelism)})"
+                " div 10000 + 1"
+            ),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return j.select(
+        "fact_rows",
+        "fact_keys",
+        "fact_top_key",
+        top_share.alias("fact_top_share_bp"),
+        "dim_rows",
+        strategy.alias("strategy"),
+        salt.alias("salt_buckets"),
     )

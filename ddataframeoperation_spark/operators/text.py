@@ -52,6 +52,7 @@ __all__ = [
     "corpus_datacard",
     "remove_boilerplate",
     "bpe_pair_counts",
+    "bpe_train_step",
     "skipgram_pairs",
     "normalize_unicode",
     "skipgram_pmi",
@@ -1092,6 +1093,154 @@ def bpe_pair_counts(
         .agg(F.sum("_c").cast("long").alias("pair_count"))
         .orderBy(F.desc("pair_count"), "pair")
         .limit(int(top_n))
+    )
+
+
+#: Symbol separator for the BPE trainer's working representation — the
+#: ASCII unit separator, which :func:`normalized_text` can never emit
+#: (its alphabet is [a-z0-9 ]), so symbol boundaries are unambiguous.
+_BPE_TRAIN_SEP = "\x1f"
+
+
+def bpe_train_step(
+    df: DataFrame,
+    text_col: str | Column = "text",
+    top_n: int = 10,
+    min_word_len: int = 2,
+) -> DataFrame:
+    """B34 — ONE full iteration of BPE tokenizer training, end to end
+    (VERDICT r8 #8, the tokenizer-fidelity check): DISCOVER the most
+    frequent adjacent character pair over the word-frequency
+    vocabulary, APPLY it as a merge, and RECOUNT — returning the
+    post-merge pair table together with the roundtrip invariants that
+    make a discovered merge trustworthy before it ships to the encode
+    step (:func:`bpe_subword_stats`):
+
+      merge_pair      the adopted merge (2 chars, count-desc / pair-asc
+                      deterministic pick — the Sennrich trainer's rule)
+      merge_count     its pre-merge weighted frequency
+      residual_count  weighted adjacent occurrences of merge_pair AFTER
+                      the merge — 0 by construction (left-to-right
+                      non-overlapping replace consumes every adjacency),
+                      emitted so the oracle PROVES it rather than trusts it
+      broken_words    words whose symbol concatenation no longer equals
+                      the word (losslessness) — 0 by construction
+      pair / pair_count  the ``top_n`` post-merge symbol pairs, i.e. the
+                      trainer's NEXT candidate table
+
+    Single-step contract: starting from the character state, a plain
+    string ``replace`` on the separator representation is a correct
+    merge because every symbol is one character. (Iterating further
+    needs boundary-aware replacement — the classic BPE pitfall where
+    'b␟a' also matches across the tail of a previously merged 'ab' —
+    which is what the mapInPandas encode kernel is for; the trainer
+    step stays a pure JVM/SQL expression precisely because it runs
+    from the character state.)
+
+    Plan shape: the corpus collapses to the vocabulary aggregate first
+    (same as :func:`bpe_pair_counts` — the pair explosion runs over
+    distinct words, not corpus tokens); the adopted merge is a 1-row
+    broadcast; apply + recount are row-local expressions over the
+    vocabulary feeding one map-side-combinable aggregate and a
+    TakeOrdered top-k. Nothing here shuffles document bodies.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    sep = _BPE_TRAIN_SEP
+    words = df.select(
+        F.explode(F.split(normalized_text(text_col), " ")).alias("w")
+    ).filter((F.col("w") != "") & (F.length("w") >= int(min_word_len)))
+    vocab = words.groupBy("w").agg(F.count("*").alias("_c"))
+    char_pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "_c",
+    )
+    merge = (
+        char_pairs.groupBy("pair")
+        .agg(F.sum("_c").cast("long").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("merge_pair"), "merge_count")
+    )
+    applied = vocab.crossJoin(F.broadcast(merge)).select(
+        "w",
+        "_c",
+        "merge_pair",
+        "merge_count",
+        # Character state -> separator representation -> merge applied.
+        F.replace(
+            F.regexp_replace(F.col("w"), "(.)", "$1" + sep).substr(
+                F.lit(1), F.length("w") * 2 - 1
+            ),
+            F.concat(
+                F.col("merge_pair").substr(1, 1),
+                F.lit(sep),
+                F.col("merge_pair").substr(2, 1),
+            ),
+            F.col("merge_pair"),
+        ).alias("_m"),
+    )
+    syms = applied.select(
+        "w",
+        "_c",
+        "merge_pair",
+        "merge_count",
+        F.split("_m", sep).alias("_s"),
+    )
+    # Post-merge adjacent pairs, ROW-LOCAL. sequence(1, 0) in Spark is
+    # the DESCENDING [1, 0], not empty — single-symbol words must take
+    # the explicit empty-array branch or element_at(_s, 0) throws.
+    pair_arr = F.when(
+        F.size("_s") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_s") - 1),
+            lambda i: F.concat(
+                F.element_at("_s", i), F.lit("+"), F.element_at("_s", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    merged_as_pair = F.concat(
+        F.col("merge_pair").substr(1, 1),
+        F.lit("+"),
+        F.col("merge_pair").substr(2, 1),
+    )
+    per_word = syms.select(
+        "merge_pair",
+        "merge_count",
+        "_c",
+        pair_arr.alias("_pairs"),
+        (F.array_join("_s", "") != F.col("w")).cast("int").alias("_broken"),
+    )
+    # One row per WORD — residual and losslessness are row-local counts,
+    # so the census is a single map-side-combined aggregate.
+    census = per_word.groupBy("merge_pair", "merge_count").agg(
+        F.sum(
+            F.size(F.filter("_pairs", lambda p: p == merged_as_pair))
+            * F.col("_c")
+        )
+        .cast("long")
+        .alias("residual_count"),
+        F.sum(F.col("_broken")).cast("long").alias("broken_words"),
+    )
+    post_pairs = (
+        per_word.select(F.explode("_pairs").alias("pair"), "_c")
+        .groupBy("pair")
+        .agg(F.sum("_c").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(int(top_n))
+    )
+    return post_pairs.crossJoin(F.broadcast(census)).select(
+        "merge_pair",
+        "merge_count",
+        "residual_count",
+        "broken_words",
+        "pair",
+        "pair_count",
     )
 
 

@@ -9201,6 +9201,126 @@ def b24cs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-9 widening (VERDICT r8 #8): the cost-based join advisor and one
+# full BPE trainer iteration (discover -> apply -> recount + roundtrip).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "b28_join_advisor",
+    """
+    WITH c AS (
+      SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS n
+      FROM events GROUP BY 1
+    ), f AS (
+      SELECT CAST(sum(n) AS BIGINT) AS fact_rows,
+             CAST(count(*) AS BIGINT) AS fact_keys,
+             CAST(max(n) AS BIGINT) AS top_n
+      FROM c
+    ), tk AS (
+      SELECT k FROM c ORDER BY n DESC, k ASC LIMIT 1
+    ), d AS (
+      SELECT CAST(count(*) AS BIGINT) AS dim_rows FROM customer
+    )
+    SELECT fact_rows, fact_keys, tk.k AS fact_top_key,
+           (top_n * 10000) // fact_rows AS fact_top_share_bp,
+           dim_rows,
+           CASE WHEN dim_rows <= 1000 THEN 'broadcast'
+                WHEN (top_n * 10000) // fact_rows >= 50 THEN 'salted'
+                ELSE 'shuffle' END AS strategy,
+           CASE WHEN dim_rows <= 1000 THEN 0
+                WHEN (top_n * 10000) // fact_rows >= 50
+                THEN least(200, (((top_n * 10000) // fact_rows) * 200)
+                                // 10000 + 1)
+                ELSE 0 END AS salt_buckets
+    FROM f CROSS JOIN tk CROSS JOIN d
+    """,
+)
+def b28ja(spark: SparkSession, sf: str) -> DataFrame:
+    # Cost-based join advisor (the explain-advisor twin of
+    # key_skew_audit): census both sides of the planned
+    # events.user_id = customer.c_custkey join and recommend
+    # plain/salted/broadcast with an exact-integer decision rule.
+    # Thresholds chosen so the verdict EXERCISES the ladder across the
+    # SF fixtures (customer crosses 1000 rows between sf0.001 and
+    # sf0.01) — both engines compute the identical integer comparisons,
+    # so a strategy flip between SFs is covered, not a tie risk.
+    from ddataframeoperation_spark.operators.skew import join_strategy_advice
+
+    return join_strategy_advice(
+        _t(spark, sf, "events"),
+        "user_id",
+        _t(spark, sf, "customer"),
+        "c_custkey",
+        broadcast_max_rows=1000,
+        skew_share_bp=50,
+        target_parallelism=200,
+    )
+
+
+@_q(
+    "b34_bpe_train_step",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, count(*) AS c FROM words
+      WHERE w <> '' AND length(w) >= 2 GROUP BY w
+    ), cp AS (
+      SELECT w[i:i+1] AS pair, c
+      FROM wc, unnest(generate_series(1, CAST(length(w) AS BIGINT) - 1)) AS t(i)
+    ), m AS (
+      SELECT pair AS merge_pair, CAST(sum(c) AS BIGINT) AS merge_count
+      FROM cp GROUP BY pair ORDER BY merge_count DESC, pair LIMIT 1
+    ), apl AS (
+      SELECT w, c, merge_pair, merge_count,
+             string_split(
+               replace(
+                 rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'), chr(31)),
+                 merge_pair[1:1] || chr(31) || merge_pair[2:2],
+                 merge_pair),
+               chr(31)) AS l
+      FROM wc CROSS JOIN m
+    ), pw AS (
+      SELECT merge_pair, merge_count, c,
+             CASE WHEN len(l) >= 2
+                  THEN list_transform(range(1, len(l)),
+                                      i -> l[i] || '+' || l[i+1])
+                  ELSE []::VARCHAR[] END AS pairs,
+             CASE WHEN array_to_string(l, '') <> w THEN 1 ELSE 0 END AS broken
+      FROM apl
+    ), census AS (
+      SELECT merge_pair, merge_count,
+             CAST(sum(len(list_filter(pairs,
+                  p -> p = merge_pair[1:1] || '+' || merge_pair[2:2])) * c)
+                  AS BIGINT) AS residual_count,
+             CAST(sum(broken) AS BIGINT) AS broken_words
+      FROM pw GROUP BY 1, 2
+    ), post AS (
+      SELECT unnest(pairs) AS pair, c FROM pw
+    ), topp AS (
+      SELECT pair, CAST(sum(c) AS BIGINT) AS pair_count
+      FROM post GROUP BY pair
+      ORDER BY pair_count DESC, pair LIMIT 10
+    )
+    SELECT merge_pair, merge_count, residual_count, broken_words,
+           pair, pair_count
+    FROM topp CROSS JOIN census
+    """,
+)
+def b34bts(spark: SparkSession, sf: str) -> DataFrame:
+    # One full BPE trainer iteration: discover the top merge over the
+    # word-frequency vocabulary, apply it, recount — with the roundtrip
+    # invariants (residual adjacencies of the merged pair = 0, symbol
+    # concatenation still reconstructs every word) emitted as columns so
+    # the oracle PROVES the apply step is lossless rather than trusting
+    # it. The corpus collapses to the vocabulary before any pair
+    # explosion; the merge is a 1-row broadcast.
+    return TX.bpe_train_step(_t(spark, sf, "documents"), top_n=10)
+
+
+# ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
 # The round-1 driver recorded correctness rows for only the FIRST 50
@@ -9447,6 +9567,9 @@ _BONUS_SLOTS = [
     "b33_hybrid_rrf",
     "b33_retrieval_metrics",
     "b33_mmr_rerank",
+    # r9 widening — never-certified by construction, oracle-backed:
+    "b28_join_advisor",
+    "b34_bpe_train_step",
     "b32_minhash_raw",
     "b32_simhash_candidates",
     "b33_lsh_topk",

@@ -127,3 +127,98 @@ def test_q21_replan_exact_with_null_shipdates(spark, tmp_path):
     # passes the NOT EXISTS, so S12 qualifies on order 2; S11 shipped
     # earlier than S10 on order 1 -> excluded; order 3 has one supplier.
     assert got == {"S10": 2, "S12": 1}
+
+
+# ------------------------------------------------ join_strategy_advice
+
+
+def _advise(spark, fact_rows, dim_n, **kw):
+    from ddataframeoperation_spark.operators.skew import join_strategy_advice
+
+    fact = spark.createDataFrame(fact_rows, "k long, v long")
+    dim = spark.createDataFrame([(i,) for i in range(dim_n)], "k long")
+    return join_strategy_advice(fact, "k", dim, "k", **kw).collect()[0]
+
+
+def test_join_advisor_broadcast_wins_first(spark):
+    # Small dim => broadcast, even with a pathologically hot fact key.
+    rows = [(1, i) for i in range(99)] + [(2, 0)]
+    r = _advise(spark, rows, 10, broadcast_max_rows=10, skew_share_bp=500)
+    assert r["strategy"] == "broadcast" and r["salt_buckets"] == 0
+    assert r["fact_top_key"] == "1" and r["fact_top_share_bp"] == 9900
+
+
+def test_join_advisor_salted_with_bucket_count(spark):
+    rows = [(1, i) for i in range(50)] + [(k, 0) for k in range(2, 52)]
+    r = _advise(
+        spark, rows, 1000, broadcast_max_rows=10, skew_share_bp=4000,
+        target_parallelism=200,
+    )
+    # top key share = 50/100 = 5000bp >= 4000 -> salted;
+    # buckets = (5000 * 200) div 10000 + 1 = 101.
+    assert r["strategy"] == "salted" and r["salt_buckets"] == 101
+    assert (r["fact_rows"], r["fact_keys"], r["dim_rows"]) == (100, 51, 1000)
+
+
+def test_join_advisor_shuffle_and_tiebreak(spark):
+    # Uniform keys, big dim -> plain shuffle; count ties resolve to the
+    # smallest key STRING ('10' < '9' lexicographically).
+    rows = [(9, 0), (10, 0)]
+    r = _advise(spark, rows, 100, broadcast_max_rows=10, skew_share_bp=6000)
+    assert r["strategy"] == "shuffle" and r["salt_buckets"] == 0
+    assert r["fact_top_key"] == "10"
+
+
+def test_join_advisor_validates(spark):
+    import pytest as _pytest
+
+    from ddataframeoperation_spark.operators.skew import join_strategy_advice
+
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    with _pytest.raises(ValueError, match="skew_share_bp"):
+        join_strategy_advice(df, "k", df, "k", skew_share_bp=0)
+    with _pytest.raises(ValueError, match="target_parallelism"):
+        join_strategy_advice(df, "k", df, "k", target_parallelism=0)
+
+
+# ---------------------------------------------------- bpe_train_step
+
+
+def test_bpe_train_step_banana_exact(spark):
+    from ddataframeoperation_spark.operators.text import bpe_train_step
+
+    docs = spark.createDataFrame(
+        [(1, "banana banana banana bandana bandana"), (2, "a banana for anna")],
+        "doc_id long, text string",
+    )
+    rows = bpe_train_step(docs, top_n=5).collect()
+    # 'an' is the top merge: 2 per banana (x4), 2 per bandana (x2), 1 in
+    # anna = 13 weighted. After the merge no 'a<n' adjacency survives and
+    # every word reconstructs exactly.
+    assert all(r["merge_pair"] == "an" and r["merge_count"] == 13 for r in rows)
+    assert all(r["residual_count"] == 0 and r["broken_words"] == 0 for r in rows)
+    got = {r["pair"]: r["pair_count"] for r in rows}
+    # banana -> b,an,an,a (x4): (b,an) 4, (an,an) 4, (an,a) 4;
+    # bandana -> b,an,d,an,a (x2): (b,an) 2, (an,d) 2, (d,an) 2, (an,a) 2;
+    # anna -> an,n,a: (an,n) 1, (n,a) 1; 'for' -> f+o 1, o+r 1.
+    assert got["an+a"] == 6 and got["b+an"] == 6 and got["an+an"] == 4
+    assert got["an+d"] == 2 and got["d+an"] == 2
+
+
+def test_bpe_train_step_word_collapses_to_single_symbol(spark):
+    from ddataframeoperation_spark.operators.text import bpe_train_step
+
+    # Corpus of one 2-char word: the merge consumes the whole word —
+    # zero post-merge pairs, and the single-symbol branch must not
+    # touch element_at(_s, 0) (Spark's sequence(1, 0) is DESCENDING).
+    docs = spark.createDataFrame([(1, "ab ab ab")], "doc_id long, text string")
+    rows = bpe_train_step(docs, top_n=5).collect()
+    assert rows == []  # no adjacent pairs survive; census says lossless
+    # The invariants are still checkable through a corpus with leftovers.
+    docs2 = spark.createDataFrame([(1, "ab ab abc")], "doc_id long, text string")
+    rows2 = bpe_train_step(docs2, top_n=5).collect()
+    assert len(rows2) == 1
+    r = rows2[0]
+    assert r["merge_pair"] == "ab" and r["merge_count"] == 3
+    assert r["residual_count"] == 0 and r["broken_words"] == 0
+    assert r["pair"] == "ab+c" and r["pair_count"] == 1

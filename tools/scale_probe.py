@@ -677,6 +677,26 @@ def main() -> int:
 
         probe(f"partitioned_sink_128p {tag}", _psink)
 
+    # Round-9 widening: join advisor (two 1-row censuses) and one BPE
+    # trainer iteration (vocabulary-sized pair explosion, 1-row merge
+    # broadcast) — both must stay scan-bound.
+    from ddataframeoperation_spark.operators.skew import join_strategy_advice
+
+    cust = read_fixture_table(spark, SF, "customer")
+    for tag, e in (("1x", ev1), (f"{factor}x", ev)):
+        probe(
+            f"join_advisor {tag}",
+            lambda e=e: join_strategy_advice(
+                e, "user_id", cust, "c_custkey", broadcast_max_rows=1000,
+                skew_share_bp=50,
+            ),
+        )
+    for tag, d in (("1x", docs1), (f"{factor}x", docs)):
+        probe(
+            f"bpe_train_step {tag}",
+            lambda d=d: TX.bpe_train_step(d, top_n=10),
+        )
+
     # Round-7d: semantic join in its production (partial-probe) mode.
     # The cell count SCALES WITH THE CORPUS (bounded cell population —
     # the FAISS sizing rule): with ncells fixed, candidate pairs grow as
