@@ -55,6 +55,7 @@ __all__ = [
     "containment_pairs",
     "containment_dedup",
     "dup_rate_by_source",
+    "lsh_power_curve",
 ]
 
 
@@ -1428,4 +1429,79 @@ def dup_rate_by_source(
         "n_docs",
         "n_dups",
         F.expr("(n_dups * 10000) div n_docs").alias("dup_bp"),
+    )
+
+
+def lsh_power_curve(
+    spark: SparkSession,
+    configs: tuple[tuple[int, int], ...] = ((8, 4), (16, 8), (32, 4)),
+    s_grid_bp: tuple[int, ...] = tuple(range(500, 10000, 500)),
+) -> DataFrame:
+    """B32 — the PLANNER for :func:`minhash_candidates`' (bands ×
+    rows-per-band) knob: the LSH S-curve — collision probability
+    1 − (1 − s^r)^b — evaluated over a similarity grid for each
+    candidate config, so the threshold/recall trade is a table you read
+    instead of a production run you regret. For each (n_bands b,
+    rows_per_band r, similarity s):
+
+      p_band_bp    P(one band collides) = s^r
+      recall_bp    P(any band collides) = 1 − (1 − s^r)^b
+
+    Integer-exact contract (the §20 ladder): similarities are BASIS
+    POINTS and every power is a floor-division fold —
+    x ← (x · s_bp) div 10000 — so both engines produce bit-identical
+    tables (IEEE ``pow`` is libm-dependent and flips 4dp ties across
+    engines). Each fold floors, and the two folds push in OPPOSITE
+    directions (flooring s^r lowers recall, flooring the miss product
+    raises it), so points sit within a few bp of the real-valued curve
+    on either side — the contract is engine-exactness for the gate,
+    not 4-digit fidelity to the analytic formula. Resolution limit:
+    each of the r−1 folds floors away up to 1 bp, and in the low-recall
+    tail that deficit is amplified ×b — worst-case recall error is
+    n_bands × (rows_per_band − 1) bp, hit only where s^r is a few bp
+    (configs a planner rejects anyway; near the operating point the
+    curve tracks within single-digit bp). Pinned by test across the
+    default grid: p_band within 6 bp, recall within b × (r−1) bp.
+
+    Plan shape: the grid is |configs| × |s values| literal rows built
+    driver-side (bounded by construction); every curve point is one
+    row-local ``aggregate`` fold over a ``sequence`` — no shuffle, no
+    data touched at all. Spark pitfall guarded: ``sequence(2, n)`` is
+    DESCENDING for n < 2, so r=1 / b=1 take explicit identity branches.
+    """
+    rows = [
+        (int(b), int(r), int(s))
+        for b, r in configs
+        for s in s_grid_bp
+    ]
+    if not rows:
+        raise ValueError("configs and s_grid_bp must be non-empty")
+    if any(not 0 <= s <= 10000 for _, _, s in rows):
+        raise ValueError("similarities must be basis points in [0, 10000]")
+    if any(b < 1 or r < 1 for b, r, _ in rows):
+        raise ValueError("bands and rows_per_band must be >= 1")
+    grid = spark.createDataFrame(
+        rows, "n_bands int, rows_per_band int, s_bp long"
+    )
+    p_band = F.when(
+        F.col("rows_per_band") >= 2,
+        F.expr(
+            "aggregate(sequence(2, rows_per_band), s_bp,"
+            " (acc, i) -> (acc * s_bp) div 10000)"
+        ),
+    ).otherwise(F.col("s_bp"))
+    g = grid.withColumn("p_band_bp", p_band.cast("long"))
+    miss = F.when(
+        F.col("n_bands") >= 2,
+        F.expr(
+            "aggregate(sequence(2, n_bands), 10000 - p_band_bp,"
+            " (acc, i) -> (acc * (10000 - p_band_bp)) div 10000)"
+        ),
+    ).otherwise(F.lit(10000) - F.col("p_band_bp"))
+    return g.select(
+        "n_bands",
+        "rows_per_band",
+        "s_bp",
+        "p_band_bp",
+        (F.lit(10000) - miss).cast("long").alias("recall_bp"),
     )

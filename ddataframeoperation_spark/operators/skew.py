@@ -39,6 +39,7 @@ __all__ = [
     "compact",
     "key_skew_audit",
     "join_strategy_advice",
+    "join_fanout_estimate",
 ]
 
 
@@ -475,4 +476,77 @@ def join_strategy_advice(
         "dim_rows",
         strategy.alias("strategy"),
         salt.alias("salt_buckets"),
+    )
+
+
+def join_fanout_estimate(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """B28/§4 — exact join-output cardinality WITHOUT running the join:
+    the fanout-bomb detector you run before a big equi-join. For every
+    key present on BOTH sides, output rows = left_rows × right_rows;
+    the result is the ``top_n`` heaviest contributors plus the exact
+    global total — the number that says "this join emits 40 B rows
+    from 2 B inputs, go fix the key" before the cluster finds out the
+    hard way.
+
+      key_value        join key as string (NULL keys match nothing in an
+                       equi-join, and the census inner-join drops them
+                       identically)
+      left_rows/right_rows  exact per-side counts
+      out_rows         left_rows * right_rows (int64 — per-key product)
+      total_out_rows   Σ out_rows over ALL matched keys, as a STRING
+                       of the exact DECIMAL(38,0) sum — the global total
+                       can exceed int64 long before any single key does,
+                       and decimal output columns are driver-hash-unsafe
+                       (round-3 lesson), so the exact integer ships as
+                       its canonical string
+      matched_keys     count of keys present on both sides
+
+    Plan shape: one map-side-combined count per side, an inner equi-join
+    of the two CENSUS tables (key-sized, not row-sized), a TakeOrdered
+    top-n and a 1-row total broadcast onto the n rows. Strictly cheaper
+    than the join it sizes, at any scale.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    lc = left.groupBy(
+        F.col(left_key).cast("string").alias("key_value")
+    ).agg(F.count(F.lit(1)).cast("long").alias("left_rows"))
+    if left is right and left_key == right_key:
+        # Self-join sizing (the n-squared detector): one census, not two —
+        # Catalyst does not dedupe the identical scan+aggregate subtrees.
+        rc = lc.select(
+            "key_value", F.col("left_rows").alias("right_rows")
+        )
+    else:
+        rc = right.groupBy(
+            F.col(right_key).cast("string").alias("key_value")
+        ).agg(F.count(F.lit(1)).cast("long").alias("right_rows"))
+    m = lc.join(rc, "key_value").select(
+        "key_value",
+        "left_rows",
+        "right_rows",
+        (F.col("left_rows") * F.col("right_rows")).cast("long").alias("out_rows"),
+    )
+    tot = m.agg(
+        F.sum(F.col("out_rows").cast("decimal(38,0)"))
+        .cast("string")
+        .alias("total_out_rows"),
+        F.count(F.lit(1)).cast("long").alias("matched_keys"),
+    )
+    top = m.orderBy(
+        F.desc("out_rows"), F.asc_nulls_first("key_value")
+    ).limit(int(top_n))
+    return top.crossJoin(F.broadcast(tot)).select(
+        "key_value",
+        "left_rows",
+        "right_rows",
+        "out_rows",
+        "total_out_rows",
+        "matched_keys",
     )

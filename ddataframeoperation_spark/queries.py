@@ -9259,6 +9259,87 @@ def b28ja(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b28_join_fanout",
+    """
+    WITH l AS (
+      SELECT CAST(user_id AS VARCHAR) AS key_value,
+             CAST(count(*) AS BIGINT) AS left_rows
+      FROM events GROUP BY 1
+    ), r AS (
+      SELECT CAST(user_id AS VARCHAR) AS key_value,
+             CAST(count(*) AS BIGINT) AS right_rows
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT key_value, left_rows, right_rows,
+             left_rows * right_rows AS out_rows
+      FROM l JOIN r USING (key_value)
+    ), t AS (
+      SELECT CAST(CAST(sum(out_rows) AS DECIMAL(38,0)) AS VARCHAR)
+                 AS total_out_rows,
+             CAST(count(*) AS BIGINT) AS matched_keys
+      FROM m
+    )
+    SELECT key_value, left_rows, right_rows, out_rows,
+           total_out_rows, matched_keys
+    FROM m CROSS JOIN t
+    ORDER BY out_rows DESC, key_value ASC NULLS FIRST
+    LIMIT 20
+    """,
+)
+def b28jf(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact join-output cardinality WITHOUT running the join — the
+    # fanout-bomb detector, here on the classic self-join-on-user_id
+    # shape (per-key output = n², the quadratic blowup a 1000-executor
+    # cluster cannot fix). Census tables join key-sized, never row-sized.
+    from ddataframeoperation_spark.operators.skew import join_fanout_estimate
+
+    ev = _t(spark, sf, "events")
+    return join_fanout_estimate(ev, "user_id", ev, "user_id", top_n=20)
+
+
+@_q(
+    "b32_lsh_power_curve",
+    """
+    WITH RECURSIVE cfg(n_bands, rows_per_band) AS (
+      VALUES (8, 4), (16, 8), (32, 4)
+    ), sg AS (
+      SELECT CAST(unnest(generate_series(500, 9500, 500)) AS BIGINT) AS s_bp
+    ), grid AS (
+      SELECT n_bands, rows_per_band, s_bp FROM cfg CROSS JOIN sg
+    ), pw(n_bands, rows_per_band, s_bp, i, acc) AS (
+      SELECT n_bands, rows_per_band, s_bp, 1, s_bp FROM grid
+      UNION ALL
+      SELECT n_bands, rows_per_band, s_bp, i + 1, (acc * s_bp) // 10000
+      FROM pw WHERE i < rows_per_band
+    ), pband AS (
+      SELECT n_bands, rows_per_band, s_bp,
+             CAST(acc AS BIGINT) AS p_band_bp
+      FROM pw WHERE i = rows_per_band
+    ), ms(n_bands, rows_per_band, s_bp, p_band_bp, j, acc) AS (
+      SELECT n_bands, rows_per_band, s_bp, p_band_bp, 1,
+             10000 - p_band_bp
+      FROM pband
+      UNION ALL
+      SELECT n_bands, rows_per_band, s_bp, p_band_bp, j + 1,
+             (acc * (10000 - p_band_bp)) // 10000
+      FROM ms WHERE j < n_bands
+    )
+    SELECT n_bands, rows_per_band, s_bp, p_band_bp,
+           CAST(10000 - acc AS BIGINT) AS recall_bp
+    FROM ms WHERE j = n_bands
+    """,
+)
+def b32lpc(spark: SparkSession, sf: str) -> DataFrame:
+    # The LSH S-curve planner for minhash_candidates' (bands x rows)
+    # knob: 1 - (1 - s^r)^b over a similarity grid, every power an
+    # integer floor-division fold so both engines emit bit-identical
+    # tables (IEEE pow is libm-dependent). Pure literal grid — the only
+    # data-free query in the registry, and deliberately so: it prices
+    # the index BEFORE the corpus is touched.
+    return dedup.lsh_power_curve(spark)
+
+
+@_q(
     "b34_bpe_train_step",
     """
     WITH words AS (
@@ -9570,6 +9651,8 @@ _BONUS_SLOTS = [
     # r9 widening — never-certified by construction, oracle-backed:
     "b28_join_advisor",
     "b34_bpe_train_step",
+    "b28_join_fanout",
+    "b32_lsh_power_curve",
     "b32_minhash_raw",
     "b32_simhash_candidates",
     "b33_lsh_topk",

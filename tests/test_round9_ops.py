@@ -222,3 +222,101 @@ def test_bpe_train_step_word_collapses_to_single_symbol(spark):
     assert r["merge_pair"] == "ab" and r["merge_count"] == 3
     assert r["residual_count"] == 0 and r["broken_words"] == 0
     assert r["pair"] == "ab+c" and r["pair_count"] == 1
+
+
+# ---------------------------------------------------- join_fanout_estimate
+
+
+def test_join_fanout_exact_products_and_total(spark):
+    from ddataframeoperation_spark.operators.skew import join_fanout_estimate
+
+    left = spark.createDataFrame(
+        [(k, 0) for k in [1] * 3 + [2] * 2 + [3]], "k long, v long"
+    )
+    right = spark.createDataFrame(
+        [(k, 0) for k in [1] * 4 + [2] * 5 + [9]], "k long, v long"
+    )
+    rows = join_fanout_estimate(left, "k", right, "k", top_n=10).collect()
+    got = {r["key_value"]: r for r in rows}
+    # key 1: 3*4=12, key 2: 2*5=10; key 3/9 unmatched -> absent.
+    assert set(got) == {"1", "2"}
+    assert got["1"]["out_rows"] == 12 and got["2"]["out_rows"] == 10
+    assert all(r["total_out_rows"] == "22" for r in rows)  # exact string
+    assert all(r["matched_keys"] == 2 for r in rows)
+
+
+def test_join_fanout_self_join_squares(spark):
+    from ddataframeoperation_spark.operators.skew import join_fanout_estimate
+
+    df = spark.createDataFrame(
+        [(k, 0) for k in [7] * 5 + [8] * 2], "k long, v long"
+    )
+    rows = join_fanout_estimate(df, "k", df, "k", top_n=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["key_value"] == "7" and r["out_rows"] == 25  # n^2
+    assert r["total_out_rows"] == "29" and r["matched_keys"] == 2
+
+
+def test_join_fanout_null_keys_never_match(spark):
+    from ddataframeoperation_spark.operators.skew import join_fanout_estimate
+
+    df = spark.createDataFrame(
+        [(None, 0), (None, 1), (1, 2)], "k string, v long"
+    )
+    rows = join_fanout_estimate(df, "k", df, "k", top_n=5).collect()
+    # Equi-join semantics: NULL matches nothing — only key '1' appears.
+    assert [r["key_value"] for r in rows] == ["1"]
+    assert rows[0]["total_out_rows"] == "1"
+
+
+# ------------------------------------------------------- lsh_power_curve
+
+
+def test_lsh_power_curve_tracks_analytic_formula(spark):
+    from ddataframeoperation_spark.operators.dedup import lsh_power_curve
+
+    rows = lsh_power_curve(spark).collect()
+    assert len(rows) == 3 * 19
+    for r in rows:
+        s = r["s_bp"] / 10000.0
+        p = s ** r["rows_per_band"]
+        recall = 1.0 - (1.0 - p) ** r["n_bands"]
+        # Integer floor-folds sit within a few bp of the real curve;
+        # each of the r-1 folds floors away <= 1bp, amplified xb in the
+        # low-recall tail -> worst-case b*(r-1) bp (see docstring).
+        assert abs(r["p_band_bp"] - round(p * 10000)) <= 6, r
+        bound = max(8, r["n_bands"] * (r["rows_per_band"] - 1))
+        assert abs(r["recall_bp"] - round(recall * 10000)) <= bound, r
+        assert 0 <= r["recall_bp"] <= 10000
+
+
+def test_lsh_power_curve_monotone_in_similarity(spark):
+    from ddataframeoperation_spark.operators.dedup import lsh_power_curve
+
+    rows = lsh_power_curve(spark, configs=((16, 8),)).collect()
+    by_s = sorted(rows, key=lambda r: r["s_bp"])
+    recalls = [r["recall_bp"] for r in by_s]
+    assert recalls == sorted(recalls)  # the S-curve never dips
+
+
+def test_lsh_power_curve_degenerate_params(spark):
+    from ddataframeoperation_spark.operators.dedup import lsh_power_curve
+
+    # r=1, b=1: recall == s exactly (identity branches around Spark's
+    # descending sequence(2, 1)).
+    rows = lsh_power_curve(spark, configs=((1, 1),), s_grid_bp=(0, 4000, 10000)).collect()
+    got = {r["s_bp"]: r for r in rows}
+    assert all(got[s]["p_band_bp"] == s and got[s]["recall_bp"] == s
+               for s in (0, 4000, 10000))
+
+
+def test_lsh_power_curve_validates(spark):
+    import pytest as _pytest
+
+    from ddataframeoperation_spark.operators.dedup import lsh_power_curve
+
+    with _pytest.raises(ValueError, match="basis points"):
+        lsh_power_curve(spark, s_grid_bp=(10001,))
+    with _pytest.raises(ValueError, match=">= 1"):
+        lsh_power_curve(spark, configs=((0, 4),))

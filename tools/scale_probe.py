@@ -696,6 +696,13 @@ def main() -> int:
             f"bpe_train_step {tag}",
             lambda d=d: TX.bpe_train_step(d, top_n=10),
         )
+    from ddataframeoperation_spark.operators.skew import join_fanout_estimate
+
+    for tag, e in (("1x", ev1), (f"{factor}x", ev)):
+        probe(
+            f"join_fanout {tag}",
+            lambda e=e: join_fanout_estimate(e, "user_id", e, "user_id"),
+        )
 
     # Round-7d: semantic join in its production (partial-probe) mode.
     # The cell count SCALES WITH THE CORPUS (bounded cell population —
