@@ -72,6 +72,11 @@ HEADLINE = [
     ("b28_key_skew_audit", "Hot-key census: map-side-combined counts, TakeOrdered top-n, 1-row global broadcast — all-integer output"),
     ("b17_period_over_period", "Day-over-day growth in exact basis points: integer-cent aggregate + one calendar-bounded lag window"),
     ("b35_time_to_convert", "Conversion-latency histogram: first-start window min + co-partitioned conversion min on ONE user exchange, integer-microsecond buckets"),
+    # Round 9
+    ("b28_join_fanout", "Exact join sizing WITHOUT the join: two map-side censuses, key-sized inner join, TakeOrdered + 1-row total broadcast"),
+    ("b28_join_advisor", "Join-strategy advisor: two 1-row censuses (min_by top key), broadcast cross, all-integer decision rule"),
+    ("b34_bpe_train_step", "BPE trainer iteration: corpus -> vocabulary aggregate, 1-row merge broadcast, row-local apply/recount, TakeOrdered"),
+    ("b11_ks_test", "Two-sample KS: per-distinct-value counts, bucket-partitioned prefix windows, one max aggregate — no global sort"),
 ]
 
 SKIP_PREFIXES = (
