@@ -56,6 +56,7 @@ __all__ = [
     "containment_dedup",
     "dup_rate_by_source",
     "lsh_power_curve",
+    "pair_degree_census",
 ]
 
 
@@ -1504,4 +1505,46 @@ def lsh_power_curve(
         "s_bp",
         "p_band_bp",
         (F.lit(10000) - miss).cast("long").alias("recall_bp"),
+    )
+
+
+def pair_degree_census(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """B32 — degree distribution of the near-dup candidate graph: for
+    each degree d, how many nodes have exactly d candidate partners,
+    plus graph totals. The health check you run BETWEEN candidate
+    generation and connected components — a fat right tail (hub nodes
+    touching thousands of partners) is the signature of boilerplate or
+    a degenerate shingle that will glue the whole corpus into one
+    component and stall the pointer-doubling loop; cap or re-shingle
+    BEFORE paying for components, not after.
+
+      degree          candidate partners per node (exact)
+      n_nodes         nodes with exactly this degree
+      n_nodes_total   nodes appearing in >=1 pair
+      n_edges_total   candidate pairs
+      max_degree      the fattest hub
+
+    All integers — no rounding contract. Plan shape: explode each pair
+    into its two endpoints (2 rows/edge), one map-side-combined count
+    per node, one count per degree (output bounded by max_degree), a
+    1-row totals broadcast. Nothing beyond the pair table's own size.
+    """
+    ends = pairs.select(F.col(a_col).alias("node")).unionAll(
+        pairs.select(F.col(b_col).alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    hist = deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    totals = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes_total"),
+        (F.sum("degree") / 2).cast("long").alias("n_edges_total"),
+        F.max("degree").cast("long").alias("max_degree"),
+    )
+    return hist.crossJoin(F.broadcast(totals)).select(
+        "degree", "n_nodes", "n_nodes_total", "n_edges_total", "max_degree"
     )

@@ -53,6 +53,7 @@ __all__ = [
     "remove_boilerplate",
     "bpe_pair_counts",
     "bpe_train_step",
+    "packing_efficiency",
     "skipgram_pairs",
     "normalize_unicode",
     "skipgram_pmi",
@@ -1492,4 +1493,68 @@ def gopher_quality_signals(
         F.round(alpha, 4).alias("alpha_frac"),
         "n_stop_hits",
         F.coalesce(passes, F.lit(False)).alias("passes_gopher"),
+    )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    budget: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str | None = None,
+    order_keys: "Sequence[str] | None" = None,
+) -> DataFrame:
+    """North-star — the efficiency report for :func:`pack_sequences`:
+    per shard, how full the fixed-budget training bins actually are and
+    how many documents overflow a single bin — the two numbers that
+    decide whether the packing budget (context length) and shard
+    ordering are wasting accelerator steps.
+
+      n_docs         documents packed
+      n_bins         bins in which at least one document STARTS
+                     (offset-based packing assigns a doc to the bin of
+                     its first token; start bins are contiguous 0..max)
+      total_tokens   exact token sum
+      fill_bp        total_tokens * 10000 div (n_bins * budget) — mean
+                     fill of the opened bins in basis points. 10000 =
+                     exactly full; BELOW means trailing slack; ABOVE
+                     10000 is possible and is itself a signal — docs
+                     longer than the budget spill tokens past their
+                     start bin, i.e. the corpus needs chunking before
+                     packing
+      oversize_docs  docs with n_tokens > budget — each forces
+                     truncation or splitting downstream
+
+    All integers. Cost: the same one shard-key window shuffle as
+    pack_sequences, then a map-side-combined per-shard aggregate;
+    output bounded by |shards|.
+    """
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    packed = pack_sequences(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        budget=budget,
+        shard_col=shard_col,
+        order_keys=order_keys,
+    )
+    keys = [shard_col] if shard_col else []
+    g = packed.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.max("bin") + 1).cast("long").alias("n_bins"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum((F.col("n_tokens") > budget).cast("int"))
+        .cast("long")
+        .alias("oversize_docs"),
+    )
+    return g.select(
+        *keys,
+        "n_docs",
+        "n_bins",
+        "total_tokens",
+        F.expr(f"(total_tokens * 10000) div (n_bins * {int(budget)})").alias(
+            "fill_bp"
+        ),
+        "oversize_docs",
     )

@@ -9340,6 +9340,100 @@ def b32lpc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b32_degree_census",
+    """
+    WITH norm AS (
+      SELECT doc_id AS id, source AS grp,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT id, grp, unnest(list_distinct(string_split(t, ' '))) AS tok FROM norm
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM tok GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.grp = b.grp AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    ), ends AS (
+      SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs
+    ), deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY node
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes_total,
+             CAST(sum(degree) / 2 AS BIGINT) AS n_edges_total,
+             CAST(max(degree) AS BIGINT) AS max_degree
+      FROM deg
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes,
+           n_nodes_total, n_edges_total, max_degree
+    FROM deg CROSS JOIN tot
+    GROUP BY degree, n_nodes_total, n_edges_total, max_degree
+    """,
+)
+def b32dc(spark: SparkSession, sf: str) -> DataFrame:
+    # Degree census of the near-dup candidate graph (same exact-Jaccard
+    # pair source as b32_jaccard_pairs): the hub-detection health check
+    # between candidate generation and connected components — a fat
+    # right tail means boilerplate is about to glue the corpus into one
+    # component. Explode endpoints, two map-side aggregates, 1-row
+    # totals broadcast.
+    pairs = dedup.jaccard_pairs(
+        _t(spark, sf, "documents"), group_col="source", threshold=0.5
+    )
+    return dedup.pair_degree_census(pairs)
+
+
+@_q(
+    "b34_packing_efficiency",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+                 AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS running
+      FROM t
+    ), packed AS (
+      SELECT source, n_tokens,
+             CAST(floor((running - n_tokens) / 512.0) AS BIGINT) AS bin
+      FROM c
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(bin) + 1 AS BIGINT) AS n_bins,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           (CAST(sum(n_tokens) AS BIGINT) * 10000)
+               // ((max(bin) + 1) * 512) AS fill_bp,
+           CAST(sum(CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END) AS BIGINT)
+               AS oversize_docs
+    FROM packed GROUP BY source
+    """,
+)
+def b34pe(spark: SparkSession, sf: str) -> DataFrame:
+    # Packing-efficiency report over the b34_pack_sequences configuration
+    # (512-token bins, per-source shards, doc_id order): mean bin fill in
+    # basis points + oversize-doc count — the accelerator-utilization
+    # dashboard for the packed batches. Same single window shuffle as the
+    # packing itself, then a |shards|-row aggregate.
+    return TX.packing_efficiency(
+        _t(spark, sf, "documents"),
+        budget=512,
+        shard_col="source",
+        order_keys=["doc_id"],
+    )
+
+
+@_q(
     "b34_bpe_train_step",
     """
     WITH words AS (
@@ -9653,6 +9747,8 @@ _BONUS_SLOTS = [
     "b34_bpe_train_step",
     "b28_join_fanout",
     "b32_lsh_power_curve",
+    "b32_degree_census",
+    "b34_packing_efficiency",
     "b32_minhash_raw",
     "b32_simhash_candidates",
     "b33_lsh_topk",

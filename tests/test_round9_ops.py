@@ -320,3 +320,71 @@ def test_lsh_power_curve_validates(spark):
         lsh_power_curve(spark, s_grid_bp=(10001,))
     with _pytest.raises(ValueError, match=">= 1"):
         lsh_power_curve(spark, configs=((0, 4),))
+
+
+# ---------------------------------------------------- pair_degree_census
+
+
+def test_degree_census_exact_histogram(spark):
+    from ddataframeoperation_spark.operators.dedup import pair_degree_census
+
+    # Path 1-2-3 plus hub 9 connected to 1,2,3: degrees 1:{2,9?}...
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 1), (9, 2), (9, 3)], "id_a long, id_b long"
+    )
+    rows = pair_degree_census(pairs).collect()
+    got = {r["degree"]: r["n_nodes"] for r in rows}
+    # degrees: 1->2 (1-2, 9-1), 2->3 (1-2, 2-3, 9-2), 3->2 (2-3, 9-3),
+    # 9->3 ==> node degrees: 1:2, 2:3, 3:2, 9:3.
+    assert got == {2: 2, 3: 2}
+    r = rows[0]
+    assert r["n_nodes_total"] == 4 and r["n_edges_total"] == 5
+    assert r["max_degree"] == 3
+
+
+def test_degree_census_empty_graph(spark):
+    from ddataframeoperation_spark.operators.dedup import pair_degree_census
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert pair_degree_census(pairs).collect() == []
+
+
+# --------------------------------------------------- packing_efficiency
+
+
+def test_packing_efficiency_exact_numbers(spark):
+    from ddataframeoperation_spark.operators.text import packing_efficiency
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a b c d"),        # 4 tokens
+            (2, "s", "e f g"),          # 3 tokens -> starts in bin 0 (cum 4)
+            (3, "s", "h i j k l m n"),  # 7 tokens, oversize -> starts bin 1 (cum 7)
+            (4, "t", "x"),              # 1 token, own shard
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["source"]: r
+        for r in packing_efficiency(
+            docs, budget=5, shard_col="source", order_keys=["doc_id"]
+        ).collect()
+    }
+    s = got["s"]
+    # shard s: totals 14 tokens, start bins {0, 0, 1} -> n_bins 2;
+    # fill = 14*10000 div (2*5) = 14000 (>10000: doc 3 spills past bin 1).
+    assert (s["n_docs"], s["n_bins"], s["total_tokens"]) == (3, 2, 14)
+    assert s["fill_bp"] == 14000 and s["oversize_docs"] == 1
+    t = got["t"]
+    assert (t["n_docs"], t["n_bins"], t["total_tokens"]) == (1, 1, 1)
+    assert t["fill_bp"] == 2000 and t["oversize_docs"] == 0
+
+
+def test_packing_efficiency_validates(spark):
+    import pytest as _pytest
+
+    from ddataframeoperation_spark.operators.text import packing_efficiency
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="budget"):
+        packing_efficiency(df, budget=0)
