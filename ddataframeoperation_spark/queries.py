@@ -2918,6 +2918,62 @@ def b36sfo(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b36_stream_right_outer",
+    """
+    WITH mx AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase')) AS m
+    ), l AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT coalesce(l.user_id, r.user_id) AS user_id,
+           l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.ts AS l_ts, r.ts AS r_ts
+    FROM l RIGHT JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    CROSS JOIN mx
+    WHERE r.ts < mx.m - INTERVAL 210 MINUTE
+    """,
+)
+def b36sro(spark: SparkSession, sf: str) -> DataFrame:
+    # RIGHT OUTER interval join (r9 — completes the stream-stream join
+    # matrix: inner/left/right/full/semi): matched pairs +
+    # conversion-without-click (null left columns). A right row's
+    # no-match verdict is final once the left watermark passes r_ts —
+    # later-arriving lefts with l_ts < r_ts would be sub-watermark and
+    # dropped. Every output row carries r_ts (right side preserved), so
+    # the batch-equivalence cutoff restricts on r_ts directly with the
+    # same conservative margin as the full-outer twin. State bounded by
+    # rate x (watermark + gap) per side.
+    import datetime
+
+    stream = STR.events_as_stream(spark, sf)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = STR.stream_interval_join(
+        clicks, purchases, max_gap="30 minutes", how="right_outer"
+    )
+    out = STR.run_to_memory(joined, output_mode="append")
+    e = _t(spark, sf, "events")
+    mx = (
+        e.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+        )
+        .head()[0]
+    )
+    cutoff = mx - datetime.timedelta(minutes=210)
+    return out.filter(F.col("r_ts") < F.lit(cutoff))
+
+
+@_q(
     "b37_stream_session",
     """
     WITH flagged AS (
@@ -9749,6 +9805,7 @@ _BONUS_SLOTS = [
     "b32_lsh_power_curve",
     "b32_degree_census",
     "b34_packing_efficiency",
+    "b36_stream_right_outer",
     "b32_minhash_raw",
     "b32_simhash_candidates",
     "b33_lsh_topk",

@@ -193,7 +193,10 @@ def stream_interval_join(
     no-match verdict is final once the left watermark passes ``r.ts``
     (any later-arriving left with ``l.ts < r.ts`` would be below the
     watermark and dropped), so both sides' unmatched rows finalize off
-    the same two-sided time bound.
+    the same two-sided time bound. ``how="right_outer"`` (r9) keeps
+    exactly the right-preserving half of that matrix — matched pairs
+    plus conversion-without-click — completing the
+    inner/left/right/full/semi stream-stream join surface.
 
     Both sides carry watermarks and the join condition bounds event time
     in BOTH directions, which is what lets the engine evict buffered rows:
@@ -229,10 +232,13 @@ def stream_interval_join(
         return j.select(
             F.col("l_key").alias("user_id"), "l_event_id", "l_ts"
         )
-    # full_outer: right-only rows carry a NULL l_key, so the output key
-    # must coalesce across sides (inner/left_outer always have l_key).
+    # full/right outer: right-only rows carry a NULL l_key, so the
+    # output key must coalesce across sides (inner/left_outer always
+    # have l_key).
     key_out = (
-        F.coalesce("l_key", "r_key") if how == "full_outer" else F.col("l_key")
+        F.coalesce("l_key", "r_key")
+        if how in ("full_outer", "right_outer")
+        else F.col("l_key")
     )
     return j.select(
         key_out.alias("user_id"),

@@ -586,3 +586,70 @@ def test_stream_daily_actives_tracks_exact(spark, sf_dir):
     assert set(got) == set(exact)
     for d, n in exact.items():
         assert abs(got[d] - n) <= max(1, 0.05 * n)
+
+def test_right_outer_interval_join_multi_batch(spark, sf_dir, tmp_path):
+    """Right-outer interval join (r9 — completes the stream-stream join
+    matrix) under a 4-file replay: within the finalized cutoff the
+    streamed result must equal the batch RIGHT join — matches plus
+    null-left unmatched rights, and NO null-right rows."""
+    import datetime
+
+    from ddataframeoperation_spark.streaming.windows import stage_multi_batch_replay
+
+    batch = read_fixture_table(spark, sf_dir, "events")
+    stream = stage_multi_batch_replay(batch, str(tmp_path / "ev_router"), 4)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    got = STR.run_to_memory(
+        STR.stream_interval_join(
+            clicks, purchases, max_gap="30 minutes", watermark="2 hours",
+            how="right_outer",
+        ),
+        output_mode="append",
+    )
+    mx = (
+        batch.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+        )
+        .head()[0]
+    )
+    cutoff = mx - datetime.timedelta(minutes=210)
+    got_f = {
+        tuple(r) for r in got.filter(F.col("r_ts") < F.lit(cutoff)).collect()
+    }
+
+    l = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    want = (
+        l.join(
+            r,
+            (F.col("l_key") == F.col("r_key"))
+            & (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "right_outer",
+        )
+        .select(
+            F.coalesce("l_key", "r_key").alias("user_id"),
+            "l_event_id",
+            "r_event_id",
+            "l_ts",
+            "r_ts",
+        )
+        .filter(F.col("r_ts") < F.lit(cutoff))
+    )
+    want_f = {tuple(r) for r in want.collect()}
+    assert got_f == want_f and len(got_f) > 0
+    assert any(t[1] is None for t in got_f)  # conversion without click
+    assert all(t[2] is not None for t in got_f)  # right side preserved
