@@ -137,6 +137,12 @@ BENCH_QUERIES = [
     "b22_leakage_safe_split",
     "b22_leakage_safe_kfold",
     "b12_hll_sketch_rollup",
+    # Round-9 widening additions worth timing (lsh_power_curve is
+    # data-free and packing_efficiency rides the already-benched packing
+    # window; streaming stays correctness-gated, not timed).
+    "b32_degree_census",
+    "b34_bpe_train_step",
+    "b28_join_fanout",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
