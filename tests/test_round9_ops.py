@@ -388,3 +388,31 @@ def test_packing_efficiency_validates(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="budget"):
         packing_efficiency(df, budget=0)
+
+
+# ------------------------------------------------- r9 edge-case hardening
+
+
+def test_bpe_train_step_empty_corpus(spark):
+    from ddataframeoperation_spark.operators.text import bpe_train_step
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    # No word reaches min_word_len=2 -> no merge exists -> empty output,
+    # not a crash (the 1-row merge broadcast is just empty).
+    assert bpe_train_step(docs, top_n=5).collect() == []
+
+
+def test_packing_efficiency_null_text_packs_as_zero(spark):
+    from ddataframeoperation_spark.operators.text import packing_efficiency
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")],
+        "doc_id long, text string",
+    )
+    r = packing_efficiency(docs, budget=10, order_keys=["doc_id"]).collect()[0]
+    # NULL text counts 0 tokens (pack_sequences' coalesce contract);
+    # note '' and single-token docs still count >= 1 via split semantics.
+    assert r["n_docs"] == 3 and r["n_bins"] == 1
+    assert r["total_tokens"] == 5 and r["oversize_docs"] == 0
