@@ -68,6 +68,7 @@ __all__ = [
     "rank_sum_test",
     "ks_test",
     "chi_square_test",
+    "gain_chart",
 ]
 
 
@@ -1713,4 +1714,91 @@ def calibration_bins(
         "n_pos",
         F.expr("(n_pos * 10000) div n").alias("pos_rate_bp"),
         F.expr(f"((2 * bin + 1) * 10000) div {2 * n_bins}").alias("mid_bp"),
+    )
+
+
+def gain_chart(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """B28 — cumulative gain / lift table for a classifier score: the
+    DISCRIMINATION check beside :func:`calibration_bins`' reliability
+    check — "if I keep only the top-k score deciles, what share of the
+    positives do I capture?" — the curve that sets a quality-filter
+    threshold. Rows are descending-score equi-depth buckets (bucket 1 =
+    top scores), built on the proven b11_equidepth machinery: exact
+    quantile cut points from ONE percentile aggregate, broadcast as a
+    1-row scalar, bucket = n_bins − (cut points below the score) — no
+    ntile, no global sort.
+
+      bucket            1 = highest scores .. n_bins = lowest
+      n / n_pos         exact rows / positives in the bucket
+      cum_n / cum_pos   running totals over buckets 1..k
+      gain_bp           cum_pos * 10000 div total_pos (captured share)
+      lift_bp           (cum_pos * total_n * 10000) div (cum_n *
+                        total_pos) — 10000 = random, above = better
+
+    The cumulative sum uses NO window: each bucket row explodes into
+    contributions to buckets k..n_bins (bounded ×n_bins fan-out of an
+    ≤n_bins-row table) and one aggregate folds them — window-free, so
+    the plan audit's unpartitioned-window rule never applies. Leading
+    buckets that hold no rows (heavily tied score mass) are omitted —
+    both engines compute identical cut points, so identically. NULL
+    scores/labels are dropped; total_pos = 0 yields gain/lift 0 rather
+    than a division error.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    sc = F.col(score_col)
+    lbl = F.col(label_col).cast("boolean")
+    base = df.filter(sc.isNotNull() & lbl.isNotNull()).select(
+        sc.alias("_s"), lbl.cast("int").alias("_y")
+    )
+    fracs = ", ".join(str(q / n_bins) for q in range(1, n_bins))
+    cuts = base.agg(F.expr(f"percentile(_s, array({fracs}))").alias("_c"))
+    j = base.crossJoin(F.broadcast(cuts))
+    bucket = F.lit(n_bins) - F.size(
+        F.filter(F.col("_c"), lambda x: F.col("_s") > x)
+    )
+    per = j.groupBy(bucket.alias("_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_np"),
+    )
+    contrib = per.select(
+        F.explode(F.sequence(F.col("_b"), F.lit(n_bins))).alias("bucket"),
+        "_b",
+        "_n",
+        "_np",
+    )
+    cum = contrib.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_b") == F.col("bucket"), F.col("_n")).otherwise(0))
+        .cast("long")
+        .alias("n"),
+        F.sum(F.when(F.col("_b") == F.col("bucket"), F.col("_np")).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum("_n").cast("long").alias("cum_n"),
+        F.sum("_np").cast("long").alias("cum_pos"),
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_tn"),
+        F.sum("_y").cast("long").alias("_tp"),
+    )
+    out = cum.crossJoin(F.broadcast(totals))
+    gain = F.when(F.col("_tp") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("(cum_pos * 10000) div _tp")
+    )
+    lift = F.when(
+        (F.col("_tp") == 0) | (F.col("cum_n") == 0), F.lit(0).cast("long")
+    ).otherwise(F.expr("(cum_pos * _tn * 10000) div (cum_n * _tp)"))
+    return out.select(
+        "bucket",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        gain.alias("gain_bp"),
+        lift.alias("lift_bp"),
     )

@@ -9490,6 +9490,81 @@ def b34pe(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b28_gain_chart",
+    """
+    WITH m AS (
+      SELECT lang,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    ), b AS (
+      SELECT round(least(1.0, greatest(0.0,
+                 (length(norm) * 1.0 / len(string_split(norm, ' ')) - 4.0)
+                 / 3.0)), 4) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM m WHERE norm <> ''
+    ), cuts AS (
+      SELECT quantile_cont(s, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS c
+      FROM b
+    ), d AS (
+      SELECT 10 - len(list_filter(cuts.c, x -> b.s > x)) AS bkt, y
+      FROM b, cuts
+    ), per AS (
+      SELECT bkt, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS np
+      FROM d GROUP BY bkt
+    ), contrib AS (
+      SELECT unnest(generate_series(bkt, 10)) AS bucket, bkt, n, np FROM per
+    ), cum AS (
+      SELECT bucket,
+             CAST(sum(CASE WHEN bkt = bucket THEN n ELSE 0 END) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN bkt = bucket THEN np ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(n) AS BIGINT) AS cum_n,
+             CAST(sum(np) AS BIGINT) AS cum_pos
+      FROM contrib GROUP BY bucket
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS tn, CAST(sum(y) AS BIGINT) AS tp FROM b
+    )
+    SELECT bucket, n, n_pos, cum_n, cum_pos,
+           CASE WHEN tp = 0 THEN 0
+                ELSE (cum_pos * 10000) // tp END AS gain_bp,
+           CASE WHEN tp = 0 OR cum_n = 0 THEN 0
+                ELSE (cum_pos * tn * 10000) // (cum_n * tp) END AS lift_bp
+    FROM cum CROSS JOIN tot
+    """,
+)
+def b28gc(spark: SparkSession, sf: str) -> DataFrame:
+    # Cumulative gain/lift chart — the discrimination twin of
+    # b28_calibration_bins, over the SAME mean-word-length-vs-English
+    # signal so the pair reads as one classifier-eval dashboard. Exact
+    # integer basis points; descending-score equi-depth deciles from one
+    # broadcast percentile aggregate; window-free cumulative via bounded
+    # explode-and-refold.
+    from ddataframeoperation_spark.operators.relational import gain_chart
+
+    m = _t(spark, sf, "documents").select(
+        "lang", dedup.normalized_text("text").alias("_norm")
+    ).filter(F.col("_norm") != "")
+    scored = m.select(
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(0.0),
+                    (
+                        F.length("_norm")
+                        / F.size(F.split(F.col("_norm"), " "))
+                        - 4.0
+                    )
+                    / 3.0,
+                ),
+            ),
+            4,
+        ).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return gain_chart(scored, "score", "label", n_bins=10)
+
+
+@_q(
     "b34_bpe_train_step",
     """
     WITH words AS (
@@ -9806,6 +9881,7 @@ _BONUS_SLOTS = [
     "b32_degree_census",
     "b34_packing_efficiency",
     "b36_stream_right_outer",
+    "b28_gain_chart",
     "b32_minhash_raw",
     "b32_simhash_candidates",
     "b33_lsh_topk",

@@ -416,3 +416,48 @@ def test_packing_efficiency_null_text_packs_as_zero(spark):
     # note '' and single-token docs still count >= 1 via split semantics.
     assert r["n_docs"] == 3 and r["n_bins"] == 1
     assert r["total_tokens"] == 5 and r["oversize_docs"] == 0
+
+
+# ------------------------------------------------------------ gain_chart
+
+
+def test_gain_chart_perfect_classifier(spark):
+    from ddataframeoperation_spark.operators.relational import gain_chart
+
+    # 100 rows, top-10 scores are exactly the 10 positives: a perfect
+    # ranker captures ALL positives in bucket 1 -> gain 10000, lift 10x.
+    rows = [(1.0 - i / 100.0, i < 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = {r["bucket"]: r for r in gain_chart(df, "score", "label").collect()}
+    assert got[1]["n_pos"] == 10 and got[1]["gain_bp"] == 10000
+    assert got[1]["lift_bp"] == 100000  # 10x random in basis points
+    assert got[10]["cum_n"] == 100 and got[10]["cum_pos"] == 10
+    assert got[10]["gain_bp"] == 10000 and got[10]["lift_bp"] == 10000
+
+
+def test_gain_chart_random_classifier_flat(spark):
+    from ddataframeoperation_spark.operators.relational import gain_chart
+
+    # Positives spread uniformly across score order -> every decile holds
+    # one positive; lift ~10000 at every depth (exact with 10 per bucket).
+    rows = [(1.0 - i / 100.0, i % 10 == 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = {r["bucket"]: r for r in gain_chart(df, "score", "label").collect()}
+    assert all(got[b]["n_pos"] == 1 for b in range(1, 11))
+    assert all(got[b]["lift_bp"] == 10000 for b in range(1, 11))
+    assert [got[b]["gain_bp"] for b in range(1, 11)] == [
+        1000 * b for b in range(1, 11)
+    ]
+
+
+def test_gain_chart_no_positives_and_validation(spark):
+    import pytest as _pytest
+
+    from ddataframeoperation_spark.operators.relational import gain_chart
+
+    rows = [(i / 10.0, False) for i in range(10)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = gain_chart(df, "score", "label").collect()
+    assert out and all(r["gain_bp"] == 0 and r["lift_bp"] == 0 for r in out)
+    with _pytest.raises(ValueError, match="n_bins"):
+        gain_chart(df, "score", "label", n_bins=1)
