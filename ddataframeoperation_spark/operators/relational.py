@@ -69,6 +69,7 @@ __all__ = [
     "ks_test",
     "chi_square_test",
     "gain_chart",
+    "auc_exact",
 ]
 
 
@@ -1801,4 +1802,102 @@ def gain_chart(
         "cum_pos",
         gain.alias("gain_bp"),
         lift.alias("lift_bp"),
+    )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str | Column,
+    label_col: str | Column,
+    buckets: int = 512,
+) -> DataFrame:
+    """B28 — EXACT ROC-AUC in integer basis points, computed from the
+    rank-sum machinery (:func:`rank_sum_test`): AUC is the normalized
+    Mann-Whitney U — P(random positive outranks a random negative),
+    ties counting ½, which exact tie-corrected average ranks encode for
+    free. Completes the classifier-eval trio (calibration_bins =
+    reliability, gain_chart = depth-wise discrimination, auc_exact =
+    the single-number ranking summary) — the threshold-free quality
+    gate for a filtering classifier.
+
+      n_pos / n_neg   exact cohort sizes
+      u2_pos          2·U for the positive cohort — an exact long
+                      (average ranks are half-integers, so DOUBLED
+                      ranks and doubled U are integers)
+      auc_bp          (u2_pos · 10000) div (2 · n_pos · n_neg), the
+                      numerator lifted to DECIMAL(38,0) first — at
+                      10^9 rows 2·U reaches ~2·10^18 and the ×10000
+                      product overflows int64 long before AUC does.
+                      5000 = random ranking, 10000 = perfect.
+
+    No global sort (the rank_sum shape): per-distinct-score counts,
+    broadcast cut points, bucket-partitioned prefix windows + a
+    bounded cross-bucket offset table. All-integer output — no float
+    enters at any point, so the value is bit-identical on any engine
+    and any partial-aggregation order. NULL scores/labels drop;
+    either cohort empty ⇒ auc_bp NULL (undefined, loudly).
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    from pyspark.sql import Window
+
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    lb = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(
+        sc.alias("_v"), lb.cast("boolean").alias("_y")
+    ).filter(F.col("_v").isNotNull() & F.col("_y").isNotNull())
+    per = base.groupBy("_v").agg(
+        F.count("*").cast("long").alias("_c"),
+        F.sum(F.col("_y").cast("long")).alias("_ca"),
+    )
+    if buckets == 1:
+        bucketed = per.withColumn("_bkt", F.lit(0))
+    else:
+        probs = [i / buckets for i in range(1, buckets)]
+        cuts = per.agg(
+            F.percentile_approx("_v", probs, 10_000).alias("_cuts")
+        )
+        bucketed = per.crossJoin(F.broadcast(cuts)).withColumn(
+            "_bkt",
+            F.size(F.filter(F.col("_cuts"), lambda x: F.col("_v") > x)),
+        )
+    btot = bucketed.groupBy("_bkt").agg(F.sum("_c").alias("_bc"))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.withColumn(
+        "_off", F.coalesce(F.sum("_bc").over(wb), F.lit(0)).cast("long")
+    ).select("_bkt", "_off")
+    ww = (
+        Window.partitionBy("_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        bucketed.withColumn(
+            "_pre", F.coalesce(F.sum("_c").over(ww), F.lit(0)).cast("long")
+        )
+        .join(F.broadcast(boff), on="_bkt")
+        .withColumn(
+            "_rank2",
+            2 * (F.col("_off") + F.col("_pre")) + F.col("_c") + F.lit(1),
+        )
+    )
+    stats = ranked.agg(
+        F.sum("_ca").cast("long").alias("n_pos"),
+        (F.sum("_c") - F.sum("_ca")).cast("long").alias("n_neg"),
+        (
+            F.sum(F.col("_ca") * F.col("_rank2"))
+            - F.sum("_ca") * (F.sum("_ca") + 1)
+        )
+        .cast("long")
+        .alias("u2_pos"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.expr(
+            "(CAST(u2_pos AS DECIMAL(38,0)) * 10000)"
+            " div (CAST(n_pos AS DECIMAL(38,0)) * n_neg * 2)"
+        ),
+    )
+    return stats.select(
+        "n_pos", "n_neg", "u2_pos", auc.cast("long").alias("auc_bp")
     )

@@ -9565,6 +9565,74 @@ def b28gc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b28_auc_exact",
+    """
+    WITH m AS (
+      SELECT lang,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    ), b AS (
+      SELECT round(least(1.0, greatest(0.0,
+                 (length(norm) * 1.0 / len(string_split(norm, ' ')) - 4.0)
+                 / 3.0)), 4) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM m WHERE norm <> ''
+    ), per AS (
+      SELECT s, count(*) AS c, sum(y) AS ca FROM b GROUP BY s
+    ), r AS (
+      SELECT c, ca,
+             2 * coalesce(sum(c) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + c + 1 AS rank2
+      FROM per
+    ), st AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_pos,
+             CAST(sum(c) - sum(ca) AS BIGINT) AS n_neg,
+             CAST(sum(ca * rank2) - sum(ca) * (sum(ca) + 1) AS BIGINT)
+                 AS u2_pos
+      FROM r
+    )
+    SELECT n_pos, n_neg, u2_pos,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST((CAST(u2_pos AS HUGEINT) * 10000)
+                          // (CAST(n_pos AS HUGEINT) * n_neg * 2) AS BIGINT)
+           END AS auc_bp
+    FROM st
+    """,
+)
+def b28auc(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact ROC-AUC in basis points — the single-number ranking summary
+    # completing the classifier-eval trio (calibration_bins reliability,
+    # gain_chart depth-wise discrimination), over the SAME
+    # mean-word-length-vs-English signal. AUC = normalized Mann-Whitney
+    # U from the no-global-sort rank machinery; all-integer output.
+    from ddataframeoperation_spark.operators.relational import auc_exact
+
+    m = _t(spark, sf, "documents").select(
+        "lang", dedup.normalized_text("text").alias("_norm")
+    ).filter(F.col("_norm") != "")
+    scored = m.select(
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(0.0),
+                    (
+                        F.length("_norm")
+                        / F.size(F.split(F.col("_norm"), " "))
+                        - 4.0
+                    )
+                    / 3.0,
+                ),
+            ),
+            4,
+        ).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return auc_exact(scored, "score", "label")
+
+
+@_q(
     "b34_bpe_train_step",
     """
     WITH words AS (
@@ -9882,6 +9950,7 @@ _BONUS_SLOTS = [
     "b34_packing_efficiency",
     "b36_stream_right_outer",
     "b28_gain_chart",
+    "b28_auc_exact",
     "b32_minhash_raw",
     "b32_simhash_candidates",
     "b33_lsh_topk",

@@ -461,3 +461,36 @@ def test_gain_chart_no_positives_and_validation(spark):
     assert out and all(r["gain_bp"] == 0 and r["lift_bp"] == 0 for r in out)
     with _pytest.raises(ValueError, match="n_bins"):
         gain_chart(df, "score", "label", n_bins=1)
+
+
+# -------------------------------------------------------------- auc_exact
+
+
+def test_auc_perfect_random_and_inverted(spark):
+    from ddataframeoperation_spark.operators.relational import auc_exact
+
+    # Perfect: all positives above all negatives.
+    d1 = spark.createDataFrame(
+        [(1.0, True)] * 5 + [(0.0, False)] * 5, "score double, label boolean"
+    )
+    assert auc_exact(d1, "score", "label").collect()[0]["auc_bp"] == 10000
+    # All ties: AUC exactly 1/2.
+    d2 = spark.createDataFrame(
+        [(0.5, True)] * 4 + [(0.5, False)] * 6, "score double, label boolean"
+    )
+    assert auc_exact(d2, "score", "label").collect()[0]["auc_bp"] == 5000
+    # Inverted ranking: 0.
+    d3 = spark.createDataFrame(
+        [(0.0, True)] * 3 + [(1.0, False)] * 3, "score double, label boolean"
+    )
+    assert auc_exact(d3, "score", "label").collect()[0]["auc_bp"] == 0
+
+
+def test_auc_empty_cohort_is_null(spark):
+    from ddataframeoperation_spark.operators.relational import auc_exact
+
+    df = spark.createDataFrame(
+        [(0.1, True), (0.9, True)], "score double, label boolean"
+    )
+    r = auc_exact(df, "score", "label").collect()[0]
+    assert r["n_neg"] == 0 and r["auc_bp"] is None

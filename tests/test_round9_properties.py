@@ -161,3 +161,22 @@ def test_bpe_train_step_matches_python_reference(spark, seed):
     assert all(r["merge_pair"] == merge and r["merge_count"] == mcount for r in rows)
     assert all(r["residual_count"] == residual and r["broken_words"] == broken for r in rows)
     assert [(r["pair"], r["pair_count"]) for r in rows] == top10
+
+
+@pytest.mark.parametrize("seed", [5, 17, 31])
+def test_auc_exact_matches_pairwise_bruteforce(spark, seed):
+    from ddataframeoperation_spark.operators.relational import auc_exact
+
+    rng = random.Random(seed)
+    rows = [
+        (round(rng.random(), 2), rng.random() < 0.3) for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    r = auc_exact(df, "score", "label", buckets=rng.choice([1, 8, 512])).collect()[0]
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    # Doubled pair count: 2 per win, 1 per tie -> exact integer.
+    u2 = sum(2 if p > n else (1 if p == n else 0) for p in pos for n in neg)
+    assert r["u2_pos"] == u2
+    assert r["auc_bp"] == (u2 * 10000) // (2 * len(pos) * len(neg))
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))

@@ -39,6 +39,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "b22_temperature_mix",      # |distinct sources|-row quota table
     "b11_rank_sum_test",        # <=buckets-row cross-bucket offset table
     "b11_ks_test",              # <=buckets-row cross-bucket offset table
+    "b28_auc_exact",            # <=buckets-row cross-bucket offset table
+                                # (same rank machinery as rank_sum/ks)
 }
 
 #: BroadcastNestedLoopJoin shapes beyond the 1-row Cross/BuildRight
