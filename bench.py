@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "b32_degree_census",
     "b34_bpe_train_step",
     "b28_join_fanout",
+    "b28_gain_chart",
+    "b28_auc_exact",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
