@@ -1542,7 +1542,11 @@ def pair_degree_census(
     )
     totals = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes_total"),
-        (F.sum("degree") / 2).cast("long").alias("n_edges_total"),
+        # Integer division — sum of degrees is always even (each edge
+        # contributes exactly 2), and double division would lose
+        # exactness past 2^53 total degree, breaking the module's
+        # all-integer contract.
+        F.expr("sum(degree) div 2").cast("long").alias("n_edges_total"),
         F.max("degree").cast("long").alias("max_degree"),
     )
     return hist.crossJoin(F.broadcast(totals)).select(

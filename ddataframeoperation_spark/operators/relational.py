@@ -1741,6 +1741,17 @@ def gain_chart(
       lift_bp           (cum_pos * total_n * 10000) div (cum_n *
                         total_pos) — 10000 = random, above = better
 
+    Both numerators are lifted to DECIMAL(38,0) before the multiply
+    (the :func:`auc_exact` overflow posture): at 10^10 scored rows the
+    lift numerator cum_pos · total_n · 10000 reaches ~10^23 ≫ 2^63,
+    and under Spark 4 ANSI a long product is a runtime
+    ArithmeticException exactly at the corpus sizes the chart targets.
+    The denominator cum_n · total_pos is lifted for the same reason.
+    Output stays LONG (basis points fit trivially). Exactness bound:
+    the lifted numerator hits DECIMAL(38,0)'s 10^38 cap at ~10^16
+    scored rows — four orders of magnitude past a 10^12-row (100 TB)
+    corpus, and the same cap as DuckDB's 127-bit HUGEINT.
+
     The cumulative sum uses NO window: each bucket row explodes into
     contributions to buckets k..n_bins (bounded ×n_bins fan-out of an
     ≤n_bins-row table) and one aggregate folds them — window-free, so
@@ -1788,12 +1799,7 @@ def gain_chart(
         F.sum("_y").cast("long").alias("_tp"),
     )
     out = cum.crossJoin(F.broadcast(totals))
-    gain = F.when(F.col("_tp") == 0, F.lit(0).cast("long")).otherwise(
-        F.expr("(cum_pos * 10000) div _tp")
-    )
-    lift = F.when(
-        (F.col("_tp") == 0) | (F.col("cum_n") == 0), F.lit(0).cast("long")
-    ).otherwise(F.expr("(cum_pos * _tn * 10000) div (cum_n * _tp)"))
+    gain, lift = _gain_lift_columns()
     return out.select(
         "bucket",
         "n",
@@ -1803,6 +1809,27 @@ def gain_chart(
         gain.alias("gain_bp"),
         lift.alias("lift_bp"),
     )
+
+
+def _gain_lift_columns() -> "tuple[Column, Column]":
+    """The overflow-lifted gain/lift basis-point expressions of
+    :func:`gain_chart` over columns (cum_pos, cum_n, _tn, _tp) —
+    factored out so the 2^63-adjacent arithmetic can be pinned by a
+    synthetic-counts unit test without materializing 10^10 rows. Both
+    numerators AND the lift denominator run in DECIMAL(38,0); output
+    is LONG."""
+    gain = F.when(F.col("_tp") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("(CAST(cum_pos AS DECIMAL(38,0)) * 10000) div _tp").cast("long")
+    )
+    lift = F.when(
+        (F.col("_tp") == 0) | (F.col("cum_n") == 0), F.lit(0).cast("long")
+    ).otherwise(
+        F.expr(
+            "(CAST(cum_pos AS DECIMAL(38,0)) * _tn * 10000)"
+            " div (CAST(cum_n AS DECIMAL(38,0)) * _tp)"
+        ).cast("long")
+    )
+    return gain, lift
 
 
 def auc_exact(

@@ -406,7 +406,13 @@ def join_strategy_advice(
 
       fact_rows, fact_keys      exact fact-side census
       fact_top_key              heaviest fact key (string; NULL audits
-                                as NULL — the classic accidental hot key)
+                                as NULL — the classic accidental hot
+                                key). Count ties resolve to the
+                                smallest NON-NULL key string; a NULL
+                                key wins only when it is strictly
+                                heaviest (NULLS-LAST tiebreak, stated
+                                explicitly because engines disagree on
+                                default NULL ordering)
       fact_top_share_bp         its share in basis points (floor)
       dim_rows                  exact dim-side row count
       strategy                  'broadcast'  if dim_rows <= broadcast_max_rows
@@ -429,6 +435,9 @@ def join_strategy_advice(
     a 1-row ``max_by`` census, one 1-row dim count, one broadcast
     cross of the two 1-row tables. Nothing beyond the two scans at any
     scale — this is strictly cheaper than the join it advises on.
+
+    An EMPTY fact emits ZERO rows (there is no join to advise on), not
+    a row of NULLs — the defined contract for both engines.
     """
     if broadcast_max_rows < 0:
         raise ValueError("broadcast_max_rows must be >= 0")
@@ -439,17 +448,25 @@ def join_strategy_advice(
     counts = fact.groupBy(
         F.col(fact_key).cast("string").alias("_k")
     ).agg(F.count(F.lit(1)).alias("_n"))
-    # Deterministic top key: min_by over the struct (-n, key) — structs
-    # compare field-by-field, so the largest count wins and count ties
-    # resolve to the smallest key string (integer negation is exact).
+    # Deterministic top key: min_by over the struct (-n, k IS NULL, key)
+    # — structs compare field-by-field, so the largest count wins, count
+    # ties resolve to the smallest NON-NULL key string, and a NULL key
+    # wins only when strictly heaviest (Spark's bare struct compare
+    # would sort the NULL field FIRST; DuckDB ORDER BY defaults NULLS
+    # LAST — the explicit is-null field makes both engines agree).
     fact_census = counts.agg(
         F.sum("_n").cast("long").alias("fact_rows"),
         F.count(F.lit(1)).cast("long").alias("fact_keys"),
         F.min_by(
-            "_k", F.struct((-F.col("_n")).alias("a"), F.col("_k").alias("b"))
+            "_k",
+            F.struct(
+                (-F.col("_n")).alias("a"),
+                F.col("_k").isNull().cast("int").alias("b"),
+                F.col("_k").alias("c"),
+            ),
         ).alias("fact_top_key"),
         F.max("_n").cast("long").alias("_top_n"),
-    )
+    ).filter(F.col("fact_keys") > 0)
     dim_census = dim.agg(F.count(F.lit(1)).cast("long").alias("dim_rows"))
     j = fact_census.crossJoin(F.broadcast(dim_census))
     top_share = F.expr("(_top_n * 10000) div fact_rows")
@@ -498,7 +515,14 @@ def join_fanout_estimate(
                        equi-join, and the census inner-join drops them
                        identically)
       left_rows/right_rows  exact per-side counts
-      out_rows         left_rows * right_rows (int64 — per-key product)
+      out_rows         left_rows * right_rows, computed in
+                       DECIMAL(38,0) and shipped as its canonical
+                       STRING — one key with >3.04e9 rows on BOTH
+                       sides overflows an int64 product, and that is
+                       precisely the fanout-bomb key this detector
+                       exists to report; under Spark 4 ANSI a long
+                       product would make the detector die on the bomb
+                       instead of warning about it
       total_out_rows   Σ out_rows over ALL matched keys, as a STRING
                        of the exact DECIMAL(38,0) sum — the global total
                        can exceed int64 long before any single key does,
@@ -527,26 +551,36 @@ def join_fanout_estimate(
         rc = right.groupBy(
             F.col(right_key).cast("string").alias("key_value")
         ).agg(F.count(F.lit(1)).cast("long").alias("right_rows"))
+    return _fanout_from_censuses(lc, rc, int(top_n))
+
+
+def _fanout_from_censuses(
+    lc: DataFrame, rc: DataFrame, top_n: int
+) -> DataFrame:
+    """The census-join half of :func:`join_fanout_estimate`, factored
+    out so the 2^63-adjacent per-key product arithmetic can be pinned
+    by a unit test on SYNTHETIC census rows (counts > 3.1e9) without
+    materializing billions of input rows. Expects (key_value STRING,
+    left_rows LONG) / (key_value STRING, right_rows LONG)."""
     m = lc.join(rc, "key_value").select(
         "key_value",
         "left_rows",
         "right_rows",
-        (F.col("left_rows") * F.col("right_rows")).cast("long").alias("out_rows"),
+        (F.col("left_rows").cast("decimal(38,0)") * F.col("right_rows"))
+        .alias("_out_dec"),
     )
     tot = m.agg(
-        F.sum(F.col("out_rows").cast("decimal(38,0)"))
-        .cast("string")
-        .alias("total_out_rows"),
+        F.sum("_out_dec").cast("string").alias("total_out_rows"),
         F.count(F.lit(1)).cast("long").alias("matched_keys"),
     )
     top = m.orderBy(
-        F.desc("out_rows"), F.asc_nulls_first("key_value")
+        F.desc("_out_dec"), F.asc_nulls_first("key_value")
     ).limit(int(top_n))
     return top.crossJoin(F.broadcast(tot)).select(
         "key_value",
         "left_rows",
         "right_rows",
-        "out_rows",
+        F.col("_out_dec").cast("string").alias("out_rows"),
         "total_out_rows",
         "matched_keys",
     )

@@ -4571,8 +4571,11 @@ def b12hh(spark: SparkSession, sf: str) -> DataFrame:
     "b34_pack_sequences",
     """
     WITH t AS (
+      -- coalesce mirrors pack_sequences' stated contract: NULL text
+      -- packs as a 0-token doc; it must not propagate NULL through the
+      -- running sum or ship a NULL n_tokens row.
       SELECT doc_id, source,
-             len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+             coalesce(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')), 0)
                  AS n_tokens
       FROM documents
     ), c AS (
@@ -9274,7 +9277,7 @@ def b24cs(spark: SparkSession, sf: str) -> DataFrame:
              CAST(max(n) AS BIGINT) AS top_n
       FROM c
     ), tk AS (
-      SELECT k FROM c ORDER BY n DESC, k ASC LIMIT 1
+      SELECT k FROM c ORDER BY n DESC, (k IS NULL) ASC, k ASC LIMIT 1
     ), d AS (
       SELECT CAST(count(*) AS BIGINT) AS dim_rows FROM customer
     )
@@ -9327,18 +9330,18 @@ def b28ja(spark: SparkSession, sf: str) -> DataFrame:
       FROM events GROUP BY 1
     ), m AS (
       SELECT key_value, left_rows, right_rows,
-             left_rows * right_rows AS out_rows
+             CAST(left_rows AS HUGEINT) * right_rows AS out_prod
       FROM l JOIN r USING (key_value)
     ), t AS (
-      SELECT CAST(CAST(sum(out_rows) AS DECIMAL(38,0)) AS VARCHAR)
-                 AS total_out_rows,
+      SELECT CAST(sum(out_prod) AS VARCHAR) AS total_out_rows,
              CAST(count(*) AS BIGINT) AS matched_keys
       FROM m
     )
-    SELECT key_value, left_rows, right_rows, out_rows,
+    SELECT key_value, left_rows, right_rows,
+           CAST(out_prod AS VARCHAR) AS out_rows,
            total_out_rows, matched_keys
     FROM m CROSS JOIN t
-    ORDER BY out_rows DESC, key_value ASC NULLS FIRST
+    ORDER BY out_prod DESC, key_value ASC NULLS FIRST
     LIMIT 20
     """,
 )
@@ -9422,7 +9425,7 @@ def b32lpc(spark: SparkSession, sf: str) -> DataFrame:
       SELECT node, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY node
     ), tot AS (
       SELECT CAST(count(*) AS BIGINT) AS n_nodes_total,
-             CAST(sum(degree) / 2 AS BIGINT) AS n_edges_total,
+             CAST(sum(degree) // 2 AS BIGINT) AS n_edges_total,
              CAST(max(degree) AS BIGINT) AS max_degree
       FROM deg
     )
@@ -9449,8 +9452,11 @@ def b32dc(spark: SparkSession, sf: str) -> DataFrame:
     "b34_packing_efficiency",
     """
     WITH t AS (
+      -- coalesce mirrors pack_sequences' contract: NULL text packs as a
+      -- 0-token doc (it opens/occupies a real bin), it does not
+      -- propagate NULL through the running sum or the per-shard report.
       SELECT doc_id, source,
-             len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+             coalesce(len(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')), 0)
                  AS n_tokens
       FROM documents
     ), c AS (
@@ -9525,9 +9531,12 @@ def b34pe(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT bucket, n, n_pos, cum_n, cum_pos,
            CASE WHEN tp = 0 THEN 0
-                ELSE (cum_pos * 10000) // tp END AS gain_bp,
+                ELSE CAST((CAST(cum_pos AS HUGEINT) * 10000) // tp
+                          AS BIGINT) END AS gain_bp,
            CASE WHEN tp = 0 OR cum_n = 0 THEN 0
-                ELSE (cum_pos * tn * 10000) // (cum_n * tp) END AS lift_bp
+                ELSE CAST((CAST(cum_pos AS HUGEINT) * tn * 10000)
+                          // (CAST(cum_n AS HUGEINT) * tp)
+                          AS BIGINT) END AS lift_bp
     FROM cum CROSS JOIN tot
     """,
 )

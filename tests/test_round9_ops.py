@@ -239,8 +239,10 @@ def test_join_fanout_exact_products_and_total(spark):
     rows = join_fanout_estimate(left, "k", right, "k", top_n=10).collect()
     got = {r["key_value"]: r for r in rows}
     # key 1: 3*4=12, key 2: 2*5=10; key 3/9 unmatched -> absent.
+    # out_rows ships as the canonical string of the DECIMAL(38,0)
+    # product (overflow-safe past 3.04e9-row keys under ANSI).
     assert set(got) == {"1", "2"}
-    assert got["1"]["out_rows"] == 12 and got["2"]["out_rows"] == 10
+    assert got["1"]["out_rows"] == "12" and got["2"]["out_rows"] == "10"
     assert all(r["total_out_rows"] == "22" for r in rows)  # exact string
     assert all(r["matched_keys"] == 2 for r in rows)
 
@@ -254,7 +256,7 @@ def test_join_fanout_self_join_squares(spark):
     rows = join_fanout_estimate(df, "k", df, "k", top_n=1).collect()
     assert len(rows) == 1
     r = rows[0]
-    assert r["key_value"] == "7" and r["out_rows"] == 25  # n^2
+    assert r["key_value"] == "7" and r["out_rows"] == "25"  # n^2
     assert r["total_out_rows"] == "29" and r["matched_keys"] == 2
 
 
