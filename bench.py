@@ -1,7 +1,13 @@
 """Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and prints ONE JSON line:
+(default /root/testdata/sf0.1) and prints the JSON record:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+followed by a COMPACT suite-total line (same metric/value/unit/sf, no
+per-query map) emitted last and alone, so a bounded tail capture of
+stdout always ends with a complete, parseable record even when the
+per-query line outgrows the capture window (VERDICT r9 #5 — the round-9
+artifact lost the head of the 80-query line and parsed as null).
 
 The headline metric is the total wall time of the benchmark suite (lower is
 better). Each query is fully executed (collect for small results, count for
@@ -251,6 +257,23 @@ def main() -> int:
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
+    # Truncation-proofing (VERDICT r9 #5): the full payload line grows
+    # with the suite (~80 queries ≈ several KB) and the recording
+    # harness captures a bounded TAIL of stdout — in round 9 the line's
+    # HEAD (metric/value) fell outside the capture and the artifact
+    # recorded "parsed": null. Emit a compact suite-total line LAST and
+    # ALONE so the tail always ends with a complete, parseable record;
+    # the per-query detail stays on the (earlier) full line.
+    compact = {
+        "metric": "bench_suite_total_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_dir,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "detail": "per-query timings on the preceding JSON line",
+    }
+    print(json.dumps(compact))
     return 0
 
 

@@ -55,6 +55,7 @@ __all__ = [
     "containment_pairs",
     "containment_dedup",
     "dup_rate_by_source",
+    "dedup_token_savings",
     "lsh_power_curve",
     "pair_degree_census",
 ]
@@ -1551,4 +1552,74 @@ def pair_degree_census(
     )
     return hist.crossJoin(F.broadcast(totals)).select(
         "degree", "n_nodes", "n_nodes_total", "n_edges_total", "max_degree"
+    )
+
+
+def dedup_token_savings(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """B31 — what dedup is WORTH, in tokens: per source, document and
+    token volumes before vs after keep-first fingerprint dedup, plus
+    the basis-point token savings — the number that justifies (or
+    kills) running dedup ahead of a training run, and the per-feed line
+    in the compute/storage budget. The companion REPORT to
+    :func:`dup_rate_by_source`: that one counts duplicate documents,
+    this one prices them (a source re-serving its ten longest articles
+    hurts more than one re-serving ten tweets).
+
+      n_docs / n_docs_kept       documents before / after keep-first
+                                 (survivor = the fingerprint's min id,
+                                 charged to the survivor's source)
+      n_tokens / n_tokens_kept   exact whitespace-token volumes
+      savings_bp                 (n_tokens − n_tokens_kept) · 10000
+                                 div n_tokens; 0 when the source has
+                                 no tokens at all
+
+    NULL-text contract (the dup_rate_by_source posture): text coalesces
+    to '' BEFORE fingerprinting — NULL-text docs share the
+    empty-document fingerprint group on every engine — and a NULL/empty
+    token count rides as its real value, never NULL.
+
+    One (16-byte fingerprint)-key window min over the corpus — the same
+    single shuffle as dedup_by_fingerprint; token counts ride the same
+    scan — then a map-side-combined per-source aggregate; output
+    bounded by |sources|. All integers.
+    """
+    from pyspark.sql import Window as _W
+
+    from ddataframeoperation_spark.operators.text import token_count
+
+    with_fp = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("_grp"),
+        fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
+        F.coalesce(token_count(text_col).cast("long"), F.lit(0)).alias(
+            "_ntok"
+        ),
+    )
+    keep = F.min("_id").over(_W.partitionBy("_fp"))
+    flagged = with_fp.withColumn("_kept", F.col("_id") == keep)
+    g = flagged.groupBy(F.col("_grp").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("_kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_kept"),
+        F.sum("_ntok").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_kept"), F.col("_ntok")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens_kept"),
+    )
+    savings = F.when(F.col("n_tokens") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("((n_tokens - n_tokens_kept) * 10000) div n_tokens")
+    )
+    return g.select(
+        group_col,
+        "n_docs",
+        "n_docs_kept",
+        "n_tokens",
+        "n_tokens_kept",
+        savings.alias("savings_bp"),
     )

@@ -30,6 +30,7 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "cosine_topk_multi",
+    "matryoshka_recall",
     "cosine_neardup_pairs",
     "hyperplane_signature",
     "lsh_topk",
@@ -910,4 +911,103 @@ def embedding_health(
         F.sum(F.when(dim_bad, one).otherwise(zero)).cast("long").alias("n_dim_mismatch"),
         F.sum(F.when(all_zero, one).otherwise(zero)).cast("long").alias("n_zero_vecs"),
         F.sum(F.when(has_nan, one).otherwise(zero)).cast("long").alias("n_nan_vecs"),
+    )
+
+
+def matryoshka_recall(
+    df: DataFrame,
+    queries: DataFrame,
+    dims: Sequence[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    shards: int = 32,
+) -> DataFrame:
+    """B33 — Matryoshka / prefix-truncation evaluation: for each candidate
+    prefix dimension d, what share of the FULL-dimension exact cosine
+    top-k does the d-dimensional prefix recover? The one-table answer to
+    "how short can I cut the embeddings before the index lies" — the
+    sizing decision for MRL-style embeddings, where serving at d dims
+    costs d/D of the memory and FLOPs of the full index (int8/PQ stack
+    multiplies on top).
+
+      dim         evaluated prefix length (0 rows never appear; the
+                  full dimension is the reference, not a row)
+      n_queries   evaluation queries
+      k           depth of the comparison
+      hits        Σ over queries of |topk_d ∩ topk_full| — exact
+      recall_bp   hits · 10000 div (n_queries · k) — exact integer
+
+    All-integer output: the float cosine only picks the top-k SETS
+    (deterministic: unrounded score ordering with id tiebreak, the
+    proven cosine_topk contract); set intersection and the recall ratio
+    are integer arithmetic, so the row is bit-identical cross-engine.
+
+    Plan shape: the corpus is scanned once per evaluated dimension
+    (the honest eval cost — each scan computes a different slice), each
+    scan feeding the two-level per-(query, shard) top-k of
+    :func:`cosine_topk_multi` (no data-sized single-task sort); the
+    truncated winners LEFT SEMI join the broadcast-sized full-dim
+    winners (≤ n_queries·k rows) and collapse to a |dims|-row report.
+    ``queries`` is a small broadcast table, as in cosine_topk_multi.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not dims or any(d < 1 for d in dims):
+        raise ValueError("dims must be non-empty positive prefix lengths")
+    from pyspark.sql import Window
+
+    qb = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col).alias("_qv")
+        )
+    )
+
+    def _topk_ids(slice_dim: int | None) -> DataFrame:
+        v, qv = F.col(vec_col), F.col("_qv")
+        if slice_dim is not None:
+            v = F.slice(v, 1, int(slice_dim))
+            qv = F.slice(qv, 1, int(slice_dim))
+        scored = df.crossJoin(qb).select(
+            query_id_col, F.col(id_col), cosine(v, qv).alias("_cos")
+        )
+        shard = F.pmod(F.hash(F.col(id_col)), F.lit(shards))
+        w1 = Window.partitionBy(query_id_col, shard).orderBy(
+            F.col("_cos").desc(), F.col(id_col).asc()
+        )
+        local = scored.withColumn("_rn", F.row_number().over(w1)).filter(
+            F.col("_rn") <= k
+        )
+        w2 = Window.partitionBy(query_id_col).orderBy(
+            F.col("_cos").desc(), F.col(id_col).asc()
+        )
+        return (
+            local.withColumn("_rn2", F.row_number().over(w2))
+            .filter(F.col("_rn2") <= k)
+            .select(query_id_col, id_col)
+        )
+
+    full = _topk_ids(None)
+    n_q = F.broadcast(
+        queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    )
+    per_dim = None
+    for d in dims:
+        hits = (
+            _topk_ids(d)
+            .join(F.broadcast(full), [query_id_col, id_col], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+            .select(F.lit(int(d)).cast("long").alias("dim"), "hits")
+        )
+        per_dim = hits if per_dim is None else per_dim.unionByName(hits)
+    return per_dim.crossJoin(n_q).select(
+        "dim",
+        "n_queries",
+        F.lit(int(k)).cast("long").alias("k"),
+        "hits",
+        F.expr(f"(hits * 10000) div (n_queries * {int(k)})").alias(
+            "recall_bp"
+        ),
     )

@@ -9,6 +9,7 @@ from ddataframeoperation_spark.streaming.stateful import (
 )
 from ddataframeoperation_spark.streaming.windows import (
     events_as_stream,
+    run_with_late_replay,
     tumbling_counts,
     sliding_counts,
     session_window_agg,
@@ -22,6 +23,7 @@ from ddataframeoperation_spark.streaming.windows import (
 
 __all__ = [
     "events_as_stream",
+    "run_with_late_replay",
     "tumbling_counts",
     "sliding_counts",
     "session_window_agg",

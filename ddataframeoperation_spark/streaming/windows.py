@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "events_as_stream",
     "stage_multi_batch_replay",
+    "run_with_late_replay",
     "tumbling_counts",
     "sliding_counts",
     "session_window_agg",
@@ -98,6 +99,99 @@ def stage_multi_batch_replay(
         .option("maxFilesPerTrigger", 1)
         .parquet(stage_dir)
     )
+
+
+def run_with_late_replay(
+    batch_df: DataFrame,
+    base_dir: str,
+    cutoff,
+    transform,
+    flush_df: DataFrame | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Replay harness that PROVABLY exercises late-data drop: run a
+    watermarked streaming ``transform`` over TWO availableNow runs
+    sharing one checkpoint — run 1 sees the ON-TIME head (every row
+    with ``ts_col >= cutoff``, including the global max event time, so
+    the committed watermark ends at ``max(ts) - delay``); run 2 sees
+    the LATE stragglers (``ts_col < cutoff``) plus an optional
+    ``flush_df``. Choose ``cutoff`` at least ``delay + window/gap``
+    below the global max and the engine must drop every straggler
+    regardless of whether its late filter keys on row event time or
+    aggregation-window end — the sink then equals the batch aggregate
+    over the on-time subset alone (the oracle), and any surviving
+    straggler surfaces as an extra or merged output row.
+
+    Why two RUNS and not one multi-file availableNow run: Spark 4.1
+    executes an entire availableNow backlog as ONE trigger, and the
+    late-record filter keys on the watermark as of the START of the
+    trigger (`numRowsDroppedByWatermark` stays 0 even for rows weeks
+    below the reported per-batch watermark; verified empirically — a
+    processingTime trigger drops the same row). Only a watermark
+    COMMITTED to the checkpoint, i.e. from a previous run (or previous
+    processing-time trigger), gates late rows. The restart is also the
+    real-world shape: a backfill job re-started after the live head has
+    advanced the watermark.
+
+    Append-mode emission needs the final watermark to pass each real
+    window's end, so ``flush_df`` (one far-future sentinel row for a
+    key outside the fixture) rides at the end of run 2; the sentinel's
+    own window ends beyond the final watermark and never emits, keeping
+    the sink exactly the on-time aggregate.
+
+    Same mtime discipline as :func:`stage_multi_batch_replay`: the file
+    source orders files by modification time, so staged files get
+    explicitly ascending mtimes (head, late, flush).
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    input_dir = os.path.join(base_dir, "input")
+    sink = os.path.join(base_dir, "sink")
+    ck = os.path.join(base_dir, "ckpt")
+    os.makedirs(input_dir, exist_ok=True)
+    spark = batch_df.sparkSession
+    now = _time.time()
+
+    def _stage(df: DataFrame, idx: int, name: str) -> None:
+        tmp = tempfile.mkdtemp(prefix=f"stage_{name}_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        srcs = glob.glob(f"{tmp}/part-*.parquet")
+        if srcs:  # an empty subset writes no part file — nothing to stage
+            dst = os.path.join(input_dir, f"{idx:02d}-{name}.parquet")
+            shutil.copy(srcs[0], dst)
+            os.utime(dst, (now + idx, now + idx))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    _stage(batch_df.filter(F.col(ts_col) >= F.lit(cutoff)), 0, "head")
+    schema = spark.read.parquet(input_dir).schema
+
+    def _run() -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        q = (
+            transform(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run()
+    _stage(batch_df.filter(F.col(ts_col) < F.lit(cutoff)), 1, "late")
+    if flush_df is not None:
+        _stage(flush_df, 2, "flush")
+    _run()
+    return spark.read.parquet(sink)
 
 
 def tumbling_counts(

@@ -137,3 +137,260 @@ def test_degree_census_edge_total_is_integer_exact(spark):
     rows = pair_degree_census(pairs).collect()
     assert all(r["n_edges_total"] == 4 for r in rows)
     assert dict(pair_degree_census(pairs).dtypes)["n_edges_total"] == "bigint"
+
+
+# ----------------------------------------------------- pr_auc_exact (PR-AUC)
+
+
+def _ap_reference(pairs):
+    """The exact integer fold pr_auc_exact publishes, in pure Python ints
+    (distinct-score thresholds, descending), plus sklearn-style float AP
+    for the sanity bound."""
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0])
+    for s, y in pairs:
+        per[s][0] += 1
+        per[s][1] += int(y)
+    n_pos = sum(ca for _, ca in per.values())
+    cum_n = cum_pos = 0
+    ap_num = 0
+    ap_float = 0.0
+    for s in sorted(per, reverse=True):
+        c, ca = per[s]
+        cum_n += c
+        cum_pos += ca
+        ap_num += (ca * cum_pos * 10**8) // cum_n
+        if n_pos:
+            ap_float += (ca / n_pos) * (cum_pos / cum_n)
+    ap_bp = ap_num // (n_pos * 10**4) if n_pos else None
+    return ap_bp, ap_float
+
+
+def test_pr_auc_matches_brute_force_across_seeds(spark):
+    import random
+
+    from ddataframeoperation_spark.operators.relational import pr_auc_exact
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        pairs = [
+            (round(rng.random(), 2), rng.random() < 0.3) for _ in range(400)
+        ]
+        want_bp, want_float = _ap_reference(pairs)
+        df = spark.createDataFrame(pairs, "score double, label boolean")
+        r = pr_auc_exact(df, "score", "label", buckets=8).collect()[0]
+        assert r["ap_bp"] == want_bp, f"seed {seed}"
+        # The integer fold must sit within its documented floor bound of
+        # the true float AP: under-counts by < m/(n_pos*1e4) bp + 1.
+        assert 0 <= want_float * 10000 - r["ap_bp"] < len(set(pairs)) + 1
+        assert r["n_pos"] == sum(y for _, y in pairs)
+        assert r["base_bp"] == (r["n_pos"] * 10000) // (
+            r["n_pos"] + r["n_neg"]
+        )
+
+
+def test_pr_auc_perfect_and_empty_cohort(spark):
+    from ddataframeoperation_spark.operators.relational import pr_auc_exact
+
+    # Perfect separation: every positive above every negative -> 10000.
+    rows = [(1.0 - i / 100.0, i < 10) for i in range(100)]
+    r = pr_auc_exact(
+        spark.createDataFrame(rows, "score double, label boolean"),
+        "score",
+        "label",
+        buckets=4,
+    ).collect()[0]
+    assert r["ap_bp"] == 10000 and r["base_bp"] == 1000
+    # No positives: NULL (undefined, loudly), base_bp 0.
+    neg = spark.createDataFrame(
+        [(0.5, False), (0.2, False)], "score double, label boolean"
+    )
+    r2 = pr_auc_exact(neg, "score", "label").collect()[0]
+    assert r2["ap_bp"] is None and r2["base_bp"] == 0
+
+
+def test_pr_auc_bucketing_invariance(spark):
+    # The bucketed two-level prefix machinery is an implementation
+    # detail: 1 bucket and 64 buckets must agree exactly.
+    from ddataframeoperation_spark.operators.relational import pr_auc_exact
+
+    rows = [((i * 37) % 100 / 100.0, (i * 13) % 3 == 0) for i in range(500)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    a = pr_auc_exact(df, "score", "label", buckets=1).collect()[0]
+    b = pr_auc_exact(df, "score", "label", buckets=64).collect()[0]
+    assert a == b
+
+
+# -------------------------------------------- late-data drop replay harness
+
+
+def test_late_replay_drops_stragglers_and_sentinel(spark, sf_dir, tmp_path):
+    import datetime
+
+    import ddataframeoperation_spark.streaming as STR
+    from ddataframeoperation_spark.catalog import read_fixture_table
+
+    e = read_fixture_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts")).head()[0]
+    cutoff = mx - datetime.timedelta(days=15)
+    flush = (
+        e.limit(1)
+        .withColumn("ts", F.lit(mx + datetime.timedelta(hours=4)))
+        .withColumn("user_id", F.lit(-999999).cast("long"))
+    )
+    out = STR.run_with_late_replay(
+        e, str(tmp_path / "replay"), cutoff, STR.session_window_agg,
+        flush_df=flush, ts_col="ts",
+    )
+    n_late = e.filter(F.col("ts") < F.lit(cutoff)).count()
+    assert n_late > 0  # the fixture really does carry stragglers
+    # Every straggler dropped: no session can start before the cutoff.
+    assert out.filter(F.col("session_start") < F.lit(cutoff)).count() == 0
+    # The watermark-flush sentinel never emits its own session.
+    assert out.filter(F.col("user_id") == -999999).count() == 0
+    # And the sink equals batch sessionization of the on-time subset.
+    from ddataframeoperation_spark.operators.windows import sessionize
+
+    ontime = e.filter(F.col("ts") >= F.lit(cutoff))
+    batch = (
+        sessionize(
+            ontime,
+            user_col="user_id",
+            ts_col="ts",
+            gap_minutes=30,
+            tiebreak=("event_id",),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .drop("session_id")
+    )
+    assert out.count() == batch.count()
+    assert (
+        out.select("user_id", "session_start", "n_events", "sum_value")
+        .exceptAll(batch.select("user_id", "session_start", "n_events", "sum_value"))
+        .count()
+        == 0
+    )
+
+
+# ------------------------------------------------------- matryoshka_recall
+
+
+def test_matryoshka_recall_matches_numpy_brute_force(spark):
+    import math
+    import random
+
+    from ddataframeoperation_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    rng = random.Random(11)
+    dim, n, k = 12, 60, 5
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(n)}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    def topk(q, prefix):
+        scored = sorted(
+            vecs,
+            key=lambda i: (-cos(vecs[i][:prefix], vecs[q][:prefix]), i),
+        )
+        return set(scored[:k])
+
+    qids = [0, 1, 2]
+    dims = [3, 6, 9]
+    want = {}
+    for d in dims:
+        hits = sum(len(topk(q, d) & topk(q, dim)) for q in qids)
+        want[d] = (hits, (hits * 10000) // (len(qids) * k))
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    # float32 storage quantizes the values — rebuild the reference from
+    # the ROUND-TRIPPED floats so both sides rank the same numbers.
+    stored = {r["vec_id"]: list(r["embedding"]) for r in df.collect()}
+    vecs.update(stored)
+    for d in dims:
+        hits = sum(len(topk(q, d) & topk(q, dim)) for q in qids)
+        want[d] = (hits, (hits * 10000) // (len(qids) * k))
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = {
+        r["dim"]: r
+        for r in matryoshka_recall(df, queries, dims=dims, k=k).collect()
+    }
+    assert set(got) == set(dims)
+    for d in dims:
+        assert (got[d]["hits"], got[d]["recall_bp"]) == want[d], f"dim {d}"
+        assert got[d]["n_queries"] == 3 and got[d]["k"] == k
+    # Full-length prefix is a perfect proxy of itself.
+    full = matryoshka_recall(df, queries, dims=[dim], k=k).collect()[0]
+    assert full["recall_bp"] == 10000
+
+
+def test_matryoshka_recall_validates(spark):
+    import pytest as _pytest
+
+    from ddataframeoperation_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    q = df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with _pytest.raises(ValueError, match="k must"):
+        matryoshka_recall(df, q, dims=[1], k=0)
+    with _pytest.raises(ValueError, match="dims"):
+        matryoshka_recall(df, q, dims=[], k=1)
+
+
+# ---------------------------------------------------- dedup_token_savings
+
+
+def test_dedup_token_savings_exact_numbers(spark):
+    from ddataframeoperation_spark.operators.dedup import dedup_token_savings
+
+    rows = [
+        # src a: doc 1 (3 tokens) original; doc 2 copies it (charged to a).
+        (1, "a", "alpha beta gamma"),
+        (2, "a", "alpha beta gamma"),
+        # src b: doc 3 copies doc 1's text too — cross-source duplicate,
+        # charged to b (survivor is min id = 1, in a).
+        (3, "b", "alpha beta gamma"),
+        # src b: doc 4 unique, 2 tokens.
+        (4, "b", "delta epsilon"),
+        # src c: NULL text — fingerprints as the empty document; sole
+        # member, so it survives with 1 token... NULL coalesces to 0.
+        (5, "c", None),
+    ]
+    got = {
+        r["source"]: r
+        for r in dedup_token_savings(
+            spark.createDataFrame(rows, "doc_id long, source string, text string")
+        ).collect()
+    }
+    a, b, c = got["a"], got["b"], got["c"]
+    assert (a["n_docs"], a["n_docs_kept"]) == (2, 1)
+    assert (a["n_tokens"], a["n_tokens_kept"]) == (6, 3)
+    assert a["savings_bp"] == 5000
+    assert (b["n_docs"], b["n_docs_kept"]) == (2, 1)
+    assert (b["n_tokens"], b["n_tokens_kept"]) == (5, 2)
+    assert b["savings_bp"] == (3 * 10000) // 5
+    assert (c["n_docs"], c["n_docs_kept"]) == (1, 1)
+    assert (c["n_tokens"], c["n_tokens_kept"], c["savings_bp"]) == (0, 0, 0)

@@ -40,7 +40,9 @@ def test_join_fanout_equals_actual_join_count(spark, seed):
     # The estimate is EXACT: total equals the real join's output count.
     assert rows and all(r["total_out_rows"] == str(actual) for r in rows)
     lc, rc = Counter(lk), Counter(rk)
-    want = {str(k): lc[k] * rc[k] for k in lc if k in rc}
+    # out_rows ships as the canonical string of the DECIMAL(38,0)
+    # product (r10 overflow fix) — compare as strings.
+    want = {str(k): str(lc[k] * rc[k]) for k in lc if k in rc}
     got = {r["key_value"]: r["out_rows"] for r in rows}
     assert got == want
     assert all(r["matched_keys"] == len(want) for r in rows)

@@ -47,8 +47,12 @@ def isolate_floors(queries: list[str]) -> dict[str, float]:
         [sys.executable, "bench.py", "--isolate", *queries],
         capture_output=True, text=True, env=env, check=True,
     ).stdout
-    line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
-    return {k: float(v) for k, v in json.loads(line)["queries"].items()}
+    # bench.py now prints TWO JSON lines (full payload, then a compact
+    # truncation-proof totals line) — take the last line that carries
+    # the per-query map.
+    recs = [json.loads(ln) for ln in out.splitlines() if ln.startswith("{")]
+    rec = [d for d in recs if "queries" in d][-1]
+    return {k: float(v) for k, v in rec["queries"].items()}
 
 
 def main() -> int:

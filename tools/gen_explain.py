@@ -77,6 +77,9 @@ HEADLINE = [
     ("b28_join_advisor", "Join-strategy advisor: two 1-row censuses (min_by top key), broadcast cross, all-integer decision rule"),
     ("b34_bpe_train_step", "BPE trainer iteration: corpus -> vocabulary aggregate, 1-row merge broadcast, row-local apply/recount, TakeOrdered"),
     ("b11_ks_test", "Two-sample KS: per-distinct-value counts, bucket-partitioned prefix windows, one max aggregate — no global sort"),
+    # Round 10
+    ("b28_pr_auc", "Exact-fold PR-AUC: per-distinct-score counts, DESCENDING bucket-partitioned prefix windows + bounded offset table, one DECIMAL(38,0) integer-fold aggregate — no global sort"),
+    ("b28_gain_chart", "Gain/lift chart: one percentile broadcast, window-free cumulative via bounded explode-refold, DECIMAL(38,0)-lifted basis points"),
 ]
 
 SKIP_PREFIXES = (

@@ -41,6 +41,8 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "b11_ks_test",              # <=buckets-row cross-bucket offset table
     "b28_auc_exact",            # <=buckets-row cross-bucket offset table
                                 # (same rank machinery as rank_sum/ks)
+    "b28_pr_auc",               # <=buckets-row cross-bucket offset table
+                                # (descending twin of the auc machinery)
 }
 
 #: BroadcastNestedLoopJoin shapes beyond the 1-row Cross/BuildRight

@@ -704,6 +704,47 @@ def main() -> int:
             lambda e=e: join_fanout_estimate(e, "user_id", e, "user_id"),
         )
 
+    # Round-9/10 classifier-eval family: gain/lift chart (one percentile
+    # aggregate + bounded explode-refold), exact ROC-AUC and exact PR-AUC
+    # (bucketed two-level prefix machinery) — all must stay scan-bound.
+    for tag, e in (("1x", ev1), (f"{factor}x", ev)):
+        scored = lambda e=e: e.select(  # noqa: E731
+            F.round(F.col("value"), 2).alias("score"),
+            (F.col("event_type") == "click").alias("label"),
+        )
+        probe(
+            f"gain_chart {tag}",
+            lambda s=scored: relational.gain_chart(s(), "score", "label"),
+        )
+        probe(
+            f"auc_exact {tag}",
+            lambda s=scored: relational.auc_exact(s(), "score", "label"),
+        )
+        probe(
+            f"pr_auc {tag}",
+            lambda s=scored: relational.pr_auc_exact(s(), "score", "label"),
+        )
+
+    # Round-10 widening: matryoshka prefix-recall eval (one scan per
+    # evaluated dim, two-level per-(query, shard) top-k) and the
+    # per-source dedup token-savings report (one fingerprint window).
+    for tag, m in (("1x", emb1), (f"{factor}x", emb)):
+        qs = emb1.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        probe(
+            f"matryoshka_recall {tag}",
+            lambda m=m, qs=qs: similarity.matryoshka_recall(
+                m, qs, dims=[8, 16, 32], k=10
+            ),
+        )
+    for tag, d in (("1x", docs1), (f"{factor}x", docs)):
+        probe(
+            f"dedup_token_savings {tag}",
+            lambda d=d: dedup.dedup_token_savings(d),
+        )
+
     # Round-7d: semantic join in its production (partial-probe) mode.
     # The cell count SCALES WITH THE CORPUS (bounded cell population —
     # the FAISS sizing rule): with ncells fixed, candidate pairs grow as
