@@ -31,6 +31,7 @@ __all__ = [
     "cosine_topk",
     "cosine_topk_multi",
     "matryoshka_recall",
+    "index_memory_planner",
     "cosine_neardup_pairs",
     "hyperplane_signature",
     "lsh_topk",
@@ -1010,4 +1011,88 @@ def matryoshka_recall(
         F.expr(f"(hits * 10000) div (n_queries * {int(k)})").alias(
             "recall_bp"
         ),
+    )
+
+
+def index_memory_planner(
+    df: DataFrame,
+    budget_bytes: int,
+    vec_col: str = "embedding",
+    ivf_cells: int = 1024,
+    pq_m: int = 8,
+    pq_codebook: int = 256,
+) -> DataFrame:
+    """B33 — the PLANNER for the vector-index tier ladder (the
+    lsh_power_curve posture applied to memory): given the corpus census
+    (n vectors × d dims) and a per-node-fleet memory budget, price every
+    index variant this engine actually implements and say which fit —
+    the decision table you consult BEFORE building anything, next to
+    :func:`matryoshka_recall`'s quality half of the same decision.
+
+      variant      fp32_exact        n·d·4            (cosine_topk)
+                   int8_scalar       n·(d+8)          (quantized_topk:
+                                     d code bytes + one f64 scale)
+                   pq{m}x{log2 cb}   n·m + cb·d·4     (pq_topk: m code
+                                     bytes + f32 codebooks)
+                   ivf_fp32          n·d·4 + cells·d·4 + n·4
+                                     (ivf_topk: raw vectors + f32
+                                     centroids + an int32 cell id)
+                   ivf_int8          n·(d+8) + cells·d·4 + n·4
+      n_vectors/dim  the census the prices derive from
+      bytes          exact integer cost of the variant
+      ratio_bp       bytes · 10000 div fp32 bytes (compression ratio)
+      fits           bytes <= budget_bytes
+
+    All integers from a 1-row census (count + max array size — max, not
+    first, so a ragged corpus prices its worst case); the variant table
+    is a bounded literal expansion. Nothing scans the vectors
+    themselves beyond the size probe. Engine-exact by construction.
+    """
+    if budget_bytes < 1:
+        raise ValueError("budget_bytes must be >= 1")
+    census = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.max(F.size(F.col(vec_col))).cast("long").alias("dim"),
+    )
+    cells, m, cb = int(ivf_cells), int(pq_m), int(pq_codebook)
+    variants = [
+        ("fp32_exact", "n_vectors * dim * 4"),
+        ("int8_scalar", "n_vectors * (dim + 8)"),
+        (
+            f"pq{m}x{cb.bit_length() - 1}",
+            f"n_vectors * {m} + {cb} * dim * 4",
+        ),
+        (
+            "ivf_fp32",
+            f"n_vectors * dim * 4 + {cells} * dim * 4 + n_vectors * 4",
+        ),
+        (
+            "ivf_int8",
+            f"n_vectors * (dim + 8) + {cells} * dim * 4 + n_vectors * 4",
+        ),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("variant"),
+                F.expr(expr).cast("long").alias("bytes"),
+            )
+            for name, expr in variants
+        ]
+    )
+    out = census.select(
+        "n_vectors", "dim", F.explode(rows).alias("_v")
+    ).select("n_vectors", "dim", "_v.variant", "_v.bytes")
+    # ratio numerator bytes·10000 exceeds int64 at ~9e14 bytes (a petabyte
+    # index is in-scope) — lift to DECIMAL(38,0) before the multiply.
+    return out.select(
+        "variant",
+        "n_vectors",
+        "dim",
+        "bytes",
+        F.expr(
+            "CAST((CAST(bytes AS DECIMAL(38,0)) * 10000)"
+            " div (n_vectors * dim * 4) AS BIGINT)"
+        ).alias("ratio_bp"),
+        (F.col("bytes") <= F.lit(int(budget_bytes))).alias("fits"),
     )

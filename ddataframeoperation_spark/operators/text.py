@@ -49,6 +49,7 @@ __all__ = [
     "encode_token_ids",
     "lexical_diversity",
     "corpus_balance",
+    "vocab_overlap_by_source",
     "corpus_datacard",
     "remove_boilerplate",
     "bpe_pair_counts",
@@ -1557,4 +1558,64 @@ def packing_efficiency(
             "fill_bp"
         ),
         "oversize_docs",
+    )
+
+
+def vocab_overlap_by_source(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """B34 — cross-source vocabulary overlap census: per source, how big
+    its distinct vocabulary is and how much of it appears NOWHERE else —
+    the lexical-distinctiveness read on a corpus mixture. A source whose
+    vocabulary is almost entirely shared adds volume, not coverage; one
+    dominated by exclusive tokens is the diversity (or the noise) in the
+    mix — the token-level companion to the doc-level corpus_balance and
+    source_mix diagnostics.
+
+      vocab_size      distinct normalized tokens in the source
+      exclusive       of those, tokens appearing in NO other source
+      exclusive_bp    exclusive · 10000 div vocab_size (0 for an
+                      empty-vocabulary source never happens: every doc
+                      yields >=1 token under the '' -> [''] contract,
+                      so vocab_size >= 1)
+
+    Plan: distinct (source, token) pairs (map-side combine collapses
+    repeats before the shuffle), one count of sources per token (the
+    vocabulary aggregate — bounded by |vocab|, not the corpus), a
+    broadcast-joinable per-token source count folded back, one
+    |sources|-row report. Document bodies never shuffle — only the
+    distinct pair set does, the same posture as tf-idf.
+    """
+    # coalesce BEFORE tokenizing: a NULL-text doc must contribute the
+    # empty-document token under the '' -> [''] contract, not vanish
+    # (explode of a NULL array emits no row — a silent engine-side drop
+    # a SQL oracle would not reproduce).
+    pairs = (
+        df.select(
+            F.col(group_col).alias("_grp"),
+            F.explode(
+                F.array_distinct(
+                    tokens(F.coalesce(F.col(text_col), F.lit("")))
+                )
+            ).alias("_tok"),
+        )
+        .distinct()
+    )
+    per_tok = pairs.groupBy("_tok").agg(
+        F.count(F.lit(1)).cast("long").alias("_nsrc")
+    )
+    joined = pairs.join(per_tok, "_tok")
+    g = joined.groupBy(F.col("_grp").alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("_nsrc") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("exclusive"),
+    )
+    return g.select(
+        group_col,
+        "vocab_size",
+        "exclusive",
+        F.expr("(exclusive * 10000) div vocab_size").alias("exclusive_bp"),
     )

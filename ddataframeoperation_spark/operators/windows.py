@@ -36,6 +36,7 @@ __all__ = [
     "debounce",
     "next_event_examples",
     "last_touch_attribution",
+    "linear_attribution",
     "activity_streaks",
     "top_paths",
     "period_over_period",
@@ -769,4 +770,119 @@ def churn_cohorts(
         "n_users",
         "n_churned",
         F.expr("(n_churned * 10000) div n_users").alias("churn_bp"),
+    )
+
+
+def linear_attribution(
+    df: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    max_gap_seconds: float = 86400.0,
+) -> DataFrame:
+    """B35 — LINEAR (multi-touch) conversion attribution, the
+    equal-credit twin of :func:`last_touch_attribution`: every
+    conversion splits one unit of credit equally across ALL of the
+    user's touch events inside the attribution window, instead of
+    handing it to the latest one — the report that stops over-crediting
+    the final retargeting click.
+
+      touch_type      a touch channel, or 'none'
+      n_conversions   conversions with >=1 in-window touch of this type
+                      ('none': conversions with zero in-window touches)
+      credit_ppm      Σ over conversions of floor(c_t · 10^6 /
+                      n_touches) where c_t = this type's in-window
+                      touches and n_touches = all of them ('none'
+                      rows carry the full 10^6 per untouched
+                      conversion)
+
+    Exact-integer contract (the pr_auc posture): per-conversion credits
+    are integer floors at parts-per-million scale, identically computed
+    on both engines; the floors undershoot the exact rational split by
+    < |touch_types| ppm per conversion — stated, not hidden. Window
+    membership is exact integer microseconds via ``unix_micros`` (the
+    §20 rule — second-truncation would misclassify sub-second gaps):
+    a RANGE frame of [-gap_us, -1] relative to the conversion, so
+    same-microsecond touches are excluded identically everywhere.
+
+    Plan: ONE key-partitioned range window computes every per-type
+    in-window count (|touch_types| conditional sums over the same
+    frame — no self-join, no explode of the event table); conversions
+    project a |touch_types|+1-row stack and one map-side-combined
+    aggregate emits the report. The event table shuffles once on the
+    user key, the same exchange sessionize/funnel/last-touch reuse.
+    """
+    if max_gap_seconds <= 0:
+        raise ValueError("max_gap_seconds must be > 0")
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    gap_us = int(round(max_gap_seconds * 1e6))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(us)
+        .rangeBetween(-gap_us, -1)
+    )
+    # coalesce: an EMPTY frame (the user's first event) sums to NULL,
+    # which would silently drop the conversion from every bucket
+    # including 'none' — it must count as zero touches instead.
+    counts = [
+        F.coalesce(
+            F.sum(F.when(F.col(type_col) == t, 1).otherwise(0)).over(w),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias(f"_c_{i}")
+        for i, t in enumerate(touch_types)
+    ]
+    conv = (
+        df.select(F.col(type_col).alias("_ty"), *counts)
+        .filter(F.col("_ty") == conversion_type)
+        .withColumn(
+            "_n",
+            sum(F.col(f"_c_{i}") for i in range(len(touch_types))).cast(
+                "long"
+            ),
+        )
+    )
+    pairs = []
+    for i, t in enumerate(touch_types):
+        pairs.append(
+            F.struct(
+                F.lit(t).alias("touch_type"),
+                F.col(f"_c_{i}").alias("_c"),
+                F.when(
+                    F.col("_n") > 0,
+                    F.expr(f"(_c_{i} * 1000000) div _n"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("_credit"),
+            )
+        )
+    pairs.append(
+        F.struct(
+            F.lit("none").alias("touch_type"),
+            F.when(F.col("_n") == 0, F.lit(1)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("_c"),
+            F.when(F.col("_n") == 0, F.lit(1_000_000)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("_credit"),
+        )
+    )
+    exploded = conv.select(
+        F.explode(F.array(*pairs)).alias("_p")
+    ).select("_p.touch_type", "_p._c", "_p._credit")
+    return (
+        exploded.groupBy("touch_type")
+        .agg(
+            F.sum(F.when(F.col("_c") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_conversions"),
+            F.sum("_credit").cast("long").alias("credit_ppm"),
+        )
+        .filter((F.col("n_conversions") > 0) | (F.col("credit_ppm") > 0))
     )

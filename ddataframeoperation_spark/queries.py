@@ -2172,6 +2172,45 @@ def b33mat(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b33_index_planner",
+    """
+    WITH c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(max(len(embedding)) AS BIGINT) AS d
+      FROM embeddings
+    ), v AS (
+      SELECT 'fp32_exact' AS variant, n, d, n * d * 4 AS bytes FROM c
+      UNION ALL
+      SELECT 'int8_scalar', n, d, n * (d + 8) FROM c
+      UNION ALL
+      SELECT 'pq8x8', n, d, n * 8 + 256 * d * 4 FROM c
+      UNION ALL
+      SELECT 'ivf_fp32', n, d, n * d * 4 + 64 * d * 4 + n * 4 FROM c
+      UNION ALL
+      SELECT 'ivf_int8', n, d, n * (d + 8) + 64 * d * 4 + n * 4 FROM c
+    )
+    SELECT variant, n AS n_vectors, d AS dim, CAST(bytes AS BIGINT) AS bytes,
+           CAST((CAST(bytes AS HUGEINT) * 10000) // (n * d * 4) AS BIGINT)
+               AS ratio_bp,
+           bytes <= 1000000 AS fits
+    FROM v
+    """,
+)
+def b33plan(spark: SparkSession, sf: str) -> DataFrame:
+    # The vector-index memory-tier planner (the lsh_power_curve posture
+    # applied to bytes): price fp32 / int8 / PQ / IVF variants from a
+    # 1-row (n, dim) census and flag which fit a budget — the decision
+    # table beside matryoshka_recall's quality half. All integers.
+    return similarity.index_memory_planner(
+        _t(spark, sf, "embeddings"),
+        budget_bytes=1_000_000,
+        ivf_cells=64,
+        pq_m=8,
+        pq_codebook=256,
+    )
+
+
+@_q(
     "b33_quantized_topk",
     """
     WITH base AS (
@@ -6782,6 +6821,37 @@ def b25w(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b34_vocab_overlap",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(string_split(
+                 trim(regexp_replace(lower(coalesce(text, '')),
+                                     '[^a-z0-9]+', ' ', 'g')), ' '))) AS tok
+      FROM documents
+    ), per_tok AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS nsrc FROM pairs GROUP BY tok
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exclusive,
+           (CAST(sum(CASE WHEN nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            * 10000) // count(*) AS exclusive_bp
+    FROM pairs JOIN per_tok USING (tok)
+    GROUP BY source
+    """,
+)
+def b34vo(spark: SparkSession, sf: str) -> DataFrame:
+    # Cross-source vocabulary overlap census: per source, distinct
+    # vocabulary size and the share of it appearing NOWHERE else — the
+    # lexical-distinctiveness read on a corpus mixture (token-level
+    # companion to corpus_balance/source_mix). Only the distinct
+    # (source, token) pair set shuffles; all-integer basis points.
+    return TX.vocab_overlap_by_source(_t(spark, sf, "documents"))
+
+
+@_q(
     "b34_corpus_balance",
     """
     WITH c AS (
@@ -8441,6 +8511,57 @@ def b35at(spark: SparkSession, sf: str) -> DataFrame:
         _t(spark, sf, "events"),
         max_gap_seconds=3600.0,
         tiebreak=("event_id",),
+    )
+
+
+@_q(
+    "b35_linear_attribution",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), c AS (
+      SELECT event_type,
+             coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                      OVER w, 0) AS cc,
+             coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      OVER w, 0) AS cv
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+    ), conv AS (
+      SELECT cc, cv, cc + cv AS n FROM c WHERE event_type = 'purchase'
+    ), stacked AS (
+      SELECT 'click' AS touch_type, cc AS tc,
+             CASE WHEN n > 0 THEN (cc * 1000000) // n ELSE 0 END AS credit
+      FROM conv
+      UNION ALL
+      SELECT 'view', cv,
+             CASE WHEN n > 0 THEN (cv * 1000000) // n ELSE 0 END
+      FROM conv
+      UNION ALL
+      SELECT 'none', CASE WHEN n = 0 THEN 1 ELSE 0 END,
+             CASE WHEN n = 0 THEN 1000000 ELSE 0 END
+      FROM conv
+    )
+    SELECT touch_type,
+           CAST(sum(CASE WHEN tc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_conversions,
+           CAST(sum(credit) AS BIGINT) AS credit_ppm
+    FROM stacked GROUP BY touch_type
+    HAVING sum(CASE WHEN tc > 0 THEN 1 ELSE 0 END) > 0 OR sum(credit) > 0
+    """,
+)
+def b35lin(spark: SparkSession, sf: str) -> DataFrame:
+    # LINEAR multi-touch attribution — the equal-credit twin of
+    # b35_attribution's last-touch report, same 1h window: each purchase
+    # splits one unit of credit (integer parts-per-million floors)
+    # across ALL in-window clicks/views. One key-partitioned RANGE
+    # window in exact integer microseconds; all-integer output.
+    return W.linear_attribution(
+        _t(spark, sf, "events"),
+        max_gap_seconds=3600.0,
     )
 
 
@@ -10187,6 +10308,9 @@ _BONUS_SLOTS = [
     "b28_pr_auc",
     "b33_matryoshka_recall",
     "b31_dedup_token_savings",
+    "b35_linear_attribution",
+    "b33_index_planner",
+    "b34_vocab_overlap",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

@@ -394,3 +394,119 @@ def test_dedup_token_savings_exact_numbers(spark):
     assert b["savings_bp"] == (3 * 10000) // 5
     assert (c["n_docs"], c["n_docs_kept"]) == (1, 1)
     assert (c["n_tokens"], c["n_tokens_kept"], c["savings_bp"]) == (0, 0, 0)
+
+
+# ----------------------------------------------------- linear_attribution
+
+
+def test_linear_attribution_exact_split_and_none(spark):
+    import datetime as dt
+
+    from ddataframeoperation_spark.operators.windows import linear_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(uid, minutes, ty):
+        return (uid, t0 + dt.timedelta(minutes=minutes), ty)
+
+    rows = [
+        # user 1: 2 clicks + 1 view in-window, then purchase ->
+        # click 2/3, view 1/3 of 1e6 (floors).
+        ev(1, 0, "click"), ev(1, 5, "click"), ev(1, 10, "view"),
+        ev(1, 20, "purchase"),
+        # user 2: purchase is the FIRST event (empty frame) -> 'none'.
+        ev(2, 0, "purchase"),
+        # user 3: only an out-of-window click (2h before; window 1h).
+        ev(3, 0, "click"), ev(3, 120, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["touch_type"]: r
+        for r in linear_attribution(df, max_gap_seconds=3600.0).collect()
+    }
+    assert got["click"]["n_conversions"] == 1
+    assert got["click"]["credit_ppm"] == (2 * 1_000_000) // 3
+    assert got["view"]["n_conversions"] == 1
+    assert got["view"]["credit_ppm"] == (1 * 1_000_000) // 3
+    assert got["none"]["n_conversions"] == 2
+    assert got["none"]["credit_ppm"] == 2_000_000
+    # Conservation: total credit <= conversions * 1e6, deficit < n_types
+    # per touched conversion (the documented floor bound).
+    total = sum(r["credit_ppm"] for r in got.values())
+    assert 3 * 1_000_000 - 2 < total <= 3 * 1_000_000
+
+
+def test_linear_attribution_validates(spark):
+    import pytest as _pytest
+
+    from ddataframeoperation_spark.operators.windows import linear_attribution
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "click")],
+        "user_id long, ts string, event_type string",
+    )
+    with _pytest.raises(ValueError, match="max_gap_seconds"):
+        linear_attribution(df, max_gap_seconds=0)
+    with _pytest.raises(ValueError, match="touch_types"):
+        linear_attribution(df, touch_types=())
+
+
+# ---------------------------------------------------- index_memory_planner
+
+
+def test_index_planner_formulas_and_budget(spark):
+    from ddataframeoperation_spark.operators.similarity import (
+        index_memory_planner,
+    )
+
+    n, d = 100, 16
+    df = spark.createDataFrame(
+        [(i, [0.5] * d) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    budget = n * (d + 8) + 100  # int8 fits, fp32 (6400) does not... n*d*4=6400 > budget=2500
+    got = {
+        r["variant"]: r
+        for r in index_memory_planner(
+            df, budget_bytes=budget, ivf_cells=4, pq_m=8, pq_codebook=256
+        ).collect()
+    }
+    fp32 = n * d * 4
+    want = {
+        "fp32_exact": fp32,
+        "int8_scalar": n * (d + 8),
+        "pq8x8": n * 8 + 256 * d * 4,
+        "ivf_fp32": n * d * 4 + 4 * d * 4 + n * 4,
+        "ivf_int8": n * (d + 8) + 4 * d * 4 + n * 4,
+    }
+    assert {k: v["bytes"] for k, v in got.items()} == want
+    for k, v in got.items():
+        assert v["ratio_bp"] == (want[k] * 10000) // fp32
+        assert v["fits"] == (want[k] <= budget)
+        assert (v["n_vectors"], v["dim"]) == (n, d)
+    assert got["int8_scalar"]["fits"] and not got["fp32_exact"]["fits"]
+
+
+# --------------------------------------------------- vocab_overlap_by_source
+
+
+def test_vocab_overlap_exclusive_counts(spark):
+    from ddataframeoperation_spark.operators.text import vocab_overlap_by_source
+
+    rows = [
+        (1, "a", "alpha beta shared"),
+        (2, "a", "beta gamma"),          # a vocab: alpha beta gamma shared
+        (3, "b", "shared delta"),        # b vocab: shared delta
+        (4, "c", None),                  # NULL text -> '' token, exclusive to c
+    ]
+    got = {
+        r["source"]: r
+        for r in vocab_overlap_by_source(
+            spark.createDataFrame(rows, "doc_id long, source string, text string")
+        ).collect()
+    }
+    a, b, c = got["a"], got["b"], got["c"]
+    assert (a["vocab_size"], a["exclusive"]) == (4, 3)  # alpha/beta/gamma
+    assert a["exclusive_bp"] == (3 * 10000) // 4
+    assert (b["vocab_size"], b["exclusive"]) == (2, 1)  # delta
+    assert (c["vocab_size"], c["exclusive"]) == (1, 1)  # the '' token

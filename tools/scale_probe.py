@@ -744,6 +744,26 @@ def main() -> int:
             f"dedup_token_savings {tag}",
             lambda d=d: dedup.dedup_token_savings(d),
         )
+        probe(
+            f"vocab_overlap {tag}",
+            lambda d=d: TX.vocab_overlap_by_source(d),
+        )
+    # linear attribution: one user-key RANGE window; index planner: a
+    # 1-row census + literal expansion (timed for completeness).
+    from ddataframeoperation_spark.operators.windows import linear_attribution
+
+    for tag, e in (("1x", ev1), (f"{factor}x", ev)):
+        probe(
+            f"linear_attribution {tag}",
+            lambda e=e: linear_attribution(e, max_gap_seconds=3600.0),
+        )
+    for tag, m in (("1x", emb1), (f"{factor}x", emb)):
+        probe(
+            f"index_planner {tag}",
+            lambda m=m: similarity.index_memory_planner(
+                m, budget_bytes=10**9, ivf_cells=64
+            ),
+        )
 
     # Round-7d: semantic join in its production (partial-probe) mode.
     # The cell count SCALES WITH THE CORPUS (bounded cell population —
