@@ -10068,7 +10068,7 @@ _DRIVER_PRIORITY = [
     "b09_asof_tolerance",         # B9 as-of join w/ max-staleness bound (r9)
     "b24_twap",                   # B24 time-weighted average price (r10)
     "b33_quantized_topk",         # B33 int8-quantized cosine top-k (r10)
-    "b31_containment_dedup",      # B31 keep-superset containment policy (r9)
+    "b31_dedup_token_savings",    # B31 token-savings pricing of the dedup pass (r10)
     "b19_moving_avg",             # B19 framed moving average (r10)
     "b22_random_split",           # B22 seeded randomSplit partition laws (r10)
     "b33_embedding_dedup",        # B33 embedding-level semantic dedup (r10)
@@ -10214,7 +10214,7 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: (bmm_binary_ingest is rows-only and slots must be oracle-backed).
 #: Every displaced query is green in CORRECTNESS_r08 and its family
 #: keeps >=1 slot; the displaced 31 follow the never-certified queue.
-#: Round 10 rotated TWENTY-SIX slots (VERDICT r9 #1: 85 of 259 never
+#: Round 10 rotated TWENTY-SEVEN slots (VERDICT r9 #1: 85 of 259 never
 #: driver-certified; cumulative 174). Strict queue order: the head 13
 #: placed as 6 in-family swaps (b22_eval_holdout→b22_random_split,
 #: b11_ks_test→b11_histogram, b32_containment_pairs→b32_minhash_increment,
@@ -10307,7 +10307,6 @@ _BONUS_SLOTS = [
     # r10 widening — never-certified by construction, oracle-backed:
     "b28_pr_auc",
     "b33_matryoshka_recall",
-    "b31_dedup_token_savings",
     "b35_linear_attribution",
     "b33_index_planner",
     "b34_vocab_overlap",
@@ -10343,6 +10342,7 @@ _BONUS_SLOTS = [
     "b36_stream_static_join",
     "b25_winsorize",
     "b37_stream_session",
+    "b31_containment_dedup",
 ]
 
 _rest = [
