@@ -151,6 +151,14 @@ BENCH_QUERIES = [
     "b28_join_fanout",
     "b28_gain_chart",
     "b28_auc_exact",
+    # Round-10 widening additions worth timing (index_planner is a 1-row
+    # census + literal expansion; streaming late-drop stays
+    # correctness-gated, not timed).
+    "b28_pr_auc",
+    "b33_matryoshka_recall",
+    "b31_dedup_token_savings",
+    "b34_vocab_overlap",
+    "b35_linear_attribution",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure

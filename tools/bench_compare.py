@@ -28,9 +28,20 @@ def load(path: str) -> dict[str, float]:
     with open(path) as f:
         text = f.read()
     d = json.loads(text)
+    raw_tail = d.get("tail") if isinstance(d, dict) else None
     if "parsed" in d:
         d = d["parsed"]
-    q = d.get("queries")
+    q = (d or {}).get("queries") if isinstance(d, (dict, type(None))) else None
+    if (not isinstance(q, dict) or not q) and raw_tail:
+        # Salvage a front-truncated driver record (BENCH_r09: the
+        # 80-query line outgrew the tail capture and "parsed" is null):
+        # per-query timings that DID survive are regex-recoverable. The
+        # first pair may be cut mid-name, so require the b-prefix shape.
+        import re
+
+        pairs = re.findall(r'"((?:b|q)[a-z0-9_]+)": ([0-9.]+)', raw_tail)
+        q = {k: float(v) for k, v in pairs}
+        q.pop("value", None)
     if not isinstance(q, dict) or not q:
         raise SystemExit(f"{path}: no queries dict found")
     return {k: float(v) for k, v in q.items()}
