@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "b31_dedup_token_savings",
     "b34_vocab_overlap",
     "b35_linear_attribution",
+    "b28_operating_points",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure

@@ -2054,3 +2054,88 @@ def pr_auc_exact(
         ap.cast("long").alias("ap_bp"),
         basep.cast("long").alias("base_bp"),
     )
+
+
+def operating_points(
+    df: DataFrame,
+    score_col: str | Column,
+    label_col: str | Column,
+    thresholds: "Sequence[float]",
+) -> DataFrame:
+    """B28 — classifier OPERATING-POINT report: exact confusion counts
+    and precision/recall/F1 at each candidate decision threshold — the
+    last step of the eval family (calibration_bins/gain_chart say how
+    the score behaves, auc/pr_auc say how it ranks; this is where the
+    filter's cut actually gets chosen, e.g. "keep docs with quality
+    score >= 0.7").
+
+      threshold_bp    the threshold in basis points (exact integer
+                      identity — float thresholds ship as their 1e4
+                      fixed-point form so the row key is hash-stable)
+      tp/fp/fn/tn     exact counts at pred = (score >= threshold)
+      precision_bp    tp·10000 div (tp+fp); NULL when nothing is
+                      predicted positive (undefined, loudly)
+      recall_bp       tp·10000 div (tp+fn); NULL when no positives
+      f1_bp           (2·tp·10000) div (2·tp+fp+fn) — the exact
+                      integer form of the harmonic mean; NULL when
+                      tp+fp+fn = 0
+
+    All-integer output. Plan: one scan; each row explodes into
+    |thresholds| contributions (bounded literal fan-out) and one
+    map-side-combined aggregate folds the confusion counts — no join,
+    no window, output bounded by |thresholds|. NULL scores/labels drop.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    sc = F.col(score_col) if isinstance(score_col, str) else score_col
+    lb = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(
+        sc.alias("_s"), lb.cast("boolean").alias("_y")
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(int(round(float(t) * 10_000))).alias("threshold_bp"),
+                (F.col("_s") >= F.lit(float(t))).alias("_pred"),
+            )
+            for t in thresholds
+        ]
+    )
+    ex = base.select("_y", F.explode(cells).alias("_c")).select(
+        F.col("_c.threshold_bp").alias("threshold_bp"),
+        F.col("_c._pred").alias("_pred"),
+        "_y",
+    )
+    g = ex.groupBy("threshold_bp").agg(
+        F.sum(F.when(F.col("_pred") & F.col("_y"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("_pred") & ~F.col("_y"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("_pred") & F.col("_y"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("_pred") & ~F.col("_y"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    return g.select(
+        "threshold_bp",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            (F.col("tp") + F.col("fp")) > 0,
+            F.expr("(tp * 10000) div (tp + fp)"),
+        ).alias("precision_bp"),
+        F.when(
+            (F.col("tp") + F.col("fn")) > 0,
+            F.expr("(tp * 10000) div (tp + fn)"),
+        ).alias("recall_bp"),
+        F.when(
+            (2 * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+            F.expr("(2 * tp * 10000) div (2 * tp + fp + fn)"),
+        ).alias("f1_bp"),
+    )

@@ -2816,6 +2816,46 @@ def b36(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b36_stream_late_tumbling",
+    """
+    WITH ontime AS (
+      SELECT event_type, value, ts FROM events
+      WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 15 DAY
+    )
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM ontime GROUP BY 1, 2
+    """,
+)
+def b36late(spark: SparkSession, sf: str) -> DataFrame:
+    # Tumbling-window twin of b37_late_data — the late-drop proof across
+    # window TYPES: run 1 commits the watermark off the on-time head;
+    # run 2 replays 15-day-old stragglers (dropped against the
+    # checkpointed watermark) plus a sentinel event at max+4h whose own
+    # hour window ends past the final watermark and never emits. The
+    # sink therefore equals the batch hourly rollup of the on-time
+    # subset alone. The sentinel's event_type is an out-of-fixture
+    # value so even its window grouping cannot collide.
+    import datetime
+    import tempfile
+
+    e = _t(spark, sf, "events")
+    mx = e.agg(F.max("ts")).head()[0]
+    cutoff = mx - datetime.timedelta(days=15)
+    flush = (
+        e.limit(1)
+        .withColumn("ts", F.lit(mx + datetime.timedelta(hours=4)))
+        .withColumn("event_type", F.lit("__wm_flush__"))
+    )
+    base = tempfile.mkdtemp(prefix="late_tumbling_")
+    return STR.run_with_late_replay(
+        e, base, cutoff, STR.tumbling_counts, flush_df=flush, ts_col="ts"
+    )
+
+
+@_q(
     "b36_stream_static_join",
     """
     SELECT c.c_mktsegment, count(*) AS n_events,
@@ -9982,6 +10022,72 @@ def b28prauc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b28_operating_points",
+    """
+    WITH m AS (
+      SELECT lang,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    ), b AS (
+      SELECT round(least(1.0, greatest(0.0,
+                 (length(norm) * 1.0 / len(string_split(norm, ' ')) - 4.0)
+                 / 3.0)), 4) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM m WHERE norm <> ''
+    ), th(t) AS (VALUES (0.3), (0.5), (0.7)), g AS (
+      SELECT CAST(round(t * 10000) AS BIGINT) AS threshold_bp,
+             CAST(sum(CASE WHEN s >= t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN s >= t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN s < t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN s < t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM b CROSS JOIN th GROUP BY 1
+    )
+    SELECT threshold_bp, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0 THEN (tp * 10000) // (tp + fp) END
+               AS precision_bp,
+           CASE WHEN tp + fn > 0 THEN (tp * 10000) // (tp + fn) END
+               AS recall_bp,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN (2 * tp * 10000) // (2 * tp + fp + fn) END AS f1_bp
+    FROM g
+    """,
+)
+def b28op(spark: SparkSession, sf: str) -> DataFrame:
+    # Operating-point report — exact confusion counts + integer-bp
+    # precision/recall/F1 at candidate thresholds over the SAME
+    # mean-word-length-vs-English signal; the step where the filter's
+    # cut is actually chosen, closing the classifier-eval family
+    # (calibration → gain → ROC/PR AUC → operating point). One scan,
+    # bounded threshold fan-out, one aggregate.
+    from ddataframeoperation_spark.operators.relational import (
+        operating_points,
+    )
+
+    m = _t(spark, sf, "documents").select(
+        "lang", dedup.normalized_text("text").alias("_norm")
+    ).filter(F.col("_norm") != "")
+    scored = m.select(
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.greatest(
+                    F.lit(0.0),
+                    (
+                        F.length("_norm")
+                        / F.size(F.split(F.col("_norm"), " "))
+                        - 4.0
+                    )
+                    / 3.0,
+                ),
+            ),
+            4,
+        ).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return operating_points(scored, "score", "label", [0.3, 0.5, 0.7])
+
+
+@_q(
     "b34_bpe_train_step",
     """
     WITH words AS (
@@ -10310,6 +10416,8 @@ _BONUS_SLOTS = [
     "b35_linear_attribution",
     "b33_index_planner",
     "b34_vocab_overlap",
+    "b28_operating_points",
+    "b36_stream_late_tumbling",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

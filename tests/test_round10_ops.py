@@ -510,3 +510,79 @@ def test_vocab_overlap_exclusive_counts(spark):
     assert a["exclusive_bp"] == (3 * 10000) // 4
     assert (b["vocab_size"], b["exclusive"]) == (2, 1)  # delta
     assert (c["vocab_size"], c["exclusive"]) == (1, 1)  # the '' token
+
+
+# ------------------------------------------------------- operating_points
+
+
+def test_operating_points_exact_confusion_and_metrics(spark):
+    from ddataframeoperation_spark.operators.relational import operating_points
+
+    # scores: 0.1..0.9 for 9 rows; positives are the top 4 (0.6..0.9)
+    # plus one hard negative at 0.8? keep it simple and exact:
+    rows = [
+        (0.9, True), (0.8, True), (0.7, False), (0.6, True),
+        (0.4, False), (0.3, True), (0.2, False), (0.1, False),
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = {
+        r["threshold_bp"]: r
+        for r in operating_points(df, "score", "label", [0.5, 0.95]).collect()
+    }
+    r5 = got[5000]
+    # pred>=0.5: {0.9T,0.8T,0.7F,0.6T} -> tp=3 fp=1; fn=1 (0.3T); tn=3.
+    assert (r5["tp"], r5["fp"], r5["fn"], r5["tn"]) == (3, 1, 1, 3)
+    assert r5["precision_bp"] == (3 * 10000) // 4
+    assert r5["recall_bp"] == (3 * 10000) // 4
+    assert r5["f1_bp"] == (2 * 3 * 10000) // (2 * 3 + 1 + 1)
+    # threshold above every score: nothing predicted -> precision NULL.
+    r95 = got[9500]
+    assert (r95["tp"], r95["fp"]) == (0, 0)
+    assert r95["precision_bp"] is None
+    assert r95["recall_bp"] == 0  # positives exist, none recalled
+    assert r95["f1_bp"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="thresholds"):
+        operating_points(df, "score", "label", [])
+
+
+# -------------------------------------------- late-drop tumbling twin
+
+
+def test_late_replay_tumbling_drops_and_flushes(spark, sf_dir, tmp_path):
+    import datetime
+
+    import ddataframeoperation_spark.streaming as STR
+    from ddataframeoperation_spark.catalog import read_fixture_table
+
+    e = read_fixture_table(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts")).head()[0]
+    cutoff = mx - datetime.timedelta(days=15)
+    flush = (
+        e.limit(1)
+        .withColumn("ts", F.lit(mx + datetime.timedelta(hours=4)))
+        .withColumn("event_type", F.lit("__wm_flush__"))
+    )
+    out = STR.run_with_late_replay(
+        e, str(tmp_path / "tumble"), cutoff, STR.tumbling_counts,
+        flush_df=flush, ts_col="ts",
+    )
+    assert e.filter(F.col("ts") < F.lit(cutoff)).count() > 0
+    # No window older than the cutoff hour survives; sentinel absent.
+    assert out.filter(
+        F.col("window_start") < F.date_trunc("hour", F.lit(cutoff))
+    ).count() == 0
+    assert out.filter(F.col("event_type") == "__wm_flush__").count() == 0
+    batch = (
+        e.filter(F.col("ts") >= F.lit(cutoff))
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    assert out.count() == batch.count()
+    assert out.exceptAll(batch.select(*out.columns)).count() == 0

@@ -724,6 +724,12 @@ def main() -> int:
             f"pr_auc {tag}",
             lambda s=scored: relational.pr_auc_exact(s(), "score", "label"),
         )
+        probe(
+            f"operating_points {tag}",
+            lambda s=scored: relational.operating_points(
+                s(), "score", "label", [0.3, 0.5, 0.7]
+            ),
+        )
 
     # Round-10 widening: matryoshka prefix-recall eval (one scan per
     # evaluated dim, two-level per-(query, shard) top-k) and the
