@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "b34_vocab_overlap",
     "b35_linear_attribution",
     "b28_operating_points",
+    "b11_weighted_percentiles",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure

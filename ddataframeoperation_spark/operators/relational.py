@@ -2139,3 +2139,114 @@ def operating_points(
             F.expr("(2 * tp * 10000) div (2 * tp + fp + fn)"),
         ).alias("f1_bp"),
     )
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str | Column,
+    weight_col: str | Column,
+    probs_bp: "Sequence[int]",
+    buckets: int = 512,
+) -> DataFrame:
+    """B11 — EXACT weighted percentiles with no global sort: the
+    weighted p-quantile is the smallest value whose cumulative weight
+    reaches p of the total — e.g. the token-weighted median document
+    length answers "half the TOKENS live in docs shorter than this",
+    which doc-weighted quantiles (every ``percentile()`` builtin) get
+    wrong whenever length and weight correlate — i.e. always, for
+    corpora. No builtin computes this; the naive form is a global sort
+    plus a running-sum window over the full table.
+
+      p_bp           requested percentile in basis points
+      value          the exact quantile: min v with
+                     cumweight(v) · 10000 >= W · p_bp (the left-
+                     continuous inverse CDF — deterministic, no
+                     interpolation, so the value is an ORIGINAL datum
+                     and engine-exact by selection, not arithmetic)
+      cum_weight     exact cumulative weight at that value
+      total_weight   W
+
+    The comparison is multiplied out, never divided — and lifted to
+    DECIMAL(38,0): at 10^12 rows of 10^6-token docs, W·p_bp ≈ 10^22 ≫
+    2^63. Weights must be non-negative integers (casts to long; NULL
+    or <=0-weight rows drop — a zero-weight row cannot move any
+    quantile).
+
+    Plan (the rank_sum/ks/auc machinery): per-distinct-value weight
+    sums (map-side combined), broadcast percentile cut points,
+    bucket-partitioned ASC prefix windows + a <=buckets-row
+    cross-bucket offset table, then each requested p filters the
+    distinct-value table and takes one min — global order statistics
+    with per-bucket parallelism throughout.
+    """
+    if not probs_bp:
+        raise ValueError("probs_bp must be non-empty")
+    if any(not 0 < int(p) <= 10000 for p in probs_bp):
+        raise ValueError("probs_bp entries must be in (0, 10000]")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    from pyspark.sql import Window
+
+    vc = F.col(value_col) if isinstance(value_col, str) else value_col
+    wc = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    base = df.select(
+        vc.alias("_v"), wc.cast("long").alias("_w")
+    ).filter(F.col("_v").isNotNull() & (F.col("_w") > 0))
+    per = base.groupBy("_v").agg(F.sum("_w").cast("long").alias("_pw"))
+    if buckets == 1:
+        bucketed = per.withColumn("_bkt", F.lit(0))
+    else:
+        pr = [i / buckets for i in range(1, buckets)]
+        cuts = per.agg(
+            F.percentile_approx("_v", pr, 10_000).alias("_cuts")
+        )
+        bucketed = per.crossJoin(F.broadcast(cuts)).withColumn(
+            "_bkt",
+            F.size(F.filter(F.col("_cuts"), lambda x: F.col("_v") > x)),
+        )
+    btot = bucketed.groupBy("_bkt").agg(F.sum("_pw").alias("_bw"))
+    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = btot.select(
+        "_bkt",
+        F.coalesce(F.sum("_bw").over(wb), F.lit(0)).cast("long").alias("_off"),
+    )
+    ww = (
+        Window.partitionBy("_bkt")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        bucketed.withColumn("_pre", F.sum("_pw").over(ww).cast("long"))
+        .join(F.broadcast(boff), on="_bkt")
+        .select("_v", (F.col("_off") + F.col("_pre")).alias("_cw"))
+    )
+    total = base.agg(F.sum("_w").cast("long").alias("_W"))
+    j = cum.crossJoin(F.broadcast(total))
+    out = None
+    for p in probs_bp:
+        hit = (
+            j.filter(
+                F.expr(
+                    f"CAST(_cw AS DECIMAL(38,0)) * 10000"
+                    f" >= CAST(_W AS DECIMAL(38,0)) * {int(p)}"
+                )
+            )
+            .agg(
+                F.min_by(
+                    F.struct(
+                        F.col("_v").alias("value"),
+                        F.col("_cw").alias("cum_weight"),
+                    ),
+                    "_v",
+                ).alias("_hit"),
+                F.max("_W").alias("total_weight"),
+            )
+            .select(
+                F.lit(int(p)).cast("long").alias("p_bp"),
+                F.col("_hit.value").alias("value"),
+                F.col("_hit.cum_weight").alias("cum_weight"),
+                "total_weight",
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

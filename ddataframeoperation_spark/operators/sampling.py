@@ -41,6 +41,7 @@ __all__ = [
     "token_budget_mix",
     "epoch_shard_order",
     "kfold_assign",
+    "stratified_kfold_assign",
     "leakage_safe_kfold",
     "temporal_split",
     "shard_manifest",
@@ -909,3 +910,45 @@ def mixture_weights(
         expected.alias("expected_tokens"),
         (F.col("target_tokens") - expected).alias("deficit_tokens"),
     )
+
+
+def stratified_kfold_assign(
+    df: DataFrame,
+    k: int,
+    keys: Sequence[str | Column],
+    strata_col: str,
+    salt: str = "",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """B22 — EXACTLY class-balanced k-fold assignment: within each
+    stratum, rows rank by their md5 uniform and take fold =
+    (rank − 1) mod k, so every stratum splits across the k folds to
+    within ±1 row — the guarantee :func:`kfold_assign`'s pure hash can
+    only give in expectation (a 30-row rare class can land 12/2/16
+    under hash folds, and rare classes are exactly where CV variance
+    hurts). Still fully deterministic: the md5 ordering is a pure
+    function of (key, salt), so re-runs, re-partitions, and other
+    engines reproduce identical folds; unique keys give unique
+    uniforms, so the rank — and therefore the fold — is tie-free.
+
+    Cost over the hash fold: one shuffle on ``strata_col`` for the
+    per-stratum rank window (partitioned by stratum — never a global
+    window; stratum cardinality is the parallelism floor, which is the
+    inherent cost of exact per-stratum balance). NULL keys get a NULL
+    fold (the module contract — they sort last and take no rank); NULL
+    strata form their own stratum, balanced like any other.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql import Window
+
+    u = hash_uniform(keys, salt)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("_u").asc_nulls_last()
+    )
+    with_u = df.withColumn("_u", u)
+    fold = F.when(
+        F.col("_u").isNotNull(),
+        ((F.row_number().over(w) - 1) % k).cast("int"),
+    )
+    return with_u.withColumn(fold_col, fold).drop("_u")

@@ -3918,6 +3918,57 @@ def b11pct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "b11_weighted_percentiles",
+    """
+    WITH t AS (
+      SELECT n_chars AS v,
+             coalesce(len(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' ')), 0) AS w
+      FROM documents
+    ), f AS (
+      SELECT v, w FROM t WHERE v IS NOT NULL AND w > 0
+    ), per AS (
+      SELECT v, CAST(sum(w) AS BIGINT) AS pw FROM f GROUP BY v
+    ), cum AS (
+      SELECT v, CAST(sum(pw) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+      FROM per
+    ), tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM f),
+    probs(p) AS (VALUES (2500), (5000), (9000)),
+    hits AS (
+      SELECT p, v, cw,
+             row_number() OVER (PARTITION BY p ORDER BY v) AS rn
+      FROM probs, cum, tot
+      WHERE CAST(cw AS HUGEINT) * 10000 >= CAST(tw AS HUGEINT) * p
+    )
+    SELECT CAST(p AS BIGINT) AS p_bp, v AS value, cw AS cum_weight,
+           (SELECT tw FROM tot) AS total_weight
+    FROM hits WHERE rn = 1
+    """,
+)
+def b11wp(spark: SparkSession, sf: str) -> DataFrame:
+    # TOKEN-weighted document-length percentiles: "half the tokens live
+    # in docs shorter than this" — the packing/context-budget view of
+    # the length distribution, which doc-weighted quantiles get wrong
+    # whenever length and weight correlate (always, for corpora). Exact
+    # selection via the bucketed no-global-sort machinery; the crossing
+    # test multiplies (DECIMAL-lifted), never divides.
+    from ddataframeoperation_spark.operators.relational import (
+        weighted_percentiles,
+    )
+
+    d = _t(spark, sf, "documents").select(
+        "n_chars",
+        F.coalesce(
+            F.size(F.split(dedup.normalized_text("text"), " ")), F.lit(0)
+        ).cast("long").alias("_w"),
+    )
+    return weighted_percentiles(
+        d, "n_chars", "_w", probs_bp=[2500, 5000, 9000]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Subqueries — scalar-correlated and IN (engine surface beyond the reference)
 # ---------------------------------------------------------------------------
@@ -7540,6 +7591,35 @@ def b22kf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b22_stratified_kfold",
+    """
+    WITH u AS (
+      SELECT doc_id, lang,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || 'cv'), 1, 8))::BIGINT
+                 / 4294967296.0 AS uu
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST((row_number() OVER (PARTITION BY lang ORDER BY uu) - 1) % 5
+                AS INTEGER) AS fold
+    FROM u
+    """,
+)
+def b22skf(spark: SparkSession, sf: str) -> DataFrame:
+    # EXACTLY language-balanced 5-fold CV assignment: per-stratum md5
+    # rank mod k splits every language across folds to within ±1 row —
+    # the guarantee the pure hash fold only gives in expectation, and
+    # rare languages are where CV variance hurts. Still a pure function
+    # of (doc_id, salt); one stratum-key window shuffle.
+    from ddataframeoperation_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    return sampling.stratified_kfold_assign(
+        d, 5, ["doc_id"], strata_col="lang", salt="cv"
+    ).select("doc_id", "lang", "fold")
+
+
+@_q(
     "b25_minmax_scale",
     """
     WITH s AS (
@@ -10418,6 +10498,8 @@ _BONUS_SLOTS = [
     "b34_vocab_overlap",
     "b28_operating_points",
     "b36_stream_late_tumbling",
+    "b22_stratified_kfold",
+    "b11_weighted_percentiles",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

@@ -586,3 +586,96 @@ def test_late_replay_tumbling_drops_and_flushes(spark, sf_dir, tmp_path):
     )
     assert out.count() == batch.count()
     assert out.exceptAll(batch.select(*out.columns)).count() == 0
+
+
+# ---------------------------------------------------- stratified_kfold
+
+
+def test_stratified_kfold_exact_balance_and_determinism(spark):
+    from ddataframeoperation_spark.operators.sampling import (
+        stratified_kfold_assign,
+    )
+
+    rows = [(i, "rare" if i < 13 else "common") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    out = stratified_kfold_assign(df, 5, ["id"], strata_col="cls", salt="s")
+    per = {
+        (r["cls"], r["fold"]): r["n"]
+        for r in out.groupBy("cls", "fold").agg(F.count("*").alias("n")).collect()
+    }
+    # Exact ±1 balance per stratum — 13 rare rows over 5 folds = 3/3/3/2/2.
+    rare = sorted(per[("rare", f)] for f in range(5))
+    assert rare == [2, 2, 3, 3, 3]
+    common = sorted(per[("common", f)] for f in range(5))
+    assert common == [37, 37, 38, 38, 37] or sum(common) == 187
+    assert max(common) - min(common) <= 1
+    # Deterministic: a repartitioned rerun yields identical assignments.
+    again = stratified_kfold_assign(
+        df.repartition(17), 5, ["id"], strata_col="cls", salt="s"
+    )
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    # NULL key -> NULL fold (module contract).
+    nk = spark.createDataFrame([(None, "x"), (1, "x")], "id long, cls string")
+    got = {
+        r["id"]: r["fold"]
+        for r in stratified_kfold_assign(nk, 5, ["id"], "cls").collect()
+    }
+    assert got[None] is None and got[1] is not None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        stratified_kfold_assign(df, 1, ["id"], "cls")
+
+
+# -------------------------------------------------- weighted_percentiles
+
+
+def test_weighted_percentiles_matches_brute_force(spark):
+    import random
+
+    from ddataframeoperation_spark.operators.relational import (
+        weighted_percentiles,
+    )
+
+    rng = random.Random(5)
+    rows = [(rng.randint(1, 50), rng.randint(1, 9)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "v long, w long")
+
+    def brute(p_bp):
+        agg = {}
+        for v, w in rows:
+            agg[v] = agg.get(v, 0) + w
+        total = sum(agg.values())
+        cw = 0
+        for v in sorted(agg):
+            cw += agg[v]
+            if cw * 10000 >= total * p_bp:
+                return v, cw, total
+        raise AssertionError
+
+    got = {
+        r["p_bp"]: r
+        for r in weighted_percentiles(
+            df, "v", "w", [2500, 5000, 9000, 10000], buckets=8
+        ).collect()
+    }
+    for p in (2500, 5000, 9000, 10000):
+        v, cw, total = brute(p)
+        r = got[p]
+        assert (r["value"], r["cum_weight"], r["total_weight"]) == (v, cw, total), p
+    # Bucketing invariance: 1 bucket == 8 buckets.
+    a = sorted(map(tuple, weighted_percentiles(df, "v", "w", [5000], buckets=1).collect()))
+    b = sorted(map(tuple, weighted_percentiles(df, "v", "w", [5000], buckets=8).collect()))
+    assert a == b
+    # Zero/NULL-weight rows cannot move a quantile.
+    df2 = df.unionByName(
+        spark.createDataFrame([(1, 0), (50, None)], "v long, w long")
+    )
+    c = sorted(map(tuple, weighted_percentiles(df2, "v", "w", [5000]).collect()))
+    assert c == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="probs_bp"):
+        weighted_percentiles(df, "v", "w", [])
+    with _pytest.raises(ValueError, match="probs_bp"):
+        weighted_percentiles(df, "v", "w", [0])

@@ -43,6 +43,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
                                 # (same rank machinery as rank_sum/ks)
     "b28_pr_auc",               # <=buckets-row cross-bucket offset table
                                 # (descending twin of the auc machinery)
+    "b11_weighted_percentiles", # <=buckets-row cross-bucket offset table
+                                # (weighted twin of the same machinery;
+                                # one offset window per requested prob)
 }
 
 #: BroadcastNestedLoopJoin shapes beyond the 1-row Cross/BuildRight

@@ -751,6 +751,21 @@ def main() -> int:
             lambda d=d: dedup.dedup_token_savings(d),
         )
         probe(
+            f"stratified_kfold {tag}",
+            lambda d=d: sampling.stratified_kfold_assign(
+                d, 5, ["doc_id"], strata_col="lang", salt="cv"
+            ),
+        )
+        probe(
+            f"weighted_percentiles {tag}",
+            lambda d=d: relational.weighted_percentiles(
+                d.select("n_chars",
+                         F.coalesce(F.size(TX.tokens("text")), F.lit(0))
+                         .cast("long").alias("_w")),
+                "n_chars", "_w", probs_bp=[2500, 5000, 9000],
+            ),
+        )
+        probe(
             f"vocab_overlap {tag}",
             lambda d=d: TX.vocab_overlap_by_source(d),
         )
