@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-__all__ = ["asof_join", "interval_overlap_join"]
+__all__ = ["asof_join", "asof_join_nearest", "interval_overlap_join"]
 
 
 def asof_join(
@@ -182,4 +182,120 @@ def interval_overlap_join(
             (F.col("l_start") <= F.col("r_end"))
             & (F.col("r_start") <= F.col("l_end"))
         )
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance_seconds: float | None = None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join, ``direction='nearest'`` — the third pandas
+    ``merge_asof`` direction completing backward/forward: each left row
+    takes the right row with the SMALLEST absolute time distance within
+    ``key``, either side of it. Deterministic tie ladder, stated because
+    engines have no default here: equidistant backward/forward
+    candidates resolve BACKWARD (the earlier row — pandas' own rule);
+    same-timestamp right rows resolve to the greatest ``right_tiebreak``
+    value (pass a unique id; without one, equal-timestamp duplicates
+    are the caller's nondeterminism to own).
+
+    Output: every left column, ``{c}_asof`` for each right column, and
+    ``gap_us`` — the SIGNED match distance in exact integer
+    microseconds (positive = matched an earlier right row; the §20
+    rule: second-resolution epochs would misclassify sub-second
+    nearest-side decisions). ``tolerance_seconds`` voids matches
+    farther than the window (both value columns and gap_us go NULL).
+
+    Plan: the same single union + key-partitioned fill as
+    :func:`asof_join`, run in BOTH directions — one hash exchange on
+    ``key``, two sorts over it (Catalyst reuses the partitioning), no
+    join. Each left row then picks between its two candidate fills
+    row-locally.
+    """
+    lcols = left.columns
+    tb = (
+        F.col(right_tiebreak)
+        if right_tiebreak is not None
+        else F.lit(0)
+    )
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tb"),
+        F.struct(*lcols).alias("_l"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
+            for c in right_cols
+        ],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        tb.cast("long").alias("_tb"),
+        F.lit(None)
+        .cast(left.select(F.struct(*lcols)).schema[0].dataType)
+        .alias("_l"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias("_r_ts"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    # Backward scan: right rows order BEFORE left rows at equal ts
+    # (inclusive at-or-before); among equal-ts rights, ascending _tb so
+    # last() picks the greatest tiebreak.
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Forward scan: reverse event time; same inclusivity and tie rules.
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").desc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(wb).alias(f"_b_{c}")
+            for c in right_cols
+        ],
+        F.last("_r_ts", ignorenulls=True).over(wb).alias("_b_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}")
+            for c in right_cols
+        ],
+        F.last("_r_ts", ignorenulls=True).over(wf).alias("_f_ts"),
+    ).filter(F.col("_side") == 1)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gb = us(F.col("_ts")) - us(F.col("_b_ts"))
+    gf = us(F.col("_f_ts")) - us(F.col("_ts"))
+    use_b = F.col("_b_ts").isNotNull() & (
+        F.col("_f_ts").isNull() | (gb <= gf)
+    )
+    signed_gap = F.when(use_b, gb).otherwise(-gf)
+    within = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else F.abs(signed_gap) <= F.lit(int(round(tolerance_seconds * 1e6)))
+    )
+    matched = (F.col("_b_ts").isNotNull() | F.col("_f_ts").isNotNull()) & within
+    vals = [
+        F.when(
+            matched, F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))
+        ).alias(f"{c}_asof")
+        for c in right_cols
+    ]
+    return filled.select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *vals,
+        F.when(matched, signed_gap).cast("long").alias("gap_us"),
     )

@@ -3837,6 +3837,56 @@ def b09asoft(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b09_asof_nearest",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           round(x.value, 4) AS click_value,
+           x.gap_us
+    FROM p LEFT JOIN LATERAL (
+      SELECT c.value,
+             CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+      FROM c
+      WHERE c.user_id = p.user_id
+        AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 1800000000
+      ORDER BY abs(epoch_us(c.ts) - epoch_us(p.ts)) ASC,
+               c.ts ASC, c.event_id DESC
+      LIMIT 1
+    ) x ON TRUE
+    """,
+)
+def b09near(spark: SparkSession, sf: str) -> DataFrame:
+    # The third merge_asof direction, completing backward/tolerance:
+    # each purchase takes the CLOSEST click either side within 30 min,
+    # ties resolving backward (pandas' own rule) then by greatest
+    # event_id — a fully stated ladder because engines have no default.
+    # gap_us is the signed exact-microsecond distance (positive =
+    # matched an earlier click). One key exchange, two sorts, no join.
+    from ddataframeoperation_spark.operators.asof import asof_join_nearest
+
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    clicks = e.filter(F.col("event_type") == "click")
+    j = asof_join_nearest(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value"], tolerance_seconds=1800.0,
+        right_tiebreak="event_id",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.round("value_asof", 4).alias("click_value"),
+        "gap_us",
+    )
+
+
+@_q(
     "b09_interval_overlap",
     """
     WITH iv AS (
@@ -10500,6 +10550,7 @@ _BONUS_SLOTS = [
     "b36_stream_late_tumbling",
     "b22_stratified_kfold",
     "b11_weighted_percentiles",
+    "b09_asof_nearest",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

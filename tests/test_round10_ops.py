@@ -679,3 +679,54 @@ def test_weighted_percentiles_matches_brute_force(spark):
         weighted_percentiles(df, "v", "w", [])
     with _pytest.raises(ValueError, match="probs_bp"):
         weighted_percentiles(df, "v", "w", [0])
+
+
+# ------------------------------------------------------- asof_join_nearest
+
+
+def test_asof_nearest_picks_closest_with_tie_ladder(spark):
+    import datetime as dt
+
+    from ddataframeoperation_spark.operators.asof import asof_join_nearest
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(sec):
+        return t0 + dt.timedelta(seconds=sec)
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, ts(100)),   # clicks at 90 (gap 10) and 105 (gap 5) -> forward
+            (1, 200, ts(200)),   # clicks at 195 and 205 equidistant -> BACKWARD
+            (1, 300, ts(300)),   # clicks at 205 (gap 95) and 394 (gap 94) -> forward
+            (2, 400, ts(400)),   # no clicks for user 2 -> NULLs
+            (1, 500, ts(600)),   # nearest click 206s away -> out of tolerance
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 11, ts(90), 1.0),
+            (1, 12, ts(105), 2.0),
+            (1, 13, ts(195), 3.0),
+            (1, 14, ts(205), 4.0),
+            (1, 15, ts(195), 5.0),   # same-ts duplicate: greater id (15) wins
+            (1, 16, ts(394), 6.0),
+            (1, 17, ts(10000), 7.0),
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join_nearest(
+            left, right, key="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["value"], tolerance_seconds=120.0,
+            right_tiebreak="event_id",
+        ).collect()
+    }
+    assert out[100]["value_asof"] == 2.0 and out[100]["gap_us"] == -5_000_000
+    # Equidistant: backward wins; same-ts duplicate at 195 -> id 15 (5.0).
+    assert out[200]["value_asof"] == 5.0 and out[200]["gap_us"] == 5_000_000
+    assert out[300]["value_asof"] == 6.0 and out[300]["gap_us"] == -94_000_000
+    assert out[400]["value_asof"] is None and out[400]["gap_us"] is None
+    assert out[500]["value_asof"] is None and out[500]["gap_us"] is None

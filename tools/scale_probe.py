@@ -778,6 +778,17 @@ def main() -> int:
             f"linear_attribution {tag}",
             lambda e=e: linear_attribution(e, max_gap_seconds=3600.0),
         )
+        from ddataframeoperation_spark.operators.asof import asof_join_nearest
+        probe(
+            f"asof_nearest {tag}",
+            lambda e=e: asof_join_nearest(
+                e.filter(F.col("event_type") == "purchase"),
+                e.filter(F.col("event_type") == "click"),
+                key="user_id", left_ts="ts", right_ts="ts",
+                right_cols=["value"], tolerance_seconds=1800.0,
+                right_tiebreak="event_id",
+            ),
+        )
     for tag, m in (("1x", emb1), (f"{factor}x", emb)):
         probe(
             f"index_planner {tag}",
