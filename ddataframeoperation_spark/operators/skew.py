@@ -40,6 +40,7 @@ __all__ = [
     "key_skew_audit",
     "join_strategy_advice",
     "join_fanout_estimate",
+    "write_audit_publish",
 ]
 
 
@@ -584,3 +585,69 @@ def _fanout_from_censuses(
         "total_out_rows",
         "matched_keys",
     )
+
+
+def write_audit_publish(
+    df: DataFrame,
+    target: str,
+    rules: "dict[str, Column]",
+    fmt: str = "parquet",
+) -> DataFrame:
+    """B29 — the Write-Audit-Publish (WAP) sink: write to a STAGING
+    directory, run the one-scan expectations gate (:func:`relational.
+    validate_expectations`) over the files actually WRITTEN — auditing
+    the staged output, not the input lineage, so serialization bugs and
+    non-deterministic upstream recomputation are inside the audit — and
+    only then swap the staging directory into place atomically
+    (:func:`_swap_staging`: rename-aside + rename, so readers see the
+    old table or the new one, never a partial write; the same
+    same-filesystem-rename contract every non-transactional WAP relies
+    on — on object stores you'd reach for a table format instead). On
+    ANY violation nothing publishes: the target keeps its previous
+    contents and the staging dir REMAINS for inspection (its path is in
+    the report).
+
+    Returns the audit report — one row per rule plus a ``_publish``
+    summary row:
+
+      rule          expectation name, or '_publish'
+      n_violations  violations counted on the STAGED data (for
+                    '_publish': total violations across rules)
+      published     whether the swap happened (same value every row)
+      n_rows        read-back row count of the PUBLISHED target
+                    (NULL when not published)
+
+    One write, one audit scan, renames — the audit is the only extra
+    read and it is a single aggregate over the staged files.
+    """
+    import uuid as _uuid
+
+    from ddataframeoperation_spark.operators.relational import (
+        validate_expectations,
+    )
+
+    if not rules:
+        raise ValueError("write_audit_publish requires at least one rule")
+    spark = df.sparkSession
+    staging = target.rstrip("/") + f"__staging_{_uuid.uuid4().hex[:12]}"
+    df.write.mode("overwrite").format(fmt).save(staging)
+    staged = spark.read.format(fmt).load(staging)
+    report = validate_expectations(staged, rules).collect()
+    total = sum(r["n_violations"] for r in report)
+    published = total == 0
+    if published:
+        _swap_staging(spark, staging, target)
+        n_rows = spark.read.format(fmt).load(target).count()
+    else:
+        n_rows = None
+    rows = [
+        (r["rule"], r["n_violations"], published, n_rows) for r in report
+    ] + [("_publish", total, published, n_rows)]
+    out = spark.createDataFrame(
+        rows, "rule string, n_violations long, published boolean, n_rows long"
+    )
+    if not published:
+        # Surface the retained staging path without printing from executors.
+        out = out.withColumn("staging_kept", F.lit(staging))
+        return out
+    return out.withColumn("staging_kept", F.lit(None).cast("string"))

@@ -3523,6 +3523,63 @@ def b29(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(out_root, ignore_errors=True)
 
 
+@_q(
+    "b29_write_audit_publish",
+    """
+    WITH v AS (
+      SELECT 'doc_id_not_null' AS rule,
+             CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_violations
+      FROM documents
+      UNION ALL
+      SELECT 'n_chars_nonneg',
+             CAST(sum(CASE WHEN n_chars >= 0 THEN 0 ELSE 1 END) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'lang_present',
+             CAST(sum(CASE WHEN lang IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+      FROM documents
+    )
+    SELECT rule, n_violations, TRUE AS published,
+           (SELECT count(*) FROM documents) AS n_rows,
+           CAST(NULL AS VARCHAR) AS staging_kept
+    FROM (
+      SELECT rule, n_violations FROM v
+      UNION ALL
+      SELECT '_publish', (SELECT CAST(sum(n_violations) AS BIGINT) FROM v)
+    )
+""",
+)
+def b29wap(spark: SparkSession, sf: str) -> DataFrame:
+    # Write-Audit-Publish sink: stage the corpus, audit the STAGED files
+    # with the one-scan expectations gate, atomically swap into place
+    # only when clean — the non-transactional WAP pattern (rename-aside
+    # + rename, readers never see a partial table). All three rules pass
+    # on the fixture, so the report shows published=true and the
+    # read-back row count; the failure path (staging retained, target
+    # untouched) is pinned by unit test.
+    import shutil
+    import tempfile
+
+    from ddataframeoperation_spark.operators.skew import write_audit_publish
+
+    d = _t(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="ddfo_wap_")
+    try:
+        return write_audit_publish(
+            d,
+            f"{root}/corpus",
+            {
+                "doc_id_not_null": F.col("doc_id").isNotNull(),
+                "n_chars_nonneg": F.col("n_chars") >= 0,
+                "lang_present": F.col("lang").isNotNull(),
+            },
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+
 def _content_digest(df: DataFrame, cols: list[str], money: set[str]) -> DataFrame:
     """Executor-side order-insensitive content digest: per row, md5 a
     canonical '\\x1f'-joined rendering of the columns, take the first 8 hex
@@ -10551,6 +10608,7 @@ _BONUS_SLOTS = [
     "b22_stratified_kfold",
     "b11_weighted_percentiles",
     "b09_asof_nearest",
+    "b29_write_audit_publish",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

@@ -730,3 +730,48 @@ def test_asof_nearest_picks_closest_with_tie_ladder(spark):
     assert out[300]["value_asof"] == 6.0 and out[300]["gap_us"] == -94_000_000
     assert out[400]["value_asof"] is None and out[400]["gap_us"] is None
     assert out[500]["value_asof"] is None and out[500]["gap_us"] is None
+
+
+# ----------------------------------------------------- write_audit_publish
+
+
+def test_wap_publishes_only_when_clean(spark, tmp_path):
+    import glob
+    import os
+
+    from ddataframeoperation_spark.operators.skew import write_audit_publish
+
+    target = str(tmp_path / "tbl")
+    good = spark.createDataFrame(
+        [(1, 10), (2, 20)], "id long, v long"
+    )
+    rules = {"v_positive": F.col("v") > 0, "id_not_null": F.col("id").isNotNull()}
+    rep = {r["rule"]: r for r in write_audit_publish(good, target, rules).collect()}
+    assert rep["_publish"]["published"] and rep["_publish"]["n_violations"] == 0
+    assert rep["_publish"]["n_rows"] == 2
+    assert rep["v_positive"]["staging_kept"] is None
+    assert spark.read.parquet(target).count() == 2
+    # Dirty write: audit fails -> target KEEPS the previous contents,
+    # nothing publishes, and the staging dir remains for inspection.
+    bad = spark.createDataFrame([(3, -5), (4, 40)], "id long, v long")
+    rep2 = {r["rule"]: r for r in write_audit_publish(bad, target, rules).collect()}
+    assert not rep2["_publish"]["published"]
+    assert rep2["v_positive"]["n_violations"] == 1
+    assert rep2["_publish"]["n_rows"] is None
+    staging = rep2["_publish"]["staging_kept"]
+    assert staging and os.path.isdir(staging)
+    assert spark.read.parquet(staging).count() == 2  # retained for forensics
+    # The published table is untouched — still the GOOD version.
+    assert sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(target).collect()
+    ) == [(1, 10), (2, 20)]
+    # A clean re-publish atomically replaces the table (rename-aside path).
+    good2 = spark.createDataFrame([(5, 50)], "id long, v long")
+    rep3 = {r["rule"]: r for r in write_audit_publish(good2, target, rules).collect()}
+    assert rep3["_publish"]["published"] and rep3["_publish"]["n_rows"] == 1
+    assert [tuple(r) for r in spark.read.parquet(target).collect()] == [(5, 50)]
+    assert not glob.glob(target + "__old")  # retired copy cleaned up
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rule"):
+        write_audit_publish(good, target, {})
