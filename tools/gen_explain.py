@@ -80,6 +80,11 @@ HEADLINE = [
     # Round 10
     ("b28_pr_auc", "Exact-fold PR-AUC: per-distinct-score counts, DESCENDING bucket-partitioned prefix windows + bounded offset table, one DECIMAL(38,0) integer-fold aggregate — no global sort"),
     ("b28_gain_chart", "Gain/lift chart: one percentile broadcast, window-free cumulative via bounded explode-refold, DECIMAL(38,0)-lifted basis points"),
+    ("b09_asof_nearest", "Nearest-direction as-of: ONE hash exchange on the key, two sorted fills (backward + forward), row-local pick — no join"),
+    ("b11_weighted_percentiles", "Exact weighted quantiles: per-distinct-value weight sums, bucketed prefix windows, DECIMAL-lifted multiply-out crossing test — no global sort"),
+    ("b35_linear_attribution", "Linear multi-touch attribution: one user-key RANGE window in integer microseconds, bounded stack, one aggregate — no self-join"),
+    ("b33_matryoshka_recall", "Matryoshka recall: per-dim corpus scans through two-level sharded top-k, LEFT SEMI vs broadcast full-dim winners, |dims|-row integer report"),
+    ("b34_vocab_overlap", "Vocabulary overlap: only the distinct (source, token) pair set shuffles; per-token source counts fold back, |sources|-row report"),
 ]
 
 SKIP_PREFIXES = (
