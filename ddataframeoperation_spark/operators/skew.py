@@ -41,6 +41,7 @@ __all__ = [
     "join_strategy_advice",
     "join_fanout_estimate",
     "write_audit_publish",
+    "bloom_filter_report",
 ]
 
 
@@ -651,3 +652,163 @@ def write_audit_publish(
         out = out.withColumn("staging_kept", F.lit(staging))
         return out
     return out.withColumn("staging_kept", F.lit(None).cast("string"))
+
+
+def bloom_filter_report(
+    build: DataFrame,
+    build_key: str,
+    probe: DataFrame,
+    probe_key: str,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+    salt: str = "bf",
+) -> DataFrame:
+    """B12 — measured effectiveness of a Bloom runtime filter for a join,
+    BEFORE you pay for one: the go/no-go report for
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` (and for hand-built
+    semi-join pushdowns) on a specific build/probe pair.
+
+    The filter is simulated logically and deterministically — no engine
+    sketch, no bitset: position ``i`` of key ``k`` is
+    ``md5(k || '|' || salt || '|' || i)`` (first 8 hex) mod ``n_bits``, the
+    same md5-prefix recipe as :func:`sampling.hash_uniform`, so any engine
+    reproduces the identical filter and the report is exactly
+    oracle-checkable. A probe key PASSES when every one of its (distinct)
+    positions appears in the build side's position set — the textbook Bloom
+    semantics, including its one-sided error: no false negatives (pinned by
+    test), only false positives.
+
+    Plan shape, sized for the 100 TB probe side: the position set is built
+    from the BUILD side's distinct keys (the dimension/filtered side — small
+    by assumption, exactly like the engine's own runtime filter) and
+    broadcast; probe work is one distinct over probe keys plus
+    per-distinct-key hashing — the probe fact table itself is never
+    shuffled, only semi-joined to the per-key flag table on its own key.
+    NULL keys never pass and are excluded from every count (a Bloom filter
+    has no NULL membership; stated contract).
+
+    Returns ONE row:
+
+      n_build_keys / n_probe_keys   distinct non-NULL keys per side
+      n_pass_keys                   probe keys the Bloom admits
+      n_true_keys                   probe keys actually present in build
+      n_false_pos_keys              admitted but absent (= pass - true)
+      n_probe_rows / n_pass_rows / n_true_rows   same three, in probe ROWS
+      skip_bp                       basis points of probe rows the filter
+                                    would eliminate before the join,
+                                    computed in DECIMAL(38,0) (the
+                                    row-count x 10^4 product is the int64
+                                    overflow class VERDICT r9 flagged in
+                                    gain_chart; never long arithmetic)
+
+    Sizing guidance rides on the output: if ``n_false_pos_keys`` is a large
+    share of admitted keys, ``n_bits`` is undersized for the build
+    cardinality (m/n < ~10 bits/key at k=3) — grow ``n_bits`` before
+    enabling the real filter.
+    """
+    if n_bits <= 0 or n_hashes <= 0:
+        raise ValueError("n_bits and n_hashes must be positive")
+
+    def _positions(key: Column) -> list[Column]:
+        return [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                key.cast("string"),
+                                F.lit(f"|{salt}|{i}"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(n_bits)
+            )
+            for i in range(n_hashes)
+        ]
+
+    bk = (
+        build.select(F.col(build_key).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+    )
+    bpos = (
+        bk.select(F.explode(F.array(*_positions(F.col("k")))).alias("pos"))
+        .distinct()
+    )
+    pk = (
+        probe.select(F.col(probe_key).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .distinct()
+    )
+    # Distinct (key, pos): a key whose hash family collides internally
+    # contributes each position once, so `hit == npos` is collision-safe.
+    ppos = pk.select(
+        "k", F.explode(F.array(*_positions(F.col("k")))).alias("pos")
+    ).distinct()
+    pstat = (
+        ppos.join(F.broadcast(bpos.withColumn("_in", F.lit(1))), "pos", "left")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("npos"),
+            F.sum(F.coalesce(F.col("_in"), F.lit(0))).alias("hit"),
+        )
+    )
+    flags = (
+        pstat.join(F.broadcast(bk.withColumn("_t", F.lit(1))), "k", "left")
+        .select(
+            "k",
+            (F.col("hit") == F.col("npos")).alias("pass"),
+            F.coalesce(F.col("_t") == 1, F.lit(False)).alias("istrue"),
+        )
+    )
+    rows = probe.select(F.col(probe_key).alias("k")).filter(
+        F.col("k").isNotNull()
+    ).join(flags, "k")
+    agg = rows.agg(
+        F.count(F.lit(1)).alias("n_probe_rows"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass_rows"),
+        F.sum(F.when(F.col("istrue"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_rows"),
+    )
+    kagg = flags.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass_keys"),
+        F.sum(F.when(F.col("istrue"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_keys"),
+    )
+    nb = bk.agg(F.count(F.lit(1)).alias("n_build_keys"))
+    return (
+        nb.crossJoin(kagg)
+        .crossJoin(agg)
+        .select(
+            "n_build_keys",
+            "n_probe_keys",
+            "n_pass_keys",
+            "n_true_keys",
+            (F.col("n_pass_keys") - F.col("n_true_keys")).alias(
+                "n_false_pos_keys"
+            ),
+            "n_probe_rows",
+            "n_pass_rows",
+            "n_true_rows",
+            F.when(F.col("n_probe_rows") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "(CAST(n_probe_rows - n_pass_rows AS DECIMAL(38,0))"
+                    " * 10000) div n_probe_rows"
+                ).cast("long")
+            )
+            .alias("skip_bp"),
+        )
+    )

@@ -8478,6 +8478,74 @@ def b12ov(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b12_bloom_rf",
+    """
+    WITH bk AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderkey IS NOT NULL
+    ), hs(i) AS (VALUES (0), (1), (2)),
+    bpos AS (
+      SELECT DISTINCT
+        ('0x' || substring(md5(CAST(k AS VARCHAR) || '|bf|' || i), 1, 8))::BIGINT
+          % 65536 AS pos
+      FROM bk CROSS JOIN hs
+    ), pk AS (
+      SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE l_orderkey IS NOT NULL
+    ), ppos AS (
+      SELECT DISTINCT k,
+        ('0x' || substring(md5(CAST(k AS VARCHAR) || '|bf|' || i), 1, 8))::BIGINT
+          % 65536 AS pos
+      FROM pk CROSS JOIN hs
+    ), pstat AS (
+      SELECT ppos.k, count(*) AS npos,
+             sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS hit
+      FROM ppos LEFT JOIN bpos b ON b.pos = ppos.pos
+      GROUP BY ppos.k
+    ), flags AS (
+      SELECT p.k, (p.hit = p.npos) AS pass, (bk.k IS NOT NULL) AS istrue
+      FROM pstat p LEFT JOIN bk ON bk.k = p.k
+    ), rowflags AS (
+      SELECT f.pass, f.istrue
+      FROM lineitem l JOIN flags f ON f.k = l.l_orderkey
+    )
+    SELECT b.n_build_keys, kf.n_probe_keys, kf.n_pass_keys, kf.n_true_keys,
+           kf.n_pass_keys - kf.n_true_keys AS n_false_pos_keys,
+           rf.n_probe_rows, rf.n_pass_rows, rf.n_true_rows,
+           CASE WHEN rf.n_probe_rows = 0 THEN 0
+                ELSE CAST((CAST(rf.n_probe_rows - rf.n_pass_rows AS HUGEINT)
+                           * 10000) // rf.n_probe_rows AS BIGINT)
+           END AS skip_bp
+    FROM (SELECT count(*) AS n_build_keys FROM bk) b
+    CROSS JOIN (
+      SELECT count(*) AS n_probe_keys,
+             CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_keys,
+             CAST(sum(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_true_keys
+      FROM flags) kf
+    CROSS JOIN (
+      SELECT count(*) AS n_probe_rows,
+             CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_rows,
+             CAST(sum(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_true_rows
+      FROM rowflags) rf
+    """,
+)
+def b12bf(spark: SparkSession, sf: str) -> DataFrame:
+    # Go/no-go report for a Bloom runtime filter on the urgent-orders →
+    # lineitem join: the filter is simulated with the engine-independent
+    # md5-position recipe, so pass/true/false-positive counts (and the
+    # basis points of probe rows a real filter would skip) hash-match the
+    # oracle exactly. m=2^16, k=3 against ~n_build=3000 keys at sf0.01 —
+    # a deliberately mid-sized filter so false positives are nonzero and
+    # the undersizing diagnostic is exercised.
+    from ddataframeoperation_spark.operators import skew
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = _t(spark, sf, "lineitem")
+    return skew.bloom_filter_report(
+        o, "o_orderkey", li, "l_orderkey", n_bits=1 << 16, n_hashes=3, salt="bf"
+    )
+
+
+@_q(
     "b23_unicode_normalize",
     """
     SELECT doc_id, nfc_normalize(text) AS text_nfc, length(nfc_normalize(text)) AS n_nfc
@@ -10609,6 +10677,7 @@ _BONUS_SLOTS = [
     "b11_weighted_percentiles",
     "b09_asof_nearest",
     "b29_write_audit_publish",
+    "b12_bloom_rf",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

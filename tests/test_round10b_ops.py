@@ -1,0 +1,78 @@
+"""Round-10 late-session widening: contract tests for the new operators.
+
+- bloom_filter_report: textbook Bloom semantics pinned against a
+  brute-force Python bloom built with the same md5 recipe — NO false
+  negatives ever, false positives exactly as the position sets dictate,
+  NULL keys excluded from every count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyspark.sql.functions as F  # noqa: F401
+
+
+def _positions(key, salt: str, n_hashes: int, n_bits: int) -> set[int]:
+    return {
+        int(
+            hashlib.md5(f"{key}|{salt}|{i}".encode()).hexdigest()[:8], 16
+        )
+        % n_bits
+        for i in range(n_hashes)
+    }
+
+
+def test_bloom_report_matches_bruteforce_and_never_false_negative(spark):
+    from ddataframeoperation_spark.operators.skew import bloom_filter_report
+
+    n_bits, n_hashes, salt = 64, 3, "t"
+    build_keys = list(range(0, 40, 2))  # 20 keys
+    probe_keys = list(range(0, 120))  # 120 keys, 20 true
+    # Probe rows: each key appears (k % 3) + 1 times.
+    probe_rows = [k for k in probe_keys for _ in range((k % 3) + 1)]
+
+    build = spark.createDataFrame([(k,) for k in build_keys], "k long")
+    probe = spark.createDataFrame(
+        [(k,) for k in probe_rows] + [(None,)], "k long"
+    )
+    rep = bloom_filter_report(
+        build, "k", probe, "k", n_bits=n_bits, n_hashes=n_hashes, salt=salt
+    ).collect()[0]
+
+    bpos = set().union(
+        *(_positions(k, salt, n_hashes, n_bits) for k in build_keys)
+    )
+    passes = {
+        k for k in probe_keys if _positions(k, salt, n_hashes, n_bits) <= bpos
+    }
+    true = set(build_keys)
+    # No false negatives: every true key passes (the m=64 filter is tiny,
+    # so false positives are guaranteed too — both sides exercised).
+    assert true <= passes
+    assert passes - true, "fixture must produce false positives"
+
+    assert rep["n_build_keys"] == len(build_keys)
+    assert rep["n_probe_keys"] == len(probe_keys)
+    assert rep["n_pass_keys"] == len(passes)
+    assert rep["n_true_keys"] == len(true)
+    assert rep["n_false_pos_keys"] == len(passes - true)
+    n_rows = len(probe_rows)
+    n_pass_rows = sum((k % 3) + 1 for k in passes)
+    n_true_rows = sum((k % 3) + 1 for k in true)
+    assert rep["n_probe_rows"] == n_rows  # NULL-key row excluded
+    assert rep["n_pass_rows"] == n_pass_rows
+    assert rep["n_true_rows"] == n_true_rows
+    assert rep["skip_bp"] == (n_rows - n_pass_rows) * 10000 // n_rows
+
+
+def test_bloom_report_rejects_bad_params(spark):
+    import pytest
+
+    from ddataframeoperation_spark.operators.skew import bloom_filter_report
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        bloom_filter_report(df, "k", df, "k", n_bits=0)
+    with pytest.raises(ValueError):
+        bloom_filter_report(df, "k", df, "k", n_hashes=0)
