@@ -382,6 +382,53 @@ def validate_expectations(
     return stacked.select("e.rule", "e.n_violations")
 
 
+def quarantine(
+    df: DataFrame,
+    rules: "dict[str, Column]",
+    reasons_col: str = "reasons",
+) -> "tuple[DataFrame, DataFrame]":
+    """B28 — row-level quality routing (the dead-letter half of
+    :func:`validate_expectations`): split the input into (clean,
+    quarantined) where a row is quarantined when it fails ANY rule, and
+    each quarantined row carries WHICH rules it failed — the forensic
+    record a production ingest keeps instead of silently dropping rows.
+
+    Same rule contract as the aggregate gate: a rule is a boolean Column
+    that is TRUE when the row PASSES; NULL counts as a violation.
+    ``reasons_col`` on the quarantined side is the comma-joined list of
+    failed rule names in SORTED-NAME order (deterministic regardless of
+    dict insertion order or plan shape).
+
+    Plan shape: one projection computing the failed-rule array, two
+    narrow filters over it — no shuffle, no second scan; both outputs
+    share the one scan's pushdown/pruning. At 100 TB the quarantined
+    side is typically written to a separate partition/table and the
+    clean side flows on — both are lazy here, so the caller pays only
+    for what it materializes.
+    """
+    names = sorted(rules)
+    if not names:
+        raise ValueError("quarantine requires at least one rule")
+    failed = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.coalesce(rules[n], F.lit(False)), F.lit(n)
+                )
+                for n in names
+            ]
+        )
+    )
+    tagged = df.withColumn("_failed", failed)
+    clean = tagged.filter(F.size("_failed") == 0).drop("_failed")
+    bad = (
+        tagged.filter(F.size("_failed") > 0)
+        .withColumn(reasons_col, F.concat_ws(",", F.col("_failed")))
+        .drop("_failed")
+    )
+    return clean, bad
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

@@ -4892,6 +4892,44 @@ def b28x(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b28_quarantine_split",
+    """
+    WITH f AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN NOT coalesce(l_discount <= 0.08, FALSE)
+                  THEN 'discount_gt_8pct' END AS r1,
+             CASE WHEN NOT coalesce(l_quantity <= 45, FALSE)
+                  THEN 'qty_gt_45' END AS r2,
+             CASE WHEN NOT coalesce(l_tax <= 0.06, FALSE)
+                  THEN 'tax_gt_6pct' END AS r3
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           array_to_string(
+             list_filter([r1, r2, r3], x -> x IS NOT NULL), ',') AS reasons
+    FROM f
+    WHERE r1 IS NOT NULL OR r2 IS NOT NULL OR r3 IS NOT NULL
+    """,
+)
+def b28qr(spark: SparkSession, sf: str) -> DataFrame:
+    # Dead-letter routing: the row-level complement of b28_expectations —
+    # every violating row ships with the sorted list of rules it failed
+    # (here the oracle's [r1,r2,r3] literal is already in sorted rule-name
+    # order, matching the operator's sorted-name contract). One scan, no
+    # shuffle; the clean half of the split is pinned by unit test.
+    li = _t(spark, sf, "lineitem")
+    _clean, bad = R.quarantine(
+        li,
+        {
+            "qty_gt_45": F.col("l_quantity") <= 45,
+            "discount_gt_8pct": F.col("l_discount") <= 0.08,
+            "tax_gt_6pct": F.col("l_tax") <= 0.06,
+        },
+    )
+    return bad.select("l_orderkey", "l_linenumber", "reasons")
+
+
+@_q(
     "b12_heavy_hitters",
     """
     SELECT tok AS item, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -10678,6 +10716,7 @@ _BONUS_SLOTS = [
     "b09_asof_nearest",
     "b29_write_audit_publish",
     "b12_bloom_rf",
+    "b28_quarantine_split",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

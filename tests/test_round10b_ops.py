@@ -76,3 +76,34 @@ def test_bloom_report_rejects_bad_params(spark):
         bloom_filter_report(df, "k", df, "k", n_bits=0)
     with pytest.raises(ValueError):
         bloom_filter_report(df, "k", df, "k", n_hashes=0)
+
+
+def test_quarantine_partitions_and_null_semantics(spark):
+    from ddataframeoperation_spark.operators.relational import quarantine
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 60.0, "b"), (3, None, "a"), (4, 70.0, None)],
+        "id long, qty double, tag string",
+    )
+    clean, bad = quarantine(
+        df,
+        {
+            "qty_small": F.col("qty") <= 50,  # NULL qty must violate
+            "tag_known": F.col("tag").isin("a", "b"),
+        },
+    )
+    crows = {r["id"] for r in clean.collect()}
+    brows = {r["id"]: r["reasons"] for r in bad.collect()}
+    assert crows == {1}
+    # exhaustive + disjoint
+    assert crows | set(brows) == {1, 2, 3, 4} and not crows & set(brows)
+    assert brows[2] == "qty_small"
+    assert brows[3] == "qty_small"  # NULL = violation
+    assert brows[4] == "qty_small,tag_known"  # sorted rule-name order
+    # clean side keeps the original schema (no helper columns)
+    assert clean.columns == df.columns
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        quarantine(df, {})
