@@ -47,6 +47,7 @@ __all__ = [
     "shard_manifest",
     "negative_samples",
     "write_training_shards",
+    "poisson_replicates",
 ]
 
 #: 2^32 — the md5-prefix domain size.
@@ -952,3 +953,71 @@ def stratified_kfold_assign(
         ((F.row_number().over(w) - 1) % k).cast("int"),
     )
     return with_u.withColumn(fold_col, fold).drop("_u")
+
+
+#: Cumulative CDF of Poisson(lambda=1), P(X <= k) for k = 0..4 — exact
+#: double literals (repr) so the Spark expression and any SQL oracle parse
+#: the identical IEEE values. Multiplicities above 4 are capped at 5
+#: (P(X >= 5) ~ 3.66e-3; the cap bounds per-row blowup and is part of the
+#: stated contract, not an approximation the caller can hit silently).
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def poisson_replicates(
+    df: DataFrame,
+    n_replicates: int,
+    keys: Sequence[str | Column],
+    salt: str = "boot",
+    replicate_col: str = "replicate",
+    multiplicity_col: str = "multiplicity",
+) -> DataFrame:
+    """B22 — the Poisson bootstrap: ``n_replicates`` deterministic
+    with-replacement resamples of the input, each row's multiplicity in
+    replicate ``r`` drawn as Poisson(1) via inverse-CDF over the
+    md5-uniform of (keys.., r) — the standard streaming/distributed
+    bootstrap (one pass, no sampling coordination, no global count
+    needed), and here a PURE FUNCTION of the key values: any engine, any
+    partitioning, any rerun draws the identical replicates, so
+    bootstrap confidence intervals are reproducible artifacts.
+
+    Returns the input × replicates with (``replicate_col`` int,
+    ``multiplicity_col`` int, 0..5); downstream aggregates weight by the
+    multiplicity (``sum(k * x)``), they never materialize duplicated
+    rows. Rows whose key hash is NULL (any NULL key part) are EXCLUDED —
+    same contract as :func:`hash_sample`, where a NULL key passes no
+    threshold.
+
+    Plan/scale: one explode multiplies the SCAN by ``n_replicates``, but
+    every sensible consumer is an aggregate, and hash-aggregate partials
+    combine map-side — the shuffle carries O(replicates × groups) rows,
+    not replicates × data. For a metric over a 10^12-row corpus with 32
+    replicates that is 32 shuffle rows per group. Keep ``n_replicates``
+    at the tens-scale the Poisson bootstrap is designed for.
+    """
+    if n_replicates <= 0:
+        raise ValueError("n_replicates must be positive")
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(n_replicates - 1))
+    ).alias(replicate_col)
+    out = df.select("*", rep)
+    u = hash_uniform([*keys, F.col(replicate_col)], salt)
+    k = (
+        F.when(u < POISSON1_CDF[0], 0)
+        .when(u < POISSON1_CDF[1], 1)
+        .when(u < POISSON1_CDF[2], 2)
+        .when(u < POISSON1_CDF[3], 3)
+        .when(u < POISSON1_CDF[4], 4)
+        .otherwise(5)
+    )
+    return (
+        out.withColumn("_u", u)
+        .filter(F.col("_u").isNotNull())
+        .withColumn(multiplicity_col, k.cast("int"))
+        .drop("_u")
+    )

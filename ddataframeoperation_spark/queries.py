@@ -5723,6 +5723,57 @@ def b22cap(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b22_poisson_bootstrap",
+    """
+    WITH r AS (SELECT unnest(range(32)) AS rep),
+    e AS (
+      SELECT d.doc_id, d.n_chars, r.rep,
+             ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '|'
+                                    || CAST(r.rep AS VARCHAR) || '|boot'),
+                                1, 8))::BIGINT / 4294967296.0 AS u
+      FROM documents d CROSS JOIN r
+      WHERE d.doc_id IS NOT NULL
+    ), k AS (
+      SELECT rep, n_chars,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847  THEN 1
+                  WHEN u < 0.9196986029286058  THEN 2
+                  WHEN u < 0.9810118431238462  THEN 3
+                  WHEN u < 0.9963401531726563  THEN 4
+                  ELSE 5 END AS k
+      FROM e
+    )
+    SELECT CAST(rep AS INTEGER) AS replicate,
+           CAST(sum(k) AS BIGINT) AS n_rows_drawn,
+           CAST(sum(k * coalesce(n_chars, 0)) AS BIGINT) AS sum_chars
+    FROM k GROUP BY rep
+    """,
+)
+def b22pb(spark: SparkSession, sf: str) -> DataFrame:
+    # Poisson bootstrap over the corpus: 32 deterministic with-replacement
+    # replicates of (row count, total chars) — the distributed way to put
+    # a confidence interval on any corpus statistic without coordination.
+    # Multiplicities are a pure md5 function of (doc_id, replicate), so
+    # the 32 resampled aggregates hash-match the oracle exactly; the
+    # replicate spread IS the bootstrap SE, computable offline from this
+    # 32-row result.
+    from ddataframeoperation_spark.operators import sampling
+
+    d = _t(spark, sf, "documents")
+    reps = sampling.poisson_replicates(
+        d.select("doc_id", "n_chars"), 32, ["doc_id"], salt="boot"
+    )
+    return reps.groupBy("replicate").agg(
+        F.sum("multiplicity").cast("long").alias("n_rows_drawn"),
+        F.sum(
+            F.col("multiplicity") * F.coalesce(F.col("n_chars"), F.lit(0))
+        )
+        .cast("long")
+        .alias("sum_chars"),
+    )
+
+
+@_q(
     "b34_bigram_lm",
     """
     WITH toks AS (
@@ -10717,6 +10768,7 @@ _BONUS_SLOTS = [
     "b29_write_audit_publish",
     "b12_bloom_rf",
     "b28_quarantine_split",
+    "b22_poisson_bootstrap",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

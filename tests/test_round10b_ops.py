@@ -107,3 +107,39 @@ def test_quarantine_partitions_and_null_semantics(spark):
 
     with pytest.raises(ValueError):
         quarantine(df, {})
+
+
+def test_poisson_replicates_bruteforce_and_contract(spark):
+    from ddataframeoperation_spark.operators.sampling import (
+        POISSON1_CDF,
+        poisson_replicates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(200)] + [(None, 1.0)],
+        "id long, x double",
+    )
+    out = poisson_replicates(df, 4, ["id"], salt="t").collect()
+    got = {(r["id"], r["replicate"]): r["multiplicity"] for r in out}
+
+    def brute(i, rep):
+        u = (
+            int(hashlib.md5(f"{i}|{rep}|t".encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        )
+        for k, t in enumerate(POISSON1_CDF):
+            if u < t:
+                return k
+        return 5
+
+    expect = {(i, r): brute(i, r) for i in range(200) for r in range(4)}
+    assert got == expect  # NULL-key row excluded, everything else exact
+    # Poisson(1) sanity: mean multiplicity within 3 sigma of 1 per replicate
+    for rep in range(4):
+        tot = sum(v for (i, r), v in expect.items() if r == rep)
+        assert abs(tot / 200 - 1.0) < 3 / (200 ** 0.5)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        poisson_replicates(df, 0, ["id"])
