@@ -1623,3 +1623,38 @@ def dedup_token_savings(
         "n_tokens_kept",
         savings.alias("savings_bp"),
     )
+
+
+def dedup_by_canonical_url(
+    df: DataFrame,
+    url_col: str = "url",
+    order_by: "Sequence[Column] | None" = None,
+    out_col: str = "url_canonical",
+) -> DataFrame:
+    """B31 — one survivor per CANONICAL URL: the refetch/mirror cleanup
+    every crawl corpus needs (the same page arrives under utm-decorated,
+    fragment-suffixed, www-prefixed spellings; bytes may differ, the page
+    is one). Key = :func:`text.canonicalize_url` of ``url_col``; the
+    survivor is row 1 under ``order_by`` — the caller MUST pass a
+    deterministic total order (e.g. quality desc, id asc), the same
+    keep-best contract as :func:`cluster_dedup_best`.
+
+    Plan: one projection (JVM regex, codegen) + one window shuffle on the
+    canonical key. URL keys are near-unique, so the shuffle is skew-free
+    by construction; no join, no second scan. Returns the survivors with
+    ``out_col`` attached.
+    """
+    if not order_by:
+        raise ValueError(
+            "dedup_by_canonical_url requires an explicit deterministic "
+            "order_by (keep-best contract)"
+        )
+    from ddataframeoperation_spark.operators.text import canonicalize_url
+
+    w = Window.partitionBy(out_col).orderBy(*order_by)
+    return (
+        df.withColumn(out_col, canonicalize_url(url_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

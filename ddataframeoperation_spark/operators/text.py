@@ -45,6 +45,11 @@ __all__ = [
     "redact_pii",
     "bigram_lm_scores",
     "pack_sequences",
+    "canonicalize_url",
+    "canonical_host",
+    "registrable_domain",
+    "TRACKING_PARAM_REGEX",
+    "PUBLIC_SUFFIXES",
     "bm25_topk",
     "encode_token_ids",
     "lexical_diversity",
@@ -1619,3 +1624,116 @@ def vocab_overlap_by_source(
         "exclusive",
         F.expr("(exclusive * 10000) div vocab_size").alias("exclusive_bp"),
     )
+
+
+# --------------------------------------------------------------------------
+# URL hygiene — canonicalization + registrable-domain extraction
+# --------------------------------------------------------------------------
+
+#: Query parameters stripped by canonicalize_url: the tracking families
+#: that make one page fetch as many URLs. Matched against the full
+#: param token as `^(name)(=|$)` — utm_* is a prefix family.
+TRACKING_PARAM_REGEX = "^(utm_[^=]*|ref|fbclid|gclid|mc_eid)(=|$)"
+
+#: Stub public-suffix list for registrable_domain, longest-match-first.
+#: Production swaps in the real PSL (~9k entries) the same way the
+#: boilerplate remover ships its phrase set: as a broadcast lookup —
+#: the CASE chain below is the small-list fast path, not a design limit.
+PUBLIC_SUFFIXES = ("co.uk", "org.uk", "com.au", "co.jp", "com", "org",
+                   "net", "io", "dev", "uk", "au", "jp")
+
+
+def canonicalize_url(col: str | Column = "url") -> Column:
+    """B34 — canonical form of an absolute http(s) URL, entirely in JVM
+    regex/string builtins (codegen'd, shuffle-free, no UDF). The exact
+    normalization contract, in order:
+
+      1. trim surrounding whitespace
+      2. lowercase the scheme and host (path/query case is preserved)
+      3. drop the fragment (``#...``)
+      4. drop userinfo (``user:pass@``)
+      5. drop the scheme's default port (``:80`` http, ``:443`` https)
+      6. drop one leading ``www.`` label
+      7. drop tracking params (:data:`TRACKING_PARAM_REGEX`), sort the
+         survivors bytewise, rejoin with ``&`` (no ``?`` when none left)
+      8. strip trailing ``/`` runs from the path
+
+    Percent-encoding, IDN/punycode, and relative URLs are OUT of the
+    contract (stated, not silent): inputs pass through this pipeline
+    best-effort and equal inputs still canonicalize equally. NULL → NULL.
+    The same eight steps are mirrored verbatim in the DuckDB oracle of
+    ``b34_url_canonicalize`` — every step is plain anchored regex, no
+    engine URL library on either side.
+    """
+    u = F.trim(F.col(col)) if isinstance(col, str) else F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]+)", 1)
+    host = F.lower(F.regexp_replace(hostport, r"^[^@]*@", ""))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .otherwise(host)
+    )
+    host = F.regexp_replace(host, r"^www\.", "")
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_REGEX),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def registrable_domain(
+    host: Column,
+    suffixes: "tuple[str, ...]" = PUBLIC_SUFFIXES,
+) -> Column:
+    """B34 — eTLD+1 of a lowercase host under a public-suffix list:
+    the longest matching suffix wins (``a.b.co.uk`` → ``b.co.uk``, not
+    ``co.uk``); a host with no matching suffix (or that IS a bare
+    suffix) returns unchanged. Pure CASE-over-regex — the stub-PSL fast
+    path; see :data:`PUBLIC_SUFFIXES` for the broadcast-table posture
+    at real PSL size."""
+    ordered = sorted(suffixes, key=lambda s: (-s.count("."), -len(s)))
+    out = host
+    expr = None
+    for sfx in ordered:
+        pat = r"([^.]+\." + re.escape(sfx) + r")$"
+        cond = host.endswith("." + sfx)
+        branch = F.regexp_extract(host, pat, 1)
+        expr = (
+            F.when(cond, branch) if expr is None else expr.when(cond, branch)
+        )
+    return expr.otherwise(out) if expr is not None else out
+
+
+def canonical_host(col: str | Column = "url") -> Column:
+    """The canonical (lowercased, deported, de-www'd) host of a URL —
+    step 2/4/5/6 of :func:`canonicalize_url`, for callers that key on
+    domain rather than full URL."""
+    u = F.trim(F.col(col)) if isinstance(col, str) else F.trim(col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    hostport = F.regexp_extract(rest, r"^([^/?]+)", 1)
+    host = F.lower(F.regexp_replace(hostport, r"^[^@]*@", ""))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .otherwise(host)
+    )
+    return F.regexp_replace(host, r"^www\.", "")

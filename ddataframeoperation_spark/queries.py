@@ -8634,6 +8634,127 @@ def b12bf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: Deterministic messy-URL fixture column (both engines): the refetch
+#: spellings a crawler actually sees — uppercase scheme/host, www, default
+#: port, tracking params, unsorted params, trailing slash, fragment. The
+#: page identity key is (source, lang, doc_id % 7), so canonicalization
+#: must collapse ~tens of spellings per page at sf0.1.
+def _messy_url() -> Column:
+    return F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.when(F.col("lang") == "en", F.lit(".Example.CO.UK")).otherwise(
+            F.lit(".Example.COM")
+        ),
+        F.lit(":443/"),
+        F.col("lang"),
+        F.lit("/Page-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("/?utm_source=feed&ref=rss&z=2&a=1#s-"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+_SQL_MESSY_URL = (
+    "'HTTPS://WWW.' || source || CASE WHEN lang = 'en' THEN '.Example.CO.UK'"
+    " ELSE '.Example.COM' END || ':443/' || lang || '/Page-'"
+    " || CAST(doc_id % 7 AS VARCHAR)"
+    " || '/?utm_source=feed&ref=rss&z=2&a=1#s-' || CAST(doc_id AS VARCHAR)"
+)
+
+#: The 8-step canonicalization of text.canonicalize_url as a DuckDB CTE
+#: chain over a `raw(doc_id, n_chars, u)` relation — kept textually in
+#: sync with the Column pipeline (same anchored regexes, same order).
+_SQL_CANON_CTES = r"""
+    s2 AS (
+      SELECT *, lower(regexp_extract(trim(u), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(regexp_replace(trim(u), '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+      FROM raw
+    ), s3 AS (
+      SELECT *, regexp_extract(rest, '^([^/?]+)', 1) AS hostport,
+             regexp_replace(rest, '^[^/?]+', '') AS pathq
+      FROM s2
+    ), s4 AS (
+      SELECT *, lower(regexp_replace(hostport, '^[^@]*@', '')) AS h0 FROM s3
+    ), s5 AS (
+      SELECT *, CASE WHEN scheme = 'https' THEN regexp_replace(h0, ':443$', '')
+                     WHEN scheme = 'http' THEN regexp_replace(h0, ':80$', '')
+                     ELSE h0 END AS h1
+      FROM s4
+    ), s6 AS (
+      SELECT *, regexp_replace(h1, '^www\.', '') AS host,
+             regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS path,
+             regexp_extract(pathq, '\?(.*)$', 1) AS query
+      FROM s5
+    ), s7 AS (
+      SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|ref|fbclid|gclid|mc_eid)(=|$)'))), '&') AS qs
+      FROM s6
+    ), canon AS (
+      SELECT doc_id, n_chars, host,
+             scheme || '://' || host || path ||
+               CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_canonical
+      FROM s7
+    )
+"""
+
+
+@_q(
+    "b34_url_canonicalize",
+    "WITH raw AS (SELECT doc_id, n_chars, " + _SQL_MESSY_URL + """ AS u
+      FROM documents), """
+    + _SQL_CANON_CTES
+    + r"""
+    SELECT doc_id, url_canonical,
+           CASE WHEN host LIKE '%.co.uk' THEN regexp_extract(host, '([^.]+\.co\.uk)$', 1)
+                WHEN host LIKE '%.com'   THEN regexp_extract(host, '([^.]+\.com)$', 1)
+                ELSE host END AS domain
+    FROM canon
+    """,
+)
+def b34url(spark: SparkSession, sf: str) -> DataFrame:
+    # URL hygiene: canonical URL + registrable domain (eTLD+1 under the
+    # stub PSL; the .co.uk branch exercises longest-suffix-wins) for every
+    # doc. Pure JVM regex pipeline, no UDF, no shuffle — parquet-scan
+    # speed at 100 TB. The oracle re-runs the identical 8 steps in DuckDB;
+    # the messy fixture covers uppercase scheme/host, www, default port,
+    # tracking params, unsorted params, trailing slash, and fragment.
+    d = _t(spark, sf, "documents").select("doc_id", "source", "lang", "n_chars")
+    return d.select(
+        "doc_id",
+        TX.canonicalize_url(_messy_url()).alias("url_canonical"),
+        TX.registrable_domain(TX.canonical_host(_messy_url())).alias("domain"),
+    )
+
+
+@_q(
+    "b31_url_dedup",
+    "WITH raw AS (SELECT doc_id, n_chars, " + _SQL_MESSY_URL + """ AS u
+      FROM documents), """
+    + _SQL_CANON_CTES
+    + """
+    SELECT doc_id, url_canonical FROM (
+      SELECT doc_id, url_canonical,
+             row_number() OVER (PARTITION BY url_canonical
+                                ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rn
+      FROM canon
+    ) WHERE rn = 1
+    """,
+)
+def b31url(spark: SparkSession, sf: str) -> DataFrame:
+    # Canonical-URL dedup: one survivor per page identity — refetches of
+    # the same page under tracking-decorated spellings collapse; survivor
+    # is the longest doc (n_chars DESC), doc_id ASC tiebreak. One regex
+    # projection + one near-unique-key window shuffle; no join.
+    d = _t(spark, sf, "documents").select("doc_id", "source", "lang", "n_chars")
+    kept = dedup.dedup_by_canonical_url(
+        d.withColumn("url", _messy_url()),
+        "url",
+        order_by=[F.col("n_chars").desc_nulls_last(), F.col("doc_id").asc()],
+    )
+    return kept.select("doc_id", "url_canonical")
+
+
 @_q(
     "b23_unicode_normalize",
     """
@@ -10769,6 +10890,8 @@ _BONUS_SLOTS = [
     "b12_bloom_rf",
     "b28_quarantine_split",
     "b22_poisson_bootstrap",
+    "b34_url_canonicalize",
+    "b31_url_dedup",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

@@ -143,3 +143,77 @@ def test_poisson_replicates_bruteforce_and_contract(spark):
 
     with pytest.raises(ValueError):
         poisson_replicates(df, 0, ["id"])
+
+
+def test_canonicalize_url_contract(spark):
+    from ddataframeoperation_spark.operators.text import (
+        canonical_host,
+        canonicalize_url,
+        registrable_domain,
+    )
+
+    cases = [
+        # (raw, canonical)
+        ("HTTPS://WWW.Ex.COM:443/A/b/?utm_source=x&b=2&a=1#f",
+         "https://ex.com/A/b?a=1&b=2"),
+        ("http://user:pw@EX.com:80/p", "http://ex.com/p"),
+        ("http://ex.com:8080/p/", "http://ex.com:8080/p"),  # non-default port kept
+        ("https://ex.com", "https://ex.com"),
+        ("https://ex.com/?ref=rss&utm_medium=a&fbclid=1", "https://ex.com"),
+        ("https://ex.com/p?z=1&y=2&z=0", "https://ex.com/p?y=2&z=0&z=1"),
+        ("  https://ex.com/p///  ", "https://ex.com/p"),
+        ("https://www.www.ex.com/p", "https://www.ex.com/p"),  # one www label
+        (None, None),
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)],
+                               "i int, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonicalize_url("url").alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+    hosts = [
+        ("a.b.example.co.uk", "example.co.uk"),  # longest suffix wins
+        ("sub.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("com", "com"),            # bare suffix unchanged
+        ("example.internal", "example.internal"),  # unknown TLD unchanged
+    ]
+    hdf = spark.createDataFrame(hosts, "h string, want string")
+    out = hdf.select(
+        registrable_domain(F.col("h")).alias("got"), "want"
+    ).collect()
+    for r in out:
+        assert r["got"] == r["want"], r
+
+    # canonical_host extracts the de-www'd deported host
+    one = spark.createDataFrame(
+        [("HTTPS://WWW.Ex.CO.UK:443/x?a=1",)], "url string"
+    ).select(canonical_host("url").alias("h")).collect()[0]
+    assert one["h"] == "ex.co.uk"
+
+
+def test_dedup_by_canonical_url_keep_best(spark):
+    from ddataframeoperation_spark.operators.dedup import (
+        dedup_by_canonical_url,
+    )
+
+    rows = [
+        (1, "https://ex.com/p?utm_source=a", 100),
+        (2, "HTTPS://WWW.ex.com:443/p/", 300),   # same page, longest -> keep
+        (3, "https://ex.com/p#frag", 300),        # tie on len -> lower id (2)
+        (4, "https://ex.com/q", 50),              # different page
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    kept = dedup_by_canonical_url(
+        df, "url",
+        order_by=[F.col("n_chars").desc_nulls_last(), F.col("doc_id").asc()],
+    )
+    got = {r["doc_id"]: r["url_canonical"] for r in kept.collect()}
+    assert set(got) == {2, 4}
+    assert got[2] == "https://ex.com/p"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup_by_canonical_url(df, "url", order_by=None)
