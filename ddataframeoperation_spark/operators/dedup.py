@@ -1658,3 +1658,104 @@ def dedup_by_canonical_url(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 8,
+    damping_bp: int = 8500,
+    unit: int = 10**9,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank in EXACT fixed-point integer arithmetic — the
+    graph-centrality quality signal crawl pipelines attach to domains
+    (the harmonic-centrality/PageRank rankings behind Common Crawl-style
+    corpus weighting), computable by any engine bit-for-bit.
+
+    ``nodes`` is (id); ``edges`` is directed (src, dst, w) with positive
+    integral weights (long or DECIMAL(38,0)). Ranks live in integer
+    ``unit``s of node-mass (init = ``unit`` per node) and every update is
+
+        r'(v) = ((10000-d)·unit) div 10000 + (d · Σ_in floor(r(u)·w/W(u))) div 10000
+
+    with d = ``damping_bp`` and W(u) the out-weight total — all products
+    in DECIMAL(38,0) and all divisions integral ``div``, so the result is
+    a pure function of the graph: no float partial-sum order, no
+    engine-specific rounding, exactly reproducible in a recursive/unrolled
+    SQL oracle. Stated contracts: DANGLING mass is dropped (nodes without
+    out-edges redistribute nothing; ranks then sum to < n·unit — the
+    simple-and-deterministic choice, not the teleport-all variant);
+    fixed ``n_iter`` rather than a convergence test (the oracle must
+    replay the identical number of rounds). Exactness bound: r·w must fit
+    DECIMAL(38,0) — at defaults that is rank ≤ n·unit and weights below
+    ~10^28/n·unit; shrink ``unit`` for >10^9-node graphs (the knob is in
+    units, not correctness).
+
+    Plan/scale: per iteration one edges⋈ranks join (shuffle on src — or a
+    broadcast when the rank table is small), one sum shuffle on dst, one
+    left join back to nodes; lineage is truncated per round exactly like
+    :func:`connected_components` (``checkpoint_dir`` parquet rounds for
+    cluster runs, ``localCheckpoint`` otherwise).
+
+    Returns (id, rank_units long).
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if not 0 <= damping_bp <= 10000:
+        raise ValueError("damping_bp must be in [0, 10000]")
+    import uuid
+
+    run = uuid.uuid4().hex[:12]
+    seq = iter(range(10**6))
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/pr_{run}_round_{next(seq)}"
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    n = nodes.select(F.col(nodes.columns[0]).alias("id"))
+    e = edges.select(
+        F.col("src"),
+        F.col("dst"),
+        F.col("w").cast("decimal(38,0)").alias("w"),
+    )
+    wout = e.groupBy("src").agg(F.sum("w").alias("wt"))
+    # Materialize the (static) edge+out-weight relation once; every round
+    # re-joins it, and recomputing the source aggregation per round would
+    # multiply the heaviest shuffle by n_iter.
+    ew = _truncate(e.join(wout, "src"))
+
+    base = F.lit((10000 - damping_bp) * unit // 10000).cast("long")
+    ranks = _truncate(
+        n.withColumn("rank_units", F.lit(unit).cast("long"))
+    )
+    for _ in range(n_iter):
+        inflow = (
+            ew.join(ranks, ew["src"] == ranks["id"])
+            .select(
+                F.col("dst"),
+                F.expr(
+                    "CAST(rank_units AS DECIMAL(38,0)) * w div wt"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = _truncate(
+            n.join(inflow, n["id"] == inflow["dst"], "left")
+            .select(
+                "id",
+                (
+                    base
+                    + F.expr(
+                        f"CAST({damping_bp} AS DECIMAL(38,0))"
+                        " * coalesce(inflow, CAST(0 AS DECIMAL(38,0)))"
+                        " div 10000"
+                    ).cast("long")
+                ).alias("rank_units"),
+            )
+        )
+    return ranks

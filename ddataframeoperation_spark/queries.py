@@ -8634,6 +8634,78 @@ def b12bf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle_sql(n_iter: int = 8) -> str:
+    """Unrolled-iteration DuckDB twin of dedup.pagerank over the nation
+    trade graph: same init (10^9 units), same per-round integer recurrence
+    (base 1.5e8 = (10000-8500)*10^9 div 10000), HUGEINT everywhere Spark
+    runs DECIMAL(38,0). Unrolled (pr1..prN CTEs) rather than recursive —
+    the recurrence needs a per-round aggregate, which recursive CTEs
+    disallow; the unroll IS the fixed-n_iter contract."""
+    rev4 = _SQL_REV4.format(p="l.l_extendedprice", d="l.l_discount")
+    head = f"""
+    WITH e AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             sum(CAST({rev4} AS HUGEINT)) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY src, dst
+    ), ew AS (
+      SELECT e.src, e.dst, e.w, w2.wt
+      FROM e JOIN (SELECT src, sum(w) AS wt FROM e GROUP BY src) w2
+        ON w2.src = e.src
+    ), n AS (SELECT n_nationkey AS id FROM nation),
+    pr0 AS (SELECT id, CAST(1000000000 AS HUGEINT) AS r FROM n)"""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f""",
+    pr{i} AS (
+      SELECT n.id, CAST(150000000 AS HUGEINT)
+             + (8500 * coalesce(inf.s, CAST(0 AS HUGEINT))) // 10000 AS r
+      FROM n LEFT JOIN (
+        SELECT ew.dst, sum((p.r * ew.w) // ew.wt) AS s
+        FROM pr{i - 1} p JOIN ew ON ew.src = p.id
+        GROUP BY ew.dst
+      ) inf ON inf.dst = n.id
+    )""")
+    tail = f"""
+    SELECT id AS nation_id, CAST(r AS BIGINT) AS rank_units FROM pr{n_iter}
+    """
+    return head + "".join(its) + tail
+
+
+@_q("b32_pagerank", _pagerank_oracle_sql(8))
+def b32pr(spark: SparkSession, sf: str) -> DataFrame:
+    # Graph centrality as a corpus/domain quality signal (the Common
+    # Crawl-style ranking), demonstrated on the nation→nation trade graph
+    # (edge weight = exact 1e-4-dollar revenue from supplier-nation to
+    # customer-nation). dedup.pagerank runs the recurrence in exact
+    # fixed-point: every engine reproduces the 8th-iteration ranks
+    # bit-for-bit — no float mass anywhere. Graph build is one star join
+    # + one (src,dst) aggregate; at 100 TB the aggregated edge list is
+    # tiny next to the fact scan that builds it.
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.sum(_rev_cents4().cast("decimal(38,0)")).alias("w"))
+    )
+    ranks = dedup.pagerank(n, edges, n_iter=8, damping_bp=8500, unit=10**9)
+    return ranks.select(F.col("id").alias("nation_id"), "rank_units")
+
+
 #: Deterministic messy-URL fixture column (both engines): the refetch
 #: spellings a crawler actually sees — uppercase scheme/host, www, default
 #: port, tracking params, unsorted params, trailing slash, fragment. The
@@ -10892,6 +10964,7 @@ _BONUS_SLOTS = [
     "b22_poisson_bootstrap",
     "b34_url_canonicalize",
     "b31_url_dedup",
+    "b32_pagerank",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

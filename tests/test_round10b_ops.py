@@ -217,3 +217,43 @@ def test_dedup_by_canonical_url_keep_best(spark):
 
     with pytest.raises(ValueError):
         dedup_by_canonical_url(df, "url", order_by=None)
+
+
+def test_pagerank_matches_integer_bruteforce(spark):
+    from ddataframeoperation_spark.operators.dedup import pagerank
+
+    # Directed weighted graph with a dangling node (4: no out-edges) and
+    # an isolated node (5): 0->1 (w3), 0->2 (w1), 1->2 (w2), 2->0 (w5),
+    # 3->4 (w1). Node 4 receives but redistributes nothing (dropped mass).
+    edges = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 5), (3, 4, 1)]
+    nodes = list(range(6))
+    unit, d, n_iter = 10**9, 8500, 6
+
+    ndf = spark.createDataFrame([(i,) for i in nodes], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["id"]: r["rank_units"]
+        for r in pagerank(ndf, edf, n_iter=n_iter, damping_bp=d,
+                          unit=unit).collect()
+    }
+
+    wout = {}
+    for s, _, w in edges:
+        wout[s] = wout.get(s, 0) + w
+    r = {v: unit for v in nodes}
+    base = (10000 - d) * unit // 10000
+    for _ in range(n_iter):
+        inflow = {v: 0 for v in nodes}
+        for s, t, w in edges:
+            inflow[t] += r[s] * w // wout[s]
+        r = {v: base + d * inflow[v] // 10000 for v in nodes}
+    assert got == r
+    # Isolated node ends at exactly the base mass.
+    assert got[5] == base
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank(ndf, edf, n_iter=0)
+    with pytest.raises(ValueError):
+        pagerank(ndf, edf, damping_bp=10001)
