@@ -45,6 +45,7 @@ __all__ = [
     "redact_pii",
     "bigram_lm_scores",
     "pack_sequences",
+    "perplexity_buckets",
     "canonicalize_url",
     "canonical_host",
     "registrable_domain",
@@ -1737,3 +1738,52 @@ def canonical_host(col: str | Column = "url") -> Column:
         .otherwise(host)
     )
     return F.regexp_replace(host, r"^www\.", "")
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    materialize_bigrams: bool = False,
+) -> DataFrame:
+    """B34 — the CCNet bucketing step: split each language's documents
+    into ``n_buckets`` equal-count perplexity bands (head = most fluent
+    under the corpus LM, tail = most surprising) from
+    :func:`bigram_lm_scores`. Per-language tertiles rather than one
+    global cut is the load-bearing detail — LM scores are not comparable
+    across languages, and a global threshold silently drops whole
+    low-resource languages (the mistake CCNet exists to avoid).
+
+    Bucket assignment is ntile over (score DESC, id ASC) per language —
+    the ROUNDED (4dp) score plus the id tiebreak makes the order, and
+    therefore every bucket boundary, a deterministic function of the
+    data (no float partial-sum order can flip a document's band).
+    Documents with <2 tokens have no bigrams and no score: excluded,
+    same as the scorer.
+
+    Plan: the scorer's passes + one window shuffle on the language key
+    (bounded partitions = languages; per-language ntile is a single
+    ordered pass). Returns (id, lang, n_bigrams, avg_logprob,
+    ppl_bucket 1..n_buckets).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    scores = bigram_lm_scores(
+        df, id_col=id_col, text_col=text_col,
+        materialize_bigrams=materialize_bigrams,
+    )
+    keyed = scores.join(
+        df.select(F.col(id_col), F.col(lang_col)), id_col
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("avg_logprob").desc(), F.col(id_col).asc()
+    )
+    return keyed.select(
+        id_col,
+        lang_col,
+        "n_bigrams",
+        "avg_logprob",
+        F.ntile(n_buckets).over(w).cast("int").alias("ppl_bucket"),
+    )

@@ -5816,6 +5816,52 @@ def b34lm(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_q(
+    "b34_perplexity_rank",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, UNNEST(
+        [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS bg
+      FROM toks
+    ),
+    big_w AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM big),
+    uni AS (SELECT UNNEST(t) AS w FROM toks),
+    c2 AS (SELECT bg, count(*) AS c2 FROM big GROUP BY bg),
+    c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+    v AS (SELECT count(DISTINCT w) AS v FROM uni),
+    sc AS (
+      SELECT b.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v))), 4) AS avg_logprob
+      FROM big_w b
+      JOIN c2 ON c2.bg = b.bg
+      JOIN c1 ON c1.w = b.w1
+      CROSS JOIN v
+      GROUP BY b.doc_id
+    )
+    SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logprob,
+           CAST(ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY s.avg_logprob DESC, s.doc_id ASC)
+                AS INTEGER) AS ppl_bucket
+    FROM sc s JOIN documents d ON d.doc_id = s.doc_id
+    """,
+)
+def b34ppl(spark: SparkSession, sf: str) -> DataFrame:
+    # The CCNet bucketing: per-LANGUAGE perplexity tertiles over the
+    # bigram-LM scores (head/middle/tail as ppl_bucket 1/2/3). The
+    # per-language cut is the point — LM scores aren't comparable across
+    # languages, and the deterministic (rounded score, doc_id) order
+    # makes every band boundary engine-exact.
+    return TX.perplexity_buckets(
+        _t(spark, sf, "documents"), n_buckets=3, materialize_bigrams=True
+    )
+
+
+@_q(
     "b10_q2_min_cost_supplier",
     """
     WITH offers AS (
@@ -10965,6 +11011,7 @@ _BONUS_SLOTS = [
     "b34_url_canonicalize",
     "b31_url_dedup",
     "b32_pagerank",
+    "b34_perplexity_rank",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

@@ -257,3 +257,36 @@ def test_pagerank_matches_integer_bruteforce(spark):
         pagerank(ndf, edf, n_iter=0)
     with pytest.raises(ValueError):
         pagerank(ndf, edf, damping_bp=10001)
+
+
+def test_perplexity_buckets_per_language_bands(spark):
+    from ddataframeoperation_spark.operators.text import perplexity_buckets
+
+    # Language A: 6 scoreable docs -> tertiles of 2/2/2. The repeated
+    # phrase docs (templated) must land in the head band; the one doc of
+    # rare words in the tail. Language B: its own independent bands.
+    rows = [
+        (1, "the cat sat on the mat the cat sat", "A"),
+        (2, "the cat sat on the mat", "A"),
+        (3, "the cat sat here", "A"),
+        (4, "on the mat again", "A"),
+        (5, "zq xv wk jj qq pp", "A"),
+        (6, "vv uu tt ss rr", "A"),
+        (7, "one", "A"),          # <2 tokens: no score, excluded
+        (8, "alpha beta alpha beta", "B"),
+        (9, "gamma delta", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = perplexity_buckets(df, n_buckets=3).collect()
+    got = {r["doc_id"]: (r["lang"], r["ppl_bucket"]) for r in out}
+    assert 7 not in got
+    a = {i: got[i][1] for i in (1, 2, 3, 4, 5, 6)}
+    assert sorted(a.values()) == [1, 1, 2, 2, 3, 3]  # equal-count bands
+    assert a[1] == 1          # most templated doc is head
+    assert a[5] == 3 or a[6] == 3  # rare-garbage in tail
+    assert {got[8][1], got[9][1]} <= {1, 2, 3}  # B banded independently
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        perplexity_buckets(df, n_buckets=1)
