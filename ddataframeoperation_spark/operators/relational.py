@@ -2297,3 +2297,76 @@ def weighted_percentiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+#: Benford's-law expected first-digit shares in basis points:
+#: round(log10(1 + 1/d) * 10000) for d = 1..9 — static integer literals so
+#: any engine reproduces the audit exactly (no cross-engine log()).
+BENFORD_BP = (3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+
+
+def benford_audit(df: DataFrame, amount_units: Column) -> DataFrame:
+    """B28 — Benford's-law first-digit audit of a positive INTEGRAL
+    amount column (cents/units — pass the value through the module's
+    exact-cents conversion first; first-significant-digit is invariant
+    under the ×100 scaling, which is the point of Benford). The fraud/
+    fat-finger screen for financial and metering data: organic amounts
+    follow log10(1+1/d); fabricated or clamped ones don't.
+
+    The first digit comes from the INTEGER's decimal string (leading
+    character) — never from float formatting, which engines render
+    differently. Rows with amount <= 0 are excluded (Benford is defined
+    on positive magnitudes; stated contract). Expected shares are the
+    static :data:`BENFORD_BP` literals; observed shares are integral
+    basis points over the retained rows (DECIMAL(38,0) div — the
+    row-count × 10^4 overflow class stays lifted).
+
+    Output: one row per digit 1..9 (digits with no rows included at
+    n=0): (digit int, n long, observed_bp long, expected_bp long,
+    dev_bp long = observed − expected). Plan: one scan, one 9-group
+    hash-aggregate, broadcast digit spine — nothing shuffles but 9 rows.
+    """
+    spine = (
+        df.sparkSession.range(1, 10)
+        .select(F.col("id").cast("int").alias("digit"))
+    )
+    pos = df.select(amount_units.cast("decimal(38,0)").alias("a")).filter(
+        F.col("a") > 0
+    )
+    counts = (
+        pos.select(
+            F.substring(F.col("a").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = pos.agg(F.count(F.lit(1)).alias("_tot"))
+    exp_map = F.create_map(
+        *[
+            x
+            for d, bp in enumerate(BENFORD_BP, start=1)
+            for x in (F.lit(d), F.lit(bp))
+        ]
+    )
+    return (
+        spine.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.when(F.col("_tot") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "(CAST(coalesce(n, 0) AS DECIMAL(38,0)) * 10000)"
+                    " div _tot"
+                ).cast("long")
+            )
+            .alias("observed_bp"),
+            exp_map[F.col("digit")].cast("long").alias("expected_bp"),
+        )
+        .withColumn(
+            "dev_bp", (F.col("observed_bp") - F.col("expected_bp")).cast("long")
+        )
+    )

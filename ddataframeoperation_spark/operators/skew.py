@@ -812,3 +812,58 @@ def bloom_filter_report(
             .alias("skip_bp"),
         )
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value: Column,
+    value_is_integral: bool = True,
+) -> DataFrame:
+    """B28 — EXACT Gini coefficient of how a value concentrates over keys
+    within each group, in basis points: the inequality half of the skew
+    toolkit (:func:`key_skew_audit` finds the hot keys; this scores the
+    whole distribution — gini_bp 0 = evenly spread, → 10000·(n-1)/n = one
+    key owns everything). The production read: revenue/traffic/token-count
+    concentration per tenant/domain/source, the "is this corpus three
+    mirrors in a trenchcoat" number.
+
+    Uses the sorted-rank identity G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ)
+    over the per-key totals sorted (value ASC, key ASC — the tiebreak
+    makes the rank, hence the result, engine-exact). ``value`` must be a
+    nonnegative INTEGRAL column expression (cents/counts — the module's
+    exact-money posture); every product runs in DECIMAL(38,0) and the
+    final division is integral ``div``, so the result is exact at any
+    scale. Groups with zero total emit gini_bp = 0 (stated contract).
+
+    Output: (group, n_keys long, total_value STRING — the canonical
+    DECIMAL(38,0) digits, because per-group totals can exceed 2^53 and a
+    double would silently round them — gini_bp long). Plan: one (group,
+    key) hash-aggregate, one window partitioned by group, one group
+    aggregate — rank windows never see ungrouped data.
+    """
+    per_key = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(key_col).alias("k")
+    ).agg(F.sum(value.cast("decimal(38,0)")).alias("x"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("grp").orderBy(F.col("x").asc(), F.col("k").asc())
+    ranked = per_key.withColumn("i", F.row_number().over(w))
+    g = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("x").alias("s0"),
+        F.sum(F.expr("CAST(i AS DECIMAL(38,0)) * x")).alias("s1"),
+    )
+    return g.select(
+        F.col("grp").alias(group_col),
+        F.col("n_keys"),
+        F.col("s0").cast("string").alias("total_value"),
+        F.when(F.col("s0") <= 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "((2 * s1 - (n_keys + 1) * s0) * 10000) div (n_keys * s0)"
+            ).cast("long")
+        )
+        .alias("gini_bp"),
+    )

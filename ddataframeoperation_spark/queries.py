@@ -4930,6 +4930,96 @@ def b28qr(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b28_gini_concentration",
+    """
+    WITH sv AS (
+      SELECT s.s_nationkey AS nation_id, l.l_suppkey AS k,
+             sum(CAST({rev4} AS HUGEINT)) AS x
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT nation_id, x,
+             row_number() OVER (PARTITION BY nation_id
+                                ORDER BY x ASC, k ASC) AS i
+      FROM sv
+    ), g AS (
+      SELECT nation_id, count(*) AS n_keys, sum(x) AS s0, sum(i * x) AS s1
+      FROM r GROUP BY nation_id
+    )
+    SELECT nation_id, CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(s0 AS VARCHAR) AS total_value,
+           CASE WHEN s0 <= 0 THEN 0
+                ELSE CAST(((2 * s1 - (n_keys + 1) * s0) * 10000)
+                          // (n_keys * s0) AS BIGINT)
+           END AS gini_bp
+    FROM g
+    """.format(rev4=_SQL_REV4.format(p="l.l_extendedprice", d="l.l_discount")),
+)
+def b28gini(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact revenue-concentration audit: the Gini (in basis points) of
+    # per-supplier revenue within each supplier nation — the "is this
+    # corpus three mirrors in a trenchcoat" number for any keyed value.
+    # All products in DECIMAL(38,0), totals shipped as canonical decimal
+    # strings (per-group totals pass 2^53 long before 100 TB).
+    from ddataframeoperation_spark.operators import skew
+
+    li = _t(spark, sf, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    facts = li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+    return skew.gini_concentration(
+        facts,
+        group_col="s_nationkey",
+        key_col="l_suppkey",
+        value=_rev_cents4(),
+    ).withColumnRenamed("s_nationkey", "nation_id")
+
+
+@_q(
+    "b28_benford_audit",
+    """
+    WITH pos AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS a
+      FROM orders
+      WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0
+    ), c AS (
+      SELECT CAST(substring(CAST(a AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+             count(*) AS n
+      FROM pos GROUP BY 1
+    ), spine AS (SELECT unnest(range(1, 10)) AS digit),
+    exp AS (
+      SELECT * FROM (VALUES (1, 3010), (2, 1761), (3, 1249), (4, 969),
+                            (5, 792), (6, 669), (7, 580), (8, 512),
+                            (9, 458)) AS t(digit, expected_bp)
+    ), tot AS (SELECT count(*) AS t FROM pos)
+    SELECT CAST(spine.digit AS INTEGER) AS digit,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+           CASE WHEN tot.t = 0 THEN 0
+                ELSE CAST((CAST(coalesce(c.n, 0) AS HUGEINT) * 10000)
+                          // tot.t AS BIGINT) END AS observed_bp,
+           CAST(exp.expected_bp AS BIGINT) AS expected_bp,
+           CASE WHEN tot.t = 0 THEN 0
+                ELSE CAST((CAST(coalesce(c.n, 0) AS HUGEINT) * 10000)
+                          // tot.t AS BIGINT) END
+             - CAST(exp.expected_bp AS BIGINT) AS dev_bp
+    FROM spine
+    LEFT JOIN c ON c.digit = spine.digit
+    JOIN exp ON exp.digit = spine.digit
+    CROSS JOIN tot
+    """,
+)
+def b28ben(spark: SparkSession, sf: str) -> DataFrame:
+    # Benford first-digit audit of order totals: organic financial
+    # magnitudes follow log10(1+1/d); clamped/fabricated ones deviate.
+    # The digit comes from the exact-cents INTEGER's decimal string
+    # (never float formatting), expected shares are static basis-point
+    # literals — the whole audit is engine-exact.
+    o = _t(spark, sf, "orders")
+    return R.benford_audit(o, _cents("o_totalprice"))
+
+
+@_q(
     "b12_heavy_hitters",
     """
     SELECT tok AS item, CAST(count(*) AS BIGINT) AS cnt FROM (

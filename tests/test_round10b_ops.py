@@ -290,3 +290,45 @@ def test_perplexity_buckets_per_language_bands(spark):
 
     with pytest.raises(ValueError):
         perplexity_buckets(df, n_buckets=1)
+
+
+def test_gini_concentration_exact_cases(spark):
+    from ddataframeoperation_spark.operators.skew import gini_concentration
+
+    rows = (
+        # group "even": 4 keys x 25 -> gini 0
+        [("even", k, 25) for k in range(4)]
+        # group "one": key 0 owns all 100 over 4 keys -> G=(n-1)/n=0.75
+        + [("one", 0, 100)] + [("one", k, 0) for k in (1, 2, 3)]
+        # group "zero": all zero -> contract: gini_bp 0
+        + [("zero", k, 0) for k in (0, 1)]
+    )
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+    got = {
+        r["g"]: (r["n_keys"], r["total_value"], r["gini_bp"])
+        for r in gini_concentration(df, "g", "k", F.col("v")).collect()
+    }
+    assert got["even"] == (4, "100", 0)
+    assert got["one"] == (4, "100", 7500)
+    assert got["zero"] == (2, "0", 0)
+
+
+def test_benford_audit_digits_and_contract(spark):
+    from ddataframeoperation_spark.operators.relational import (
+        BENFORD_BP,
+        benford_audit,
+    )
+
+    # 1..9 each once from varying magnitudes, plus zero/negative excluded,
+    # plus an extra leading-1 value -> digit 1 has n=2 of 10 total.
+    vals = [1, 23, 345, 4567, 5, 66, 777, 8888, 99999, 100, 0, -5]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    out = {r["digit"]: r for r in benford_audit(df, F.col("v")).collect()}
+    assert set(out) == set(range(1, 10))
+    assert out[1]["n"] == 2 and out[2]["n"] == 1
+    assert out[1]["observed_bp"] == 2 * 10000 // 10
+    for d in range(1, 10):
+        assert out[d]["expected_bp"] == BENFORD_BP[d - 1]
+        assert out[d]["dev_bp"] == out[d]["observed_bp"] - out[d]["expected_bp"]
+    # Benford shares sum to ~100%
+    assert sum(BENFORD_BP) == 10000

@@ -57,6 +57,10 @@ BNLJ_ALLOWLIST = {
                                 # 1-row global sketch/count aggregate
                                 # (Spark may pick BuildLeft, which the
                                 # textual 1-row-scalar check can't see)
+    "b12_bloom_rf",             # scalar x scalar x scalar: the three
+                                # crossJoined inputs are 1-row count
+                                # aggregates (build keys / key flags /
+                                # row flags)
 }
 
 
