@@ -11102,6 +11102,8 @@ _BONUS_SLOTS = [
     "b31_url_dedup",
     "b32_pagerank",
     "b34_perplexity_rank",
+    "b28_gini_concentration",
+    "b28_benford_audit",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",
