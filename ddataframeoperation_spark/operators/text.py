@@ -46,6 +46,7 @@ __all__ = [
     "bigram_lm_scores",
     "pack_sequences",
     "perplexity_buckets",
+    "token_novelty",
     "canonicalize_url",
     "canonical_host",
     "registrable_domain",
@@ -1786,4 +1787,62 @@ def perplexity_buckets(
         "n_bigrams",
         "avg_logprob",
         F.ntile(n_buckets).over(w).cast("int").alias("ppl_bucket"),
+    )
+
+
+def token_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """B34 — the corpus novelty curve: per document (in ``id_col``
+    ingestion order), how much of its vocabulary the corpus has never
+    seen before. A feed whose novelty_bp collapses is re-crawling itself
+    — the cheap redundancy monitor you run BEFORE paying for minhash;
+    the flip side (high novelty late in the feed) flags domain drift.
+
+    A token is NOVEL in the document holding its global minimum id.
+    Output per document with ≥1 token: (id, n_tokens — occurrences,
+    n_distinct, n_novel, novelty_bp = n_novel·10⁴ div n_distinct —
+    DECIMAL-lifted like every basis-point ratio here). Empty/NULL-text
+    documents emit nothing (stated; they have no vocabulary to score).
+
+    Plan: one tokenize+explode, per-doc occurrence and distinct-set hash
+    aggregates, and a vocabulary-sized min-id table joined back on the
+    token — shuffles carry (doc, token) pairs and the vocabulary, never
+    text. The first-seen attribution is a GLOBAL min per token, so it is
+    partitioning/engine-exact — no window, no order dependence.
+    """
+    tk = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    occ = tk.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    dt = tk.distinct()
+    fst = dt.groupBy("tok").agg(F.min("id").alias("first_doc"))
+    nov = (
+        dt.join(fst, "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        occ.join(nov, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "n_distinct",
+            "n_novel",
+            F.expr(
+                "(CAST(n_novel AS DECIMAL(38,0)) * 10000) div n_distinct"
+            )
+            .cast("long")
+            .alias("novelty_bp"),
+        )
     )

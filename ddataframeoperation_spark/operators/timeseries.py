@@ -30,6 +30,7 @@ __all__ = [
     "rolling_distinct_approx",
     "rolling_zscore",
     "calendar_spine",
+    "seasonal_decompose_weekly",
 ]
 
 _GRANULARITIES = ("hour", "day", "week", "month", "quarter", "year")
@@ -508,4 +509,75 @@ def calendar_spine(
         dow.cast("long").alias("day_of_week"),
         (dow >= 6).alias("is_weekend"),
         F.date_trunc("week", "day").alias("week_start"),
+    )
+
+
+def seasonal_decompose_weekly(
+    df: DataFrame,
+    ts_col: str,
+    value_cents: Column,
+    group_col: str,
+) -> DataFrame:
+    """B24 — trend / weekly-seasonal / residual decomposition of a daily
+    series, ENTIRELY in scaled integer arithmetic (×7 units), so the
+    decomposition is a pure engine-exact function of the data — no float
+    moving averages to drift across engines or partition orders.
+
+      daily    = per (group, day) sum of ``value_cents`` (DECIMAL(38,0)
+                 partials, long output)
+      trend_x7 = the 7-OBSERVED-DAY centered sum (ROWS BETWEEN 3 PRECEDING
+                 AND 3 FOLLOWING; NULL where the frame has < 7 days) —
+                 7× the centered moving average, kept unscaled
+      seasonal_x7 = per (group, weekday Mon=0..Sun=6) integral mean of the
+                 detrended 7·daily − trend_x7 (``div``; both engines
+                 truncate toward zero)
+      resid_x7 = 7·daily − trend_x7 − seasonal_x7
+
+    Contracts: the trend frame is over OBSERVED days — a gap shifts the
+    frame identically in every engine; compose with the gap-fill spine
+    first when calendar alignment matters. Quantization: trend/seasonal/
+    resid are in 1e-2/7 dollar units (divide by 7 offline for display);
+    cents quantization of the input is floor(x·100+0.5), the module's
+    exact-money recipe.
+
+    Plan: one (group, day) hash-aggregate, one windowed pass partitioned
+    by group, one weekday aggregate joined back broadcast — the raw table
+    shuffles once, everything after is |groups × days| sized.
+    """
+    d = F.to_date(F.col(ts_col)).alias("d")
+    daily = df.groupBy(F.col(group_col).alias("grp"), d).agg(
+        F.sum(value_cents.cast("decimal(38,0)"))
+        .cast("long")
+        .alias("daily_cents")
+    )
+    w = Window.partitionBy("grp").orderBy("d").rowsBetween(-3, 3)
+    t = daily.withColumn(
+        "trend_x7",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7, F.sum("daily_cents").over(w)
+        ),
+    ).withColumn(
+        "resid0_x7", F.lit(7) * F.col("daily_cents") - F.col("trend_x7")
+    ).withColumn("dow", F.weekday("d"))
+    s = (
+        t.filter(F.col("resid0_x7").isNotNull())
+        .groupBy("grp", "dow")
+        .agg(
+            F.expr("sum(resid0_x7) div count(resid0_x7)").alias(
+                "seasonal_x7"
+            )
+        )
+    )
+    return (
+        t.join(F.broadcast(s), ["grp", "dow"], "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "d",
+            "daily_cents",
+            "trend_x7",
+            F.col("seasonal_x7").cast("long").alias("seasonal_x7"),
+            (F.col("resid0_x7") - F.col("seasonal_x7"))
+            .cast("long")
+            .alias("resid_x7"),
+        )
     )

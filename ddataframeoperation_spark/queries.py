@@ -8964,6 +8964,85 @@ def b31url(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b34_token_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS tok
+      FROM documents
+    ), tk AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    occ AS (SELECT doc_id, count(*) AS n_tokens FROM tk GROUP BY 1),
+    dt AS (SELECT DISTINCT doc_id, tok FROM tk),
+    fst AS (SELECT tok, min(doc_id) AS first_doc FROM dt GROUP BY 1),
+    nov AS (
+      SELECT dt.doc_id, count(*) AS n_distinct,
+             sum(CASE WHEN fst.first_doc = dt.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM dt JOIN fst ON fst.tok = dt.tok GROUP BY 1
+    )
+    SELECT o.doc_id, CAST(o.n_tokens AS BIGINT) AS n_tokens,
+           CAST(n.n_distinct AS BIGINT) AS n_distinct,
+           CAST(n.n_novel AS BIGINT) AS n_novel,
+           CAST((CAST(n.n_novel AS HUGEINT) * 10000) // n.n_distinct AS BIGINT)
+               AS novelty_bp
+    FROM occ o JOIN nov n ON n.doc_id = o.doc_id
+    """,
+)
+def b34nv(spark: SparkSession, sf: str) -> DataFrame:
+    # Corpus novelty curve: per doc (ingestion order = doc_id), the share
+    # of its vocabulary never seen in any earlier doc — the cheap
+    # redundancy monitor before minhash, and the drift flag after it.
+    # First-seen is a GLOBAL min per token (no window, no order
+    # dependence), so the whole report is engine-exact.
+    return TX.token_novelty(_t(spark, sf, "documents"))
+
+
+@_q(
+    "b24_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS BIGINT)
+                 AS daily_cents
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, d, daily_cents,
+             CASE WHEN count(*) OVER w = 7
+                  THEN sum(daily_cents) OVER w END AS trend_x7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), r AS (
+      SELECT *, 7 * daily_cents - trend_x7 AS resid0_x7,
+             isodow(d) - 1 AS dow
+      FROM t
+    ), s AS (
+      SELECT event_type, dow,
+             sum(resid0_x7) // count(resid0_x7) AS seasonal_x7
+      FROM r WHERE resid0_x7 IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT r.event_type, r.d, r.daily_cents,
+           CAST(r.trend_x7 AS BIGINT) AS trend_x7,
+           CAST(s.seasonal_x7 AS BIGINT) AS seasonal_x7,
+           CAST(r.resid0_x7 - s.seasonal_x7 AS BIGINT) AS resid_x7
+    FROM r LEFT JOIN s ON s.event_type = r.event_type AND s.dow = r.dow
+    """,
+)
+def b24sd(spark: SparkSession, sf: str) -> DataFrame:
+    # Trend/weekly-seasonal/residual split of daily revenue per event
+    # type, in exact ×7 integer units — the anomaly-detection prep step
+    # (alert on resid, not on raw, or Sunday pages you every week). Both
+    # engines replay the identical integer recurrence; no float moving
+    # average anywhere.
+    from ddataframeoperation_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf, "events")
+    return TS.seasonal_decompose_weekly(
+        ev, "ts", _cents("value"), "event_type"
+    )
+
+
+@_q(
     "b23_unicode_normalize",
     """
     SELECT doc_id, nfc_normalize(text) AS text_nfc, length(nfc_normalize(text)) AS n_nfc
@@ -11104,6 +11183,8 @@ _BONUS_SLOTS = [
     "b34_perplexity_rank",
     "b28_gini_concentration",
     "b28_benford_audit",
+    "b24_seasonal_decompose",
+    "b34_token_novelty",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

@@ -332,3 +332,59 @@ def test_benford_audit_digits_and_contract(spark):
         assert out[d]["dev_bp"] == out[d]["observed_bp"] - out[d]["expected_bp"]
     # Benford shares sum to ~100%
     assert sum(BENFORD_BP) == 10000
+
+
+def test_seasonal_decompose_exact_identity(spark):
+    import datetime as dt
+
+    from ddataframeoperation_spark.operators.timeseries import (
+        seasonal_decompose_weekly,
+    )
+
+    # 21 consecutive days, one group, value = weekday index (pure weekly
+    # signal, zero trend slope): interior trend_x7 must be the constant
+    # 21*100 cents (sum 0..6 = 21), and resid must vanish after the
+    # seasonal term on fully-interior weekdays.
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        (base + dt.timedelta(days=i), "g", float((base + dt.timedelta(days=i)).weekday()))
+        for i in range(21)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, grp string, value double")
+    out = seasonal_decompose_weekly(df, "ts", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"), "grp")
+    got = {r["d"]: r for r in out.collect()}
+    assert len(got) == 21
+    for d, r in got.items():
+        i = (d - base.date()).days
+        assert r["daily_cents"] == d.weekday() * 100
+        if 3 <= i <= 17:
+            assert r["trend_x7"] == 2100
+        else:
+            assert r["trend_x7"] is None and r["resid_x7"] is None
+    # Pure weekly signal + flat trend => residual exactly 0 interior.
+    interior = [r for d, r in got.items() if 3 <= (d - base.date()).days <= 17]
+    assert all(r["resid_x7"] == 0 for r in interior)
+    # Decomposition identity where defined: 7*daily = trend + seasonal + resid
+    for r in interior:
+        assert 7 * r["daily_cents"] == r["trend_x7"] + r["seasonal_x7"] + r["resid_x7"]
+
+
+def test_token_novelty_bruteforce(spark):
+    from ddataframeoperation_spark.operators.text import token_novelty
+
+    rows = [
+        (1, "alpha beta alpha"),
+        (2, "beta gamma"),
+        (3, "gamma alpha delta epsilon"),
+        (4, ""),            # no tokens: excluded
+        (5, None),          # NULL text: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in token_novelty(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_tokens"], got[1]["n_distinct"], got[1]["n_novel"]) == (3, 2, 2)
+    assert got[1]["novelty_bp"] == 10000
+    assert (got[2]["n_distinct"], got[2]["n_novel"]) == (2, 1)  # gamma new
+    assert got[2]["novelty_bp"] == 5000
+    assert (got[3]["n_distinct"], got[3]["n_novel"]) == (4, 2)  # delta, epsilon
+    assert got[3]["novelty_bp"] == 5000
