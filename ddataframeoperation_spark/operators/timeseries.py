@@ -31,6 +31,7 @@ __all__ = [
     "rolling_zscore",
     "calendar_spine",
     "seasonal_decompose_weekly",
+    "cusum_changepoint",
 ]
 
 _GRANULARITIES = ("hour", "day", "week", "month", "quarter", "year")
@@ -579,5 +580,64 @@ def seasonal_decompose_weekly(
             (F.col("resid0_x7") - F.col("seasonal_x7"))
             .cast("long")
             .alias("resid_x7"),
+        )
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str,
+    value_cents: Column,
+    group_col: str,
+) -> DataFrame:
+    """B24 — CUSUM changepoint detection per group, in exact scaled
+    integers: the day where the mean of a daily series most plausibly
+    shifted (the classic level-shift detector — deploys, pricing changes,
+    a source going stale). The statistic is the cumulative sum of
+    deviations from the group mean; to stay in integers it is computed
+    ×n: S_t = Σ_{i≤t} (n·x_i − T) with n = #days and T = Σx, so S is
+    exactly n× the usual CUSUM, S_n ≡ 0, and the argmax is unchanged.
+    All products in DECIMAL(38,0); the changepoint is argmax |S_t| with
+    the EARLIEST-day tiebreak — every engine returns the identical day.
+
+    Returns one row per group: (group, change_day, n_days,
+    s_max_abs STRING — canonical DECIMAL digits; n·Σ|dev| passes 2^53
+    long before 100 TB). Plan: one (group, day) aggregate, one broadcast
+    of the |groups|-row totals, one running-sum window partitioned by
+    group, one top-1-per-group window — daily tables only.
+    """
+    d = F.to_date(F.col(ts_col)).alias("d")
+    daily = df.groupBy(F.col(group_col).alias("grp"), d).agg(
+        F.sum(value_cents.cast("decimal(38,0)")).alias("x")
+    )
+    g = daily.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("t")
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        daily.join(F.broadcast(g), "grp")
+        .withColumn(
+            "s",
+            F.sum(
+                F.expr("CAST(n AS DECIMAL(38,0)) * x - t")
+            ).over(w),
+        )
+        .withColumn("sa", F.abs(F.col("s")))
+    )
+    rn = Window.partitionBy("grp").orderBy(
+        F.col("sa").desc(), F.col("d").asc()
+    )
+    return (
+        c.withColumn("_rn", F.row_number().over(rn))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("d").alias("change_day"),
+            F.col("n").cast("long").alias("n_days"),
+            F.col("sa").cast("string").alias("s_max_abs"),
         )
     )

@@ -8964,6 +8964,42 @@ def b31url(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b24_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS x
+      FROM events GROUP BY 1, 2
+    ), g AS (
+      SELECT event_type, count(*) AS n, sum(x) AS t FROM daily GROUP BY 1
+    ), c AS (
+      SELECT d.event_type, d.d,
+             sum(g.n * d.x - g.t) OVER (PARTITION BY d.event_type ORDER BY d.d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM daily d JOIN g ON g.event_type = d.event_type
+    ), r AS (
+      SELECT event_type, d, abs(s) AS sa,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(s) DESC, d ASC) AS rn
+      FROM c
+    )
+    SELECT r.event_type, r.d AS change_day, CAST(g.n AS BIGINT) AS n_days,
+           CAST(r.sa AS VARCHAR) AS s_max_abs
+    FROM r JOIN g ON g.event_type = r.event_type
+    WHERE rn = 1
+    """,
+)
+def b24cu(spark: SparkSession, sf: str) -> DataFrame:
+    # CUSUM level-shift detector on daily revenue per event type — the
+    # "which day did this series change" monitor, exact (×n-scaled
+    # integer cumulative deviations, earliest-day argmax tiebreak).
+    from ddataframeoperation_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf, "events")
+    return TS.cusum_changepoint(ev, "ts", _cents("value"), "event_type")
+
+
+@_q(
     "b34_token_novelty",
     """
     WITH toks AS (
@@ -11185,6 +11221,7 @@ _BONUS_SLOTS = [
     "b28_benford_audit",
     "b24_seasonal_decompose",
     "b34_token_novelty",
+    "b24_cusum_changepoint",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

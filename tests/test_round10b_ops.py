@@ -388,3 +388,34 @@ def test_token_novelty_bruteforce(spark):
     assert got[2]["novelty_bp"] == 5000
     assert (got[3]["n_distinct"], got[3]["n_novel"]) == (4, 2)  # delta, epsilon
     assert got[3]["novelty_bp"] == 5000
+
+
+def test_cusum_changepoint_detects_level_shift(spark):
+    import datetime as dt
+
+    from ddataframeoperation_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    # Group "shift": 10 days at 100 cents then 10 days at 500 — CUSUM
+    # |S| peaks exactly at the last low day (day index 9). Group "flat":
+    # constant series — every S_t = 0, earliest-day tiebreak wins.
+    rows = []
+    for i in range(20):
+        v = 1.0 if i < 10 else 5.0
+        rows.append((base + dt.timedelta(days=i), "shift", v))
+        rows.append((base + dt.timedelta(days=i), "flat", 2.0))
+    df = spark.createDataFrame(rows, "ts timestamp, grp string, value double")
+    out = {
+        r["grp"]: r
+        for r in cusum_changepoint(
+            df, "ts", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"), "grp"
+        ).collect()
+    }
+    assert out["shift"]["change_day"] == (base + dt.timedelta(days=9)).date()
+    assert out["shift"]["n_days"] == 20
+    # S_t at day 9 (0-based): 10 days * (n*x - T) = 10*(20*100 - 6000) = -40000
+    assert out["shift"]["s_max_abs"] == "40000"
+    assert out["flat"]["change_day"] == base.date()
+    assert out["flat"]["s_max_abs"] == "0"
