@@ -813,6 +813,69 @@ def main() -> int:
                 nprobe=2,
             ),
         )
+
+    # Round-10 late widening: URL hygiene, novelty, perplexity buckets,
+    # Poisson bootstrap (docs-shaped); PageRank on a synthetic degree-4
+    # graph over the doc ids (nodes AND edges scale with the corpus —
+    # the per-iteration shuffles are what's probed); Bloom report with
+    # build/probe both over events keys.
+    def _messy(d):
+        return d.withColumn(
+            "url",
+            F.concat(
+                F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM:443/"),
+                F.col("lang"), F.lit("/Page-"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("/?utm_source=feed&a=1#s-"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+
+    for tag, d in (("1x", docs1), (f"{factor}x", docs)):
+        probe(
+            f"url_dedup {tag}",
+            lambda d=d: dedup.dedup_by_canonical_url(
+                _messy(d), "url",
+                order_by=[F.col("n_chars").desc_nulls_last(), F.col("doc_id").asc()],
+            ),
+        )
+        probe(f"token_novelty {tag}", lambda d=d: TX.token_novelty(d))
+        probe(
+            f"perplexity_buckets {tag}",
+            lambda d=d: TX.perplexity_buckets(d, materialize_bigrams=True),
+        )
+        probe(
+            f"poisson_bootstrap {tag}",
+            lambda d=d: sampling.poisson_replicates(
+                d.select("doc_id", "n_chars"), 32, ["doc_id"]
+            ).groupBy("replicate").agg(F.sum("multiplicity").alias("k")),
+        )
+        probe(
+            f"pagerank {tag}",
+            lambda d=d: dedup.pagerank(
+                d.select(F.col("doc_id").alias("id")),
+                d.select(F.col("doc_id").alias("src"))
+                .withColumn("_i", F.explode(F.sequence(F.lit(1), F.lit(4))))
+                .select(
+                    "src",
+                    F.pmod(
+                        F.xxhash64(F.col("src") * F.col("_i")), F.lit(997)
+                    ).alias("dst"),
+                    F.lit(1).alias("w"),
+                ),
+                n_iter=4,
+            ),
+        )
+    for tag, e in (("1x", ev1), (f"{factor}x", ev)):
+        probe(
+            f"bloom_report {tag}",
+            lambda e=e: __import__(
+                "ddataframeoperation_spark.operators.skew", fromlist=["skew"]
+            ).bloom_filter_report(
+                e.filter(F.col("event_type") == "purchase"), "user_id",
+                e, "user_id", n_bits=1 << 20,
+            ),
+        )
     return 0
 
 
