@@ -161,11 +161,25 @@ BENCH_QUERIES = [
     "b35_linear_attribution",
     "b28_operating_points",
     "b11_weighted_percentiles",
+    # Round-10 late-session widening — the perf-interesting slice (the
+    # audits and bootstrap are sub-0.5s single-aggregate scans; timing
+    # them would measure job overhead): iterative PageRank, the LM +
+    # ntile perplexity bucketing, the URL canonicalizer + keep-best
+    # window, the first-seen novelty joins, and the row-level quarantine
+    # scan.
+    "b32_pagerank",
+    "b34_perplexity_rank",
+    "b31_url_dedup",
+    "b34_token_novelty",
+    "b28_quarantine_split",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
 #: the engine, not driver-side result transfer.
 COUNT_ONLY = {
+    "b28_quarantine_split",
+    "b34_perplexity_rank",
+    "b34_token_novelty",
     "b01_scan_project_filter",
     "b05_join_inner",
     "b17_window_rank",

@@ -85,6 +85,12 @@ HEADLINE = [
     ("b35_linear_attribution", "Linear multi-touch attribution: one user-key RANGE window in integer microseconds, bounded stack, one aggregate — no self-join"),
     ("b33_matryoshka_recall", "Matryoshka recall: per-dim corpus scans through two-level sharded top-k, LEFT SEMI vs broadcast full-dim winners, |dims|-row integer report"),
     ("b34_vocab_overlap", "Vocabulary overlap: only the distinct (source, token) pair set shuffles; per-token source counts fold back, |sources|-row report"),
+    # Round 10, late-session widening
+    ("b32_pagerank", "Fixed-point PageRank: per-iteration edges⋈ranks broadcast join + dst sum, DECIMAL(38,0) products, lineage truncated per round"),
+    ("b12_bloom_rf", "Bloom runtime-filter report: build positions broadcast, probe DISTINCT keys hashed once, fact rows never shuffled — three 1-row aggregates crossed"),
+    ("b31_url_dedup", "Canonical-URL dedup: JVM-regex canonicalizer in the scan projection, ONE near-unique-key window — no join"),
+    ("b34_token_novelty", "Token novelty: (doc,token) pair + vocabulary-sized min-id aggregates; first-seen is a GLOBAL min, no window"),
+    ("b24_seasonal_decompose", "Seasonal decomposition: one (group,day) aggregate, one 7-row framed window per group, broadcast weekday means — all integer ×7 units"),
 ]
 
 SKIP_PREFIXES = (
