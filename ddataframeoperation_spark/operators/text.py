@@ -47,6 +47,7 @@ __all__ = [
     "pack_sequences",
     "perplexity_buckets",
     "token_novelty",
+    "keyword_pagerank",
     "canonicalize_url",
     "canonical_host",
     "registrable_domain",
@@ -1845,4 +1846,66 @@ def token_novelty(
             .cast("long")
             .alias("novelty_bp"),
         )
+    )
+
+
+def keyword_pagerank(
+    df: DataFrame,
+    text_col: str | Column = "text",
+    window: int = 2,
+    min_count: int = 3,
+    n_iter: int = 6,
+    k: int = 15,
+) -> DataFrame:
+    """B34 — TextRank-style corpus keywords: PageRank over the token
+    co-occurrence graph (edges = :func:`skipgram_pairs` within
+    ``window``, symmetrized and pre-summed; ``min_count`` bounds the
+    graph to the vocabulary that matters). Centrality beats raw
+    frequency for keywording because a token that co-occurs with MANY
+    distinct frequent tokens outranks one that repeats inside a single
+    boilerplate phrase — frequency's classic failure.
+
+    Pure composition of two already-exact operators: the edge counts are
+    integers and :func:`dedup.pagerank` runs its fixed-point integer
+    recurrence, so the top-``k`` (rank DESC, token ASC — stated
+    tiebreak) is engine-exact end to end. Self-loops (a token repeating
+    within its own window) are kept — they are real co-occurrence mass
+    and both engines treat them identically.
+
+    Plan: the skipgram explode+count (row-local pair generation), one
+    (src,dst) aggregate, then ``n_iter`` vocabulary-sized join+agg
+    rounds and a TakeOrdered — the corpus is read once; every iteration
+    touches only the (bounded) co-occurrence graph.
+    """
+    from ddataframeoperation_spark.operators.dedup import pagerank
+
+    pairs = skipgram_pairs(
+        df, text_col, window=window, min_count=min_count
+    )
+    edges = (
+        pairs.select(
+            F.col("w1").alias("src"),
+            F.col("w2").alias("dst"),
+            F.col("pair_count").alias("w"),
+        )
+        .unionAll(
+            pairs.select(
+                F.col("w2").alias("src"),
+                F.col("w1").alias("dst"),
+                F.col("pair_count").alias("w"),
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ranks = pagerank(nodes, edges, n_iter=n_iter)
+    return (
+        ranks.orderBy(F.col("rank_units").desc(), F.col("id").asc())
+        .limit(k)
+        .select(F.col("id").alias("token"), "rank_units")
     )

@@ -8770,6 +8770,25 @@ def b12bf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _pagerank_iter_ctes(n_iter: int) -> str:
+    """pr1..prN CTE chain replaying dedup.pagerank's integer recurrence
+    (unit 10^9, damping 8500bp → base 1.5e8) over upstream CTEs
+    ``ew(src, dst, w, wt)`` and ``n(id)``; ``pr0`` must already exist."""
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f""",
+    pr{i} AS (
+      SELECT n.id, CAST(150000000 AS HUGEINT)
+             + (8500 * coalesce(inf.s, CAST(0 AS HUGEINT))) // 10000 AS r
+      FROM n LEFT JOIN (
+        SELECT ew.dst, sum((p.r * ew.w) // ew.wt) AS s
+        FROM pr{i - 1} p JOIN ew ON ew.src = p.id
+        GROUP BY ew.dst
+      ) inf ON inf.dst = n.id
+    )""")
+    return "".join(its)
+
+
 def _pagerank_oracle_sql(n_iter: int = 8) -> str:
     """Unrolled-iteration DuckDB twin of dedup.pagerank over the nation
     trade graph: same init (10^9 units), same per-round integer recurrence
@@ -8793,22 +8812,10 @@ def _pagerank_oracle_sql(n_iter: int = 8) -> str:
         ON w2.src = e.src
     ), n AS (SELECT n_nationkey AS id FROM nation),
     pr0 AS (SELECT id, CAST(1000000000 AS HUGEINT) AS r FROM n)"""
-    its = []
-    for i in range(1, n_iter + 1):
-        its.append(f""",
-    pr{i} AS (
-      SELECT n.id, CAST(150000000 AS HUGEINT)
-             + (8500 * coalesce(inf.s, CAST(0 AS HUGEINT))) // 10000 AS r
-      FROM n LEFT JOIN (
-        SELECT ew.dst, sum((p.r * ew.w) // ew.wt) AS s
-        FROM pr{i - 1} p JOIN ew ON ew.src = p.id
-        GROUP BY ew.dst
-      ) inf ON inf.dst = n.id
-    )""")
     tail = f"""
     SELECT id AS nation_id, CAST(r AS BIGINT) AS rank_units FROM pr{n_iter}
     """
-    return head + "".join(its) + tail
+    return head + _pagerank_iter_ctes(n_iter) + tail
 
 
 @_q("b32_pagerank", _pagerank_oracle_sql(8))
@@ -8840,6 +8847,50 @@ def b32pr(spark: SparkSession, sf: str) -> DataFrame:
     )
     ranks = dedup.pagerank(n, edges, n_iter=8, damping_bp=8500, unit=10**9)
     return ranks.select(F.col("id").alias("nation_id"), "rank_units")
+
+
+@_q(
+    "b34_keyword_pagerank",
+    """
+    WITH t AS (
+      SELECT string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), p AS (
+      SELECT toks[i] AS w1, toks[i + j] AS w2
+      FROM t,
+           unnest(generate_series(1, CAST(len(toks) AS BIGINT) - 1)) AS a(i),
+           unnest(generate_series(1, 2)) AS b(j)
+      WHERE i + j <= len(toks)
+    ), pc AS (
+      SELECT w1, w2, count(*) AS c FROM p WHERE w1 <> '' AND w2 <> ''
+      GROUP BY w1, w2 HAVING count(*) >= 3
+    ), e AS (
+      SELECT src, dst, CAST(sum(c) AS HUGEINT) AS w FROM (
+        SELECT w1 AS src, w2 AS dst, c FROM pc
+        UNION ALL SELECT w2 AS src, w1 AS dst, c FROM pc
+      ) GROUP BY src, dst
+    ), ew AS (
+      SELECT e.src, e.dst, e.w, w2.wt
+      FROM e JOIN (SELECT src, sum(w) AS wt FROM e GROUP BY src) w2
+        ON w2.src = e.src
+    ), n AS (
+      SELECT src AS id FROM e UNION SELECT dst FROM e
+    ),
+    pr0 AS (SELECT id, CAST(1000000000 AS HUGEINT) AS r FROM n)"""
+    + _pagerank_iter_ctes(6)
+    + """
+    SELECT id AS token, CAST(r AS BIGINT) AS rank_units FROM pr6
+    ORDER BY r DESC, id ASC LIMIT 15
+    """,
+)
+def b34kw(spark: SparkSession, sf: str) -> DataFrame:
+    # TextRank corpus keywords: PageRank over the symmetrized window-2
+    # skipgram graph — two already-exact operators composed, so even the
+    # iterative centrality ranking hash-matches the oracle. Centrality
+    # over frequency: boilerplate phrases repeat but don't CONNECT.
+    return TX.keyword_pagerank(
+        _t(spark, sf, "documents"), window=2, min_count=3, n_iter=6, k=15
+    )
 
 
 #: Deterministic messy-URL fixture column (both engines): the refetch

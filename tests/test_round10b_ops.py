@@ -419,3 +419,25 @@ def test_cusum_changepoint_detects_level_shift(spark):
     assert out["shift"]["s_max_abs"] == "40000"
     assert out["flat"]["change_day"] == base.date()
     assert out["flat"]["s_max_abs"] == "0"
+
+
+def test_keyword_pagerank_centrality_beats_frequency(spark):
+    from ddataframeoperation_spark.operators.text import keyword_pagerank
+
+    # "hub" co-occurs with many distinct tokens; "spam" repeats more
+    # often but only inside one two-token phrase. Centrality must rank
+    # hub over spam even though spam's raw frequency is higher.
+    docs = (
+        ["hub alpha", "hub beta", "hub gamma", "hub delta", "hub epsilon"] * 3
+        + ["spam filler"] * 20
+    )
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                               "doc_id long, text string")
+    out = keyword_pagerank(df, min_count=3, n_iter=4, k=5).collect()
+    toks = [r["token"] for r in out]
+    assert len(toks) == 5 and len(set(toks)) == 5
+    assert all(r["rank_units"] > 0 for r in out)
+    assert toks.index("hub") < toks.index("spam")
+    # ordered by rank desc (token asc tiebreak) by contract
+    ranks = [r["rank_units"] for r in out]
+    assert ranks == sorted(ranks, reverse=True)
