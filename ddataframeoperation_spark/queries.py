@@ -11273,6 +11273,7 @@ _BONUS_SLOTS = [
     "b24_seasonal_decompose",
     "b34_token_novelty",
     "b24_cusum_changepoint",
+    "b34_keyword_pagerank",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",
