@@ -2076,6 +2076,30 @@ def b33(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.cosine_topk(emb, qvec, k=10)
 
 
+@_q(
+    "b33_binary_hamming_topk",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           CAST(len(list_filter(range(1, 65),
+                i -> (e.embedding[i] > 0) <> (q.qe[i] > 0))) AS BIGINT)
+               AS hamming
+    FROM embeddings e, q
+    ORDER BY hamming ASC, e.vec_id ASC
+    LIMIT 20
+    """,
+)
+def b33bq(spark: SparkSession, sf: str) -> DataFrame:
+    # 1-bit binary quantization shortlist: sign codes packed into int64
+    # words, XOR+popcount Hamming, TakeOrdered — the memory-floor rung of
+    # the quantization ladder (float32 → int8 → PQ → 1-bit; 32× smaller
+    # than float32). The shortlist top-k is an exact integer function of
+    # the data; the oracle recounts sign mismatches positionally.
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.binary_hamming_topk(emb, qvec, k=20)
+
+
 @_q("b33_lsh_topk")  # rows-only: LSH plane family is engine-specific
 def b33l(spark: SparkSession, sf: str) -> DataFrame:
     # Stays rows-only by design: the fixture embeddings are near-isotropic
@@ -11274,6 +11298,7 @@ _BONUS_SLOTS = [
     "b34_token_novelty",
     "b24_cusum_changepoint",
     "b34_keyword_pagerank",
+    "b33_binary_hamming_topk",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

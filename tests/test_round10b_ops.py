@@ -441,3 +441,48 @@ def test_keyword_pagerank_centrality_beats_frequency(spark):
     # ordered by rank desc (token asc tiebreak) by contract
     ranks = [r["rank_units"] for r in out]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_binary_quantize_and_hamming_bruteforce(spark):
+    import random
+
+    from ddataframeoperation_spark.operators.similarity import (
+        binary_hamming_topk,
+        binary_quantize,
+    )
+
+    rng = random.Random(7)
+    dim = 64
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(dim)] for i in range(40)}
+    # Force the sign bit (element 63 > 0) on some rows — the two's-
+    # complement packing path must stay exact.
+    for i in range(0, 40, 3):
+        vecs[i][63] = abs(vecs[i][63]) + 0.5
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+
+    def pack(v):
+        bits = 0
+        for i, x in enumerate(v):
+            if x > 0:
+                bits |= 1 << i
+        return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+    got = {
+        r["vec_id"]: r["c"][0]
+        for r in df.select(
+            "vec_id", binary_quantize(F.col("embedding"), dim).alias("c")
+        ).collect()
+    }
+    assert got == {i: pack(v) for i, v in vecs.items()}
+
+    q = vecs[0]
+    out = binary_hamming_topk(df, q, k=10).collect()
+
+    def ham(a, b):
+        return sum((x > 0) != (y > 0) for x, y in zip(a, b))
+
+    brute = sorted(((ham(v, q), i) for i, v in vecs.items()))[:10]
+    assert [(r["hamming"], r["vec_id"]) for r in out] == brute
+    assert out[0]["vec_id"] == 0 and out[0]["hamming"] == 0
