@@ -11212,6 +11212,17 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: b10 archetypes, the b22/b11/b33 tails, the r9 wideners) lead the
 #: round-11 queue unchanged. Every displaced query is green in
 #: CORRECTNESS_r09 and its family keeps >=1 slot.
+#:
+#: Round-10 LATE-SESSION widening (post-rotation): fourteen new
+#: oracle-backed queries (b12_bloom_rf, b28_quarantine_split,
+#: b22_poisson_bootstrap, b34_url_canonicalize, b31_url_dedup,
+#: b32_pagerank, b34_perplexity_rank, b28_gini_concentration,
+#: b28_benford_audit, b24_seasonal_decompose, b34_token_novelty,
+#: b24_cusum_changepoint, b34_keyword_pagerank,
+#: b33_binary_hamming_topk) appended to the oracle-backed widener
+#: block below — never-certified by construction, queued for the
+#: round-11 rotation behind the r10 wideners, ahead of the rows-only
+#: group per the documented convention.
 _BONUS_SLOTS = [
     # -- still never-certified, in rotation order for round 11
     #    (oracle-backed first; the 4 rows-only entries close the queue
