@@ -48,6 +48,7 @@ __all__ = [
     "negative_samples",
     "write_training_shards",
     "poisson_replicates",
+    "rolling_origin_folds",
 ]
 
 #: 2^32 — the md5-prefix domain size.
@@ -1020,4 +1021,54 @@ def poisson_replicates(
         .filter(F.col("_u").isNotNull())
         .withColumn(multiplicity_col, k.cast("int"))
         .drop("_u")
+    )
+
+
+def rolling_origin_folds(
+    df: DataFrame,
+    ts_col: str,
+    origins: "Sequence[str]",
+    horizon: str = "5 days",
+    fold_col: str = "fold",
+    split_col: str = "split",
+) -> DataFrame:
+    """B22 — rolling-origin backtesting folds (time-series CV): fold k
+    trains on everything BEFORE ``origins[k]`` and tests on the
+    ``horizon`` right after it, so later folds legitimately reuse earlier
+    folds' test ranges as training — the expanding-window evaluation
+    protocol for forecasting/ranking models, where a random k-fold would
+    leak the future. Time-based twin of :func:`temporal_split` (which
+    cuts ONE embargoed boundary); membership is a pure function of the
+    event timestamp against literal cut points — engine-exact, no
+    sampling.
+
+    Returns one row per (fold, in-window row): (``fold_col`` int,
+    original columns, ``split_col`` 'train'|'test'); rows after a fold's
+    test horizon are absent from that fold. Plan: ONE scan cross-joined
+    against the |origins|-row literal spine (broadcast nested-loop on a
+    bounded build side — the benign Cross shape), row-local CASE.
+    """
+    if not origins:
+        raise ValueError("rolling_origin_folds requires at least 1 origin")
+    spark = df.sparkSession
+    spine = spark.createDataFrame(
+        [(k, o) for k, o in enumerate(origins)], "fold int, cut_s string"
+    ).select(
+        "fold",
+        F.to_timestamp("cut_s").alias("_cut"),
+        (F.to_timestamp("cut_s") + F.expr(f"INTERVAL {horizon}")).alias(
+            "_fin"
+        ),
+    )
+    ts = F.col(ts_col)
+    return (
+        df.crossJoin(F.broadcast(spine))
+        .filter(ts < F.col("_fin"))
+        .withColumn(
+            split_col,
+            F.when(ts < F.col("_cut"), F.lit("train")).otherwise(
+                F.lit("test")
+            ),
+        )
+        .drop("_cut", "_fin")
     )

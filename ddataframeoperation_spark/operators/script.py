@@ -33,6 +33,7 @@ __all__ = [
     "apply_script_grouped",
     "apply_script_batches",
     "scalar_pandas_udf",
+    "grouped_agg_pandas_udf",
     "grouped_map_parallelism",
 ]
 
@@ -125,3 +126,34 @@ def zscore_per_group(
         return out
 
     return apply_script_grouped(df, group_cols, _norm, out_schema)
+
+
+def grouped_agg_pandas_udf(func: Callable, return_type: str):
+    """B30 — GROUPED_AGG pandas UDF: the fourth UDF form beside
+    grouped-map / map-in-pandas / scalar (completing the reference's
+    ScriptExecutor surface as the full Spark quartet). The function
+    receives one group's column as a pandas Series and returns ONE
+    scalar; Spark runs it as a true aggregate — usable in ``groupBy().
+    agg()`` AND over windows — with Arrow batch transfer.
+
+    Scale note: unlike grouped-map, a grouped-agg UDF does NOT require
+    the whole group's ROW data in Python — only the aggregated column(s)
+    cross the Arrow boundary — but there is no partial aggregation
+    (map-side combine) for Python aggregates: every group value ships to
+    its reducer. For algebraic statistics prefer builtins; reserve this
+    for genuinely custom reductions.
+
+    The GROUPED_AGG functionType is passed EXPLICITLY: type-hint
+    inference cannot work in modules under ``from __future__ import
+    annotations`` (hints arrive as strings and Spark rejects the
+    signature).
+    """
+    import warnings
+
+    from pyspark.sql.functions import PandasUDFType
+
+    with warnings.catch_warnings():
+        # The explicit-functionType deprecation warning is noise here:
+        # the hint route is structurally unavailable (stringified hints).
+        warnings.simplefilter("ignore", UserWarning)
+        return F.pandas_udf(func, return_type, PandasUDFType.GROUPED_AGG)

@@ -3548,6 +3548,60 @@ def b29(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b29_csv_quoted_roundtrip",
+    """
+    SELECT doc_id,
+           coalesce(text, '') || ', "quoted", comma' || chr(10) || 'second line'
+               AS text_rt
+    FROM documents
+    """,
+)
+def b29cq(spark: SparkSession, sf: str) -> DataFrame:
+    # The CSV dialect gauntlet: embedded commas, RFC-4180 doubled quotes
+    # (escape='"'), and embedded NEWLINES (multiLine read) must survive a
+    # write+read byte-for-byte. The oracle is the pre-write expression —
+    # a hash match proves the roundtrip lossless. THREE Spark defaults
+    # would silently break RFC interop, which is why this query pins the
+    # dialect: escape='\\\\' (readers expect doubled quotes), and write-
+    # side ignoreLeading/TrailingWhiteSpace=true (padding is DATA; the
+    # trim is pinned in tests). Known residual asymmetry, also pinned:
+    # an EMPTY string reads back NULL under the default nullValue.
+    import shutil
+    import tempfile
+
+    src = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(', "quoted", comma\nsecond line'),
+        ).alias("text_rt"),
+    )
+    out_root = tempfile.mkdtemp(prefix="ddfo_csvq_")
+    try:
+        path = f"{out_root}/docs_csv"
+        (
+            src.write.mode("overwrite")
+            .option("header", "true")
+            .option("escape", '"')
+            .option("quoteAll", "true")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .csv(path)
+        )
+        rows = (
+            spark.read.option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .schema("doc_id long, text_rt string")
+            .csv(path)
+            .collect()
+        )
+        return spark.createDataFrame(rows, "doc_id long, text_rt string")
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+
+@_q(
     "b29_write_audit_publish",
     """
     WITH v AS (
@@ -8069,6 +8123,48 @@ def b27ap(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b30_grouped_agg_udf",
+    """
+    SELECT lang,
+           median(abs(n_chars - m)) AS mad_chars,
+           CAST(count(n_chars) AS BIGINT) AS n_docs
+    FROM (
+      SELECT lang, n_chars,
+             median(n_chars) OVER (PARTITION BY lang) AS m
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def b30ga(spark: SparkSession, sf: str) -> DataFrame:
+    # The fourth UDF form (GROUPED_AGG pandas_udf) beside grouped-map /
+    # mapInPandas / scalar: a custom one-shot reduction (median absolute
+    # deviation). MAD over integers is ORDER-INDEPENDENT (sorting happens
+    # inside pandas), so the result is exact without rounding —
+    # interpolated .5 halves and all. NaN/NULL skip matches the oracle's
+    # NULL-ignoring median. Spark disallows mixing pandas and non-pandas
+    # aggregates in one agg(), so the count rides as a second pandas agg.
+    import pandas as pd  # noqa: F401
+
+    from ddataframeoperation_spark.operators import script as SC
+
+    def _mad(s: pd.Series) -> float:
+        m = s.median()
+        return float((s - m).abs().median())
+
+    def _cnt(s: pd.Series) -> int:
+        return int(s.count())
+
+    mad = SC.grouped_agg_pandas_udf(_mad, "double")
+    cnt = SC.grouped_agg_pandas_udf(_cnt, "long")
+    d = _t(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        mad(F.col("n_chars").cast("double")).alias("mad_chars"),
+        cnt(F.col("n_chars").cast("double")).alias("n_docs"),
+    )
+
+
+@_q(
     "b30_sql_udf",
     """
     SELECT l_returnflag,
@@ -9036,6 +9132,34 @@ def b31url(spark: SparkSession, sf: str) -> DataFrame:
         order_by=[F.col("n_chars").desc_nulls_last(), F.col("doc_id").asc()],
     )
     return kept.select("doc_id", "url_canonical")
+
+
+@_q(
+    "b22_rolling_origin_cv",
+    """
+    WITH folds(fold, cut, fin) AS (VALUES
+      (0, TIMESTAMP '2024-01-11 00:00:00', TIMESTAMP '2024-01-16 00:00:00'),
+      (1, TIMESTAMP '2024-01-16 00:00:00', TIMESTAMP '2024-01-21 00:00:00'),
+      (2, TIMESTAMP '2024-01-21 00:00:00', TIMESTAMP '2024-01-26 00:00:00'))
+    SELECT CAST(f.fold AS INTEGER) AS fold, e.event_id,
+           CASE WHEN CAST(e.ts AS TIMESTAMP) < f.cut THEN 'train'
+                ELSE 'test' END AS split
+    FROM events e CROSS JOIN folds f
+    WHERE CAST(e.ts AS TIMESTAMP) < f.fin
+    """,
+)
+def b22ro(spark: SparkSession, sf: str) -> DataFrame:
+    # Rolling-origin (expanding-window) time-series CV: three forecast
+    # origins, each training on all history before its cut and testing
+    # on the 5-day horizon after it — the backtesting protocol where a
+    # random k-fold would leak the future. Membership is a pure function
+    # of the timestamp against literal cuts; one scan, 3-row broadcast.
+    from ddataframeoperation_spark.operators import sampling
+
+    ev = _t(spark, sf, "events").select("event_id", "ts")
+    return sampling.rolling_origin_folds(
+        ev, "ts", ["2024-01-11", "2024-01-16", "2024-01-21"], "5 days"
+    ).select("fold", "event_id", "split")
 
 
 @_q(
@@ -11310,6 +11434,9 @@ _BONUS_SLOTS = [
     "b24_cusum_changepoint",
     "b34_keyword_pagerank",
     "b33_binary_hamming_topk",
+    "b30_grouped_agg_udf",
+    "b29_csv_quoted_roundtrip",
+    "b22_rolling_origin_cv",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

@@ -486,3 +486,90 @@ def test_binary_quantize_and_hamming_bruteforce(spark):
     brute = sorted(((ham(v, q), i) for i, v in vecs.items()))[:10]
     assert [(r["hamming"], r["vec_id"]) for r in out] == brute
     assert out[0]["vec_id"] == 0 and out[0]["hamming"] == 0
+
+
+def test_grouped_agg_udf_mad_matches_pandas(spark):
+    import pandas as pd
+
+    from ddataframeoperation_spark.operators.script import (
+        grouped_agg_pandas_udf,
+    )
+
+    rows = [("a", 1.0), ("a", 3.0), ("a", 100.0), ("a", None),
+            ("b", 5.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double")
+
+    def _mad(s: pd.Series) -> float:
+        m = s.median()
+        return float((s - m).abs().median())
+
+    mad = grouped_agg_pandas_udf(_mad, "double")
+    got = {r["g"]: r["m"] for r in
+           df.groupBy("g").agg(mad(F.col("x")).alias("m")).collect()}
+    # group a (NaN skipped): median 3 -> |1-3|,|3-3|,|100-3| -> median 2
+    assert got["a"] == 2.0
+    # group b: median 7 -> |5-7|,|9-7| -> median 2
+    assert got["b"] == 2.0
+
+
+def test_csv_quoted_roundtrip_nasty_strings(spark):
+    import shutil
+    import tempfile
+
+    nasty = [
+        (1, 'comma, "doubled" quote'),
+        (2, "line1\nline2\r\nline3"),
+        (3, "back\\slash and trailing space "),
+        (4, "ünïcode — em–dash"),
+        (5, ""),
+    ]
+    src = spark.createDataFrame(nasty, "id long, s string")
+    root = tempfile.mkdtemp(prefix="csvq_test_")
+    try:
+        path = f"{root}/t"
+        (src.write.mode("overwrite").option("header", "true")
+            .option("escape", '"').option("quoteAll", "true")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false").csv(path))
+        back = {
+            r["id"]: r["s"]
+            for r in spark.read.option("header", "true")
+            .option("multiLine", "true").option("escape", '"')
+            .schema("id long, s string").csv(path).collect()
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    for i, s in nasty[:4]:
+        assert back[i] == s, (i, back[i], s)
+    # Known CSV asymmetry, pinned: a written empty string reads back NULL
+    # under Spark defaults (why the b29 query guarantees non-empty text).
+    assert back[5] is None
+
+
+def test_rolling_origin_folds_bruteforce(spark):
+    import datetime as dt
+
+    from ddataframeoperation_spark.operators.sampling import (
+        rolling_origin_folds,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(days=i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = rolling_origin_folds(
+        df, "ts", ["2024-01-11", "2024-01-16"], "5 days"
+    ).collect()
+    got = {(r["fold"], r["id"]): r["split"] for r in out}
+    for k, cut_day in enumerate((10, 15)):
+        for i in range(30):
+            if i < cut_day:
+                assert got[(k, i)] == "train"
+            elif i < cut_day + 5:
+                assert got[(k, i)] == "test"
+            else:
+                assert (k, i) not in got
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        rolling_origin_folds(df, "ts", [])
