@@ -11337,13 +11337,15 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: round-11 queue unchanged. Every displaced query is green in
 #: CORRECTNESS_r09 and its family keeps >=1 slot.
 #:
-#: Round-10 LATE-SESSION widening (post-rotation): fourteen new
+#: Round-10 LATE-SESSION widening (post-rotation): seventeen new
 #: oracle-backed queries (b12_bloom_rf, b28_quarantine_split,
 #: b22_poisson_bootstrap, b34_url_canonicalize, b31_url_dedup,
 #: b32_pagerank, b34_perplexity_rank, b28_gini_concentration,
 #: b28_benford_audit, b24_seasonal_decompose, b34_token_novelty,
 #: b24_cusum_changepoint, b34_keyword_pagerank,
-#: b33_binary_hamming_topk) appended to the oracle-backed widener
+#: b33_binary_hamming_topk, b30_grouped_agg_udf,
+#: b29_csv_quoted_roundtrip, b22_rolling_origin_cv) appended to the
+#: oracle-backed widener
 #: block below — never-certified by construction, queued for the
 #: round-11 rotation behind the r10 wideners, ahead of the rows-only
 #: group per the documented convention.
