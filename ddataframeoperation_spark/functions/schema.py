@@ -15,9 +15,10 @@ into a canonical set so round-tripping is stable.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["schema_from_metadata", "metadata_from_schema", "manifest_for"]
+__all__ = ["schema_from_metadata", "metadata_from_schema", "manifest_for", "json_key_census"]
 
 # R-typeof / loose names → Spark types (reference vocabulary:
 # R/DataFrameOperationR.R:237-246 `sapply(df, typeof)` output values).
@@ -94,3 +95,35 @@ def manifest_for(
         "ModelLocation": model_location,
         "PMMLLocation": pmml_location,
     }
+
+
+def json_key_census(df: DataFrame, json_col: str) -> DataFrame:
+    """B26/B28 — schema discovery over a semi-structured JSON column:
+    which top-level keys exist, how often, and with how many distinct
+    (text) values — the profiling pass you run on an events/props blob
+    BEFORE designing its typed extraction (the reference's JSON-cell
+    surface, ``R/DataFrameOperationR.R:109-123``, never looks inside;
+    this is the inside view).
+
+    Dynamic by construction: each cell parses as ``map<string,string>``
+    (``from_json``) and the map explodes to (key, value) rows — no
+    hardcoded path list anywhere (``get_json_object`` cannot do this:
+    its path must be a literal). Rows whose cell is NULL or invalid
+    JSON contribute nothing (``from_json`` → NULL map → explode drops
+    the row; stated contract). Values compare as their STRING-coerced
+    form (numbers "123", booleans "true"), so 1 vs "1" collapse — the
+    census is a shape profile, not a type checker.
+
+    Plan: one scan, one explode sized |keys-per-row|, one two-aggregate
+    hash group by key. Output: (key, n_rows long, n_distinct_values
+    long) — vocabulary-of-keys sized.
+    """
+    keyed = df.select(
+        F.explode(
+            F.from_json(F.col(json_col), "map<string,string>")
+        ).alias("key", "_v")
+    )
+    return keyed.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_v").alias("n_distinct_values"),
+    )

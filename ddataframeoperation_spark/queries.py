@@ -9232,6 +9232,63 @@ def b34nv(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b26_json_key_census",
+    """
+    WITH raw AS (
+      SELECT CASE event_id % 3
+        WHEN 0 THEN '{"amount": ' || CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    || ', "type": "' || event_type || '"}'
+        WHEN 1 THEN '{"amount": ' || CAST(floor(value * 100 + 0.5) AS BIGINT)
+                    || ', "user": ' || user_id || ', "flag": true}'
+        ELSE '{"type": "' || event_type || '"}'
+      END AS j
+      FROM events
+    ), k AS (
+      SELECT j, unnest(json_keys(j)) AS key FROM raw
+    ), v AS (
+      SELECT key, json_extract_string(j, '$.' || key) AS val FROM k
+    )
+    SELECT key, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT val) AS BIGINT) AS n_distinct_values
+    FROM v GROUP BY key
+    """,
+)
+def b26kc(spark: SparkSession, sf: str) -> DataFrame:
+    # Semi-structured schema discovery: dynamic key census over a JSON
+    # blob column (keys per row vary — the deterministic fixture mixes
+    # three shapes), with per-key presence and distinct-value counts.
+    # Keys come from json_object_keys row-by-row and values re-extract
+    # through a COMPUTED $.key path — no hardcoded schema anywhere.
+    from ddataframeoperation_spark.functions.schema import json_key_census
+
+    ev = _t(spark, sf, "events")
+    cents = _cents("value").cast("string")
+    j = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit('{"amount": '), cents,
+                F.lit(', "type": "'), F.col("event_type"), F.lit('"}'),
+            ),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit('{"amount": '), cents,
+                F.lit(', "user": '), F.col("user_id").cast("string"),
+                F.lit(', "flag": true}'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"type": "'), F.col("event_type"), F.lit('"}')
+            )
+        )
+    )
+    return json_key_census(ev.select(j.alias("props2")), "props2")
+
+
+@_q(
     "b24_seasonal_decompose",
     """
     WITH daily AS (
@@ -11337,14 +11394,15 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: round-11 queue unchanged. Every displaced query is green in
 #: CORRECTNESS_r09 and its family keeps >=1 slot.
 #:
-#: Round-10 LATE-SESSION widening (post-rotation): seventeen new
+#: Round-10 LATE-SESSION widening (post-rotation): eighteen new
 #: oracle-backed queries (b12_bloom_rf, b28_quarantine_split,
 #: b22_poisson_bootstrap, b34_url_canonicalize, b31_url_dedup,
 #: b32_pagerank, b34_perplexity_rank, b28_gini_concentration,
 #: b28_benford_audit, b24_seasonal_decompose, b34_token_novelty,
 #: b24_cusum_changepoint, b34_keyword_pagerank,
 #: b33_binary_hamming_topk, b30_grouped_agg_udf,
-#: b29_csv_quoted_roundtrip, b22_rolling_origin_cv) appended to the
+#: b29_csv_quoted_roundtrip, b22_rolling_origin_cv,
+#: b26_json_key_census) appended to the
 #: oracle-backed widener
 #: block below — never-certified by construction, queued for the
 #: round-11 rotation behind the r10 wideners, ahead of the rows-only
@@ -11439,6 +11497,7 @@ _BONUS_SLOTS = [
     "b30_grouped_agg_udf",
     "b29_csv_quoted_roundtrip",
     "b22_rolling_origin_cv",
+    "b26_json_key_census",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

@@ -573,3 +573,21 @@ def test_rolling_origin_folds_bruteforce(spark):
 
     with pytest.raises(ValueError):
         rolling_origin_folds(df, "ts", [])
+
+
+def test_json_key_census_dynamic_and_null_contract(spark):
+    from ddataframeoperation_spark.functions.schema import json_key_census
+
+    rows = [
+        ('{"a": 1, "b": "x"}',),
+        ('{"a": 2}',),
+        ('{"a": 1, "c": true}',),
+        ('not json at all',),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    got = {
+        r["key"]: (r["n_rows"], r["n_distinct_values"])
+        for r in json_key_census(df, "j").collect()
+    }
+    assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
