@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "b31_url_dedup",
     "b34_token_novelty",
     "b28_quarantine_split",
+    "b34_keyword_pagerank",
+    "b33_binary_hamming_topk",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure

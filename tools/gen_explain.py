@@ -91,6 +91,8 @@ HEADLINE = [
     ("b31_url_dedup", "Canonical-URL dedup: JVM-regex canonicalizer in the scan projection, ONE near-unique-key window — no join"),
     ("b34_token_novelty", "Token novelty: (doc,token) pair + vocabulary-sized min-id aggregates; first-seen is a GLOBAL min, no window"),
     ("b24_seasonal_decompose", "Seasonal decomposition: one (group,day) aggregate, one 7-row framed window per group, broadcast weekday means — all integer ×7 units"),
+    ("b33_binary_hamming_topk", "1-bit binary quantization: packed sign codes in the scan projection, XOR+popcount vs a literal query code, TakeOrdered — zero shuffles"),
+    ("b34_keyword_pagerank", "TextRank keywords: row-local skipgram explode -> vocabulary-sized co-occurrence graph -> fixed-point PageRank rounds -> TakeOrdered"),
 ]
 
 SKIP_PREFIXES = (

@@ -866,6 +866,18 @@ def main() -> int:
                 n_iter=4,
             ),
         )
+    for tag, d in (("1x", docs1), (f"{factor}x", docs)):
+        probe(
+            f"keyword_pagerank {tag}",
+            lambda d=d: TX.keyword_pagerank(d, min_count=3, n_iter=4, k=15),
+        )
+    for tag, m in (("1x", emb1), (f"{factor}x", emb)):
+        probe(
+            f"binary_hamming {tag}",
+            lambda m=m: similarity.binary_hamming_topk(
+                m, [0.1] * 32 + [-0.1] * 32, k=20
+            ),
+        )
     for tag, e in (("1x", ev1), (f"{factor}x", ev)):
         probe(
             f"bloom_report {tag}",
