@@ -1759,3 +1759,49 @@ def pagerank(
             )
         )
     return ranks
+
+
+def common_neighbor_pairs(
+    pairs: DataFrame,
+    min_common: int = 2,
+) -> DataFrame:
+    """B32 — second-order candidates the first pass missed: node pairs
+    that are NOT candidate pairs themselves but share >= ``min_common``
+    neighbors in the candidate graph — classic common-neighbors link
+    prediction, used here as the near-dup reviewer ("A≈X and B≈X twice
+    over, yet A–B never became a candidate — check the threshold /
+    banding before trusting the clusters"). Connected components would
+    already MERGE these transitively; this reports the missing DIRECT
+    edges with their evidence count, which is the thing a threshold
+    audit wants.
+
+    Input is an undirected edge list (id_a, id_b); output
+    (id_a < id_b, n_common) for non-adjacent pairs only. Plan: one
+    wedge self-join of the adjacency on the shared node (cost
+    Σ_v deg(v)² — the same wedge budget as :func:`triangle_count`;
+    run :func:`pair_degree_census` first if the graph's degree tail is
+    unknown), one count aggregate, one left-anti join against the
+    existing edges. Ids and counts only — never payloads.
+    """
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    adj = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+        )
+        .distinct()
+    )
+    e1 = adj.select(F.col("b").alias("x"), F.col("a").alias("u"))
+    e2 = adj.select(F.col("a").alias("x2"), F.col("b").alias("v"))
+    wedges = (
+        e1.join(e2, (e1["x"] == e2["x2"]) & (e1["u"] < e2["v"]))
+        .groupBy(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    existing = pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    ).distinct()
+    return wedges.join(existing, ["id_a", "id_b"], "left_anti")

@@ -32,6 +32,7 @@ __all__ = [
     "calendar_spine",
     "seasonal_decompose_weekly",
     "cusum_changepoint",
+    "seasonal_mad_anomalies",
 ]
 
 _GRANULARITIES = ("hour", "day", "week", "month", "quarter", "year")
@@ -639,5 +640,62 @@ def cusum_changepoint(
             F.col("d").alias("change_day"),
             F.col("n").cast("long").alias("n_days"),
             F.col("sa").cast("string").alias("s_max_abs"),
+        )
+    )
+
+
+def seasonal_mad_anomalies(
+    df: DataFrame,
+    ts_col: str,
+    value_cents: Column,
+    group_col: str,
+    k_mad: int = 3,
+) -> DataFrame:
+    """B24 — the alerting stage on top of
+    :func:`seasonal_decompose_weekly`: flag days whose RESIDUAL deviates
+    from its group's median residual by more than ``k_mad``× the median
+    absolute deviation — the robust "page me" rule (alerting on raw
+    values pages every Sunday; on mean±stddev, one outlier inflates its
+    own threshold; median/MAD resist both).
+
+    Stays in exact integers end to end: medians are the LOWER median —
+    the order statistic at row ``(n+1) div 2`` under (value ASC, day
+    ASC) — i.e. a SELECTED datum, never an interpolated half, so med,
+    dev, and mad are exact longs and the flag ``dev > k_mad·mad`` is an
+    engine-exact predicate. Stated contract: with ``mad = 0`` (more than
+    half the days have the identical residual) ANY deviation flags —
+    the standard MAD degeneracy, intentionally loud. Edge days without
+    a full trend frame have no residual and cannot flag.
+
+    Returns flagged rows only: (group, d, resid_x7, dev, mad). Plan:
+    the decomposition's aggregates + two group-partitioned rank windows
+    (median selections) + broadcast joins of the |groups|-row median
+    tables.
+    """
+    rs = seasonal_decompose_weekly(df, ts_col, value_cents, group_col)
+    rs = rs.filter(F.col("resid_x7").isNotNull()).select(
+        F.col(group_col).alias("grp"), "d", "resid_x7"
+    )
+
+    def _lower_median(src: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("grp").orderBy(F.col(val).asc(), F.col("d").asc())
+        wn = Window.partitionBy("grp")
+        return (
+            src.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("_rn") == F.expr("(_n + 1) div 2"))
+            .select("grp", F.col(val).alias(out))
+        )
+
+    med = _lower_median(rs, "resid_x7", "med")
+    dev = rs.join(F.broadcast(med), "grp").withColumn(
+        "dev", F.abs(F.col("resid_x7") - F.col("med"))
+    )
+    mad = _lower_median(dev, "dev", "mad")
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .filter(F.col("dev") > F.lit(int(k_mad)) * F.col("mad"))
+        .select(
+            F.col("grp").alias(group_col), "d", "resid_x7", "dev", "mad"
         )
     )

@@ -1725,6 +1725,54 @@ def b32cd(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b32_common_neighbors",
+    """
+    WITH norm AS (
+      SELECT doc_id AS id, source AS grp,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT id, grp, unnest(list_distinct(string_split(t, ' '))) AS tok FROM norm
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM tok GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.grp = b.grp AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.35
+    ), adj AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), wedges AS (
+      SELECT e1.a AS id_a, e2.b AS id_b, count(*) AS n_common
+      FROM adj e1 JOIN adj e2 ON e1.b = e2.a AND e1.a < e2.b
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT w.id_a, w.id_b, CAST(w.n_common AS BIGINT) AS n_common
+    FROM wedges w
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pairs p WHERE p.id_a = w.id_a AND p.id_b = w.id_b
+    )
+    """,
+)
+def b32cn(spark: SparkSession, sf: str) -> DataFrame:
+    # Common-neighbors link prediction over the near-dup candidate graph:
+    # the pairs the threshold MISSED but the graph structure vouches for
+    # twice over — the audit you run before trusting cluster dedup.
+    # Wedge join + count + anti-join, ids only; same wedge budget as the
+    # triangle census.
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(docs, group_col="source", threshold=0.35)
+    return dedup.common_neighbor_pairs(
+        pairs.select("id_a", "id_b"), min_common=2
+    )
+
+
+@_q(
     "b22_leakage_safe_split",
     """
     WITH norm AS (
@@ -9199,6 +9247,76 @@ def b24cu(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b24_seasonal_anomaly",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS BIGINT)
+                 AS daily_cents
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, d, daily_cents,
+             CASE WHEN count(*) OVER w = 7
+                  THEN sum(daily_cents) OVER w END AS trend_x7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), r AS (
+      SELECT *, 7 * daily_cents - trend_x7 AS resid0_x7,
+             isodow(d) - 1 AS dow
+      FROM t
+    ), s AS (
+      SELECT event_type, dow,
+             sum(resid0_x7) // count(resid0_x7) AS seasonal_x7
+      FROM r WHERE resid0_x7 IS NOT NULL
+      GROUP BY 1, 2
+    ), rs AS (
+      SELECT r.event_type, r.d, r.resid0_x7 - s.seasonal_x7 AS resid_x7
+      FROM r LEFT JOIN s ON s.event_type = r.event_type AND s.dow = r.dow
+      WHERE r.resid0_x7 IS NOT NULL
+    ), m1 AS (
+      SELECT event_type, resid_x7,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY resid_x7 ASC, d ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM rs
+    ), med AS (
+      SELECT event_type, resid_x7 AS med FROM m1 WHERE rn = (n + 1) // 2
+    ), dv AS (
+      SELECT rs.event_type, rs.d, rs.resid_x7,
+             abs(rs.resid_x7 - med.med) AS dev
+      FROM rs JOIN med ON med.event_type = rs.event_type
+    ), m2 AS (
+      SELECT event_type, dev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY dev ASC, d ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dv
+    ), mad AS (
+      SELECT event_type, dev AS mad FROM m2 WHERE rn = (n + 1) // 2
+    )
+    SELECT dv.event_type, dv.d, CAST(dv.resid_x7 AS BIGINT) AS resid_x7,
+           CAST(dv.dev AS BIGINT) AS dev, CAST(mad.mad AS BIGINT) AS mad
+    FROM dv JOIN mad ON mad.event_type = dv.event_type
+    WHERE dv.dev > 3 * mad.mad
+    """,
+)
+def b24sa(spark: SparkSession, sf: str) -> DataFrame:
+    # The alerting stage on the decomposition: days whose residual sits
+    # more than 3 MADs from the group's median residual — robust to
+    # weekly seasonality (already subtracted) AND to the outliers
+    # themselves (median/MAD thresholds). Lower-median order statistics
+    # keep everything in exact integers; the flag predicate is
+    # engine-exact.
+    from ddataframeoperation_spark.operators import timeseries as TS
+
+    ev = _t(spark, sf, "events")
+    return TS.seasonal_mad_anomalies(
+        ev, "ts", _cents("value"), "event_type", k_mad=3
+    )
+
+
+@_q(
     "b34_token_novelty",
     """
     WITH toks AS (
@@ -11394,7 +11512,7 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: round-11 queue unchanged. Every displaced query is green in
 #: CORRECTNESS_r09 and its family keeps >=1 slot.
 #:
-#: Round-10 LATE-SESSION widening (post-rotation): eighteen new
+#: Round-10 LATE-SESSION widening (post-rotation): twenty new
 #: oracle-backed queries (b12_bloom_rf, b28_quarantine_split,
 #: b22_poisson_bootstrap, b34_url_canonicalize, b31_url_dedup,
 #: b32_pagerank, b34_perplexity_rank, b28_gini_concentration,
@@ -11402,7 +11520,8 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: b24_cusum_changepoint, b34_keyword_pagerank,
 #: b33_binary_hamming_topk, b30_grouped_agg_udf,
 #: b29_csv_quoted_roundtrip, b22_rolling_origin_cv,
-#: b26_json_key_census) appended to the
+#: b26_json_key_census, b24_seasonal_anomaly,
+#: b32_common_neighbors) appended to the
 #: oracle-backed widener
 #: block below — never-certified by construction, queued for the
 #: round-11 rotation behind the r10 wideners, ahead of the rows-only
@@ -11498,6 +11617,8 @@ _BONUS_SLOTS = [
     "b29_csv_quoted_roundtrip",
     "b22_rolling_origin_cv",
     "b26_json_key_census",
+    "b24_seasonal_anomaly",
+    "b32_common_neighbors",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

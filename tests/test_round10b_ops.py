@@ -591,3 +591,64 @@ def test_json_key_census_dynamic_and_null_contract(spark):
         for r in json_key_census(df, "j").collect()
     }
     assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+
+
+def test_seasonal_mad_anomalies_flags_the_spike(spark):
+    import datetime as dt
+
+    from ddataframeoperation_spark.operators.timeseries import (
+        seasonal_mad_anomalies,
+    )
+
+    base = dt.datetime(2024, 1, 1)  # Monday
+    # Pure weekly signal for 28 days, except day 15 carries a huge spike.
+    rows = []
+    for i in range(28):
+        v = float((base + dt.timedelta(days=i)).weekday() + 1)
+        if i == 15:
+            v += 500.0
+        rows.append((base + dt.timedelta(days=i), "g", v))
+    df = spark.createDataFrame(rows, "ts timestamp, grp string, value double")
+    out = seasonal_mad_anomalies(
+        df, "ts", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        "grp", k_mad=3,
+    ).collect()
+    flagged = {r["d"] for r in out}
+    spike_day = (base + dt.timedelta(days=15)).date()
+    assert spike_day in flagged
+    # The spike leaks into its neighbors' trend frames; it must still be
+    # the LARGEST deviation by far.
+    top = max(out, key=lambda r: r["dev"])
+    assert top["d"] == spike_day
+    assert all(r["dev"] > 3 * r["mad"] for r in out)
+
+
+def test_common_neighbor_pairs_bruteforce(spark):
+    from ddataframeoperation_spark.operators.dedup import (
+        common_neighbor_pairs,
+    )
+
+    # Path graph 1-2-3-4-5 plus edge (10,2),(10,4):
+    # non-adjacent pairs with >=2 common neighbors:
+    #   (1,3) via 2 only -> 1 common, excluded at min_common=2
+    #   (3,10) via {2,4} -> 2 commons, reported
+    #   (2,4) via {3,10} -> 2 commons, reported
+    #   (1,5): none. (2,10)/(4,10) adjacent -> excluded.
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 2), (10, 4)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in common_neighbor_pairs(pairs, min_common=2).collect()
+    }
+    assert got == {(3, 10): 2, (2, 4): 2}
+
+    got1 = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in common_neighbor_pairs(pairs, min_common=1).collect()
+    }
+    assert got1[(1, 3)] == 1 and (1, 2) not in got1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        common_neighbor_pairs(pairs, min_common=0)
