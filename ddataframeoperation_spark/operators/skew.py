@@ -42,6 +42,7 @@ __all__ = [
     "join_fanout_estimate",
     "write_audit_publish",
     "bloom_filter_report",
+    "bloom_filter_planner",
 ]
 
 
@@ -866,4 +867,71 @@ def gini_concentration(
             ).cast("long")
         )
         .alias("gini_bp"),
+    )
+
+
+def bloom_filter_planner(
+    build: DataFrame,
+    build_key: str,
+    n_bits_options: "Sequence[int]" = tuple(1 << p for p in range(14, 21)),
+    n_hashes_options: "Sequence[int]" = (1, 2, 3, 4, 5, 6, 7, 8),
+) -> DataFrame:
+    """B12 — the sizing half of the Bloom pair (predict, then verify with
+    :func:`bloom_filter_report`): for a ladder of (m bits, k hashes)
+    configs against the build side's MEASURED distinct-key count n, emit
+    the standard false-positive model fp = (1 − e^(−kn/m))^k, the memory
+    cost in bits/key, and whether k is the optimal ln2·m/n for that m —
+    the same planner-beside-measurement pattern as the LSH parameter
+    planner (`dedup.lsh_power_curve`) and the ANN memory planner
+    (`similarity.index_memory_planner`).
+
+    n is the one data-dependent input (a 1-row census broadcast over the
+    |ladder|-row literal spine); the fp model is float (e^x is
+    transcendental — no integer-exact form exists), rounded to 4dp like
+    every cross-engine double here. bits_per_key_x100 is integral.
+
+    Output: (n_build_keys, n_bits, n_hashes, bits_per_key_x100,
+    fp_pred, is_k_opt). Plan: one distinct-count aggregate; everything
+    else is literal-table math.
+    """
+    spine = build.sparkSession.createDataFrame(
+        [(m, k) for m in n_bits_options for k in n_hashes_options],
+        "m long, k int",
+    )
+    n = (
+        build.select(F.col(build_key).alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .agg(F.countDistinct("_k").alias("n"))
+    )
+    kd = F.col("k").cast("double")
+    return (
+        spine.crossJoin(F.broadcast(n))
+        .select(
+            F.col("n").alias("n_build_keys"),
+            F.col("m").alias("n_bits"),
+            F.col("k").alias("n_hashes"),
+            F.expr("(CAST(m AS DECIMAL(38,0)) * 100) div n")
+            .cast("long")
+            .alias("bits_per_key_x100"),
+            F.round(
+                F.pow(
+                    F.lit(1.0)
+                    - F.exp(-((kd * F.col("n")) / F.col("m"))),
+                    kd,
+                ),
+                4,
+            ).alias("fp_pred"),
+            (
+                F.col("k")
+                == F.greatest(
+                    F.lit(1),
+                    F.floor(
+                        F.lit(0.6931471805599453)
+                        * F.col("m")
+                        / F.col("n")
+                        + F.lit(0.5)
+                    ).cast("int"),
+                )
+            ).alias("is_k_opt"),
+        )
     )

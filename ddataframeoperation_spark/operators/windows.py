@@ -42,6 +42,7 @@ __all__ = [
     "period_over_period",
     "time_to_convert",
     "churn_cohorts",
+    "rank_movers",
 ]
 
 
@@ -885,4 +886,48 @@ def linear_attribution(
             F.sum("_credit").cast("long").alias("credit_ppm"),
         )
         .filter((F.col("n_conversions") > 0) | (F.col("credit_ppm") > 0))
+    )
+
+
+def rank_movers(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    period: Column,
+    value_cents: Column,
+) -> DataFrame:
+    """B17 — rank movement across periods: rank every group WITHIN each
+    period by its exact integer value (DESC, group-key tiebreak), then
+    diff each group's rank against its previous period — the "biggest
+    climbers/sliders" leaderboard, the ordinal complement of
+    :func:`period_over_period`'s basis-point growth (rank deltas are
+    robust to market-wide swings that move every group's value at once).
+
+    All-integer output; every window is partitioned (ranking by period,
+    lag by group). Ranks are dense over the groups PRESENT in a period;
+    a group absent from the previous period reports NULL prev_rank and
+    NULL delta (no fabricated movement — stated). delta = prev − rank,
+    positive = climbed.
+
+    Output: (group_cols..., period, value_cents, rnk, prev_rank, delta).
+    Plan: one (group, period) hash-aggregate, one per-period rank
+    window, one per-group lag window — aggregate-sized data throughout.
+    """
+    gc = list(group_cols)
+    agg = df.groupBy(*gc, period.alias("period")).agg(
+        F.sum(value_cents.cast("decimal(38,0)"))
+        .cast("long")
+        .alias("value_cents")
+    )
+    w_rank = Window.partitionBy("period").orderBy(
+        F.col("value_cents").desc(), *[F.col(c).asc() for c in gc]
+    )
+    w_lag = Window.partitionBy(*gc).orderBy("period")
+    ranked = agg.withColumn("rnk", F.rank().over(w_rank).cast("int"))
+    return ranked.select(
+        *gc,
+        "period",
+        "value_cents",
+        "rnk",
+        F.lag("rnk").over(w_lag).cast("int").alias("prev_rank"),
+        (F.lag("rnk").over(w_lag) - F.col("rnk")).cast("int").alias("delta"),
     )

@@ -5018,6 +5018,41 @@ def b28x(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b12_bloom_planner",
+    """
+    WITH n AS (
+      SELECT count(DISTINCT o_orderkey) AS n FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderkey IS NOT NULL
+    ), spine AS (
+      SELECT m, k
+      FROM (SELECT unnest([16384, 32768, 65536, 131072, 262144, 524288,
+                           1048576]) AS m),
+           (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS k)
+    )
+    SELECT CAST(n.n AS BIGINT) AS n_build_keys,
+           CAST(spine.m AS BIGINT) AS n_bits,
+           CAST(spine.k AS INTEGER) AS n_hashes,
+           CAST((CAST(spine.m AS HUGEINT) * 100) // n.n AS BIGINT)
+               AS bits_per_key_x100,
+           round(pow(1 - exp(-((CAST(spine.k AS DOUBLE) * n.n) / spine.m)),
+                     CAST(spine.k AS DOUBLE)), 4) AS fp_pred,
+           spine.k = greatest(1, CAST(floor(CAST(0.6931471805599453 AS DOUBLE) * spine.m / n.n
+                                            + 0.5) AS INTEGER)) AS is_k_opt
+    FROM spine CROSS JOIN n
+    """,
+)
+def b12bp(spark: SparkSession, sf: str) -> DataFrame:
+    # The sizing half of the Bloom pair: predicted false-positive rate
+    # and bits/key over an (m, k) ladder against the measured build
+    # cardinality, with the ln2·m/n optimal-k flag — run this, pick a
+    # config, then verify with b12_bloom_rf's measured report.
+    from ddataframeoperation_spark.operators import skew
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return skew.bloom_filter_planner(o, "o_orderkey")
+
+
+@_q(
     "b28_quarantine_split",
     """
     WITH f AS (
@@ -9247,6 +9282,39 @@ def b24cu(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b17_rank_movers",
+    """
+    WITH agg AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS period,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS BIGINT)
+                 AS value_cents
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT event_type, period, value_cents,
+             CAST(rank() OVER (PARTITION BY period
+                               ORDER BY value_cents DESC, event_type ASC)
+                  AS INTEGER) AS rnk
+      FROM agg
+    )
+    SELECT event_type, period, value_cents, rnk,
+           CAST(lag(rnk) OVER w AS INTEGER) AS prev_rank,
+           CAST(lag(rnk) OVER w - rnk AS INTEGER) AS delta
+    FROM r
+    WINDOW w AS (PARTITION BY event_type ORDER BY period)
+    """,
+)
+def b17rm(spark: SparkSession, sf: str) -> DataFrame:
+    # Daily revenue leaderboard movement per event type: within-day rank
+    # (exact cents, type tiebreak) diffed against the previous day — the
+    # ordinal complement of period_over_period's basis-point growth.
+    # All-integer, every window partitioned.
+    ev = _t(spark, sf, "events")
+    return W.rank_movers(
+        ev, ["event_type"], F.to_date("ts"), _cents("value")
+    )
+
+
+@_q(
     "b24_seasonal_anomaly",
     """
     WITH daily AS (
@@ -11512,7 +11580,7 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: round-11 queue unchanged. Every displaced query is green in
 #: CORRECTNESS_r09 and its family keeps >=1 slot.
 #:
-#: Round-10 LATE-SESSION widening (post-rotation): twenty new
+#: Round-10 LATE-SESSION widening (post-rotation): twenty-two new
 #: oracle-backed queries (b12_bloom_rf, b28_quarantine_split,
 #: b22_poisson_bootstrap, b34_url_canonicalize, b31_url_dedup,
 #: b32_pagerank, b34_perplexity_rank, b28_gini_concentration,
@@ -11521,7 +11589,8 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: b33_binary_hamming_topk, b30_grouped_agg_udf,
 #: b29_csv_quoted_roundtrip, b22_rolling_origin_cv,
 #: b26_json_key_census, b24_seasonal_anomaly,
-#: b32_common_neighbors) appended to the
+#: b32_common_neighbors, b17_rank_movers, b12_bloom_planner)
+#: appended to the
 #: oracle-backed widener
 #: block below — never-certified by construction, queued for the
 #: round-11 rotation behind the r10 wideners, ahead of the rows-only
@@ -11619,6 +11688,8 @@ _BONUS_SLOTS = [
     "b26_json_key_census",
     "b24_seasonal_anomaly",
     "b32_common_neighbors",
+    "b17_rank_movers",
+    "b12_bloom_planner",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

@@ -652,3 +652,55 @@ def test_common_neighbor_pairs_bruteforce(spark):
 
     with pytest.raises(ValueError):
         common_neighbor_pairs(pairs, min_common=0)
+
+
+def test_rank_movers_bruteforce(spark):
+    import datetime as dt
+
+    from ddataframeoperation_spark.operators.windows import rank_movers
+
+    d1, d2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    rows = [
+        (d1, "a", 3.0), (d1, "b", 2.0), (d1, "c", 1.0),
+        (d2, "a", 1.0), (d2, "b", 5.0),        # c absent on day 2
+        (d2, "d", 1.0),                        # d appears (tie with a)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, g string, v double")
+    out = {
+        (r["g"], str(r["period"])): (r["rnk"], r["prev_rank"], r["delta"])
+        for r in rank_movers(
+            df, ["g"], F.to_date("ts"),
+            F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long"),
+        ).collect()
+    }
+    assert out[("a", "2024-01-01")] == (1, None, None)
+    assert out[("b", "2024-01-02")] == (1, 2, 1)      # climbed
+    # a and d tie on day 2 (100 cents): the group-key tiebreak is part
+    # of the rank ORDER BY (the determinism contract), so ranks are
+    # strict: a before d.
+    assert out[("a", "2024-01-02")][0] == 2
+    assert out[("d", "2024-01-02")] == (3, None, None)
+    assert out[("a", "2024-01-02")][2] == 1 - 2       # slid from 1 to 2
+    assert ("c", "2024-01-02") not in out
+
+
+def test_bloom_planner_model_and_k_opt(spark):
+    import math
+
+    from ddataframeoperation_spark.operators.skew import bloom_filter_planner
+
+    build = spark.createDataFrame(
+        [(i,) for i in range(1000)] + [(None,), (5,)], "k long"
+    )
+    out = bloom_filter_planner(
+        build, "k", n_bits_options=(8192, 16384), n_hashes_options=(1, 2, 6)
+    ).collect()
+    assert len(out) == 6
+    for r in out:
+        assert r["n_build_keys"] == 1000  # NULL + dup excluded
+        m, k = r["n_bits"], r["n_hashes"]
+        want = round((1 - math.exp(-(k * 1000) / m)) ** k, 4)
+        assert abs(r["fp_pred"] - want) < 1e-9
+        assert r["bits_per_key_x100"] == m * 100 // 1000
+        k_opt = max(1, math.floor(math.log(2) * m / 1000 + 0.5))
+        assert r["is_k_opt"] == (k == k_opt)
