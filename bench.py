@@ -174,11 +174,13 @@ BENCH_QUERIES = [
     "b28_quarantine_split",
     "b34_keyword_pagerank",
     "b33_binary_hamming_topk",
+    "b32_common_neighbors",
 ]
 
 #: Large row-count results are counted, not collected — timing should measure
 #: the engine, not driver-side result transfer.
 COUNT_ONLY = {
+    "b32_common_neighbors",
     "b28_quarantine_split",
     "b34_perplexity_rank",
     "b34_token_novelty",

@@ -871,6 +871,16 @@ def main() -> int:
             f"keyword_pagerank {tag}",
             lambda d=d: TX.keyword_pagerank(d, min_count=3, n_iter=4, k=15),
         )
+    for tag, d in (("1x", docs1), (f"{factor}x", docs)):
+        probe(
+            f"common_neighbors {tag}",
+            lambda d=d: dedup.common_neighbor_pairs(
+                dedup.jaccard_pairs(
+                    d, group_col="source", threshold=0.35
+                ).select("id_a", "id_b"),
+                min_common=2,
+            ),
+        )
     for tag, m in (("1x", emb1), (f"{factor}x", emb)):
         probe(
             f"binary_hamming {tag}",
