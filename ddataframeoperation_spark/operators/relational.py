@@ -2370,3 +2370,68 @@ def benford_audit(df: DataFrame, amount_units: Column) -> DataFrame:
             "dev_bp", (F.col("observed_bp") - F.col("expected_bp")).cast("long")
         )
     )
+
+
+def group_mode(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    value_col: str,
+    out_col: str = "mode_value",
+) -> DataFrame:
+    """B11 — exact per-group mode with a stated tiebreak: the most
+    frequent ``value_col`` per key group, ties resolved to the SMALLEST
+    value (count DESC, value ASC — every engine returns the identical
+    winner; an unspecified-tie mode() is nondeterministic by
+    partitioning). NULL values count as a candidate like any other
+    (they sort last in the tiebreak).
+
+    Plan: one (keys, value) hash-aggregate (map-side combined), one
+    top-1 window over the AGGREGATE (|keys × distinct values| rows, not
+    data rows). Returns (keys..., out_col, n long).
+    """
+    from pyspark.sql import Window
+
+    gc = list(keys)
+    counts = df.groupBy(*gc, F.col(value_col).alias(out_col)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy(*gc).orderBy(
+        F.col("n").desc(), F.col(out_col).asc_nulls_last()
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def match_one_to_one(
+    a: DataFrame,
+    b: DataFrame,
+    keys: "Sequence[str]",
+    order_a: "Sequence[Column]",
+    order_b: "Sequence[Column]",
+    seq_col: str = "k",
+) -> DataFrame:
+    """B21 — 1:1 reconciliation matching: within each key group, pair the
+    k-th row of ``a`` (under ``order_a``) with the k-th row of ``b``
+    (under ``order_b``) — the accounting/event-matching primitive
+    (payments↔invoices, clicks↔conversions) where a plain equi-join
+    would fan out duplicates M×N and double-count. Rows beyond the
+    shorter side stay unmatched (inner semantics here; anti-join either
+    side against the result for the break report).
+
+    Orders MUST be deterministic total orders within the key (pass a
+    unique tiebreak) — that is what makes the pairing engine-exact.
+    Plan: one rank window per side on the same key partitioning, one
+    equi-join on (keys, k); at scale both shuffles and the join share
+    the key hash partitioning.
+    """
+    from pyspark.sql import Window
+
+    gc = list(keys)
+    wa = Window.partitionBy(*gc).orderBy(*order_a)
+    wb = Window.partitionBy(*gc).orderBy(*order_b)
+    ra = a.withColumn(seq_col, F.row_number().over(wa))
+    rb = b.withColumn(seq_col, F.row_number().over(wb))
+    return ra.join(rb, [*gc, seq_col])

@@ -49,6 +49,7 @@ __all__ = [
     "write_training_shards",
     "poisson_replicates",
     "rolling_origin_folds",
+    "class_balance",
 ]
 
 #: 2^32 — the md5-prefix domain size.
@@ -1071,4 +1072,44 @@ def rolling_origin_folds(
             ),
         )
         .drop("_cut", "_fin")
+    )
+
+
+def class_balance(
+    df: DataFrame,
+    label_col: str,
+    keys: Sequence[str | Column],
+    salt: str = "bal",
+) -> DataFrame:
+    """B22 — deterministic majority-class undersampling: cap every label
+    at the MINORITY class's size, keeping each class's rows in
+    hash-uniform order (so the kept set is a pure function of the data —
+    reruns, repartitions, and engines agree; the standard class-balance
+    step before training a quality/safety classifier on skewed labels).
+    NULL labels form their own class; NULL-key rows are excluded (their
+    hash is NULL — the module's uniform contract).
+
+    Plan: one label-count aggregate (1-row-per-class, broadcast min),
+    one per-label rank window ordered by (hash-uniform, keys) — class
+    cardinality is the parallelism floor, the inherent cost of exact
+    per-class caps.
+    """
+    u = hash_uniform(keys, salt)
+    key_cols = [F.col(c) if isinstance(c, str) else c for c in keys]
+    # Filter NULL-key rows FIRST so the class counts (hence the minority
+    # cap) describe exactly the balanceable population.
+    base = df.withColumn("_u", u).filter(F.col("_u").isNotNull())
+    min_n = base.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).agg(F.min("_n").alias("_min"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(label_col).orderBy(
+        F.col("_u").asc(), *[c.asc() for c in key_cols]
+    )
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(min_n))
+        .filter(F.col("_rn") <= F.col("_min"))
+        .drop("_u", "_rn", "_min")
     )

@@ -9282,6 +9282,96 @@ def b24cu(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "b11_group_mode",
+    """
+    SELECT lang, mode_value, n FROM (
+      SELECT lang, source AS mode_value, CAST(count(*) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY count(*) DESC, source ASC) AS rn
+      FROM documents GROUP BY lang, source
+    ) WHERE rn = 1
+    """,
+)
+def b11md(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact per-group mode with the stated smallest-value tiebreak — an
+    # unspecified-tie mode() is nondeterministic by partitioning; this
+    # one is engine-exact. Aggregate first, window over the aggregate.
+    d = _t(spark, sf, "documents")
+    return R.group_mode(d, ["lang"], "source")
+
+
+@_q(
+    "b21_reconcile_1to1",
+    """
+    WITH a AS (
+      SELECT user_id, event_id AS click_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS k
+      FROM events WHERE event_type = 'click'
+    ), b AS (
+      SELECT user_id, event_id AS purchase_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS k
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id, CAST(a.k AS INTEGER) AS k, a.click_id, b.purchase_id
+    FROM a JOIN b ON b.user_id = a.user_id AND b.k = a.k
+    """,
+)
+def b21r1(spark: SparkSession, sf: str) -> DataFrame:
+    # 1:1 reconciliation: per user, the k-th click pairs with the k-th
+    # purchase in time order (event_id tiebreak) — the matching
+    # primitive where an equi-join would fan out M×N and double-count.
+    # Unmatched rows on the longer side stay out (inner semantics).
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    m = R.match_one_to_one(
+        clicks,
+        buys,
+        ["user_id"],
+        order_a=[F.col("ts").asc(), F.col("click_id").asc()],
+        order_b=[F.col("ts").asc(), F.col("purchase_id").asc()],
+    )
+    return m.select("user_id", F.col("k").cast("int").alias("k"),
+                    "click_id", "purchase_id")
+
+
+@_q(
+    "b22_class_balance",
+    """
+    WITH base AS (
+      SELECT vec_id, label FROM embeddings WHERE vec_id IS NOT NULL
+    ), m AS (
+      SELECT min(n) AS mn FROM (
+        SELECT label, count(*) AS n FROM base GROUP BY label)
+    ), r AS (
+      SELECT vec_id, label,
+             row_number() OVER (PARTITION BY label
+               ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR) || '|bal'), 1, 8))::BIGINT
+                          / 4294967296.0 ASC,
+                        vec_id ASC) AS rn
+      FROM base
+    )
+    SELECT r.vec_id, r.label FROM r CROSS JOIN m WHERE r.rn <= m.mn
+    """,
+)
+def b22cb(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic majority-class undersampling: every label capped at
+    # the minority class size, keep order = (md5 uniform, id) — the
+    # class-balance step before training a quality classifier, as a
+    # pure function of the data.
+    from ddataframeoperation_spark.operators import sampling
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "label")
+    return sampling.class_balance(emb, "label", ["vec_id"], salt="bal")
+
+
+@_q(
     "b17_rank_movers",
     """
     WITH agg AS (
@@ -11580,7 +11670,7 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: round-11 queue unchanged. Every displaced query is green in
 #: CORRECTNESS_r09 and its family keeps >=1 slot.
 #:
-#: Round-10 LATE-SESSION widening (post-rotation): twenty-two new
+#: Round-10 LATE-SESSION widening (post-rotation): twenty-five new
 #: oracle-backed queries (b12_bloom_rf, b28_quarantine_split,
 #: b22_poisson_bootstrap, b34_url_canonicalize, b31_url_dedup,
 #: b32_pagerank, b34_perplexity_rank, b28_gini_concentration,
@@ -11589,8 +11679,8 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: b33_binary_hamming_topk, b30_grouped_agg_udf,
 #: b29_csv_quoted_roundtrip, b22_rolling_origin_cv,
 #: b26_json_key_census, b24_seasonal_anomaly,
-#: b32_common_neighbors, b17_rank_movers, b12_bloom_planner)
-#: appended to the
+#: b32_common_neighbors, b17_rank_movers, b12_bloom_planner,
+#: b11_group_mode, b21_reconcile_1to1, b22_class_balance) appended to the
 #: oracle-backed widener
 #: block below — never-certified by construction, queued for the
 #: round-11 rotation behind the r10 wideners, ahead of the rows-only
@@ -11690,6 +11780,9 @@ _BONUS_SLOTS = [
     "b32_common_neighbors",
     "b17_rank_movers",
     "b12_bloom_planner",
+    "b11_group_mode",
+    "b21_reconcile_1to1",
+    "b22_class_balance",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

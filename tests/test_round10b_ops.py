@@ -704,3 +704,59 @@ def test_bloom_planner_model_and_k_opt(spark):
         assert r["bits_per_key_x100"] == m * 100 // 1000
         k_opt = max(1, math.floor(math.log(2) * m / 1000 + 0.5))
         assert r["is_k_opt"] == (k == k_opt)
+
+
+def test_group_mode_tiebreak_and_nulls(spark):
+    from ddataframeoperation_spark.operators.relational import group_mode
+
+    rows = [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"),
+            ("h", None), ("h", None), ("h", "z")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    got = {r["k"]: (r["mode_value"], r["n"])
+           for r in group_mode(df, ["k"], "v").collect()}
+    assert got["g"] == ("a", 2)   # tie a/b at 2 -> smallest value wins
+    assert got["h"] == (None, 2)  # NULL is a candidate like any other
+
+
+def test_match_one_to_one_bruteforce(spark):
+    from ddataframeoperation_spark.operators.relational import (
+        match_one_to_one,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 101, 1.0), (1, 102, 2.0), (1, 103, 3.0), (2, 201, 1.0)],
+        "u long, aid long, t double",
+    )
+    b = spark.createDataFrame(
+        [(1, 901, 5.0), (1, 902, 1.0), (3, 301, 1.0)],
+        "u long, bid long, t double",
+    )
+    m = match_one_to_one(
+        a.select("u", "aid", F.col("t").alias("ta")),
+        b.select("u", "bid", F.col("t").alias("tb")),
+        ["u"],
+        order_a=[F.col("ta").asc(), F.col("aid").asc()],
+        order_b=[F.col("tb").asc(), F.col("bid").asc()],
+    ).select("u", "k", "aid", "bid").collect()
+    got = {(r["u"], r["k"]): (r["aid"], r["bid"]) for r in m}
+    # user 1: a-order 101,102,103; b-order 902,901 -> 2 matches; 103 unmatched
+    assert got == {(1, 1): (101, 902), (1, 2): (102, 901)}
+
+
+def test_class_balance_caps_and_determinism(spark):
+    from ddataframeoperation_spark.operators.sampling import class_balance
+
+    rows = ([(i, "big") for i in range(50)]
+            + [(100 + i, "small") for i in range(5)]
+            + [(None, "big")])
+    df = spark.createDataFrame(rows, "id long, label string")
+    out = class_balance(df, "label", ["id"], salt="t").collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], set()).add(r["id"])
+    assert len(by_label["big"]) == 5 and len(by_label["small"]) == 5
+    assert None not in by_label["big"]  # NULL-key row excluded
+    # Determinism: a second run selects the identical rows.
+    out2 = {(r["id"], r["label"]) for r in
+            class_balance(df, "label", ["id"], salt="t").collect()}
+    assert out2 == {(r["id"], r["label"]) for r in out}
