@@ -334,7 +334,10 @@ def connected_components(
     (``localCheckpoint`` blocks are lost with their executor). Parquet
     rather than ``sc.setCheckpointDir`` + ``.checkpoint()`` because the
     latter mutates SESSION-GLOBAL state as a side effect, racing any
-    concurrent operator with its own checkpoint location. Defaults to
+    concurrent operator with its own checkpoint location. Round files
+    (``cc_<run>_round_N``) are NOT deleted by the operator — the
+    returned plan reads the final round, so the CALLER owns cleanup of
+    the directory once the result is consumed. Defaults to
     ``localCheckpoint`` for single-node/test runs.
 
     Returns (id, component) with component = min id in the component.
@@ -1580,8 +1583,13 @@ def dedup_token_savings(
 
     NULL-text contract (the dup_rate_by_source posture): text coalesces
     to '' BEFORE fingerprinting — NULL-text docs share the
-    empty-document fingerprint group on every engine — and a NULL/empty
-    token count rides as its real value, never NULL.
+    empty-document fingerprint group on every engine — and a NULL or
+    empty-normalized document counts EXACTLY 0 tokens. The zero is
+    explicit (``when(norm == '', 0)``) rather than riding an engine's
+    split-of-empty-string convention: Spark pins ``size(split('', ' '))``
+    at 1 while DuckDB's equivalent changed across versions, so only an
+    explicit CASE on both engines is certification-stable (round-10
+    driver red row).
 
     One (16-byte fingerprint)-key window min over the corpus — the same
     single shuffle as dedup_by_fingerprint; token counts ride the same
@@ -1590,15 +1598,17 @@ def dedup_token_savings(
     """
     from pyspark.sql import Window as _W
 
-    from ddataframeoperation_spark.operators.text import token_count
-
+    norm = normalized_text(F.coalesce(F.col(text_col), F.lit("")))
+    ntok = (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+    )
     with_fp = df.select(
         F.col(id_col).alias("_id"),
         F.col(group_col).alias("_grp"),
-        fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("_fp"),
-        F.coalesce(token_count(text_col).cast("long"), F.lit(0)).alias(
-            "_ntok"
-        ),
+        F.md5(norm).alias("_fp"),
+        ntok.alias("_ntok"),
     )
     keep = F.min("_id").over(_W.partitionBy("_fp"))
     flagged = with_fp.withColumn("_kept", F.col("_id") == keep)
@@ -1696,7 +1706,12 @@ def pagerank(
     broadcast when the rank table is small), one sum shuffle on dst, one
     left join back to nodes; lineage is truncated per round exactly like
     :func:`connected_components` (``checkpoint_dir`` parquet rounds for
-    cluster runs, ``localCheckpoint`` otherwise).
+    cluster runs, ``localCheckpoint`` otherwise). A run writes
+    ``n_iter + 2`` round directories (``pr_<run>_round_N``) under
+    ``checkpoint_dir`` and the CALLER owns their cleanup after the
+    result is consumed — earlier rounds can't be deleted mid-run (the
+    returned plan still reads the last one), so repeated cluster runs
+    against one directory must sweep it between runs.
 
     Returns (id, rank_units long).
     """
@@ -1764,6 +1779,7 @@ def pagerank(
 def common_neighbor_pairs(
     pairs: DataFrame,
     min_common: int = 2,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """B32 — second-order candidates the first pass missed: node pairs
     that are NOT candidate pairs themselves but share >= ``min_common``
@@ -1778,10 +1794,24 @@ def common_neighbor_pairs(
     Input is an undirected edge list (id_a, id_b); output
     (id_a < id_b, n_common) for non-adjacent pairs only. Plan: one
     wedge self-join of the adjacency on the shared node (cost
-    Σ_v deg(v)² — the same wedge budget as :func:`triangle_count`;
-    run :func:`pair_degree_census` first if the graph's degree tail is
-    unknown), one count aggregate, one left-anti join against the
-    existing edges. Ids and counts only — never payloads.
+    Σ_v deg(v)² over WEDGE CENTERS), one count aggregate, one
+    left-anti join against the existing edges. Ids and counts only —
+    never payloads.
+
+    100 TB posture — the wedge budget is quadratic in CENTER degree,
+    and unlike :func:`triangle_count` no orientation can shrink it:
+    every wedge through a hub is a real candidate pair, so one
+    boilerplate hub of degree 10⁶ EMITS ~5·10¹¹ pairs — the output
+    itself detonates, not just the join. ``max_degree`` is therefore
+    the scale contract: nodes with degree > ``max_degree`` are
+    excluded as wedge centers (their spoke pairs are exactly the
+    pairs whose "evidence" is one promiscuous hub — the least
+    informative signal in link prediction, dropped first on purpose).
+    At crawl scale ALWAYS set it (a few hundred is typical); run
+    :func:`pair_degree_census` first to see the degree tail, and
+    count the excluded hubs from that census (`degree > max_degree`).
+    Default ``None`` keeps the exact semantics for bounded graphs and
+    the registered oracle.
     """
     if min_common < 1:
         raise ValueError("min_common must be >= 1")
@@ -1794,6 +1824,22 @@ def common_neighbor_pairs(
     )
     e1 = adj.select(F.col("b").alias("x"), F.col("a").alias("u"))
     e2 = adj.select(F.col("a").alias("x2"), F.col("b").alias("v"))
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError("max_degree must be >= 1")
+        # Guard applies to the wedge CENTER role only: hubs are excluded
+        # as the shared neighbor, but keep their own pairings through
+        # non-hub centers. One semi-join of e1's center column against
+        # the <=max_degree nodes is enough — the wedge equi-join needs
+        # the center on BOTH sides, so filtering one side kills every
+        # hub-centered wedge before the quadratic blow-up materializes.
+        ok = (
+            adj.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") <= max_degree)
+            .select(F.col("a").alias("x"))
+        )
+        e1 = e1.join(ok, "x", "left_semi")
     wedges = (
         e1.join(e2, (e1["x"] == e2["x2"]) & (e1["u"] < e2["v"]))
         .groupBy(F.col("u").alias("id_a"), F.col("v").alias("id_b"))

@@ -2426,6 +2426,12 @@ def match_one_to_one(
     Plan: one rank window per side on the same key partitioning, one
     equi-join on (keys, k); at scale both shuffles and the join share
     the key hash partitioning.
+
+    Non-key columns the two sides SHARE (e.g. both carry ``ts``) are
+    suffixed ``_a`` / ``_b`` in the output — without that the joined
+    frame holds two same-named columns and any later reference raises
+    AMBIGUOUS_REFERENCE. Suffixing happens AFTER the rank windows, so
+    ``order_a`` / ``order_b`` refer to the original names.
     """
     from pyspark.sql import Window
 
@@ -2434,4 +2440,12 @@ def match_one_to_one(
     wb = Window.partitionBy(*gc).orderBy(*order_b)
     ra = a.withColumn(seq_col, F.row_number().over(wa))
     rb = b.withColumn(seq_col, F.row_number().over(wb))
+    shared = [
+        c
+        for c in a.columns
+        if c in set(b.columns) and c not in gc and c != seq_col
+    ]
+    for c in shared:
+        ra = ra.withColumnRenamed(c, f"{c}_a")
+        rb = rb.withColumnRenamed(c, f"{c}_b")
     return ra.join(rb, [*gc, seq_col])

@@ -1051,11 +1051,15 @@ def rolling_origin_folds(
     """
     if not origins:
         raise ValueError("rolling_origin_folds requires at least 1 origin")
+    if fold_col in df.columns:
+        raise ValueError(
+            f"fold_col {fold_col!r} already exists in the input frame"
+        )
     spark = df.sparkSession
     spine = spark.createDataFrame(
         [(k, o) for k, o in enumerate(origins)], "fold int, cut_s string"
     ).select(
-        "fold",
+        F.col("fold").alias(fold_col),
         F.to_timestamp("cut_s").alias("_cut"),
         (F.to_timestamp("cut_s") + F.expr(f"INTERVAL {horizon}")).alias(
             "_fin"

@@ -1106,7 +1106,10 @@ def binary_quantize(vec_col: Column, dim: int) -> Column:
     Hamming distance between codes approximates angular distance well
     enough to shortlist (the RaBitQ/binary-embedding family's storage
     layout). Bit i of word w is set when element w·64+i is > 0 (ties at
-    exactly 0.0 → 0; stated). Pure integer CASE/shift expressions —
+    exactly 0.0 → 0; stated). A NULL element maps to a 0-bit — the same
+    as a non-positive value, so NULL-ragged vectors quantize without
+    erroring; any mirror (oracle SQL included) must coalesce the sign
+    predicate to FALSE to match. Pure integer CASE/shift expressions —
     codegen'd, no UDF."""
     words = []
     for w in range((dim + 63) // 64):
@@ -1144,6 +1147,15 @@ def binary_hamming_topk(
     this operator ships the shortlist stage, whose top-k is an exact
     integer function of the data — the oracle recomputes the identical
     sign-mismatch count positionally.
+
+    Input contract (stated because the oracle must mirror it): rows
+    whose vector is shorter than ``len(query_vec)`` are DROPPED (the
+    ``size(vec) >= dim`` filter below — a truncated vector has no
+    well-defined code); NULL ELEMENTS quantize to a 0-bit (see
+    :func:`binary_quantize`), so against a query 1-bit they count as a
+    mismatch. A mirroring oracle needs the same length filter and a
+    FALSE-coalesced sign predicate; fixed-dim NULL-free corpora (the
+    fixtures) are unaffected.
 
     Plan: one scan projecting the packed code, XOR against the 1-row
     broadcast query code, bit_count sum, TakeOrderedAndProject — zero

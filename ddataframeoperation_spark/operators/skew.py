@@ -890,6 +890,12 @@ def bloom_filter_planner(
     transcendental — no integer-exact form exists), rounded to 4dp like
     every cross-engine double here. bits_per_key_x100 is integral.
 
+    An EMPTY (or all-NULL-key) build side returns an EMPTY plan: with
+    n = 0 there is nothing to size, and letting the zero through would
+    NULL the bits-per-key division under non-ANSI or raise
+    DIVIDE_BY_ZERO under ANSI (the Spark 4 default) plus NaN/Inf in the
+    fp model — the benford_audit zero-total posture.
+
     Output: (n_build_keys, n_bits, n_hashes, bits_per_key_x100,
     fp_pred, is_k_opt). Plan: one distinct-count aggregate; everything
     else is literal-table math.
@@ -902,6 +908,7 @@ def bloom_filter_planner(
         build.select(F.col(build_key).alias("_k"))
         .filter(F.col("_k").isNotNull())
         .agg(F.countDistinct("_k").alias("n"))
+        .filter(F.col("n") >= 1)
     )
     kd = F.col("k").cast("double")
     return (

@@ -2130,9 +2130,11 @@ def b33(spark: SparkSession, sf: str) -> DataFrame:
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
            CAST(len(list_filter(range(1, 65),
-                i -> (e.embedding[i] > 0) <> (q.qe[i] > 0))) AS BIGINT)
+                i -> coalesce(e.embedding[i] > 0, FALSE)
+                     <> coalesce(q.qe[i] > 0, FALSE))) AS BIGINT)
                AS hamming
     FROM embeddings e, q
+    WHERE len(e.embedding) >= 64
     ORDER BY hamming ASC, e.vec_id ASC
     LIMIT 20
     """,
@@ -10820,30 +10822,41 @@ def b31dr(spark: SparkSession, sf: str) -> DataFrame:
 @_q(
     "b31_dedup_token_savings",
     """
-    WITH f AS (
+    WITH n AS (
       SELECT doc_id, source,
-             md5(trim(regexp_replace(lower(coalesce(text, '')),
-                                     '[^a-z0-9]+', ' ', 'g'))) AS fp,
-             coalesce(len(string_split(trim(regexp_replace(lower(text),
-                 '[^a-z0-9]+', ' ', 'g')), ' ')), 0) AS ntok
+             trim(regexp_replace(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+', ' ', 'g')) AS norm
       FROM documents
+    ), f AS (
+      -- Empty-normalized docs count 0 tokens EXPLICITLY: DuckDB's
+      -- string_split('') length changed across engine versions, so the
+      -- bare len() form is driver-version-sensitive (round-10 lesson).
+      SELECT doc_id, source, md5(norm) AS fp,
+             CASE WHEN norm = '' THEN 0
+                  ELSE CAST(len(string_split(norm, ' ')) AS BIGINT)
+             END AS ntok
+      FROM n
     ), m AS (
       SELECT fp, min(doc_id) AS keep FROM f GROUP BY fp
+    ), g AS (
+      -- Every aggregate CAST to BIGINT at the source: DuckDB sum(BIGINT)
+      -- is HUGEINT, which the driver materializes through pandas as
+      -- float64 and hash-fails against Spark's long (round-10 red row).
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_docs_kept,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN doc_id = keep THEN ntok ELSE 0 END) AS BIGINT)
+                 AS n_tokens_kept
+      FROM f JOIN m USING (fp)
+      GROUP BY source
     )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(CASE WHEN doc_id = keep THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_docs_kept,
-           CAST(sum(ntok) AS BIGINT) AS n_tokens,
-           CAST(sum(CASE WHEN doc_id = keep THEN ntok ELSE 0 END) AS BIGINT)
-               AS n_tokens_kept,
-           CASE WHEN sum(ntok) = 0 THEN 0
-                ELSE ((CAST(sum(ntok) AS BIGINT)
-                       - sum(CASE WHEN doc_id = keep THEN ntok ELSE 0 END))
-                      * 10000) // sum(ntok)
-           END AS savings_bp
-    FROM f JOIN m USING (fp)
-    GROUP BY source
+    SELECT source, n_docs, n_docs_kept, n_tokens, n_tokens_kept,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                     ELSE ((n_tokens - n_tokens_kept) * 10000) // n_tokens
+                END AS BIGINT) AS savings_bp
+    FROM g
     """,
 )
 def b31ts(spark: SparkSession, sf: str) -> DataFrame:

@@ -135,6 +135,27 @@ def main() -> int:
             print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s, rows-only)")
             continue
         try:
+            # Driver-hash-unsafe DuckDB output types, checked BEFORE the
+            # value compare: this checker fetches via fetchall() (HUGEINT
+            # → Python int, hash-identical to Spark's long) but the
+            # driver materializes through pandas, where HUGEINT becomes
+            # float64 and renders 250.0 against Spark's 250 — local-green,
+            # driver-red (round-10 b31_dedup_token_savings). Un-cast
+            # sum(BIGINT) and HUGEINT division are the usual sources;
+            # CAST every aggregate output to BIGINT in the oracle.
+            otypes = [str(t).split("(")[0].upper() for t in con.sql(ORACLES[name]).types]
+            bad = [
+                t for t in otypes
+                if t in {"HUGEINT", "UHUGEINT", "DECIMAL"}
+            ]
+            if bad:
+                failures.append(name)
+                print(
+                    f"FAIL  {name}: duckdb output types {bad} are "
+                    "driver-hash-unsafe (pandas float64 / trailing-zero "
+                    "render); CAST to BIGINT/DOUBLE in the oracle"
+                )
+                continue
             rel = con.execute(ORACLES[name])
             ocols = [d[0] for d in rel.description]
             orows = rel.fetchall()
