@@ -11496,53 +11496,55 @@ def b34bts(spark: SparkSession, sf: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     "b10_flagship_q3",            # flagship (TPC-H Q3 shape) — pinned slot 0
-    "b01_schema_evolution",       # B1 mergeSchema over drifted parts (r10)
+    "b01_corrupt_records",        # B1 PERMISSIVE corrupt-record capture (NEW r11)
     "b02_parameterized_sql",      # B2 catalog + named-param SQL
     "b03_pandas_api",             # B3 projection / pandas API
     "b04_filter_predicates",      # B4 filter family
-    "b05_in_subquery",            # B5 IN-subquery decorrelation (r10)
+    "b05_nullsafe_join",          # B5 null-safe <=> equi-join (NEW r11)
     "b06_join_left_agg",          # B6 outer join (agg-below-join plan)
     "b07_join_semi",              # B7 semi/anti
     "b08_star_join_broadcast",    # B8 broadcast join
-    "b09_asof_tolerance",         # B9 as-of join w/ max-staleness bound (r9)
-    "b24_twap",                   # B24 time-weighted average price (r10)
-    "b33_quantized_topk",         # B33 int8-quantized cosine top-k (r10)
-    "b31_dedup_token_savings",    # B31 token-savings pricing of the dedup pass (r10)
+    "b09_asof_nearest",           # B9 nearest-direction as-of join (NEW r11)
+    "b24_seasonal_decompose",     # B24 seasonal decomposition (NEW r11)
+    "b33_centroid_confusion",     # B33 centroid-assignment confusion audit (NEW r11)
+    "b31_dedup_token_savings",    # B31 token-savings pricing — r10 red row, oracle
+                                  #     hardened (BIGINT casts + explicit empty-doc 0)
     "b19_moving_avg",             # B19 framed moving average (r10)
-    "b22_random_split",           # B22 seeded randomSplit partition laws (r10)
-    "b33_embedding_dedup",        # B33 embedding-level semantic dedup (r10)
-    "b11_histogram",              # B11 fixed-width histogram (r10)
+    "b22_hash_sample",            # B22 deterministic hash sampling (NEW r11)
+    "b34_chunking",               # B34 fixed-token chunking w/ overlap (NEW r11)
+    "b11_percentiles",            # B11 exact percentile ladder (NEW r11)
     "bmm_media_neardup",          # multimodal: perceptual-fingerprint near-dup
-    "b12_hll_sketch_rollup",      # B12 persistable HLL sketch rollup (r9)
-    "b34_token_ids",              # B34 vocabulary + token-id encoding (r10)
+    "b12_bloom_rf",               # B12 Bloom-style runtime-filter effect (NEW r11)
+    "b34_fingerprint_pairs",      # B34 fingerprint collision pairs (NEW r11)
     "b13_rollup",                 # B13 rollup/cube/grouping sets
     "b14_having",                 # B14 having
     "b15_sort_null_ordering",     # B15 sort w/ null ordering
     "b16_skyline_2d",             # B16 bucketed Pareto frontier
-    "b17_period_over_period",     # B17 exact basis-point DoD growth (r9)
-    "b18_debounce",               # B18 lag-gap debounce filtering (r10)
-    "b34_word_stats",             # B34 per-doc word statistics (r10)
+    "b17_rank_movers",            # B17 rank-delta movers report (NEW r11)
+    "b18_scd2_asof",              # B18 SCD2 interval as-of lookup (NEW r11)
+    "b29_orc_roundtrip",          # B29 ORC sink roundtrip (NEW r11; B34 donation)
     "b20_latest_per_key",         # B20 top-1-per-group
-    "b21_snapshot_diff",          # B21 CDC snapshot diff
-    "b34_fingerprints",           # B34 document fingerprinting (r10)
+    "b21_reconcile_1to1",         # B21 1:1 reconciliation matching (NEW r11)
+    "b10_q5_regional_revenue",    # B10 TPC-H Q5 archetype (NEW r11; B34 donation)
     "b23_unicode_normalize",      # B23 NFC normalization + confusable scrub
-    "b34_vocabulary",             # B34 corpus vocabulary ranking (r10)
+    "b10_q10_returned_revenue",   # B10 TPC-H Q10 archetype (NEW r11; B34 donation)
     "b25_try_arithmetic",         # B25 try_divide/try_add NULL-safe math (r10)
-    "b26_from_json_struct",       # B26 from_json struct extraction (r10)
+    "b26_json_key_census",        # B26 JSON key census over raw payloads (NEW r11)
     "b27_array_predicates",       # B27 exists/forall array quantifiers (r9)
-    "b34_quality_score",          # B34 composite quality scoring (r10)
-    "b29_jsonl_roundtrip",        # B29 JSONL content-verified roundtrip (r10)
-    "b30_sql_udf",                # B30 SQL-registered UDF surface
-    "b11_time_rollup",            # B11 multi-grain time rollup (r10)
-    "b32_minhash_increment",      # B32 incremental delta-vs-corpus minhash (r10)
-    "b34_prepare_corpus",         # B34 end-to-end corpus prep chain (r10)
+    "b10_q16_supplier_variety",   # B10 TPC-H Q16 archetype (NEW r11; B34 donation)
+    "b29_sink_roundtrip",         # B29/A20-A21 compat CSV sink + manifest
+                                  #     (VERDICT r10 #6: external certificate)
+    "b30_grouped_agg_udf",        # B30 grouped-agg pandas UDF (NEW r11)
+    "b34_pii_redaction",          # B34 PII scrubbing pass (NEW r11; B11 donation)
+    "b32_fuzzy_names",            # B32 fuzzy name-matching blocks (NEW r11)
+    "b34_repetition",             # B34 repetition/boilerplate ratios (NEW r11)
     "bzo_zvalue_interleave",      # layout: Z-order clustering key, bit-exact
-    "b34_language_id",            # B34 n-gram language identification (r10)
-    "b28_expectations",           # B28 one-scan data-quality gate (r10)
+    "b10_q18_large_orders",       # B10 TPC-H Q18 archetype (NEW r11; B34 donation)
+    "b28_psi_categorical",        # B28 categorical PSI drift (NEW r11)
     "b34_full_pipeline",          # B34 end-to-end corpus pipeline composite — pinned
-    "b35_funnel",                 # B35 ordered conversion funnel (r10)
-    "b36_stream_stream_join",     # B36 stream-stream interval join (r10)
-    "b36_stream_ohlc",            # B36 streaming OHLC candlestick rollup (r10)
+    "b35_cooccurrence",           # B35 event co-occurrence lift (NEW r11)
+    "b36_stream_right_outer",     # B36 stream-stream RIGHT OUTER join (NEW r11)
+    "b36_stream_late_tumbling",   # B36 late-data tumbling aggregate (NEW r11)
     "b37_late_data",              # B37 session window LATE-DATA DROP (r10)
     "b38_stream_dedup_ingest",    # B38 foreachBatch incremental corpus ingest (r9)
 ]
@@ -11698,26 +11700,38 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: block below — never-certified by construction, queued for the
 #: round-11 rotation behind the r10 wideners, ahead of the rows-only
 #: group per the documented convention.
+#: Round-11 rotation: TWENTY-EIGHT slot changes (VERDICT r10 #2: 97 of
+#: 297 never-certified; cumulative 200). b31_dedup_token_savings KEEPS
+#: its slot (the r10 red row must land a green r11 certificate, #1) and
+#: b29_sink_roundtrip enters per the explicit VERDICT #6 directive (the
+#: A20/A21 compat-sink contract; r02-r06 certified, re-certified on the
+#: current code). The other 27 placements are strict queue order with
+#: flexible donor assignment: in-family swaps where the family's slot
+#: held a certified query (b01_corrupt_records, b05_nullsafe_join,
+#: b09_asof_nearest, b24_seasonal_decompose, b33_centroid_confusion,
+#: b22_hash_sample, b11_percentiles, b12_bloom_rf,
+#: b34_fingerprint_pairs, b17_rank_movers, b18_scd2_asof,
+#: b21_reconcile_1to1, b26_json_key_census, b29_orc_roundtrip via B34's
+#: word_stats donation, b30_grouped_agg_udf, b32_fuzzy_names,
+#: b34_repetition, b28_psi_categorical, b35_cooccurrence,
+#: b36_stream_right_outer, b36_stream_late_tumbling — B36 keeps its
+#: protected 2); cross-family donations from the multi-slot families
+#: down to their required minimum (B34's 7 swappable slots host
+#: fingerprint_pairs/repetition in-family plus donate word_stats→
+#: b29_orc_roundtrip, fingerprints→b10_q5, vocabulary→b10_q10,
+#: quality_score→b10_q16, language_id→b10_q18; B11's time_rollup→
+#: b34_pii_redaction; B33's embedding_dedup→b34_chunking). Queue
+#: entries whose donors ran out (b34_curriculum first, then the
+#: b11/b22 tails and the 9 remaining b10 archetypes) lead the round-12
+#: queue unchanged. Every displaced query is green in CORRECTNESS_r10
+#: (or r9 for b09_asof_tolerance/b12_hll_sketch_rollup/
+#: b17_period_over_period) and every family keeps >=1 slot.
 _BONUS_SLOTS = [
-    # -- still never-certified, in rotation order for round 11
+    # -- still never-certified, in rotation order for round 12
     #    (oracle-backed first; the 4 rows-only entries close the queue
     #    since their certificates are rows-checks by contract) --
-    "b34_fingerprint_pairs",
-    "b29_orc_roundtrip",
-    "b01_corrupt_records",
-    "b11_percentiles",
-    "b10_q5_regional_revenue",
-    "b10_q10_returned_revenue",
-    "b10_q16_supplier_variety",
-    "b10_q18_large_orders",
-    "b34_repetition",
-    "b34_pii_redaction",
-    "b32_fuzzy_names",
-    "b34_chunking",
     "b34_curriculum",
-    "b28_psi_categorical",
     "b11_approx_percentiles",
-    "b22_hash_sample",
     "b22_hash_split",
     "b22_source_mix",
     "b22_source_cap",
@@ -11732,16 +11746,12 @@ _BONUS_SLOTS = [
     "b10_q17_small_qty_revenue",
     "b10_q20_excess_shippers",
     "b11_corr_stats",
-    "b05_nullsafe_join",
     "b22_weighted_sample",
     "b22_epoch_order",
     "b34_length_outliers",
     "b34_lexical_diversity",
-    "b33_centroid_confusion",
     "b34_corpus_balance",
     "b01_text_log_parse",
-    "b18_scd2_asof",
-    "b35_cooccurrence",
     "b11_pivot_roundtrip",
     "b11_equidepth_histogram",
     "b22_kfold",
@@ -11756,7 +11766,6 @@ _BONUS_SLOTS = [
     "b32_lsh_power_curve",
     "b32_degree_census",
     "b34_packing_efficiency",
-    "b36_stream_right_outer",
     "b28_gain_chart",
     "b28_auc_exact",
     # r10 widening — never-certified by construction, oracle-backed:
@@ -11766,12 +11775,9 @@ _BONUS_SLOTS = [
     "b33_index_planner",
     "b34_vocab_overlap",
     "b28_operating_points",
-    "b36_stream_late_tumbling",
     "b22_stratified_kfold",
     "b11_weighted_percentiles",
-    "b09_asof_nearest",
     "b29_write_audit_publish",
-    "b12_bloom_rf",
     "b28_quarantine_split",
     "b22_poisson_bootstrap",
     "b34_url_canonicalize",
@@ -11780,27 +11786,51 @@ _BONUS_SLOTS = [
     "b34_perplexity_rank",
     "b28_gini_concentration",
     "b28_benford_audit",
-    "b24_seasonal_decompose",
     "b34_token_novelty",
     "b24_cusum_changepoint",
     "b34_keyword_pagerank",
     "b33_binary_hamming_topk",
-    "b30_grouped_agg_udf",
     "b29_csv_quoted_roundtrip",
     "b22_rolling_origin_cv",
-    "b26_json_key_census",
     "b24_seasonal_anomaly",
     "b32_common_neighbors",
-    "b17_rank_movers",
     "b12_bloom_planner",
     "b11_group_mode",
-    "b21_reconcile_1to1",
     "b22_class_balance",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",
     "b33_lsh_topk",
     "bmm_binary_ingest",
+    # -- displaced by the r11 rotation (all r10- or r9-certified) --
+    "b01_schema_evolution",
+    "b05_in_subquery",
+    "b09_asof_tolerance",
+    "b24_twap",
+    "b33_quantized_topk",
+    "b22_random_split",
+    "b33_embedding_dedup",
+    "b11_histogram",
+    "b12_hll_sketch_rollup",
+    "b34_token_ids",
+    "b17_period_over_period",
+    "b18_debounce",
+    "b34_word_stats",
+    "b21_snapshot_diff",
+    "b34_fingerprints",
+    "b34_vocabulary",
+    "b26_from_json_struct",
+    "b34_quality_score",
+    "b29_jsonl_roundtrip",
+    "b30_sql_udf",
+    "b11_time_rollup",
+    "b32_minhash_increment",
+    "b34_prepare_corpus",
+    "b34_language_id",
+    "b28_expectations",
+    "b35_funnel",
+    "b36_stream_stream_join",
+    "b36_stream_ohlc",
     # -- displaced by the r10 rotation (all r09-certified) --
     "b22_eval_holdout",
     "b11_ks_test",
