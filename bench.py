@@ -249,7 +249,12 @@ def main() -> int:
     # measure steady-state execution.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2"))
+    # 3 repeats (VERDICT r10 #5): min-of-2 let one co-tenant/GC hiccup
+    # survive into the recorded floor — the three r10 "regressions"
+    # (b34_skipgram_pairs, b35_funnel, b11_rank_sum_test) all re-measured
+    # at or under their r9 floors in isolation. Min-of-3 keeps the floor
+    # a property of the engine, not the neighborhood.
+    repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in bench_queries:
@@ -285,6 +290,15 @@ def main() -> int:
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
+    # Durable full record (VERDICT r10 #8): the driver's BENCH_r{N}
+    # artifact captures a bounded TAIL of stdout, which truncated the
+    # first ~35 per-query timings in round 10 (the flagship's time was
+    # unrecoverable). Write the COMPLETE payload to a file in the repo
+    # so every round's full per-query map survives verbatim; --isolate
+    # runs skip the write (they'd clobber the suite record).
+    if bench_queries is BENCH_QUERIES:
+        out = Path(__file__).resolve().parent / "BENCH_FULL.json"
+        out.write_text(json.dumps(payload, indent=1) + "\n")
     # Truncation-proofing (VERDICT r9 #5): the full payload line grows
     # with the suite (~80 queries ≈ several KB) and the recording
     # harness captures a bounded TAIL of stdout — in round 9 the line's

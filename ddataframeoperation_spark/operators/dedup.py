@@ -1707,7 +1707,7 @@ def pagerank(
     left join back to nodes; lineage is truncated per round exactly like
     :func:`connected_components` (``checkpoint_dir`` parquet rounds for
     cluster runs, ``localCheckpoint`` otherwise). A run writes
-    ``n_iter + 2`` round directories (``pr_<run>_round_N``) under
+    ``n_iter + 3`` round directories (``pr_<run>_round_N``) under
     ``checkpoint_dir`` and the CALLER owns their cleanup after the
     result is consumed — earlier rounds can't be deleted mid-run (the
     returned plan still reads the last one), so repeated cluster runs
@@ -1731,7 +1731,12 @@ def pagerank(
             return df.sparkSession.read.parquet(path)
         return df.localCheckpoint(eager=True)
 
-    n = nodes.select(F.col(nodes.columns[0]).alias("id"))
+    # Materialize the node list once: it is re-joined EVERY round (the
+    # dangling-node left join), and an expensive upstream lineage — e.g.
+    # keyword_pagerank's corpus-wide skipgram explode — would otherwise
+    # be re-executed n_iter+1 times (measured 6 extra corpus scans at
+    # n_iter=6 before this truncate).
+    n = _truncate(nodes.select(F.col(nodes.columns[0]).alias("id")))
     e = edges.select(
         F.col("src"),
         F.col("dst"),

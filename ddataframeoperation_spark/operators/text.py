@@ -1874,8 +1874,13 @@ def keyword_pagerank(
 
     Plan: the skipgram explode+count (row-local pair generation), one
     (src,dst) aggregate, then ``n_iter`` vocabulary-sized join+agg
-    rounds and a TakeOrdered — the corpus is read once; every iteration
-    touches only the (bounded) co-occurrence graph.
+    rounds and a TakeOrdered. The aggregated edge relation is
+    materialized ONCE (``localCheckpoint``; it is vocabulary-bounded,
+    not corpus-sized) before nodes derive from it and PageRank
+    truncates its own per-round state — so the corpus-wide skipgram
+    explode executes exactly once regardless of ``n_iter`` (it
+    previously re-ran for the node list and per-round dangling joins:
+    8 corpus scans at n_iter=6).
     """
     from ddataframeoperation_spark.operators.dedup import pagerank
 
@@ -1897,6 +1902,7 @@ def keyword_pagerank(
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("src").alias("id"))
