@@ -58,6 +58,13 @@ def norm_cell(v) -> str:
         return repr(round(v, 6))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        # DATE cells arrive as datetime.date from fetchall()/Spark
+        # collect() but as midnight Timestamps from the pandas path —
+        # driver-certified DATE-output queries (b24_date_funcs r01-r04,
+        # b35_retention_cohorts r07, ...) prove the driver unifies the
+        # two, so render dates as midnight isoformat to match.
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -159,6 +166,29 @@ def main() -> int:
             rel = con.execute(ORACLES[name])
             ocols = [d[0] for d in rel.description]
             orows = rel.fetchall()
+            # Materialization-path parity: the DRIVER fetches oracle rows
+            # through pandas (.df()), this checker through fetchall() —
+            # the two can disagree (NULL double → NaN, int downcasts,
+            # dtype-changing conversions) even when fetchall() matches
+            # Spark. Hash BOTH paths and fail on any divergence, so a
+            # pandas-only drift can't be local-green/driver-red (the
+            # round-10 b31 class, generalized).
+            pdf = con.execute(ORACLES[name]).df()
+            prows = [
+                tuple(None if v != v else v for v in row)  # NaN → NULL
+                for row in pdf.itertuples(index=False, name=None)
+            ]
+            om_fetch = row_multiset(ocols, orows)
+            om_pandas = row_multiset(list(pdf.columns), prows)
+            if om_fetch != om_pandas:
+                failures.append(name)
+                d1 = list((om_fetch - om_pandas).items())[:2]
+                d2 = list((om_pandas - om_fetch).items())[:2]
+                print(
+                    f"FAIL  {name}: oracle materialization-path divergence "
+                    f"(fetchall vs pandas); fetchall-only={d1} pandas-only={d2}"
+                )
+                continue
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
