@@ -205,3 +205,49 @@ def test_bloom_planner_empty_build_side(spark):
     for r in rows:
         assert r["n_build_keys"] == 100
         assert math.isfinite(r["fp_pred"]) and r["bits_per_key_x100"] > 0
+
+
+# ------------------------------------- semantic_join top-1 aggregate parity
+
+
+def test_semantic_join_matches_bruteforce_with_ties(spark):
+    # The r11 plan change (row_number window -> map-side max(struct))
+    # must preserve exact top-1 semantics INCLUDING the lowest-right-id
+    # tiebreak. Tie-heavy adversarial data: vectors drawn from a tiny
+    # alphabet so many right rows share the exact winning cosine.
+    import itertools
+
+    from ddataframeoperation_spark.operators.similarity import semantic_join
+
+    alphabet = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [1.0, 1.0, 0.0, 0.0],
+        [0.5, 0.5, 0.5, 0.5],
+        [1.0, 0.0, 1.0, 0.0],
+    ]
+    rows = [(i, alphabet[i % len(alphabet)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    left = df.filter("vec_id < 10")
+    right = df.filter("vec_id >= 10")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 1.0, 1.0]]
+    got = {
+        r["l_vec_id"]: (r["r_vec_id"], r["cos_sim"])
+        for r in semantic_join(left, right, cents, nprobe=None).collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return d / (na * nb)
+
+    lmap = dict(rows[:10])
+    rmap = dict(rows[10:])
+    for lid, lv in lmap.items():
+        best = max(
+            ((cos(lv, rv), -rid) for rid, rv in rmap.items()),
+        )
+        want_rid = -best[1]
+        assert got[lid][0] == want_rid, (lid, got[lid], want_rid)
+        assert got[lid][1] == round(best[0], 4)
