@@ -2445,6 +2445,15 @@ def match_one_to_one(
         for c in a.columns
         if c in set(b.columns) and c not in gc and c != seq_col
     ]
+    taken = set(a.columns) | set(b.columns)
+    clash = [
+        c for c in shared if f"{c}_a" in taken or f"{c}_b" in taken
+    ]
+    if clash:
+        raise ValueError(
+            f"match_one_to_one suffix collision: renaming {clash} to _a/_b "
+            "would shadow existing columns; project or rename them first"
+        )
     for c in shared:
         ra = ra.withColumnRenamed(c, f"{c}_a")
         rb = rb.withColumnRenamed(c, f"{c}_b")

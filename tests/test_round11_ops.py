@@ -251,3 +251,18 @@ def test_semantic_join_matches_bruteforce_with_ties(spark):
         want_rid = -best[1]
         assert got[lid][0] == want_rid, (lid, got[lid], want_rid)
         assert got[lid][1] == round(best[0], 4)
+
+
+def test_match_one_to_one_suffix_collision_rejected(spark):
+    import pytest
+
+    from ddataframeoperation_spark.operators.relational import match_one_to_one
+
+    a = spark.createDataFrame([(1, "x", "y")], "g int, ts string, ts_a string")
+    b = spark.createDataFrame([(1, "z")], "g int, ts string")
+    with pytest.raises(ValueError, match="suffix collision"):
+        match_one_to_one(
+            a, b, ["g"],
+            order_a=[F.col("ts").asc()],
+            order_b=[F.col("ts").asc()],
+        )
