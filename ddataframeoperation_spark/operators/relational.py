@@ -2436,6 +2436,12 @@ def match_one_to_one(
     from pyspark.sql import Window
 
     gc = list(keys)
+    if seq_col in a.columns or seq_col in b.columns:
+        raise ValueError(
+            f"seq_col {seq_col!r} already exists on an input side; "
+            "pass a different seq_col (row_number would silently "
+            "overwrite the business column)"
+        )
     wa = Window.partitionBy(*gc).orderBy(*order_a)
     wb = Window.partitionBy(*gc).orderBy(*order_b)
     ra = a.withColumn(seq_col, F.row_number().over(wa))

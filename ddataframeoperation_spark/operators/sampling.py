@@ -1051,10 +1051,11 @@ def rolling_origin_folds(
     """
     if not origins:
         raise ValueError("rolling_origin_folds requires at least 1 origin")
-    if fold_col in df.columns:
-        raise ValueError(
-            f"fold_col {fold_col!r} already exists in the input frame"
-        )
+    for owned, val in (("fold_col", fold_col), ("split_col", split_col)):
+        if val in df.columns:
+            raise ValueError(
+                f"{owned} {val!r} already exists in the input frame"
+            )
     spark = df.sparkSession
     spine = spark.createDataFrame(
         [(k, o) for k, o in enumerate(origins)], "fold int, cut_s string"

@@ -855,17 +855,20 @@ def semantic_join(
     cand = lv.join(rv, on="_cell").select(
         "_lid", "_rid", cosine(F.col("_lv"), F.col("_rv")).alias("_cos")
     )
-    # Top-1 per left row as max(struct(cos, -rid)) rather than a
+    # Top-1 per left row as min(struct(-cos, rid)) rather than a
     # row_number window: the hash aggregate combines MAP-SIDE, so the
     # shuffle carries one row per (task, left id) instead of the FULL
     # candidate set (|L|·|R|/ncells rows — 12M at the sf0.1 exhaustive
     # gate, all of which the window had to sort). Struct ordering is
-    # field-by-field, so max picks highest cosine, then highest -rid =
-    # LOWEST right id — the same stated tiebreak, on unrounded scores.
-    best = F.max(
+    # field-by-field, so min picks the lowest NEGATED cosine (= highest
+    # cosine), then the LOWEST right id — the same stated tiebreak, on
+    # unrounded scores. The negation rides the DOUBLE score, never the
+    # id, so any orderable id type (string, timestamp, …) works exactly
+    # as the window form did. NaN scores (zero-norm vectors) sort
+    # LARGEST under min and therefore lose to any real match — stated.
+    best = F.min(
         F.struct(
-            F.col("_cos").alias("c"),
-            (-F.col("_rid")).alias("nr"),
+            (-F.col("_cos")).alias("nc"),
             F.col("_rid").alias("r"),
         )
     ).alias("_b")
@@ -875,7 +878,7 @@ def semantic_join(
         .select(
             F.col("_lid").alias(f"{left_prefix}{id_col}"),
             F.col("_b.r").alias(f"{right_prefix}{id_col}"),
-            F.round(F.col("_b.c"), 4).alias("cos_sim"),
+            F.round(-F.col("_b.nc"), 4).alias("cos_sim"),
         )
     )
 

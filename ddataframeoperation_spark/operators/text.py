@@ -86,7 +86,17 @@ def tokens(col: str | Column = "text") -> Column:
 
 def token_count(col: str | Column = "text") -> Column:
     """B34 — token count. BPE-ish proxy: whitespace tokens; a real BPE pass
-    would be a Pandas-UDF batch op with the same column signature."""
+    would be a Pandas-UDF batch op with the same column signature.
+
+    Convention (stated): an EMPTY-normalized document counts 1 —
+    ``size(split('', ' '))`` is pinned at 1 by Spark, and the DuckDB
+    oracles' ``len(string_split(...))`` matches on every fixture (no
+    fixture document normalizes to empty at any SF; SCALE.md §49).
+    Operators whose OUTPUT sums token counts per group use the explicit
+    ``CASE WHEN norm = '' THEN 0`` form instead on BOTH engines
+    (``dedup.dedup_token_savings``) because DuckDB's split-of-empty
+    changed across engine versions — prefer that form for any new
+    aggregate whose value an empty doc could reach."""
     return F.size(tokens(col))
 
 
@@ -1856,6 +1866,7 @@ def keyword_pagerank(
     min_count: int = 3,
     n_iter: int = 6,
     k: int = 15,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """B34 — TextRank-style corpus keywords: PageRank over the token
     co-occurrence graph (edges = :func:`skipgram_pairs` within
@@ -1875,13 +1886,21 @@ def keyword_pagerank(
     Plan: the skipgram explode+count (row-local pair generation), one
     (src,dst) aggregate, then ``n_iter`` vocabulary-sized join+agg
     rounds and a TakeOrdered. The aggregated edge relation is
-    materialized ONCE (``localCheckpoint``; it is vocabulary-bounded,
-    not corpus-sized) before nodes derive from it and PageRank
-    truncates its own per-round state — so the corpus-wide skipgram
-    explode executes exactly once regardless of ``n_iter`` (it
-    previously re-ran for the node list and per-round dangling joins:
-    8 corpus scans at n_iter=6).
+    materialized ONCE (it is vocabulary-bounded, not corpus-sized)
+    before nodes derive from it and PageRank truncates its own
+    per-round state — so the corpus-wide skipgram explode executes
+    exactly once regardless of ``n_iter`` (it previously re-ran for
+    the node list and per-round dangling joins: 8 corpus scans at
+    n_iter=6). ``checkpoint_dir`` selects the materialization:
+    parquet under that directory (cluster-safe; forwarded to
+    :func:`dedup.pagerank`, same caller-owns-cleanup contract),
+    else ``localCheckpoint`` — whose blocks live in executor storage
+    for the SESSION's lifetime (they are not unpersisted — the
+    returned plan reads them lazily) and are lost with an executor,
+    the single-node/test default.
     """
+    import uuid
+
     from ddataframeoperation_spark.operators.dedup import pagerank
 
     pairs = skipgram_pairs(
@@ -1902,14 +1921,21 @@ def keyword_pagerank(
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").alias("w"))
-        .localCheckpoint(eager=True)
     )
+    if checkpoint_dir is not None:
+        path = f"{checkpoint_dir}/kwpr_edges_{uuid.uuid4().hex[:12]}"
+        edges.write.mode("overwrite").parquet(path)
+        edges = df.sparkSession.read.parquet(path)
+    else:
+        edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    ranks = pagerank(nodes, edges, n_iter=n_iter)
+    ranks = pagerank(
+        nodes, edges, n_iter=n_iter, checkpoint_dir=checkpoint_dir
+    )
     return (
         ranks.orderBy(F.col("rank_units").desc(), F.col("id").asc())
         .limit(k)

@@ -58,15 +58,26 @@ def test_token_savings_empty_and_null_docs_count_zero(spark):
 def test_oracle_checker_flags_hugeint_output(tmp_path):
     # The checker must hard-flag a HUGEINT oracle column (driver
     # materializes through pandas → float64 → hash mismatch) even though
-    # its own fetchall() path would compare equal.
+    # its own fetchall() path would compare equal — exercise the ACTUAL
+    # flag function on real DuckDB output types.
     import duckdb
 
+    from tools.check_oracles import hash_unsafe_types, nan_to_none
+
     con = duckdb.connect()
-    types = [
-        str(t).split("(")[0].upper()
-        for t in con.sql("SELECT sum(x) AS s FROM (SELECT CAST(1 AS BIGINT) x)").types
-    ]
-    assert types == ["HUGEINT"]  # the class exists in this DuckDB
+    hug = con.sql("SELECT sum(x) AS s FROM (SELECT CAST(1 AS BIGINT) x)").types
+    assert hash_unsafe_types(hug) == ["HUGEINT"]  # the b31 class
+    dec = con.sql("SELECT CAST(1.5 AS DECIMAL(38,4)) AS d").types
+    assert hash_unsafe_types(dec) == ["DECIMAL"]
+    safe = con.sql("SELECT CAST(1 AS BIGINT) AS a, 1.5::DOUBLE AS b, 'x' AS c").types
+    assert hash_unsafe_types(safe) == []
+    # NaN normalization is scalar-only: ndarray cells pass through.
+    import numpy as np
+
+    assert nan_to_none(float("nan")) is None
+    assert nan_to_none(3) == 3
+    arr = np.array([1, 2])
+    assert nan_to_none(arr) is arr
     # and the audit tool's hard set covers it
     from tools.oracle_type_audit import _DUCK_INT
 
@@ -266,3 +277,26 @@ def test_match_one_to_one_suffix_collision_rejected(spark):
             order_a=[F.col("ts").asc()],
             order_b=[F.col("ts").asc()],
         )
+
+
+def test_semantic_join_string_ids(spark):
+    # The top-1 aggregate must not negate the ID (r11 review): string
+    # ids exercise the type-generic tiebreak under ANSI mode.
+    from ddataframeoperation_spark.operators.similarity import semantic_join
+
+    left = spark.createDataFrame(
+        [("L1", [1.0, 0.0]), ("L2", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    right = spark.createDataFrame(
+        [("RA", [1.0, 0.0]), ("RB", [1.0, 0.0]), ("RC", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    got = {
+        r["l_vec_id"]: r["r_vec_id"]
+        for r in semantic_join(
+            left, right, [[1.0, 0.0], [0.0, 1.0]], nprobe=None
+        ).collect()
+    }
+    # L1 ties RA/RB at cos=1 -> lowest right id RA wins; L2 -> RC.
+    assert got == {"L1": "RA", "L2": "RC"}

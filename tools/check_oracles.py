@@ -70,6 +70,37 @@ def norm_cell(v) -> str:
     return str(v)
 
 
+#: DuckDB output types whose pandas materialization diverges from
+#: fetchall() (HUGEINT → float64; DECIMAL → trailing-zero render) — the
+#: driver fetches through pandas, so these are driver-hash-unsafe even
+#: when the local fetchall() compare is green (round-10 b31 class).
+HASH_UNSAFE_DUCK_TYPES = frozenset({"HUGEINT", "UHUGEINT", "DECIMAL"})
+
+
+def hash_unsafe_types(type_names: "list[str]") -> list[str]:
+    """Return the driver-hash-unsafe members of a DuckDB output type list
+    (base names, e.g. ``DECIMAL(38,0)`` → ``DECIMAL``). Unit-tested so the
+    flag path can't silently rot."""
+    return [
+        t
+        for t in (str(n).split("(")[0].upper() for n in type_names)
+        if t in HASH_UNSAFE_DUCK_TYPES
+    ]
+
+
+def nan_to_none(v):
+    """NaN/NaT → None for SCALAR cells; non-scalar cells (numpy arrays
+    from LIST columns) pass through untouched — ``v != v`` on an ndarray
+    is elementwise and its truth test raises, which would miscategorize
+    a list-typed oracle as a DuckDB error instead of a parity diff."""
+    import pandas as _pd
+
+    try:
+        return None if _pd.isna(v) else v
+    except (TypeError, ValueError):
+        return v
+
+
 def decimal_output_columns(sdf) -> list[str]:
     """Driver-hash-unsafe output columns: fixed-scale DECIMAL cells render
     with trailing zeros (`22586.5300`) on one engine and trimmed
@@ -150,11 +181,7 @@ def main() -> int:
             # driver-red (round-10 b31_dedup_token_savings). Un-cast
             # sum(BIGINT) and HUGEINT division are the usual sources;
             # CAST every aggregate output to BIGINT in the oracle.
-            otypes = [str(t).split("(")[0].upper() for t in con.sql(ORACLES[name]).types]
-            bad = [
-                t for t in otypes
-                if t in {"HUGEINT", "UHUGEINT", "DECIMAL"}
-            ]
+            bad = hash_unsafe_types(con.sql(ORACLES[name]).types)
             if bad:
                 failures.append(name)
                 print(
@@ -175,7 +202,7 @@ def main() -> int:
             # round-10 b31 class, generalized).
             pdf = con.execute(ORACLES[name]).df()
             prows = [
-                tuple(None if v != v else v for v in row)  # NaN → NULL
+                tuple(nan_to_none(v) for v in row)
                 for row in pdf.itertuples(index=False, name=None)
             ]
             om_fetch = row_multiset(ocols, orows)

@@ -10,9 +10,14 @@ The same class covers DECIMAL (trailing-zero rendering) and any
 int-on-one-side / float-on-the-other pairing whose values aren't
 integral.
 
-This tool runs every registered oracle with ``LIMIT 0`` semantics
-(DESCRIBE — no data scan), pairs each output column with the Spark
-query's schema, and flags:
+This tool DESCRIBEs every registered oracle on the DuckDB side (no
+data scan there) and pairs each output column with the Spark query's
+``.dtypes``. Note the Spark side must BUILD each DataFrame, and some
+query builders do bounded driver-side work to construct the plan
+(e.g. a ``head()`` to fetch a query vector, k-means centroid training,
+eager iterative-round materialization) — so a full-registry run costs
+minutes, not seconds; scope with query-name arguments when iterating.
+Flags:
 
   HUGEINT   any DuckDB HUGEINT/UHUGEINT output column (always unsafe)
   DECIMAL   any DuckDB DECIMAL output column (trailing-zero rendering)
