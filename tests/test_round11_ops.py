@@ -300,3 +300,34 @@ def test_semantic_join_string_ids(spark):
     }
     # L1 ties RA/RB at cos=1 -> lowest right id RA wins; L2 -> RC.
     assert got == {"L1": "RA", "L2": "RC"}
+
+
+def test_keyword_pagerank_checkpoint_dir_matches_local(spark, tmp_path):
+    # The r11 checkpoint_dir passthrough (parquet edge materialization +
+    # forwarded pagerank rounds) must be a pure plumbing choice: ranks
+    # identical to the localCheckpoint default.
+    from ddataframeoperation_spark.operators.text import keyword_pagerank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between stages"),
+            (2, "spark shuffles data across executors"),
+            (3, "data between stages moves in shuffles"),
+            (4, "executors cache data between stages"),
+        ],
+        "doc_id int, text string",
+    )
+    base = {
+        (r["token"], r["rank_units"])
+        for r in keyword_pagerank(docs, min_count=2, n_iter=3, k=5).collect()
+    }
+    ckpt = {
+        (r["token"], r["rank_units"])
+        for r in keyword_pagerank(
+            docs, min_count=2, n_iter=3, k=5,
+            checkpoint_dir=str(tmp_path / "kwpr"),
+        ).collect()
+    }
+    assert base == ckpt and len(base) > 0
+    # and the round files exist for the caller to clean up
+    assert any((tmp_path / "kwpr").iterdir())
