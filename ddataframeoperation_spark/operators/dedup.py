@@ -18,6 +18,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -58,6 +59,7 @@ __all__ = [
     "dedup_token_savings",
     "lsh_power_curve",
     "pair_degree_census",
+    "sweep_checkpoint_rounds",
 ]
 
 
@@ -302,6 +304,7 @@ def connected_components(
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
     on_nonconverged: str = "raise",
+    run_id: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list (id_a, id_b) —
     the clustering step that turns near-dup candidate PAIRS into dup
@@ -337,8 +340,13 @@ def connected_components(
     concurrent operator with its own checkpoint location. Round files
     (``cc_<run>_round_N``) are NOT deleted by the operator — the
     returned plan reads the final round, so the CALLER owns cleanup of
-    the directory once the result is consumed. Defaults to
-    ``localCheckpoint`` for single-node/test runs.
+    the directory once the result is consumed
+    (:func:`sweep_checkpoint_rounds`, optionally scoped to ``run_id``).
+    Defaults to ``localCheckpoint`` for single-node/test runs.
+
+    ``run_id``: caller-supplied round-file prefix (default: a fresh
+    uuid), so a compositing operator can sweep EXACTLY its own rounds
+    afterwards without touching a concurrent run sharing the directory.
 
     Returns (id, component) with component = min id in the component.
     """
@@ -350,7 +358,7 @@ def connected_components(
     # per-RDD paths, and this keeps that property.
     import uuid
 
-    run = uuid.uuid4().hex[:12]
+    run = run_id or uuid.uuid4().hex[:12]
     seq = iter(range(10**6))
 
     def _truncate(df: DataFrame) -> DataFrame:
@@ -1677,6 +1685,7 @@ def pagerank(
     damping_bp: int = 8500,
     unit: int = 10**9,
     checkpoint_dir: str | None = None,
+    run_id: str | None = None,
 ) -> DataFrame:
     """Weighted PageRank in EXACT fixed-point integer arithmetic — the
     graph-centrality quality signal crawl pipelines attach to domains
@@ -1711,7 +1720,9 @@ def pagerank(
     ``checkpoint_dir`` and the CALLER owns their cleanup after the
     result is consumed — earlier rounds can't be deleted mid-run (the
     returned plan still reads the last one), so repeated cluster runs
-    against one directory must sweep it between runs.
+    against one directory must sweep it between runs
+    (:func:`sweep_checkpoint_rounds`; pass ``run_id`` to scope the
+    sweep to this call's rounds when the directory is shared).
 
     Returns (id, rank_units long).
     """
@@ -1721,7 +1732,7 @@ def pagerank(
         raise ValueError("damping_bp must be in [0, 10000]")
     import uuid
 
-    run = uuid.uuid4().hex[:12]
+    run = run_id or uuid.uuid4().hex[:12]
     seq = iter(range(10**6))
 
     def _truncate(df: DataFrame) -> DataFrame:
@@ -1779,6 +1790,61 @@ def pagerank(
             )
         )
     return ranks
+
+
+#: Materialized-round directory names the iterative operators write under a
+#: caller-supplied checkpoint_dir: connected_components (cc_*), pagerank
+#: (pr_*), keyword_pagerank's edge table (kwpr_edges_*). Matched EXACTLY so
+#: the sweep can never touch caller data co-located in the directory.
+_ROUND_DIR_RE = _re.compile(
+    r"^(?:(?:cc|pr)_(?P<run1>[0-9a-f]{12})_round_\d+"
+    r"|kwpr_edges_(?P<run2>[0-9a-f]{12}))$"
+)
+
+
+def sweep_checkpoint_rounds(
+    spark,
+    checkpoint_dir: str,
+    run_id: str | None = None,
+) -> int:
+    """Delete the materialized round directories that
+    :func:`connected_components` / :func:`pagerank` /
+    ``text.keyword_pagerank`` wrote under ``checkpoint_dir`` — the
+    caller-owned cleanup half of the checkpoint contract (without it,
+    repeated cluster runs against one directory grow it unboundedly:
+    ``n_iter + 3`` parquet dirs per pagerank run).
+
+    Call AFTER the returned result is consumed (collected or written):
+    the lazy plan reads the final round file. ``run_id=None`` sweeps
+    every round directory (single-tenant directories); pass the
+    ``run_id`` given to the operator to sweep exactly that run when the
+    directory is shared with live runs. Only names matching the
+    operators' round patterns are touched — co-located caller files
+    survive. Uses the Hadoop FileSystem API via the session's JVM
+    gateway, so local paths and HDFS/object-store URIs both work.
+
+    Returns the number of round directories deleted.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(checkpoint_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return 0
+    removed = 0
+    for st in fs.listStatus(hpath):
+        if not st.isDirectory():
+            continue
+        m = _ROUND_DIR_RE.match(st.getPath().getName())
+        if not m:
+            continue
+        if run_id is not None and run_id not in (
+            m.group("run1"),
+            m.group("run2"),
+        ):
+            continue
+        fs.delete(st.getPath(), True)
+        removed += 1
+    return removed
 
 
 def common_neighbor_pairs(

@@ -1051,6 +1051,13 @@ def rolling_origin_folds(
     """
     if not origins:
         raise ValueError("rolling_origin_folds requires at least 1 origin")
+    if fold_col == split_col:
+        # Both columns are owned outputs; a shared name would let the
+        # later withColumn(split_col, ...) silently overwrite the fold
+        # ids instead of erroring.
+        raise ValueError(
+            f"fold_col and split_col must differ (both {fold_col!r})"
+        )
     for owned, val in (("fold_col", fold_col), ("split_col", split_col)):
         if val in df.columns:
             raise ValueError(

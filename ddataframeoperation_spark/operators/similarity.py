@@ -852,8 +852,18 @@ def semantic_join(
         vec_col="_rv",
         cell_col="_cell",
     )
-    cand = lv.join(rv, on="_cell").select(
-        "_lid", "_rid", cosine(F.col("_lv"), F.col("_rv")).alias("_cos")
+    cand = (
+        lv.join(rv, on="_cell")
+        .select(
+            "_lid", "_rid", cosine(F.col("_lv"), F.col("_rv")).alias("_cos")
+        )
+        # A NULL score would sort FIRST under ascending struct comparison
+        # and silently win top-1 (the old window's _cos.desc() put NULLs
+        # last). Unreachable today — NULL/ragged vectors fail the pandas
+        # UDFs upstream — but pin the contract here so a future cosine/
+        # UDF change can't flip the winner: NULL-score candidates never
+        # match, same as the no-candidate case.
+        .filter(F.col("_cos").isNotNull())
     )
     # Top-1 per left row as min(struct(-cos, rid)) rather than a
     # row_number window: the hash aggregate combines MAP-SIDE, so the
@@ -1178,7 +1188,10 @@ def binary_hamming_topk(
     for w in range((dim + 63) // 64):
         bits = 0
         for i in range(w * 64, min(dim, (w + 1) * 64)):
-            if float(query_vec[i]) > 0:
+            # NULL query elements pack to a 0-bit — the same convention
+            # binary_quantize applies to corpus vectors and the oracle's
+            # FALSE-coalesced sign predicate applies to q.qe[i].
+            if query_vec[i] is not None and float(query_vec[i]) > 0:
                 bits |= 1 << (i - w * 64)
         # Python ints >= 2^63 would overflow the long literal; the sign
         # bit (i%64 == 63) is reinterpreted via two's complement.

@@ -1893,7 +1893,11 @@ def keyword_pagerank(
     the node list and per-round dangling joins: 8 corpus scans at
     n_iter=6). ``checkpoint_dir`` selects the materialization:
     parquet under that directory (cluster-safe; forwarded to
-    :func:`dedup.pagerank`, same caller-owns-cleanup contract),
+    :func:`dedup.pagerank`) — and because the final top-``k`` is
+    BOUNDED, this operator materializes it driver-side and sweeps
+    its own round files before returning
+    (:func:`dedup.sweep_checkpoint_rounds` scoped to this run's id),
+    so repeated runs never accumulate checkpoint dirs;
     else ``localCheckpoint`` — whose blocks live in executor storage
     for the SESSION's lifetime (they are not unpersisted — the
     returned plan reads them lazily) and are lost with an executor,
@@ -1901,8 +1905,12 @@ def keyword_pagerank(
     """
     import uuid
 
-    from ddataframeoperation_spark.operators.dedup import pagerank
+    from ddataframeoperation_spark.operators.dedup import (
+        pagerank,
+        sweep_checkpoint_rounds,
+    )
 
+    run = uuid.uuid4().hex[:12]
     pairs = skipgram_pairs(
         df, text_col, window=window, min_count=min_count
     )
@@ -1923,7 +1931,7 @@ def keyword_pagerank(
         .agg(F.sum("w").alias("w"))
     )
     if checkpoint_dir is not None:
-        path = f"{checkpoint_dir}/kwpr_edges_{uuid.uuid4().hex[:12]}"
+        path = f"{checkpoint_dir}/kwpr_edges_{run}"
         edges.write.mode("overwrite").parquet(path)
         edges = df.sparkSession.read.parquet(path)
     else:
@@ -1934,10 +1942,25 @@ def keyword_pagerank(
         .distinct()
     )
     ranks = pagerank(
-        nodes, edges, n_iter=n_iter, checkpoint_dir=checkpoint_dir
+        nodes, edges, n_iter=n_iter, checkpoint_dir=checkpoint_dir,
+        run_id=run,
     )
-    return (
+    out = (
         ranks.orderBy(F.col("rank_units").desc(), F.col("id").asc())
         .limit(k)
         .select(F.col("id").alias("token"), "rank_units")
     )
+    if checkpoint_dir is not None:
+        # The final result is k rows — materialize it driver-side and
+        # sweep THIS run's round/edge files immediately (scoped by
+        # run_id, so a concurrent run sharing the directory is
+        # untouched). Unlike the raw pagerank/connected_components
+        # contract (caller owns cleanup because the returned plan is
+        # lazy over the last round file), the top-k here is bounded, so
+        # the operator can safely own its whole checkpoint lifecycle:
+        # repeated runs leave the directory empty (pinned in tests).
+        spark = df.sparkSession
+        rows = out.collect()
+        sweep_checkpoint_rounds(spark, checkpoint_dir, run_id=run)
+        return spark.createDataFrame(rows, out.schema)
+    return out

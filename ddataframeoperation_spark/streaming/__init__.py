@@ -8,6 +8,7 @@ from ddataframeoperation_spark.streaming.stateful import (
     token_budget_admission,
 )
 from ddataframeoperation_spark.streaming.windows import (
+    bounded_state_partitions,
     events_as_stream,
     run_with_late_replay,
     tumbling_counts,
@@ -22,6 +23,7 @@ from ddataframeoperation_spark.streaming.windows import (
 )
 
 __all__ = [
+    "bounded_state_partitions",
     "events_as_stream",
     "run_with_late_replay",
     "tumbling_counts",

@@ -30,6 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ddataframeoperation_spark.operators.dedup import dedup_by_fingerprint
+from ddataframeoperation_spark.streaming.windows import (
+    bounded_state_partitions,
+)
 
 __all__ = ["stream_dedup_ingest", "read_corpus"]
 
@@ -74,13 +77,14 @@ def stream_dedup_ingest(
         fresh.drop("fp").write.mode("append").parquet(docs_path)
         fresh.select("fp", id_col).write.mode("append").parquet(fps_path)
 
-    q = (
-        stream.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def read_corpus(spark: SparkSession, corpus_path: str) -> DataFrame:

@@ -24,6 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ddataframeoperation_spark.streaming.windows import (
+    bounded_state_partitions,
+)
+
 __all__ = ["materialize_tumbling_rollup"]
 
 
@@ -61,14 +65,15 @@ def materialize_tumbling_rollup(
             .parquet(out_path)
         )
 
-    q = (
-        agg.writeStream.foreachBatch(upsert)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(stream.sparkSession):
+        q = (
+            agg.writeStream.foreachBatch(upsert)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def read_rollup(spark: SparkSession, out_path: str) -> DataFrame:

@@ -19,12 +19,14 @@ rate-limited batches — the same code serves backfill and live tailing.
 
 from __future__ import annotations
 
+import contextlib
 import uuid as _uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bounded_state_partitions",
     "events_as_stream",
     "stage_multi_batch_replay",
     "run_with_late_replay",
@@ -38,6 +40,50 @@ __all__ = [
     "stream_psi_bucket_counts",
     "stream_daily_actives",
 ]
+
+
+#: State-store partition cap applied by the run helpers below. The number
+#: of state-store partitions is frozen from ``spark.sql.shuffle.partitions``
+#: at the stream's FIRST micro-batch and every subsequent batch replays ALL
+#: of them — a confless session's default 200 makes each fixture-scale
+#: micro-batch pay 200 state-store task startups (~42 s/query measured at
+#: sf0.1 on the driver's vanilla session, vs ~5 s at 32). 32 matches the
+#: engine session / local core count; a real cluster deployment sizes the
+#: session conf itself and can raise the cap.
+_MAX_STATE_PARTITIONS = 32
+
+
+@contextlib.contextmanager
+def bounded_state_partitions(
+    spark: SparkSession, cap: int = _MAX_STATE_PARTITIONS
+):
+    """Temporarily LOWER ``spark.sql.shuffle.partitions`` to ``cap`` for
+    the duration of a blocking stream run (never raises it — a session
+    already tuned below the cap is left alone), restoring the previous
+    value afterwards. Every run helper in this package wraps its
+    ``start()``/``awaitTermination()`` in this, so streaming queries are
+    self-sufficient w.r.t. session config — the vanilla-session footgun
+    (SCALE.md §51 addendum) is pinned here instead of documented away.
+
+    Session-global conf is mutated for the run's duration: don't launch
+    CONCURRENT batch queries on the same session from another thread
+    while a run helper is blocking (the helpers themselves are
+    sequential, and the restored value makes this invisible to
+    everything after).
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        lowered = int(old) > cap
+    except (TypeError, ValueError):
+        lowered = False
+    if lowered:
+        spark.conf.set(key, str(cap))
+    try:
+        yield
+    finally:
+        if lowered:
+            spark.conf.set(key, old)
 
 
 def events_as_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,16 +221,17 @@ def run_with_late_replay(
             .option("maxFilesPerTrigger", 1)
             .parquet(input_dir)
         )
-        q = (
-            transform(stream)
-            .writeStream.format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", ck)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with bounded_state_partitions(spark):
+            q = (
+                transform(stream)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ck)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
     _run()
     _stage(batch_df.filter(F.col(ts_col) < F.lit(cutoff)), 1, "late")
@@ -348,14 +395,15 @@ def run_to_memory(result: DataFrame, output_mode: str = "complete") -> DataFrame
     sink and return the materialized table — the batch-equivalence harness.
     Uses a unique sink name per call; blocks until the backlog is drained."""
     name = "s" + _uuid.uuid4().hex[:12]
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_state_partitions(result.sparkSession):
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return result.sparkSession.table(name)
 
 

@@ -1,0 +1,275 @@
+"""Round-12 contract tests: the r11 VERDICT/ADVICE fixes.
+
+1. b33_binary_hamming_topk engine/oracle parity on a RAGGED + NULL-element
+   fixture (VERDICT r11 "what's wrong" #1 done-check): short vectors are
+   dropped and NULL elements 0-bit-quantize IDENTICALLY on both engines,
+   so the pair hash-matches beyond the uniformly-64-dim NULL-free driver
+   fixtures.
+2. semantic_join NULL-score candidates can never win top-1 (ADVICE r11:
+   min(struct(-cos, rid)) would sort a NULL score FIRST).
+3. rolling_origin_folds rejects fold_col == split_col (ADVICE r11).
+4. check_oracles temporal_kind surfaces date-vs-timestamp drift as a soft
+   signal (ADVICE r11) and the single-execution temp-table path preserves
+   the HUGEINT flag + fetchall/pandas parity semantics.
+5. sweep_checkpoint_rounds bounds pagerank/connected-components checkpoint
+   dirs across repeated runs (VERDICT r11 #6).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+# ------------------- b33_binary_hamming_topk ragged/NULL oracle parity
+
+
+def test_binary_hamming_topk_ragged_null_fixture_matches_oracle(
+    spark, tmp_path
+):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ddataframeoperation_spark.queries import ORACLES, QUERIES
+    from tools.check_oracles import row_multiset
+
+    # Query vector (vec_id 0): mixed signs with a NULL element at a
+    # would-be-positive position (6) and an exact 0.0 at another (12) —
+    # both must pack to 0-bits on BOTH engines.
+    q: list = [1.0 if i % 3 == 0 else -1.0 for i in range(64)]
+    q[6] = None
+    q[12] = 0.0
+    rows = [
+        (0, q),                                      # the query itself
+        (1, list(q)),                                # exact copy -> hamming 0
+        (2, [(-x if x is not None else 1.0) for x in q]),  # mostly flipped
+        (3, q[:63]),                                 # ragged 63-dim -> DROPPED
+        (4, []),                                     # empty -> DROPPED
+        (5, [None] * 64),                            # all-NULL -> code 0
+        (6, q + [99.0]),                             # 65-dim -> first 64 used
+        (7, None),                                   # NULL cell -> DROPPED
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float64())
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+    sf = str(tmp_path)
+
+    sdf = QUERIES["b33_binary_hamming_topk"](spark, sf)
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    rel = con.execute(ORACLES["b33_binary_hamming_topk"])
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert row_multiset(sdf.columns, srows) == row_multiset(ocols, orows)
+
+    got = {r[0]: r[1] for r in srows}
+    # ragged/empty/NULL-cell rows dropped on both sides
+    assert set(got) == {0, 1, 2, 5, 6}
+    assert got[0] == 0 and got[1] == 0          # NULL elements match as 0-bits
+    assert got[6] == 0                          # extra tail element ignored
+    # all-NULL vector = code 0: hamming == popcount of the query code
+    qbits = sum(
+        1 for i, x in enumerate(q) if x is not None and float(x) > 0
+    )
+    assert got[5] == qbits and qbits > 0
+
+
+# --------------------------------- semantic_join NULL-score guard
+
+
+def test_semantic_join_null_score_never_wins(spark):
+    from ddataframeoperation_spark.operators.similarity import semantic_join
+
+    # 2-dim toy corpus, one centroid (every row in cell 0 so the join
+    # pairs everything); right id 9 carries a NULL ELEMENT — it survives
+    # the Arrow assign kernel (NaN in the matmul) but the JVM zip_with/
+    # aggregate dot folds it to a NULL cosine, the exact case the guard
+    # pins: under min(struct(-cos, rid)) a NULL would sort FIRST and win.
+    left = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    right = spark.createDataFrame(
+        [(8, [1.0, 0.1]), (9, [1.0, None]), (10, [0.9, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_join(
+        left, right, centroids=[[1.0, 0.0]], nprobe=1
+    ).collect()
+    assert len(out) == 1
+    row = out[0].asDict()
+    # NULL-cosine candidate 9 must lose to a real match, not sort first.
+    assert row["r_vec_id"] == 8
+    assert row["cos_sim"] is not None
+
+
+# --------------------------------- rolling_origin_folds column clash
+
+
+def test_rolling_origin_folds_rejects_equal_fold_and_split_col(spark):
+    import pytest
+
+    from ddataframeoperation_spark.operators.sampling import (
+        rolling_origin_folds,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",)], "ts string"
+    ).select(F.to_timestamp("ts").alias("ts"))
+    with pytest.raises(ValueError, match="must differ"):
+        rolling_origin_folds(
+            df, "ts", ["2024-01-02"], fold_col="f", split_col="f"
+        )
+
+
+# --------------------------------- checker: temporal drift + single-exec
+
+
+def test_checker_temporal_kind_classification():
+    from tools.check_oracles import temporal_kind
+
+    assert temporal_kind("date") == "date"
+    assert temporal_kind("DATE") == "date"
+    assert temporal_kind("timestamp") == "timestamp"
+    assert temporal_kind("timestamp_ntz") == "timestamp"
+    assert temporal_kind("TIMESTAMP_NS") == "timestamp"
+    assert temporal_kind("bigint") is None
+    assert temporal_kind("string") is None
+
+
+# --------------------------------- streaming state-partition pinning
+
+
+def test_bounded_state_partitions_lowers_and_restores(spark):
+    from ddataframeoperation_spark.streaming import bounded_state_partitions
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        # vanilla-session shape: 200 -> capped at 32 for the run, restored
+        spark.conf.set(key, "200")
+        with bounded_state_partitions(spark):
+            assert spark.conf.get(key) == "32"
+        assert spark.conf.get(key) == "200"
+        # a session tuned BELOW the cap is never raised
+        spark.conf.set(key, "8")
+        with bounded_state_partitions(spark):
+            assert spark.conf.get(key) == "8"
+        # restore happens even when the body raises
+        spark.conf.set(key, "200")
+        try:
+            with bounded_state_partitions(spark):
+                raise RuntimeError("boom")
+        except RuntimeError:
+            pass
+        assert spark.conf.get(key) == "200"
+    finally:
+        spark.conf.set(key, old)
+
+
+# --------------------------------- checkpoint round sweeping
+
+
+def test_sweep_checkpoint_rounds_scoped_and_safe(spark, tmp_path):
+    from ddataframeoperation_spark.operators.dedup import (
+        connected_components,
+        pagerank,
+        sweep_checkpoint_rounds,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    # caller data co-located in the directory must survive any sweep
+    (ckpt / "user_data.parquet").mkdir()
+    (ckpt / "notes.txt").write_text("keep me")
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a int, id_b int"
+    )
+    cc = connected_components(
+        edges, checkpoint_dir=str(ckpt), run_id="aaaaaaaaaaaa"
+    )
+    assert cc.count() > 0  # consume before sweeping
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id int")
+    pr_edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1)], "src int, dst int, w int"
+    )
+    pr = pagerank(
+        nodes, pr_edges, n_iter=2, checkpoint_dir=str(ckpt),
+        run_id="bbbbbbbbbbbb",
+    )
+    assert pr.count() == 3
+
+    names = {p.name for p in ckpt.iterdir()}
+    assert any(n.startswith("cc_aaaaaaaaaaaa_round_") for n in names)
+    assert any(n.startswith("pr_bbbbbbbbbbbb_round_") for n in names)
+
+    # scoped sweep: only the cc run goes
+    n_cc = sum(1 for n in names if n.startswith("cc_"))
+    assert sweep_checkpoint_rounds(spark, str(ckpt), "aaaaaaaaaaaa") == n_cc
+    names = {p.name for p in ckpt.iterdir()}
+    assert not any(n.startswith("cc_") for n in names)
+    assert any(n.startswith("pr_bbbbbbbbbbbb_round_") for n in names)
+
+    # unscoped sweep: every remaining round dir goes, caller files stay
+    assert sweep_checkpoint_rounds(spark, str(ckpt)) > 0
+    assert {p.name for p in ckpt.iterdir()} == {
+        "user_data.parquet", "notes.txt"
+    }
+    # idempotent / missing dir
+    assert sweep_checkpoint_rounds(spark, str(ckpt)) == 0
+    assert sweep_checkpoint_rounds(spark, str(tmp_path / "absent")) == 0
+
+
+def test_keyword_pagerank_repeated_runs_do_not_accumulate(spark, tmp_path):
+    from ddataframeoperation_spark.operators.text import keyword_pagerank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta gamma delta beta gamma"),
+            (3, "gamma delta alpha gamma delta"),
+        ],
+        "doc_id int, text string",
+    )
+    ckpt = tmp_path / "kw"
+    first = None
+    for _ in range(3):
+        out = keyword_pagerank(
+            docs, min_count=2, n_iter=2, k=5, checkpoint_dir=str(ckpt)
+        )
+        got = {(r["token"], r["rank_units"]) for r in out.collect()}
+        first = got if first is None else first
+        assert got == first  # deterministic across runs
+        # the operator swept its own run: nothing accumulates
+        assert not any(ckpt.iterdir())
+
+
+def test_checker_ctas_preserves_hash_unsafe_types():
+    # The single-execution rewrite materializes oracles through a CTAS;
+    # the HUGEINT/DECIMAL flag must still see the original output types.
+    import duckdb
+
+    from tools.check_oracles import hash_unsafe_types
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TEMP TABLE _oracle_out AS "
+        "SELECT sum(x) AS s, CAST(1.5 AS DECIMAL(38,4)) AS d "
+        "FROM (SELECT CAST(1 AS BIGINT) x)"
+    )
+    types = con.sql("SELECT * FROM _oracle_out").types
+    assert hash_unsafe_types(types) == ["HUGEINT", "DECIMAL"]
