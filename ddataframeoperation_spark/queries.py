@@ -11496,57 +11496,74 @@ def b34bts(spark: SparkSession, sf: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     "b10_flagship_q3",            # flagship (TPC-H Q3 shape) — pinned slot 0
-    "b01_corrupt_records",        # B1 PERMISSIVE corrupt-record capture (NEW r11)
-    "b02_parameterized_sql",      # B2 catalog + named-param SQL
-    "b03_pandas_api",             # B3 projection / pandas API
-    "b04_filter_predicates",      # B4 filter family
-    "b05_nullsafe_join",          # B5 null-safe <=> equi-join (NEW r11)
-    "b06_join_left_agg",          # B6 outer join (agg-below-join plan)
-    "b07_join_semi",              # B7 semi/anti
-    "b08_star_join_broadcast",    # B8 broadcast join
-    "b09_asof_nearest",           # B9 nearest-direction as-of join (NEW r11)
-    "b24_seasonal_decompose",     # B24 seasonal decomposition (NEW r11)
-    "b33_centroid_confusion",     # B33 centroid-assignment confusion audit (NEW r11)
-    "b31_dedup_token_savings",    # B31 token-savings pricing — r10 red row, oracle
-                                  #     hardened (BIGINT casts + explicit empty-doc 0)
-    "b19_moving_avg",             # B19 framed moving average (r10)
-    "b22_hash_sample",            # B22 deterministic hash sampling (NEW r11)
-    "b34_chunking",               # B34 fixed-token chunking w/ overlap (NEW r11)
-    "b11_percentiles",            # B11 exact percentile ladder (NEW r11)
-    "bmm_media_neardup",          # multimodal: perceptual-fingerprint near-dup
-    "b12_bloom_rf",               # B12 Bloom-style runtime-filter effect (NEW r11)
-    "b34_fingerprint_pairs",      # B34 fingerprint collision pairs (NEW r11)
-    "b13_rollup",                 # B13 rollup/cube/grouping sets
-    "b14_having",                 # B14 having
-    "b15_sort_null_ordering",     # B15 sort w/ null ordering
-    "b16_skyline_2d",             # B16 bucketed Pareto frontier
-    "b17_rank_movers",            # B17 rank-delta movers report (NEW r11)
-    "b18_scd2_asof",              # B18 SCD2 interval as-of lookup (NEW r11)
-    "b29_orc_roundtrip",          # B29 ORC sink roundtrip (NEW r11; B34 donation)
-    "b20_latest_per_key",         # B20 top-1-per-group
-    "b21_reconcile_1to1",         # B21 1:1 reconciliation matching (NEW r11)
-    "b10_q5_regional_revenue",    # B10 TPC-H Q5 archetype (NEW r11; B34 donation)
-    "b23_unicode_normalize",      # B23 NFC normalization + confusable scrub
-    "b10_q10_returned_revenue",   # B10 TPC-H Q10 archetype (NEW r11; B34 donation)
-    "b25_try_arithmetic",         # B25 try_divide/try_add NULL-safe math (r10)
-    "b26_json_key_census",        # B26 JSON key census over raw payloads (NEW r11)
-    "b27_array_predicates",       # B27 exists/forall array quantifiers (r9)
-    "b10_q16_supplier_variety",   # B10 TPC-H Q16 archetype (NEW r11; B34 donation)
-    "b29_sink_roundtrip",         # B29/A20-A21 compat CSV sink + manifest
-                                  #     (VERDICT r10 #6: external certificate)
-    "b30_grouped_agg_udf",        # B30 grouped-agg pandas UDF (NEW r11)
-    "b34_pii_redaction",          # B34 PII scrubbing pass (NEW r11; B11 donation)
-    "b32_fuzzy_names",            # B32 fuzzy name-matching blocks (NEW r11)
-    "b34_repetition",             # B34 repetition/boilerplate ratios (NEW r11)
-    "bzo_zvalue_interleave",      # layout: Z-order clustering key, bit-exact
-    "b10_q18_large_orders",       # B10 TPC-H Q18 archetype (NEW r11; B34 donation)
-    "b28_psi_categorical",        # B28 categorical PSI drift (NEW r11)
-    "b34_full_pipeline",          # B34 end-to-end corpus pipeline composite — pinned
-    "b35_cooccurrence",           # B35 event co-occurrence lift (NEW r11)
-    "b36_stream_right_outer",     # B36 stream-stream RIGHT OUTER join (NEW r11)
-    "b36_stream_late_tumbling",   # B36 late-data tumbling aggregate (NEW r11)
-    "b37_late_data",              # B37 session window LATE-DATA DROP (r10)
-    "b38_stream_dedup_ingest",    # B38 foreachBatch incremental corpus ingest (r9)
+    # ---- round-12 rotation: 49 FIRST-CERTIFICATE slots (VERDICT r11 #1:
+    # 69 never-certified after r11; this is the largest safe batch —
+    # every one of the 49 is green in the r11 full-ladder local gate
+    # INCLUDING the vanilla-session sf0.1 sweep under the driver-parity
+    # checker). Strict _BONUS_SLOTS queue order with three VERDICT
+    # priority pulls: the retrieval-eval six (#2), the graph-centrality
+    # four (#3), and all 9 remaining TPC-H archetypes (#5 → B10 ends
+    # 21/21 ever-certified). Every displaced query is green in
+    # CORRECTNESS_r11 (50/50), so no family loses its cumulative
+    # certificate; per-round family representation intentionally yields
+    # to retiring the certification debt in two rounds. ----
+    # B10 — the 9 never-certified TPC-H archetypes
+    "b10_q2_min_cost_supplier",
+    "b10_q4_priority_late",
+    "b10_q6_forecast_revenue",
+    "b10_q8_market_share",
+    "b10_q11_important_parts",
+    "b10_q13_order_distribution",
+    "b10_q15_top_supplier",
+    "b10_q17_small_qty_revenue",
+    "b10_q20_excess_shippers",
+    # B33 — multi-query top-k + the retrieval-eval six (VERDICT #2)
+    "b33_multi_topk",
+    "b33_hybrid_rrf",
+    "b33_retrieval_metrics",
+    "b33_mmr_rerank",
+    "b33_matryoshka_recall",
+    "b33_index_planner",
+    "b33_binary_hamming_topk",    # short-vector/NULL contract pinned r12
+    # B34 — text-analysis tail + keyword PageRank (VERDICT #3)
+    "b34_curriculum",
+    "b34_bigram_lm",
+    "b34_length_outliers",
+    "b34_lexical_diversity",
+    "b34_corpus_balance",
+    "b34_bpe_train_step",
+    "b34_packing_efficiency",
+    "b34_vocab_overlap",
+    "b34_keyword_pagerank",
+    # B11 — statistical-aggregate tail
+    "b11_approx_percentiles",
+    "b11_corr_stats",
+    "b11_pivot_roundtrip",
+    "b11_equidepth_histogram",
+    "b11_weighted_percentiles",
+    # B22 — reproducible-sampling tail
+    "b22_hash_split",
+    "b22_source_mix",
+    "b22_source_cap",
+    "b22_weighted_sample",
+    "b22_epoch_order",
+    "b22_kfold",
+    "b22_stratified_kfold",
+    # B28 — profiling/eval-suite tail
+    "b28_join_advisor",
+    "b28_join_fanout",
+    "b28_gain_chart",
+    "b28_auc_exact",
+    "b28_pr_auc",
+    "b28_operating_points",
+    # B32 — graph layer (VERDICT #3: pagerank + common_neighbors)
+    "b32_lsh_power_curve",
+    "b32_degree_census",
+    "b32_pagerank",
+    "b32_common_neighbors",
+    # singletons
+    "b01_text_log_parse",
+    "b35_linear_attribution",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
@@ -11726,74 +11743,29 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: queue unchanged. Every displaced query is green in CORRECTNESS_r10
 #: (or r9 for b09_asof_tolerance/b12_hll_sketch_rollup/
 #: b17_period_over_period) and every family keeps >=1 slot.
+#: Round-12 rotation: FORTY-NINE slot changes (VERDICT r11 #1-#3/#5 —
+#: the certification-debt retirement round). Every slot except the
+#: pinned flagship now holds a never-certified query; the 16 remaining
+#: oracle-backed never-certified entries plus the 4 rows-only-by-
+#: contract entries lead the round-13 queue below (20 total — one more
+#: clean round clears the backlog to 0).
 _BONUS_SLOTS = [
-    # -- still never-certified, in rotation order for round 12
+    # -- still never-certified, in rotation order for round 13
     #    (oracle-backed first; the 4 rows-only entries close the queue
     #    since their certificates are rows-checks by contract) --
-    "b34_curriculum",
-    "b11_approx_percentiles",
-    "b22_hash_split",
-    "b22_source_mix",
-    "b22_source_cap",
-    "b34_bigram_lm",
-    "b10_q2_min_cost_supplier",
-    "b10_q4_priority_late",
-    "b10_q6_forecast_revenue",
-    "b10_q8_market_share",
-    "b10_q11_important_parts",
-    "b10_q13_order_distribution",
-    "b10_q15_top_supplier",
-    "b10_q17_small_qty_revenue",
-    "b10_q20_excess_shippers",
-    "b11_corr_stats",
-    "b22_weighted_sample",
-    "b22_epoch_order",
-    "b34_length_outliers",
-    "b34_lexical_diversity",
-    "b34_corpus_balance",
-    "b01_text_log_parse",
-    "b11_pivot_roundtrip",
-    "b11_equidepth_histogram",
-    "b22_kfold",
-    "b33_multi_topk",
-    "b33_hybrid_rrf",
-    "b33_retrieval_metrics",
-    "b33_mmr_rerank",
-    # r9 widening — never-certified by construction, oracle-backed:
-    "b28_join_advisor",
-    "b34_bpe_train_step",
-    "b28_join_fanout",
-    "b32_lsh_power_curve",
-    "b32_degree_census",
-    "b34_packing_efficiency",
-    "b28_gain_chart",
-    "b28_auc_exact",
-    # r10 widening — never-certified by construction, oracle-backed:
-    "b28_pr_auc",
-    "b33_matryoshka_recall",
-    "b35_linear_attribution",
-    "b33_index_planner",
-    "b34_vocab_overlap",
-    "b28_operating_points",
-    "b22_stratified_kfold",
-    "b11_weighted_percentiles",
     "b29_write_audit_publish",
     "b28_quarantine_split",
     "b22_poisson_bootstrap",
     "b34_url_canonicalize",
     "b31_url_dedup",
-    "b32_pagerank",
     "b34_perplexity_rank",
     "b28_gini_concentration",
     "b28_benford_audit",
     "b34_token_novelty",
     "b24_cusum_changepoint",
-    "b34_keyword_pagerank",
-    "b33_binary_hamming_topk",
     "b29_csv_quoted_roundtrip",
     "b22_rolling_origin_cv",
     "b24_seasonal_anomaly",
-    "b32_common_neighbors",
     "b12_bloom_planner",
     "b11_group_mode",
     "b22_class_balance",
@@ -11802,6 +11774,57 @@ _BONUS_SLOTS = [
     "b32_simhash_candidates",
     "b33_lsh_topk",
     "bmm_binary_ingest",
+    # -- displaced by the r12 rotation (all r11-certified, 50/50 green;
+    #    they lead the recovery order after the never-certified queue) --
+    "b01_corrupt_records",
+    "b02_parameterized_sql",
+    "b03_pandas_api",
+    "b04_filter_predicates",
+    "b05_nullsafe_join",
+    "b06_join_left_agg",
+    "b07_join_semi",
+    "b08_star_join_broadcast",
+    "b09_asof_nearest",
+    "b24_seasonal_decompose",
+    "b33_centroid_confusion",
+    "b31_dedup_token_savings",
+    "b19_moving_avg",
+    "b22_hash_sample",
+    "b34_chunking",
+    "b11_percentiles",
+    "bmm_media_neardup",
+    "b12_bloom_rf",
+    "b34_fingerprint_pairs",
+    "b13_rollup",
+    "b14_having",
+    "b15_sort_null_ordering",
+    "b16_skyline_2d",
+    "b17_rank_movers",
+    "b18_scd2_asof",
+    "b29_orc_roundtrip",
+    "b20_latest_per_key",
+    "b21_reconcile_1to1",
+    "b10_q5_regional_revenue",
+    "b23_unicode_normalize",
+    "b10_q10_returned_revenue",
+    "b25_try_arithmetic",
+    "b26_json_key_census",
+    "b27_array_predicates",
+    "b10_q16_supplier_variety",
+    "b29_sink_roundtrip",
+    "b30_grouped_agg_udf",
+    "b34_pii_redaction",
+    "b32_fuzzy_names",
+    "b34_repetition",
+    "bzo_zvalue_interleave",
+    "b10_q18_large_orders",
+    "b28_psi_categorical",
+    "b34_full_pipeline",
+    "b35_cooccurrence",
+    "b36_stream_right_outer",
+    "b36_stream_late_tumbling",
+    "b37_late_data",
+    "b38_stream_dedup_ingest",
     # -- displaced by the r11 rotation (all r10- or r9-certified) --
     "b01_schema_evolution",
     "b05_in_subquery",
