@@ -177,8 +177,20 @@ BENCH_QUERIES = [
     "b32_common_neighbors",
 ]
 
-#: Large row-count results are counted, not collected — timing should measure
-#: the engine, not driver-side result transfer.
+#: Large row-count results are executed through the NOOP SINK, not
+#: collected — timing should measure the engine, not driver-side result
+#: transfer. Round-12 honesty fix: these used to run ``df.count()``,
+#: which lets Catalyst PRUNE any computed column the count doesn't need
+#: — b33_semantic_join's entire min(struct(cosine)) aggregate (the
+#: operator's actual work) was optimized out of the timed plan, so r10's
+#: 9.42s (window form: count couldn't prune past the rank filter) vs
+#: r11's 0.64s (aggregate form: count pruned the aggregate functions)
+#: overstated that rewrite's win ~5x, and every COUNT_ONLY query with an
+#: expensive prunable projection was under-measured.
+#: ``write.format("noop")`` executes the COMPLETE plan (no pruning, no
+#: transfer) — several r12 timings therefore rise vs their recorded r11
+#: floors; those deltas are measurement corrections, not regressions
+#: (SCALE.md §53).
 COUNT_ONLY = {
     "b32_common_neighbors",
     "b28_quarantine_split",
@@ -256,6 +268,7 @@ def main() -> int:
     # a property of the engine, not the neighborhood.
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in bench_queries:
         # A single broken query must never zero the whole suite (round 2's
@@ -263,28 +276,42 @@ def main() -> int:
         # run) — record the failure and keep timing the rest.
         try:
             fn = QUERIES[name]
-            best = None
+            runs: list[float] = []
             for _ in range(repeat):
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 if name in COUNT_ONLY:
-                    df.count()
+                    df.write.mode("overwrite").format("noop").save()
                 else:
                     df.collect()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                runs.append(time.time() - t0)
             # min over repeats: measures the engine, not co-tenant noise/JIT.
-            timings[name] = round(best, 3)
+            timings[name] = round(min(runs), 3)
+            samples[name] = sorted(round(r, 3) for r in runs)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Per-query spread for the 10 slowest (VERDICT r11 #8): min is the
+    # engine floor; median exposes run-to-run variance so the next
+    # regression triage can tell drift from noise WITHOUT re-running —
+    # a min far below the median says the slot is noisy, not slower.
+    import statistics
+
+    spread = {
+        n: {
+            "min": timings[n],
+            "median": round(statistics.median(samples[n]), 3),
+        }
+        for n in sorted(timings, key=timings.get, reverse=True)[:10]
+    }
     payload = {
         "metric": "bench_suite_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread_slowest10": spread,
         "sf": sf_dir,
     }
     if errors:

@@ -843,27 +843,33 @@ def semantic_join(
         order = np.argsort(-sc, axis=1, kind="stable")[:, :np_].astype("int32")
         return pd.Series(list(order))
 
-    lv = left.select(
-        F.col(id_col).alias("_lid"), F.col(vec_col).alias("_lv")
-    ).withColumn("_cell", F.explode(_cells(F.col("_lv"))))
+    # Per-row norms are projected ONCE PER ROW below the join (left:
+    # before the nprobe explode; right: before the broadcast/shuffle),
+    # so the per-candidate-pair work is a single interpreted array fold
+    # (the dot) instead of three — cosine()'s inline norms would
+    # re-fold each side's self-product per PAIR. Bitwise-identical
+    # result: the same l2_norm expression over the same values, just
+    # evaluated earlier (measured ~3x on the sf0.1 exhaustive gate —
+    # higher-order folds are CodegenFallback, so per-pair element ops
+    # are the whole cost).
+    lv = (
+        left.select(F.col(id_col).alias("_lid"), F.col(vec_col).alias("_lv"))
+        .withColumn("_ln", l2_norm(F.col("_lv")))
+        .withColumn("_cell", F.explode(_cells(F.col("_lv"))))
+    )
     rv = ivf_assign(
         right.select(F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rv")),
         centroids,
         vec_col="_rv",
         cell_col="_cell",
-    )
-    cand = (
-        lv.join(rv, on="_cell")
-        .select(
-            "_lid", "_rid", cosine(F.col("_lv"), F.col("_rv")).alias("_cos")
-        )
-        # A NULL score would sort FIRST under ascending struct comparison
-        # and silently win top-1 (the old window's _cos.desc() put NULLs
-        # last). Unreachable today — NULL/ragged vectors fail the pandas
-        # UDFs upstream — but pin the contract here so a future cosine/
-        # UDF change can't flip the winner: NULL-score candidates never
-        # match, same as the no-candidate case.
-        .filter(F.col("_cos").isNotNull())
+    ).withColumn("_rn", l2_norm(F.col("_rv")))
+    cand = lv.join(rv, on="_cell").select(
+        "_lid",
+        "_rid",
+        (
+            dot(F.col("_lv"), F.col("_rv"))
+            / (F.col("_ln") * F.col("_rn"))
+        ).alias("_cos"),
     )
     # Top-1 per left row as min(struct(-cos, rid)) rather than a
     # row_number window: the hash aggregate combines MAP-SIDE, so the
@@ -876,15 +882,37 @@ def semantic_join(
     # id, so any orderable id type (string, timestamp, …) works exactly
     # as the window form did. NaN scores (zero-norm vectors) sort
     # LARGEST under min and therefore lose to any real match — stated.
+    # NULL-score guard (ADVICE r11): a NULL _cos would sort FIRST under
+    # ascending struct comparison and silently win top-1 (the old
+    # window's _cos.desc() put NULLs last). Unreachable today —
+    # NULL/ragged vectors fail the pandas UDFs upstream — but pinned
+    # here so a future cosine/UDF change can't flip the winner. HOW
+    # matters, twice over: (1) a pre-aggregation .filter(_cos.isNotNull())
+    # is pushed through the projection into the hash join as an
+    # isnotnull(<dot>) JOIN CONDITION; (2) a when(isnotnull(_cos), ...)
+    # wrapper has the projected _cos INLINED into both branches of the
+    # aggregate input (no common-subexpression elimination for
+    # interpreted folds) — each form re-evaluates the fold per candidate
+    # pair (measured 1.1s -> 11.2s resp. 3.2s on the sf0.1 bench).
+    # coalesce(-_cos, +inf) keeps exactly ONE fold evaluation: a NULL
+    # score becomes +inf, which loses to every real score under min
+    # (Spark orders finite < +inf < NaN, so NaN zero-norm scores still
+    # lose to finite ones as stated above). A left row whose EVERY
+    # candidate is NULL-scored surfaces as nc = +inf and is dropped by
+    # the post-aggregate filter (one row per left id — the no-candidate
+    # inner-join contract). A genuine -inf cosine can't occur for
+    # finite inputs (|dot| <= prod of finite norms), so nc = +inf is
+    # unambiguously "all NULL".
     best = F.min(
         F.struct(
-            (-F.col("_cos")).alias("nc"),
+            F.coalesce(-F.col("_cos"), F.lit(float("inf"))).alias("nc"),
             F.col("_rid").alias("r"),
         )
     ).alias("_b")
     return (
         cand.groupBy("_lid")
         .agg(best)
+        .filter(F.col("_b.nc") != F.lit(float("inf")))
         .select(
             F.col("_lid").alias(f"{left_prefix}{id_col}"),
             F.col("_b.r").alias(f"{right_prefix}{id_col}"),

@@ -84,11 +84,13 @@ def main() -> int:
             ("oracles_sf0.1", ["tools/check_oracles.py", "/root/testdata/sf0.1"])
         )
     stages.append(("plan_audit", ["tools/plan_audit.py"]))
-    # Regenerate the COVERAGE.md certification ledger from the
-    # CORRECTNESS artifacts so the counts can't drift (VERDICT r8 #4).
-    stages.append(("cert_ledger", ["tools/cert_ledger.py"]))
     if with_pytest:
         stages.append(("pytest", ["-m", "pytest", "tests/", "-q"]))
+    # Regenerate the COVERAGE.md certification ledger from the
+    # CORRECTNESS artifacts — strictly LAST (VERDICT r8 #4, r11 #4), so
+    # the sealed doc reflects every artifact present at gate time and
+    # can't lag a mid-round snapshot.
+    stages.append(("cert_ledger", ["tools/cert_ledger.py"]))
 
     results = [run_stage(name, cmd) for name, cmd in stages]
     ok = all(r["rc"] == 0 for r in results)

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ddataframeoperation_spark.catalog import read_fixture_table
 from ddataframeoperation_spark.operators import dedup, relational, sampling, similarity
+from ddataframeoperation_spark.operators import retrieval as RT
 from ddataframeoperation_spark.operators import text as TX
 from ddataframeoperation_spark.operators.asof import interval_overlap_join
 from ddataframeoperation_spark.operators.timeseries import ewma, ohlc_bars, twap
@@ -278,6 +279,58 @@ def main() -> int:
                     F.col("embedding").alias("query_vec"),
                 ),
                 k=10,
+            ),
+        )
+        # Round-12 (VERDICT r11 #2): the retrieval-eval surface at scale.
+        # Retrieval cost dominates; the eval layer must stay bounded —
+        # rrf fuses two k-bounded lists, metrics aggregates per query
+        # over a qrels join that grows linearly with the corpus, and the
+        # MMR greedy kernel is row-local over <=10-candidate groups.
+        _qtab = emb1.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        probe(
+            f"hybrid_rrf {tag}",
+            lambda m=m: RT.rrf_fusion(
+                [
+                    similarity.cosine_topk(
+                        m, emb1.filter(F.col("vec_id") == 0).head()[1], k=10
+                    ).select(F.col("vec_id").alias("doc_id"),
+                             F.col("cos_sim").alias("s")),
+                    similarity.cosine_topk(
+                        m, emb1.filter(F.col("vec_id") == 1).head()[1], k=10
+                    ).select(F.col("vec_id").alias("doc_id"),
+                             F.col("cos_sim").alias("s")),
+                ],
+                id_col="doc_id",
+                score_col="s",
+            ),
+        )
+        probe(
+            f"retrieval_metrics {tag}",
+            lambda m=m, q=_qtab: RT.retrieval_metrics(
+                similarity.cosine_topk_multi(m, q, k=10),
+                m.select("vec_id", "label")
+                .join(
+                    F.broadcast(
+                        emb1.filter(F.col("vec_id") < 3).select(
+                            F.col("vec_id").alias("query_id"), "label"
+                        )
+                    ),
+                    on="label",
+                )
+                .select("query_id", "vec_id", F.lit(1).alias("grade")),
+                k=10,
+                query_col="query_id",
+                id_col="vec_id",
+                score_col="cos_sim",
+            ),
+        )
+        probe(
+            f"mmr_rerank {tag}",
+            lambda m=m, q=_qtab: RT.mmr_diversify(
+                similarity.cosine_topk_multi(m, q, k=10), m, k=5, lamb=0.7
             ),
         )
     for tag, d in (("1x", docs1), (f"{factor}x", docs)):
