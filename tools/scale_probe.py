@@ -925,13 +925,32 @@ def main() -> int:
             lambda d=d: TX.keyword_pagerank(d, min_count=3, n_iter=4, k=15),
         )
     for tag, d in (("1x", docs1), (f"{factor}x", docs)):
+        # Two probe-shape corrections vs the naive form (which measured
+        # 6.4s at 1x and >9 min at 10x — a property of the SYNTHETIC
+        # graph, not the plan): (1) the replicated corpus repeats each
+        # document's TEXT factor times, so ungrouped jaccard candidates
+        # cross replicas and the pair list grows ~factor² — block on
+        # (source, replica) so 10x means 10x DATA, not 10 extra copies
+        # of every document wired into one clique; (2) max_degree is the
+        # operator's stated production posture ("at crawl scale ALWAYS
+        # set it") — wedge cost is Σ deg² over centers either way.
         probe(
             f"common_neighbors {tag}",
             lambda d=d: dedup.common_neighbor_pairs(
                 dedup.jaccard_pairs(
-                    d, group_col="source", threshold=0.35
+                    d.withColumn(
+                        "_blk",
+                        F.concat_ws(
+                            "/",
+                            F.col("source"),
+                            (F.col("doc_id") / 10_000_000).cast("long"),
+                        ),
+                    ),
+                    group_col="_blk",
+                    threshold=0.35,
                 ).select("id_a", "id_b"),
                 min_common=2,
+                max_degree=64,
             ),
         )
     for tag, m in (("1x", emb1), (f"{factor}x", emb)):
