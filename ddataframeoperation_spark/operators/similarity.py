@@ -795,12 +795,29 @@ def semantic_join(
     vec_col: str = "embedding",
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    arrow_kernel: bool = True,
 ) -> DataFrame:
     """B33 — semantic (embedding) join: for every LEFT row, the single
     nearest RIGHT row by cosine — the entity-resolution / "match this
     record against the catalog" primitive, where both sides are large
     tables (unlike :func:`cosine_topk_multi`, whose query side must
     broadcast).
+
+    ``arrow_kernel=True`` (default, same rationale as
+    :func:`cosine_neardup_pairs`): candidates are scored per cell by a
+    cogrouped ``applyInPandas`` kernel — numpy row-normalize + one BLAS
+    matmul per cell pair, emitting each left row's per-cell winner; a
+    tiny global min settles across cells. Spark's higher-order folds
+    are CodegenFallback (interpreted, boxed), so the JVM per-pair dot
+    is ~10× slower on candidate-heavy cells (measured 3.4s → 0.4s at
+    the sf0.1 exhaustive gate). The matmul's summation ORDER differs
+    from a sequential fold at ~1e-16 relative — winners are identical
+    except on exact-tie knife edges, but a hash-exact oracle comparison
+    should use ``arrow_kernel=False`` (the left-to-right fold, matching
+    any sequential SQL oracle bit-for-bit — what the registered query
+    does). NULL vector ELEMENTS are NaN under the kernel (the candidate
+    loses, same outcome as the fold's NULL via the +inf guard); ragged
+    vectors fail in ``np.stack`` either way.
 
     Scale shape — the IVF idea applied to a join: both sides get a
     coarse-centroid cell id (Arrow matmul, :func:`ivf_assign`); the left
@@ -843,34 +860,78 @@ def semantic_join(
         order = np.argsort(-sc, axis=1, kind="stable")[:, :np_].astype("int32")
         return pd.Series(list(order))
 
-    # Per-row norms are projected ONCE PER ROW below the join (left:
-    # before the nprobe explode; right: before the broadcast/shuffle),
-    # so the per-candidate-pair work is a single interpreted array fold
-    # (the dot) instead of three — cosine()'s inline norms would
-    # re-fold each side's self-product per PAIR. Bitwise-identical
-    # result: the same l2_norm expression over the same values, just
-    # evaluated earlier (measured ~3x on the sf0.1 exhaustive gate —
-    # higher-order folds are CodegenFallback, so per-pair element ops
-    # are the whole cost).
-    lv = (
-        left.select(F.col(id_col).alias("_lid"), F.col(vec_col).alias("_lv"))
-        .withColumn("_ln", l2_norm(F.col("_lv")))
-        .withColumn("_cell", F.explode(_cells(F.col("_lv"))))
+    lv_base = left.select(
+        F.col(id_col).alias("_lid"), F.col(vec_col).alias("_lv")
     )
-    rv = ivf_assign(
-        right.select(F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rv")),
-        centroids,
-        vec_col="_rv",
-        cell_col="_cell",
-    ).withColumn("_rn", l2_norm(F.col("_rv")))
-    cand = lv.join(rv, on="_cell").select(
-        "_lid",
-        "_rid",
-        (
-            dot(F.col("_lv"), F.col("_rv"))
-            / (F.col("_ln") * F.col("_rn"))
-        ).alias("_cos"),
+    rv_base = right.select(
+        F.col(id_col).alias("_rid"), F.col(vec_col).alias("_rv")
     )
+    if arrow_kernel:
+        # Cogrouped per-cell matmul: one shuffle of each side on the
+        # cell id, then numpy row-normalize + BLAS scores for the whole
+        # cell pair at once; each left row emits its PER-CELL winner
+        # (argmax over rid-sorted columns → first max = lowest rid, the
+        # stated tiebreak), and the global min below settles across the
+        # ≤ nprobe cells per left row. Shuffled payload is identical to
+        # the join form — (cell, id, vector) — so the 100 TB posture
+        # (pre-partition both tables by cell at ingest) is unchanged.
+        lv = lv_base.withColumn("_cell", F.explode(_cells(F.col("_lv"))))
+        rv = ivf_assign(rv_base, centroids, vec_col="_rv", cell_col="_cell")
+        lid_t = dict(left.dtypes)[id_col]
+        rid_t = dict(right.dtypes)[id_col]
+
+        def _cell_best(lp: pd.DataFrame, rp: pd.DataFrame) -> pd.DataFrame:
+            if len(lp) == 0 or len(rp) == 0:
+                return pd.DataFrame({"_lid": [], "_rid": [], "_cos": []})
+            rp = rp.sort_values("_rid", kind="stable")
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in lp["_lv"]])
+            y = np.stack([np.asarray(v, dtype=np.float64) for v in rp["_rv"]])
+            s = (x @ y.T) / (
+                np.linalg.norm(x, axis=1, keepdims=True)
+                * np.linalg.norm(y, axis=1, keepdims=True).T
+            )
+            # NaN (zero-norm / NULL-element) candidates must lose the
+            # argmax — numpy's argmax would otherwise return the NaN.
+            sel = np.where(np.isnan(s), -np.inf, s)
+            j = np.argmax(sel, axis=1)
+            return pd.DataFrame(
+                {
+                    "_lid": lp["_lid"].to_numpy(),
+                    "_rid": rp["_rid"].to_numpy()[j],
+                    "_cos": s[np.arange(len(lp)), j],
+                }
+            )
+
+        cand = (
+            lv.groupBy("_cell")
+            .cogroup(rv.groupBy("_cell"))
+            .applyInPandas(
+                _cell_best, f"_lid {lid_t}, _rid {rid_t}, _cos double"
+            )
+        )
+    else:
+        # Exact-fold form: per-row norms are projected ONCE PER ROW
+        # below the join (left: before the nprobe explode; right:
+        # before the broadcast/shuffle), so the per-candidate-pair work
+        # is a single interpreted array fold (the dot) instead of three
+        # — cosine()'s inline norms would re-fold each side's
+        # self-product per PAIR. Bitwise-identical to a sequential SQL
+        # oracle: the same left-to-right fold over the same values.
+        lv = (
+            lv_base.withColumn("_ln", l2_norm(F.col("_lv")))
+            .withColumn("_cell", F.explode(_cells(F.col("_lv"))))
+        )
+        rv = ivf_assign(
+            rv_base, centroids, vec_col="_rv", cell_col="_cell"
+        ).withColumn("_rn", l2_norm(F.col("_rv")))
+        cand = lv.join(rv, on="_cell").select(
+            "_lid",
+            "_rid",
+            (
+                dot(F.col("_lv"), F.col("_rv"))
+                / (F.col("_ln") * F.col("_rn"))
+            ).alias("_cos"),
+        )
     # Top-1 per left row as min(struct(-cos, rid)) rather than a
     # row_number window: the hash aggregate combines MAP-SIDE, so the
     # shuffle carries one row per (task, left id) instead of the FULL

@@ -115,6 +115,43 @@ def test_semantic_join_null_score_never_wins(spark):
     assert row["cos_sim"] is not None
 
 
+def test_semantic_join_arrow_kernel_matches_fold(spark):
+    # The BLAS cogroup kernel (production default) and the sequential
+    # JVM fold (oracle-exact mode) must pick the same winners with the
+    # same 4dp scores — summation-order noise is ~1e-16, far below the
+    # rounding contract; ties break to the lower right id on both paths.
+    import random
+
+    from ddataframeoperation_spark.operators.similarity import (
+        kmeans_centroids,
+        semantic_join,
+    )
+
+    rng = random.Random(12)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    # exact-duplicate vectors across the right side exercise the rid
+    # tiebreak on both paths
+    rows[60] = (60, list(rows[61][1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    left = emb.filter(F.col("vec_id") < 20)
+    right = emb.filter(F.col("vec_id") >= 20)
+    cents = kmeans_centroids(emb, k=4, iters=3)
+
+    def key(df):
+        return {
+            r["l_vec_id"]: (r["r_vec_id"], r["cos_sim"])
+            for r in df.collect()
+        }
+
+    fast = key(semantic_join(left, right, cents, nprobe=None))
+    exact = key(
+        semantic_join(left, right, cents, nprobe=None, arrow_kernel=False)
+    )
+    assert fast == exact and len(fast) == 20
+
+
 # --------------------------------- rolling_origin_folds column clash
 
 
