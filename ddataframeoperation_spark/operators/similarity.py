@@ -809,8 +809,9 @@ def semantic_join(
     matmul per cell pair, emitting each left row's per-cell winner; a
     tiny global min settles across cells. Spark's higher-order folds
     are CodegenFallback (interpreted, boxed), so the JVM per-pair dot
-    is ~10× slower on candidate-heavy cells (measured 3.4s → 0.4s at
-    the sf0.1 exhaustive gate). The matmul's summation ORDER differs
+    dominates on candidate-heavy cells (measured 3.1s → 0.9s on the
+    sf0.1 exhaustive probe; the gap widens with cell population since
+    the kernel's matmul amortizes per-batch overhead). The matmul's summation ORDER differs
     from a sequential fold at ~1e-16 relative — winners are identical
     except on exact-tie knife edges, but a hash-exact oracle comparison
     should use ``arrow_kernel=False`` (the left-to-right fold, matching
