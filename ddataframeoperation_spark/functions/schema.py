@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["schema_from_metadata", "metadata_from_schema", "manifest_for", "json_key_census"]
+__all__ = [
+    "schema_from_metadata",
+    "metadata_from_schema",
+    "manifest_for",
+    "json_key_census",
+    "parse_fixed_width",
+]
 
 # R-typeof / loose names → Spark types (reference vocabulary:
 # R/DataFrameOperationR.R:237-246 `sapply(df, typeof)` output values).
@@ -127,3 +133,40 @@ def json_key_census(df: DataFrame, json_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("_v").alias("n_distinct_values"),
     )
+
+
+def parse_fixed_width(
+    lines: DataFrame,
+    layout: "list[tuple[str, int, int, str]]",
+    value_col: str = "value",
+) -> DataFrame:
+    """B1 — fixed-width layout parser: the mainframe/COBOL-copybook/
+    FTP-drop ingestion format the text source cannot split by itself.
+    ``layout`` is ``(name, start, length, dtype)`` per field with
+    1-BASED byte positions (copybook convention); each field is
+    substring-sliced from ``value_col``, right-trimmed (fixed-width
+    records pad fields to width with trailing spaces; numeric fields
+    are typically left-padded, and string→number casts trim both ends),
+    and ``try_cast`` to ``dtype`` — a malformed field yields NULL
+    instead of failing the scan (the PERMISSIVE convention of the CSV/
+    JSON readers), including under ANSI mode.
+
+    Pure substring/trim/cast expressions — whole-stage codegen'd inside
+    the scan stage, no shuffle, no Python; at 100 TB this is exactly as
+    fast as the text scan itself. Overlapping or gapped layouts are
+    legal (real copybooks have fillers and redefines).
+    """
+    if not layout:
+        raise ValueError("layout must name at least one field")
+    cols = []
+    for name, start, length, dtype in layout:
+        if start < 1 or length < 1:
+            raise ValueError(
+                f"field {name!r}: start/length are 1-based positive "
+                f"(got start={start}, length={length})"
+            )
+        c = F.rtrim(F.substring(F.col(value_col), int(start), int(length)))
+        if dtype not in ("string", "character"):
+            c = c.try_cast(dtype)
+        cols.append(c.alias(name))
+    return lines.select(*cols)

@@ -66,6 +66,7 @@ __all__ = [
     "skipgram_pairs",
     "normalize_unicode",
     "skipgram_pmi",
+    "preference_pairs",
 ]
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
@@ -1964,3 +1965,64 @@ def keyword_pagerank(
         sweep_checkpoint_rounds(spark, checkpoint_dir, run_id=run)
         return spark.createDataFrame(rows, out.schema)
     return out
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    margin_min: float = 0,
+) -> DataFrame:
+    """North-star — preference-pair assembly for DPO/RLHF-style tuning:
+    within each ``group_col`` (the prompt / task key), pair the
+    highest-scoring candidate as *chosen* against the lowest-scoring as
+    *rejected*, with the stated tiebreak LOWEST ``id_col`` on equal
+    scores at either end. Groups with fewer than two candidates, or
+    whose best-minus-worst ``margin`` is not strictly above
+    ``margin_min``, emit nothing — an equal-score group carries no
+    preference signal (and dropping it also guarantees
+    chosen_id ≠ rejected_id). NULL scores are excluded as candidates.
+
+    ``score_col`` must be numeric (reward-model score, quality score,
+    token count, …); margins inherit its type, so an integer score
+    yields engine-exact integer output — the registered query's form.
+
+    Plan: ONE map-side-combined aggregate per group —
+    ``min(struct(-score, id))`` picks the chosen (highest score, lowest
+    id) and ``min(struct(score, id))`` the rejected, the same
+    hash-aggregate argmin shape as ``similarity.semantic_join``'s
+    top-1 — no window sort, no self-join; the single shuffle carries
+    one row per (task, group). At 100 TB this is the cheapest possible
+    per-prompt reduction.
+
+    Output: (``group_col``, chosen_id, rejected_id, chosen_score,
+    rejected_score, margin, n_candidates long).
+    """
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(id_col).alias("_id"),
+        F.col(score_col).alias("_s"),
+    ).filter(F.col("_s").isNotNull())
+    agg = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.min(
+            F.struct((-F.col("_s")).alias("ns"), F.col("_id").alias("i"))
+        ).alias("_c"),
+        F.min(
+            F.struct(F.col("_s").alias("s"), F.col("_id").alias("i"))
+        ).alias("_r"),
+    )
+    return (
+        agg.filter(F.col("_n") >= 2)
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_c.i").alias("chosen_id"),
+            F.col("_r.i").alias("rejected_id"),
+            (-F.col("_c.ns")).alias("chosen_score"),
+            F.col("_r.s").alias("rejected_score"),
+            (-F.col("_c.ns") - F.col("_r.s")).alias("margin"),
+            F.col("_n").alias("n_candidates"),
+        )
+        .filter(F.col("margin") > F.lit(margin_min))
+    )

@@ -11487,6 +11487,235 @@ def b34bts(spark: SparkSession, sf: str) -> DataFrame:
     return TX.bpe_train_step(_t(spark, sf, "documents"), top_n=10)
 
 
+@_q(
+    "b32_adamic_adar",
+    """
+    WITH norm AS (
+      SELECT doc_id AS id, source AS grp,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+      FROM documents
+    ), tok AS (
+      SELECT id, grp, unnest(list_distinct(string_split(t, ' '))) AS tok FROM norm
+    ), sizes AS (
+      SELECT id, count(*) AS sz FROM tok GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.grp = b.grp AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.35
+    ), adj AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), deg AS (
+      SELECT a, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY a
+    ), wedges AS (
+      SELECT e1.a AS id_a, e2.b AS id_b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             round(sum(1.0 / ln(dg.d)), 4) AS aa_score
+      FROM adj e1
+      JOIN deg dg ON dg.a = e1.b
+      JOIN adj e2 ON e1.b = e2.a AND e1.a < e2.b
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT w.id_a, w.id_b, w.n_common, w.aa_score
+    FROM wedges w
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pairs p WHERE p.id_a = w.id_a AND p.id_b = w.id_b
+    )
+    """,
+)
+def b32aa(spark: SparkSession, sf: str) -> DataFrame:
+    # Adamic-Adar link prediction over the near-dup candidate graph —
+    # common-neighbors with each shared neighbor damped by 1/ln(degree),
+    # so evidence through promiscuous nodes counts less (the refinement
+    # that matters exactly when the graph HAS hubs). Same wedge-join plan
+    # and max_degree scale contract as b32_common_neighbors; the score
+    # is a 4dp-rounded double sum (standard cross-engine convention).
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.jaccard_pairs(docs, group_col="source", threshold=0.35)
+    return dedup.adamic_adar_pairs(pairs.select("id_a", "id_b"), min_common=2)
+
+
+@_q(
+    "b28_brier_decomposition",
+    """
+    WITH m AS (
+      SELECT lang,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    ), scored AS (
+      SELECT round(least(1.0, greatest(0.0,
+                 (length(norm) * 1.0 / len(string_split(norm, ' ')) - 4.0)
+                 / 3.0)), 4) AS s,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM m WHERE norm <> ''
+    ), b AS (
+      SELECT greatest(0, least(9, CAST(floor(s * 10) AS BIGINT))) AS bin,
+             count(*) * 1.0 AS n,
+             sum(y) AS npos,
+             sum(s) AS ssum,
+             sum((s - y) * (s - y)) AS sqe
+      FROM scored GROUP BY 1
+    ), t AS (
+      SELECT sum(n) AS nn, sum(npos) AS pp, sum(sqe) AS sqet FROM b
+    )
+    SELECT CAST(t.nn AS BIGINT) AS n,
+           round(t.sqet / t.nn, 4) AS brier,
+           round(sum(b.n * (b.ssum / b.n - b.npos / b.n)
+                         * (b.ssum / b.n - b.npos / b.n)) / t.nn, 4)
+               AS reliability,
+           round(sum(b.n * (b.npos / b.n - t.pp / t.nn)
+                         * (b.npos / b.n - t.pp / t.nn)) / t.nn, 4)
+               AS resolution,
+           round((t.pp / t.nn) * (1.0 - t.pp / t.nn), 4) AS uncertainty,
+           round(t.sqet / t.nn
+                 - (sum(b.n * (b.ssum / b.n - b.npos / b.n)
+                            * (b.ssum / b.n - b.npos / b.n)) / t.nn
+                    - sum(b.n * (b.npos / b.n - t.pp / t.nn)
+                              * (b.npos / b.n - t.pp / t.nn)) / t.nn
+                    + (t.pp / t.nn) * (1.0 - t.pp / t.nn)), 4)
+               AS binning_residual
+    FROM b CROSS JOIN t
+    GROUP BY t.nn, t.pp, t.sqet
+    """,
+)
+def b28bd(spark: SparkSession, sf: str) -> DataFrame:
+    # Brier score + Murphy decomposition of the calibration query's
+    # quality signal (mean word length band-scaled to [0,1], rounded 4dp
+    # BEFORE scoring on both engines) against the is-English proxy label:
+    # reliability / resolution / uncertainty plus the binning residual —
+    # the one-row "why is it wrong" scorecard next to b28_calibration_bins'
+    # per-bin view. One scan, one bounded per-bin aggregate, 1-row total.
+    from ddataframeoperation_spark.operators.dedup import normalized_text
+
+    d = _t(spark, sf, "documents")
+    norm = normalized_text("text")
+    mwl = F.length(norm) / F.size(F.split(norm, " "))
+    score = F.round(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), (mwl - 4.0) / 3.0)), 4
+    )
+    scored = (
+        d.withColumn("_norm", norm)
+        .filter(F.col("_norm") != "")
+        .select(score.alias("score"), (F.col("lang") == "en").alias("label"))
+    )
+    return R.brier_decomposition(scored, "score", "label", n_bins=10)
+
+
+@_q(
+    "b01_fixed_width_parse",
+    """
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def b01fw(spark: SparkSession, sf: str) -> DataFrame:
+    # Fixed-width (copybook-style) ingestion roundtrip: serialize orders
+    # to 52-byte fixed layout lines (left-padded numbers, right-padded
+    # strings), re-ingest with the TEXT source, slice fields back with
+    # parse_fixed_width (substring/trim/try_cast — codegen'd in the scan
+    # stage), aggregate. The oracle is the identity aggregate on the
+    # source table, so a hash match proves the serialize -> text-scan ->
+    # slice chain is lossless, including the exact-cents money contract
+    # (floor(x*100+0.5) on both sides; %.2f of clean-2-decimal money is
+    # the identity).
+    import os
+    import tempfile
+
+    from ddataframeoperation_spark.functions.schema import parse_fixed_width
+
+    o = _t(spark, sf, "orders")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ddfo_fixedwidth_scratch_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf))}",
+    )
+    o.select(
+        F.format_string(
+            "%18d%1s%18.2f%-15s",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice"),
+            F.col("o_orderpriority"),
+        ).alias("value")
+    ).write.mode("overwrite").text(out)
+    parsed = parse_fixed_width(
+        spark.read.text(out),
+        [
+            ("o_orderkey", 1, 18, "long"),
+            ("status", 19, 1, "string"),
+            ("o_totalprice", 20, 18, "double"),
+            ("o_orderpriority", 38, 15, "string"),
+        ],
+    )
+    return parsed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("sum_cents"),
+    )
+
+
+@_q(
+    "b34_preference_pairs",
+    """
+    WITH c AS (
+      SELECT doc_id % 97 AS prompt_id, doc_id, n_chars FROM documents
+    ), r AS (
+      SELECT prompt_id, doc_id, n_chars,
+             row_number() OVER (PARTITION BY prompt_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rc,
+             row_number() OVER (PARTITION BY prompt_id
+                                ORDER BY n_chars ASC, doc_id ASC) AS rr,
+             count(*) OVER (PARTITION BY prompt_id) AS n
+      FROM c
+    ), ch AS (
+      SELECT prompt_id, doc_id AS chosen_id, n_chars AS chosen_score,
+             CAST(n AS BIGINT) AS n_candidates
+      FROM r WHERE rc = 1
+    ), rj AS (
+      SELECT prompt_id, doc_id AS rejected_id, n_chars AS rejected_score
+      FROM r WHERE rr = 1
+    )
+    SELECT ch.prompt_id, chosen_id, rejected_id,
+           CAST(chosen_score AS BIGINT) AS chosen_score,
+           CAST(rejected_score AS BIGINT) AS rejected_score,
+           CAST(chosen_score - rejected_score AS BIGINT) AS margin,
+           n_candidates
+    FROM ch JOIN rj USING (prompt_id)
+    WHERE n_candidates >= 2 AND chosen_score - rejected_score > 0
+    """,
+)
+def b34pp(spark: SparkSession, sf: str) -> DataFrame:
+    # DPO/RLHF preference-pair assembly: within each synthetic prompt
+    # group (doc_id mod 97 — ~n/97 candidates per prompt at every SF),
+    # the longest document is "chosen" and the shortest "rejected"
+    # (n_chars as the stand-in reward; lowest-id tiebreak stated on both
+    # engines), equal-extremes groups dropped. The engine side is ONE
+    # map-side-combined min(struct) argmin aggregate — no window, no
+    # self-join; the oracle replays it with rank windows. All-integer
+    # output.
+    docs = _t(spark, sf, "documents").select(
+        (F.col("doc_id") % 97).alias("prompt_id"),
+        "doc_id",
+        F.col("n_chars").alias("score"),
+    )
+    return TX.preference_pairs(
+        docs, group_col="prompt_id", id_col="doc_id", score_col="score"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-visible registration order.
 #
@@ -11774,6 +12003,11 @@ _BONUS_SLOTS = [
     "b12_bloom_planner",
     "b11_group_mode",
     "b22_class_balance",
+    # r12 widening — never-certified by construction, oracle-backed:
+    "b32_adamic_adar",
+    "b28_brier_decomposition",
+    "b01_fixed_width_parse",
+    "b34_preference_pairs",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

@@ -310,3 +310,153 @@ def test_checker_ctas_preserves_hash_unsafe_types():
     )
     types = con.sql("SELECT * FROM _oracle_out").types
     assert hash_unsafe_types(types) == ["HUGEINT", "DECIMAL"]
+
+
+# --------------------------------- r12 widening: four new operators
+
+
+def test_adamic_adar_matches_naive(spark):
+    import itertools
+    import math
+
+    from ddataframeoperation_spark.operators.dedup import adamic_adar_pairs
+
+    edges = [(0, i) for i in range(1, 6)] + [(9, 10), (10, 11), (9, 12),
+                                             (12, 11), (1, 2)]
+    e = spark.createDataFrame(edges, "id_a int, id_b int")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["aa_score"])
+        for r in adamic_adar_pairs(e, min_common=1).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    eset = set()
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+        eset.add((min(s, d), max(s, d)))
+    want = {}
+    for a, b in itertools.combinations(sorted(adj), 2):
+        if (a, b) in eset:
+            continue
+        common = adj[a] & adj[b]
+        if common:
+            aa = sum(1.0 / math.log(len(adj[x])) for x in common)
+            want[(a, b)] = (len(common), round(aa, 4))
+    assert got == want
+    # hub-damping sanity: evidence through degree-2 node 10 outweighs
+    # evidence through the degree-5 hub 0 per wedge
+    assert got[(9, 11)][1] > got[(3, 4)][1] / got[(3, 4)][0]
+
+    # max_degree excludes the hub as a CENTER
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in adamic_adar_pairs(e, min_common=1, max_degree=3).collect()
+    }
+    assert (3, 4) not in guarded  # only evidence was hub 0
+    assert (9, 11) in guarded
+
+
+def test_brier_decomposition_matches_python(spark):
+    import random
+
+    from ddataframeoperation_spark.operators.relational import (
+        brier_decomposition,
+    )
+
+    rng = random.Random(4)
+    rows = [
+        (round(rng.random(), 4), rng.random() < 0.4) for _ in range(400)
+    ] + [(None, True), (0.5, None), (1.0, True), (0.0, False)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    out = brier_decomposition(df, "score", "label", n_bins=10).collect()[0]
+
+    data = [(s, 1.0 if y else 0.0) for s, y in rows
+            if s is not None and y is not None]
+    n = len(data)
+    brier = sum((s - y) ** 2 for s, y in data) / n
+    obar = sum(y for _, y in data) / n
+    bins: dict[int, list] = {}
+    for s, y in data:
+        bins.setdefault(max(0, min(9, int(s * 10 // 1))), []).append((s, y))
+    rel = sum(
+        len(v) * (sum(s for s, _ in v) / len(v)
+                  - sum(y for _, y in v) / len(v)) ** 2
+        for v in bins.values()
+    ) / n
+    res = sum(
+        len(v) * (sum(y for _, y in v) / len(v) - obar) ** 2
+        for v in bins.values()
+    ) / n
+    unc = obar * (1 - obar)
+    assert out["n"] == n
+    assert abs(out["brier"] - round(brier, 4)) <= 1e-9
+    assert abs(out["reliability"] - round(rel, 4)) <= 1e-4
+    assert abs(out["resolution"] - round(res, 4)) <= 1e-4
+    assert abs(out["uncertainty"] - round(unc, 4)) <= 1e-9
+    # Murphy identity holds up to the within-bin variance residual
+    assert abs(
+        out["brier"]
+        - (out["reliability"] - out["resolution"] + out["uncertainty"])
+        - out["binning_residual"]
+    ) <= 5e-4
+
+
+def test_parse_fixed_width_contract(spark):
+    import pytest
+
+    from ddataframeoperation_spark.functions.schema import parse_fixed_width
+
+    lines = spark.createDataFrame(
+        [
+            ("  42X            1.50hello          ",),
+            (" badY             xyzworld          ",),  # malformed numbers
+        ],
+        "value string",
+    )
+    layout = [
+        ("k", 1, 4, "long"),
+        ("flag", 5, 1, "string"),
+        ("amount", 6, 16, "double"),
+        ("name", 22, 15, "string"),
+    ]
+    rows = [r.asDict() for r in parse_fixed_width(lines, layout).collect()]
+    rows.sort(key=lambda r: (r["k"] is None, r["k"]))
+    assert rows[0] == {"k": 42, "flag": "X", "amount": 1.5, "name": "hello"}
+    # malformed numeric fields -> NULL (try_cast), strings still parse
+    assert rows[1]["k"] is None and rows[1]["amount"] is None
+    assert rows[1]["flag"] == "Y" and rows[1]["name"] == "world"
+
+    with pytest.raises(ValueError, match="at least one field"):
+        parse_fixed_width(lines, [])
+    with pytest.raises(ValueError, match="1-based"):
+        parse_fixed_width(lines, [("k", 0, 4, "long")])
+
+
+def test_preference_pairs_contract(spark):
+    from ddataframeoperation_spark.operators.text import preference_pairs
+
+    rows = [
+        # group a: clear winner/loser + a NULL-score candidate
+        ("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("a", 4, None),
+        # group b: tie at the top -> lowest id chosen; tie at bottom
+        ("b", 5, 50), ("b", 6, 50), ("b", 7, 1), ("b", 8, 1),
+        # group c: all equal -> no signal -> dropped
+        ("c", 9, 7), ("c", 10, 7),
+        # group d: single candidate -> dropped
+        ("d", 11, 99),
+    ]
+    df = spark.createDataFrame(rows, "g string, doc_id int, score int")
+    got = {
+        r["g"]: r.asDict()
+        for r in preference_pairs(
+            df, group_col="g", id_col="doc_id", score_col="score"
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+    a = got["a"]
+    assert (a["chosen_id"], a["rejected_id"], a["margin"]) == (2, 1, 20)
+    assert a["n_candidates"] == 3  # NULL score not a candidate
+    b = got["b"]
+    assert (b["chosen_id"], b["rejected_id"]) == (5, 7)  # lowest-id ties
+    assert b["margin"] == 49 and b["n_candidates"] == 4
