@@ -60,6 +60,7 @@ __all__ = [
     "lsh_power_curve",
     "pair_degree_census",
     "adamic_adar_pairs",
+    "hits",
     "sweep_checkpoint_rounds",
 ]
 
@@ -1795,10 +1796,11 @@ def pagerank(
 
 #: Materialized-round directory names the iterative operators write under a
 #: caller-supplied checkpoint_dir: connected_components (cc_*), pagerank
-#: (pr_*), keyword_pagerank's edge table (kwpr_edges_*). Matched EXACTLY so
-#: the sweep can never touch caller data co-located in the directory.
+#: (pr_*), hits (hits_*), keyword_pagerank's edge table (kwpr_edges_*).
+#: Matched EXACTLY so the sweep can never touch caller data co-located in
+#: the directory.
 _ROUND_DIR_RE = _re.compile(
-    r"^(?:(?:cc|pr)_(?P<run1>[0-9a-f]{12})_round_\d+"
+    r"^(?:(?:cc|pr|hits)_(?P<run1>[0-9a-f]{12})_round_\d+"
     r"|kwpr_edges_(?P<run2>[0-9a-f]{12}))$"
 )
 
@@ -1846,6 +1848,117 @@ def sweep_checkpoint_rounds(
         fs.delete(st.getPath(), True)
         removed += 1
     return removed
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 6,
+    unit: int = 10**9,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+) -> DataFrame:
+    """Weighted HITS (hubs & authorities) in EXACT fixed-point integer
+    arithmetic — the directed-graph complement of :func:`pagerank`: a
+    good HUB points at good authorities, a good AUTHORITY is pointed at
+    by good hubs. On a crawl/citation/trade graph the two roles
+    genuinely differ (an aggregator links out, a canonical source links
+    in), which one PageRank score cannot express.
+
+    ``nodes`` is (id); ``edges`` is directed (src, dst, w) with positive
+    integral weights. Scores live in integer ``unit``s (init: hub =
+    ``unit`` per node) and each iteration is
+
+        a_raw(v) = Σ_{u→v} h(u)·w(u,v);   a(v) = a_raw(v)·unit div A
+        h_raw(u) = Σ_{u→v} a(v)·w(u,v);   h(u) = h_raw(u)·unit div H
+
+    with A/H the global raw totals — the L1 normalization HITS needs
+    for convergence, done in integral ``div`` so the result is a pure
+    function of the graph (oracle-able by unrolled CTEs exactly like
+    :func:`pagerank`'s). Stated contracts: nodes without in-edges hold
+    authority 0 (and without out-edges hub 0); fixed ``n_iter``;
+    normalized scores sum to ≤ ``unit`` (floor losses stay unassigned).
+    Exactness bound: h·w products must fit DECIMAL(38,0) — at defaults
+    that is weights below ~10^28/(n·unit); shrink ``unit`` for huge
+    graphs, same knob as pagerank's.
+
+    Plan/scale: per iteration two edges⋈scores joins (shuffles carry
+    (id, score) only), two node-sized aggregates, and two 1-ROW global
+    totals broadcast back for the normalization — no global sort, no
+    driver-side state beyond the scalar. Lineage truncated per round
+    (``hits_<run>_round_N`` parquet under ``checkpoint_dir``, else
+    ``localCheckpoint``); same caller-owns-cleanup contract and
+    :func:`sweep_checkpoint_rounds` support as pagerank.
+
+    Returns (id, hub_units long, auth_units long).
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    import uuid
+
+    run = run_id or uuid.uuid4().hex[:12]
+    seq = iter(range(10**6))
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/hits_{run}_round_{next(seq)}"
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    n = _truncate(nodes.select(F.col(nodes.columns[0]).alias("id")))
+    ew = _truncate(
+        edges.select(
+            F.col("src"),
+            F.col("dst"),
+            F.col("w").cast("decimal(38,0)").alias("w"),
+        )
+    )
+
+    def _norm_pass(scores: DataFrame, score_col: str, join_on: str,
+                   group_to: str) -> DataFrame:
+        # one propagation + the unit-scaled integral normalization
+        raw = (
+            ew.join(scores, ew[join_on] == scores["id"])
+            .select(
+                F.col(group_to).alias("_t"),
+                F.expr(f"CAST({score_col} AS DECIMAL(38,0)) * w").alias("_c"),
+            )
+            .groupBy("_t")
+            .agg(F.sum("_c").alias("_raw"))
+        )
+        # materialized: _raw feeds BOTH the global total and the join —
+        # without this the edge-sized propagation join runs twice per pass
+        raw = _truncate(raw)
+        tot = raw.agg(F.sum("_raw").alias("_tot"))
+        return (
+            n.join(raw, n["id"] == raw["_t"], "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "id",
+                F.expr(
+                    "CASE WHEN _tot IS NULL OR _tot = 0 THEN CAST(0 AS LONG)"
+                    " ELSE CAST(coalesce(_raw, CAST(0 AS DECIMAL(38,0)))"
+                    f"      * {int(unit)} div _tot AS LONG) END"
+                ).alias(score_col),
+            )
+        )
+
+    hub = _truncate(n.withColumn("h", F.lit(int(unit)).cast("long")))
+    auth = None
+    for _ in range(n_iter):
+        auth = _truncate(_norm_pass(hub, "h", "src", "dst")
+                         .withColumnRenamed("h", "a"))
+        hub = _truncate(_norm_pass(auth, "a", "dst", "src")
+                        .withColumnRenamed("a", "h"))
+    return (
+        hub.join(auth, "id")
+        .select(
+            "id",
+            F.col("h").alias("hub_units"),
+            F.col("a").alias("auth_units"),
+        )
+    )
 
 
 def common_neighbor_pairs(

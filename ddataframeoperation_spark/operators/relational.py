@@ -1765,6 +1765,80 @@ def calibration_bins(
     )
 
 
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_buckets: int = 5,
+) -> DataFrame:
+    """B35/B11 — RFM (recency / frequency / monetary) segmentation, the
+    classic customer-value grid: per customer, days since last order
+    (vs the corpus max date), order count, and exact lifetime cents;
+    each metric bucketed into ``n_buckets`` equal-population bands and
+    the population reported per (r, f, m) cell. Bucket 1 is BEST on
+    every axis (most recent / most frequent / highest spend — the
+    b17_window_ntile convention: ties at a cut point go to the better
+    bucket on both engines).
+
+    No global-order window anywhere: the ``n_buckets - 1`` cut points
+    per metric come from ONE exact-percentile aggregate over the
+    customer-sized table (mergeable, map-side combined, 1-row result)
+    broadcast to every task, and bucket assignment is a row-local array
+    fold — the same machinery as the ntile-free global quartiles.
+    Money is exact int64 cents (floor(x·100+0.5) per row, the repo's
+    clean-2-decimal contract), so total_cents is engine-exact; the only
+    float surface is the interpolated percentile cut points, identical
+    on both engines over identical integer inputs.
+
+    Plan: fact scan → per-customer aggregate → two 1-row broadcasts
+    (max date, cut points) → row-local bucketing → one bounded
+    aggregate (≤ n_buckets³ rows). At 100 TB the only shuffle is the
+    per-customer aggregate, which any RFM needs.
+
+    Returns (r_bucket, f_bucket, m_bucket, n_customers long,
+    total_cents long).
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    qlit = ", ".join(repr(q) for q in qs)
+    cents = F.floor(F.col(amount_col) * 100 + F.lit(0.5)).cast("long")
+    per = orders.groupBy(F.col(customer_col).alias("_cust")).agg(
+        F.max(date_col).alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("_freq"),
+        F.sum(cents).cast("long").alias("_cents"),
+    )
+    maxd = orders.agg(F.max(date_col).alias("_maxd"))
+    per = per.crossJoin(F.broadcast(maxd)).withColumn(
+        "_rdays", F.datediff(F.col("_maxd"), F.col("_last")).cast("long")
+    )
+    cuts = per.agg(
+        F.expr(f"percentile(_rdays, array({qlit}))").alias("_rc"),
+        F.expr(f"percentile(_freq, array({qlit}))").alias("_fc"),
+        F.expr(f"percentile(_cents, array({qlit}))").alias("_mc"),
+    )
+
+    def _bucket(metric: str, cuts_col: str, best_is_low: bool) -> Column:
+        m = F.col(metric)
+        if best_is_low:
+            fold = F.filter(F.col(cuts_col), lambda x: m > x)
+        else:
+            fold = F.filter(F.col(cuts_col), lambda x: m < x)
+        return (F.lit(1) + F.size(fold)).cast("long")
+
+    b = per.crossJoin(F.broadcast(cuts)).select(
+        _bucket("_rdays", "_rc", True).alias("r_bucket"),
+        _bucket("_freq", "_fc", False).alias("f_bucket"),
+        _bucket("_cents", "_mc", False).alias("m_bucket"),
+        "_cents",
+    )
+    return b.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("_cents").cast("long").alias("total_cents"),
+    )
+
+
 def brier_decomposition(
     df: DataFrame,
     score_col: str,

@@ -9023,6 +9023,145 @@ def _pagerank_oracle_sql(n_iter: int = 8) -> str:
     return head + _pagerank_iter_ctes(n_iter) + tail
 
 
+def _hits_iter_ctes(n_iter: int) -> str:
+    """a1/h1..aN/hN CTE chain replaying dedup.hits's integer recurrence
+    (unit 10^9: propagate, then L1-normalize via integral //) over
+    upstream CTEs ``e(src, dst, w)`` and ``n(id)``; ``h0`` must exist."""
+    # Every CTE is MATERIALIZED: each round references its raw table
+    # twice (totals + join) and chains on the previous round — DuckDB's
+    # default CTE INLINING would re-expand the whole upstream chain per
+    # reference, exponentially (observed as thousands of parquet opens:
+    # "Too many open files" at 4 iterations).
+    its = []
+    for i in range(1, n_iter + 1):
+        its.append(f""",
+    a{i}r AS MATERIALIZED (
+      SELECT e.dst AS id, sum(h.s * e.w) AS raw
+      FROM h{i - 1} h JOIN e ON e.src = h.id GROUP BY e.dst
+    ), a{i} AS MATERIALIZED (
+      SELECT n.id,
+             CASE WHEN t.tot IS NULL OR t.tot = 0 THEN CAST(0 AS HUGEINT)
+                  ELSE coalesce(r.raw, CAST(0 AS HUGEINT)) * 1000000000
+                       // t.tot END AS s
+      FROM n LEFT JOIN a{i}r r ON r.id = n.id
+      CROSS JOIN (SELECT sum(raw) AS tot FROM a{i}r) t
+    ), h{i}r AS MATERIALIZED (
+      SELECT e.src AS id, sum(a.s * e.w) AS raw
+      FROM a{i} a JOIN e ON e.dst = a.id GROUP BY e.src
+    ), h{i} AS MATERIALIZED (
+      SELECT n.id,
+             CASE WHEN t.tot IS NULL OR t.tot = 0 THEN CAST(0 AS HUGEINT)
+                  ELSE coalesce(r.raw, CAST(0 AS HUGEINT)) * 1000000000
+                       // t.tot END AS s
+      FROM n LEFT JOIN h{i}r r ON r.id = n.id
+      CROSS JOIN (SELECT sum(raw) AS tot FROM h{i}r) t
+    )""")
+    return "".join(its)
+
+
+def _hits_oracle_sql(n_iter: int = 4) -> str:
+    """Unrolled-iteration DuckDB twin of dedup.hits over the nation trade
+    graph: same init (10^9 hub units), same propagate + integral-//
+    L1 normalization per half-round, HUGEINT everywhere Spark runs
+    DECIMAL(38,0). Unrolled like the pagerank oracle (per-round
+    aggregates are not recursive-CTE-expressible)."""
+    rev4 = _SQL_REV4.format(p="l.l_extendedprice", d="l.l_discount")
+    head = f"""
+    WITH e AS MATERIALIZED (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             sum(CAST({rev4} AS HUGEINT)) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY src, dst
+    ), n AS MATERIALIZED (SELECT n_nationkey AS id FROM nation),
+    h0 AS MATERIALIZED (
+      SELECT id, CAST(1000000000 AS HUGEINT) AS s FROM n)"""
+    tail = f"""
+    SELECT h{n_iter}.id AS nation_id,
+           CAST(h{n_iter}.s AS BIGINT) AS hub_units,
+           CAST(a{n_iter}.s AS BIGINT) AS auth_units
+    FROM h{n_iter} JOIN a{n_iter} ON a{n_iter}.id = h{n_iter}.id
+    """
+    return head + _hits_iter_ctes(n_iter) + tail
+
+
+@_q("b32_hits", _hits_oracle_sql(4))
+def b32h(spark: SparkSession, sf: str) -> DataFrame:
+    # HITS hubs & authorities on the directed nation trade graph — the
+    # two-role complement of b32_pagerank's single score: a nation
+    # supplying many strong buyers is a HUB, one buying from many strong
+    # suppliers an AUTHORITY; asymmetric by construction, invisible to
+    # PageRank. dedup.hits runs the propagate + integral-L1-normalize
+    # recurrence in exact fixed point, so the 4th-iteration scores
+    # hash-match the unrolled-CTE oracle bit-for-bit.
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.sum(_rev_cents4().cast("decimal(38,0)")).alias("w"))
+    )
+    scores = dedup.hits(n, edges, n_iter=4, unit=10**9)
+    return scores.select(
+        F.col("id").alias("nation_id"), "hub_units", "auth_units"
+    )
+
+
+@_q(
+    "b35_rfm_segments",
+    """
+    WITH per AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS rdays,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), cuts AS (
+      SELECT quantile_cont(rdays, [0.2, 0.4, 0.6, 0.8]) AS rc,
+             quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fc,
+             quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]) AS mc
+      FROM per
+    ), b AS (
+      SELECT CAST(1 + len(list_filter(cuts.rc, x -> rdays > x)) AS BIGINT)
+                 AS r_bucket,
+             CAST(1 + len(list_filter(cuts.fc, x -> freq < x)) AS BIGINT)
+                 AS f_bucket,
+             CAST(1 + len(list_filter(cuts.mc, x -> cents < x)) AS BIGINT)
+                 AS m_bucket,
+             cents
+      FROM per, cuts
+    )
+    SELECT r_bucket, f_bucket, m_bucket,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM b GROUP BY 1, 2, 3
+    """,
+)
+def b35rfm(spark: SparkSession, sf: str) -> DataFrame:
+    # RFM customer segmentation: per-customer recency/frequency/exact-
+    # cents monetary, quintile-bucketed WITHOUT any global-order window
+    # (percentile cut points from one 1-row aggregate, broadcast,
+    # row-local array-fold bucketing — b17_window_ntile's machinery ×3),
+    # reported as the (r, f, m) population grid. Bucket 1 is best on
+    # every axis; only the per-customer aggregate shuffles.
+    o = _t(spark, sf, "orders")
+    return R.rfm_segments(o)
+
+
 @_q("b32_pagerank", _pagerank_oracle_sql(8))
 def b32pr(spark: SparkSession, sf: str) -> DataFrame:
     # Graph centrality as a corpus/domain quality signal (the Common
@@ -12008,6 +12147,8 @@ _BONUS_SLOTS = [
     "b28_brier_decomposition",
     "b01_fixed_width_parse",
     "b34_preference_pairs",
+    "b32_hits",
+    "b35_rfm_segments",
     # rows-only by contract (certificates are rows-checks):
     "b32_minhash_raw",
     "b32_simhash_candidates",

@@ -460,3 +460,85 @@ def test_preference_pairs_contract(spark):
     b = got["b"]
     assert (b["chosen_id"], b["rejected_id"]) == (5, 7)  # lowest-id ties
     assert b["margin"] == 49 and b["n_candidates"] == 4
+
+
+def test_hits_matches_pure_python_integer_replay(spark):
+    from ddataframeoperation_spark.operators.dedup import hits
+
+    UNIT = 10**6
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    E = [(0, 1, 2), (0, 2, 1), (3, 1, 5), (3, 2, 1), (4, 0, 1), (1, 2, 3)]
+    edges = spark.createDataFrame(E, "src long, dst long, w long")
+    got = {
+        r["id"]: (r["hub_units"], r["auth_units"])
+        for r in hits(nodes, edges, n_iter=3, unit=UNIT).collect()
+    }
+
+    h = {i: UNIT for i in range(5)}
+    a: dict = {}
+    for _ in range(3):
+        raw: dict = {}
+        for s, d, w in E:
+            raw[d] = raw.get(d, 0) + h[s] * w
+        tot = sum(raw.values())
+        a = {i: (raw.get(i, 0) * UNIT) // tot if tot else 0 for i in h}
+        raw = {}
+        for s, d, w in E:
+            raw[s] = raw.get(s, 0) + a[d] * w
+        tot = sum(raw.values())
+        h = {i: (raw.get(i, 0) * UNIT) // tot if tot else 0 for i in h}
+    assert got == {i: (h[i], a[i]) for i in range(5)}
+    # role asymmetry: pure source 3 is a hub, pure sink 2 an authority
+    assert got[3][0] > 0 and got[3][1] == 0
+    assert got[2][0] == 0 and got[2][1] > 0
+
+
+def test_hits_checkpoint_rounds_sweepable(spark, tmp_path):
+    from ddataframeoperation_spark.operators.dedup import (
+        hits,
+        sweep_checkpoint_rounds,
+    )
+
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    edges = spark.createDataFrame([(0, 1, 1)], "src long, dst long, w long")
+    out = hits(
+        nodes, edges, n_iter=2, checkpoint_dir=str(tmp_path),
+        run_id="cccccccccccc",
+    )
+    assert out.count() == 2  # consume
+    names = {p.name for p in tmp_path.iterdir()}
+    assert any(n.startswith("hits_cccccccccccc_round_") for n in names)
+    assert sweep_checkpoint_rounds(spark, str(tmp_path), "cccccccccccc") > 0
+    assert not any(tmp_path.iterdir())
+
+
+def test_rfm_segments_contract(spark):
+    import datetime
+
+    from ddataframeoperation_spark.operators.relational import rfm_segments
+
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    # 10 customers: customer k orders k+1 times, each order 100.00;
+    # higher k = later last order (better recency), more orders, more
+    # spend — so k=9 is best on all three axes.
+    for k in range(10):
+        for j in range(k + 1):
+            rows.append(
+                (k, base + datetime.timedelta(days=3 * k + j), 100.00)
+            )
+    df = spark.createDataFrame(
+        rows, "o_custkey int, o_orderdate date, o_totalprice double"
+    )
+    out = rfm_segments(df).collect()
+    # population preserved and money exact
+    assert sum(r["n_customers"] for r in out) == 10
+    assert sum(r["total_cents"] for r in out) == len(rows) * 10000
+    # bucket 1 is best on every axis: the most-frequent/most-recent/
+    # highest-spend customer (k=9) must land in (1,1,1)
+    best = [r for r in out if (r["r_bucket"], r["f_bucket"],
+                               r["m_bucket"]) == (1, 1, 1)]
+    assert best and best[0]["n_customers"] >= 1
+    for r in out:
+        for c in ("r_bucket", "f_bucket", "m_bucket"):
+            assert 1 <= r[c] <= 5
