@@ -90,6 +90,22 @@ def main() -> None:
         F.count("*").alias("docs"), F.max("position").alias("last_pos")
     ).orderBy("shard").show()
 
+    print("== 12. DPO preference pairs (best-vs-worst quality per prompt)")
+    cands = docs.select(
+        (F.col("doc_id") % 97).alias("prompt_id"),
+        "doc_id",
+        F.round(TX.quality_score("text") * 10000, 0)
+        .cast("long")
+        .alias("score"),
+    )
+    pairs = TX.preference_pairs(
+        cands, group_col="prompt_id", id_col="doc_id", score_col="score"
+    )
+    pairs.orderBy(F.desc("margin")).show(5)
+
+    print("== 13. corpus keywords (TextRank / exact fixed-point PageRank)")
+    TX.keyword_pagerank(docs, min_count=5, n_iter=4, k=8).show()
+
 
 if __name__ == "__main__":
     main()
