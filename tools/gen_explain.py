@@ -38,6 +38,8 @@ HEADLINE = [
     ("b22_temperature_mix", "Temperature mix: tiny quota agg broadcast, one window shuffle on source"),
     ("b16_skyline_2d", "2-D skyline: bucketed two-level prefix minima (within-bucket window partitioned; cross-bucket table constant-bounded) + equi-join — no quadratic self-join, no data-sized single-task sort"),
     ("b17_window_ntile", "Global quartiles WITHOUT a global window: one percentile aggregate broadcast, row-local bucket assignment"),
+    ("b34_preference_pairs", "DPO pair assembly: ONE map-side-combined min(struct) argmin aggregate per prompt group — no window, no self-join"),
+    ("b35_rfm_segments", "RFM quintile grid: three 1-row percentile-cut broadcasts + row-local array-fold bucketing; only the per-customer aggregate shuffles"),
     ("b34_curriculum", "Curriculum staging by length percentiles: broadcast cut points, row-local stage fold, final 4-row aggregate"),
     ("b06_join_left_agg", "Left join + aggregate: orders pre-aggregated BELOW the join (shuffle carries per-custkey rows)"),
     ("b22_token_budget_mix", "Token-budgeted mixture: two-level (source, u-bucket) prefix sums — data window partitioned by bucket, prefix table broadcast"),
