@@ -1944,13 +1944,20 @@ def hits(
             )
         )
 
+    # Only the RAW propagation tables are truncated (inside _norm_pass):
+    # each score table is just two lazy node-sized ops (left join +
+    # 1-row cross) over its materialized raw, so lineage stays bounded
+    # without eagerly materializing scores too — half the checkpoint
+    # jobs per iteration.
     hub = _truncate(n.withColumn("h", F.lit(int(unit)).cast("long")))
     auth = None
     for _ in range(n_iter):
-        auth = _truncate(_norm_pass(hub, "h", "src", "dst")
-                         .withColumnRenamed("h", "a"))
-        hub = _truncate(_norm_pass(auth, "a", "dst", "src")
-                        .withColumnRenamed("a", "h"))
+        auth = _norm_pass(hub, "h", "src", "dst").withColumnRenamed(
+            "h", "a"
+        )
+        hub = _norm_pass(auth, "a", "dst", "src").withColumnRenamed(
+            "a", "h"
+        )
     return (
         hub.join(auth, "id")
         .select(
