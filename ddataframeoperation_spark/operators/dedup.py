@@ -301,6 +301,46 @@ def minhash_candidates(
     return pairs
 
 
+#: Run ids embedded in round-file names — exactly 12 lowercase hex chars,
+#: the uuid4 prefix the operators generate. Caller-supplied run_ids are
+#: VALIDATED against this: an arbitrary string would produce round dirs
+#: that _ROUND_DIR_RE (the sweep) can never match, silently re-creating
+#: the unbounded-checkpoint growth the sweep exists to prevent.
+_RUN_ID_RE = _re.compile(r"^[0-9a-f]{12}$")
+
+
+def _resolve_run_id(run_id: "str | None") -> str:
+    import uuid
+
+    if run_id is None:
+        return uuid.uuid4().hex[:12]
+    if not _RUN_ID_RE.match(run_id):
+        raise ValueError(
+            f"run_id must be 12 lowercase hex chars (got {run_id!r}) — "
+            "sweep_checkpoint_rounds only matches that form"
+        )
+    return run_id
+
+
+def _round_truncator(prefix: str, run: str, checkpoint_dir: "str | None"):
+    """The per-round lineage-truncation closure shared by the iterative
+    operators: parquet rounds named ``<prefix>_<run>_round_N`` under
+    ``checkpoint_dir`` (cluster mode — names MUST stay in sync with
+    ``_ROUND_DIR_RE`` so :func:`sweep_checkpoint_rounds` can clean them;
+    keeping every writer here is what pins that), else eager
+    ``localCheckpoint`` (single-node/test mode)."""
+    seq = iter(range(10**6))
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/{prefix}_{run}_round_{next(seq)}"
+            df.write.mode("overwrite").parquet(path)
+            return df.sparkSession.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    return _truncate
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
@@ -358,17 +398,7 @@ def connected_components(
     # that a previously RETURNED lazy result (or a concurrent call sharing
     # the dir) still reads — the old sc.checkpoint() API generated unique
     # per-RDD paths, and this keeps that property.
-    import uuid
-
-    run = run_id or uuid.uuid4().hex[:12]
-    seq = iter(range(10**6))
-
-    def _truncate(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            path = f"{checkpoint_dir}/cc_{run}_round_{next(seq)}"
-            df.write.mode("overwrite").parquet(path)
-            return df.sparkSession.read.parquet(path)
-        return df.localCheckpoint(eager=True)
+    _truncate = _round_truncator("cc", _resolve_run_id(run_id), checkpoint_dir)
 
     # Materialize the edge list ONCE before iterating: every round joins
     # against ``edges``, and without this the full upstream pair
@@ -1732,17 +1762,7 @@ def pagerank(
         raise ValueError("n_iter must be >= 1")
     if not 0 <= damping_bp <= 10000:
         raise ValueError("damping_bp must be in [0, 10000]")
-    import uuid
-
-    run = run_id or uuid.uuid4().hex[:12]
-    seq = iter(range(10**6))
-
-    def _truncate(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            path = f"{checkpoint_dir}/pr_{run}_round_{next(seq)}"
-            df.write.mode("overwrite").parquet(path)
-            return df.sparkSession.read.parquet(path)
-        return df.localCheckpoint(eager=True)
+    _truncate = _round_truncator("pr", _resolve_run_id(run_id), checkpoint_dir)
 
     # Materialize the node list once: it is re-joined EVERY round (the
     # dangling-node left join), and an expensive upstream lineage — e.g.
@@ -1894,17 +1914,9 @@ def hits(
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    import uuid
-
-    run = run_id or uuid.uuid4().hex[:12]
-    seq = iter(range(10**6))
-
-    def _truncate(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is not None:
-            path = f"{checkpoint_dir}/hits_{run}_round_{next(seq)}"
-            df.write.mode("overwrite").parquet(path)
-            return df.sparkSession.read.parquet(path)
-        return df.localCheckpoint(eager=True)
+    _truncate = _round_truncator(
+        "hits", _resolve_run_id(run_id), checkpoint_dir
+    )
 
     n = _truncate(nodes.select(F.col(nodes.columns[0]).alias("id")))
     ew = _truncate(
@@ -2005,44 +2017,7 @@ def common_neighbor_pairs(
     Default ``None`` keeps the exact semantics for bounded graphs and
     the registered oracle.
     """
-    if min_common < 1:
-        raise ValueError("min_common must be >= 1")
-    adj = (
-        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .unionAll(
-            pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
-        )
-        .distinct()
-    )
-    e1 = adj.select(F.col("b").alias("x"), F.col("a").alias("u"))
-    e2 = adj.select(F.col("a").alias("x2"), F.col("b").alias("v"))
-    if max_degree is not None:
-        if max_degree < 1:
-            raise ValueError("max_degree must be >= 1")
-        # Guard applies to the wedge CENTER role only: hubs are excluded
-        # as the shared neighbor, but keep their own pairings through
-        # non-hub centers. One semi-join of e1's center column against
-        # the <=max_degree nodes is enough — the wedge equi-join needs
-        # the center on BOTH sides, so filtering one side kills every
-        # hub-centered wedge before the quadratic blow-up materializes.
-        ok = (
-            adj.groupBy("a")
-            .agg(F.count(F.lit(1)).alias("_deg"))
-            .filter(F.col("_deg") <= max_degree)
-            .select(F.col("a").alias("x"))
-        )
-        e1 = e1.join(ok, "x", "left_semi")
-    wedges = (
-        e1.join(e2, (e1["x"] == e2["x2"]) & (e1["u"] < e2["v"]))
-        .groupBy(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(F.col("n_common") >= min_common)
-    )
-    existing = pairs.select(
-        F.least("id_a", "id_b").alias("id_a"),
-        F.greatest("id_a", "id_b").alias("id_b"),
-    ).distinct()
-    return wedges.join(existing, ["id_a", "id_b"], "left_anti")
+    return _wedge_link_pairs(pairs, min_common, max_degree, weighted=False)
 
 
 def adamic_adar_pairs(
@@ -2068,6 +2043,29 @@ def adamic_adar_pairs(
     decimals — the sum's addend order differs across engines at ~1e-15
     relative, the standard rounding contract.
     """
+    return _wedge_link_pairs(pairs, min_common, max_degree, weighted=True)
+
+
+def _wedge_link_pairs(
+    pairs: DataFrame,
+    min_common: int,
+    max_degree: int | None,
+    weighted: bool,
+) -> DataFrame:
+    """Shared wedge pipeline behind :func:`common_neighbor_pairs`
+    (``weighted=False``: raw counts) and :func:`adamic_adar_pairs`
+    (``weighted=True``: + 1/ln(degree) center weights): symmetrize,
+    optionally guard/annotate wedge CENTERS via the node-sized degree
+    table, one wedge self-join on the shared node (cost Σ deg² over
+    centers), one aggregate, one anti-join against existing edges.
+
+    Guard semantics (both callers): hubs above ``max_degree`` are
+    excluded as the shared NEIGHBOR only — their own pairings through
+    non-hub centers survive. The degree table joins the e1 side alone;
+    the wedge equi-join needs the center on both sides, so that kills
+    every hub-centered wedge before the quadratic blow-up
+    materializes.
+    """
     if min_common < 1:
         raise ValueError("min_common must be >= 1")
     adj = (
@@ -2077,28 +2075,26 @@ def adamic_adar_pairs(
         )
         .distinct()
     )
-    deg = adj.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("_deg"))
-    if max_degree is not None:
-        if max_degree < 1:
-            raise ValueError("max_degree must be >= 1")
-        deg = deg.filter(F.col("_deg") <= max_degree)
-    # Center weight joins ON the degree table (node-sized, broadcastable)
-    # BEFORE the wedge join, so each wedge row carries its 1/ln(deg)
-    # ready-made; with max_degree set the join doubles as the hub guard
-    # (inner join drops excluded centers from the e1 side).
-    e1 = (
-        adj.select(F.col("b").alias("x"), F.col("a").alias("u"))
-        .join(deg.select(F.col("a").alias("x"), "_deg"), "x")
-        .withColumn("_w", F.lit(1.0) / F.log(F.col("_deg")))
-    )
+    e1 = adj.select(F.col("b").alias("x"), F.col("a").alias("u"))
     e2 = adj.select(F.col("a").alias("x2"), F.col("b").alias("v"))
+    if weighted or max_degree is not None:
+        deg = adj.groupBy("a").agg(
+            F.count(F.lit(1)).cast("long").alias("_deg")
+        )
+        if max_degree is not None:
+            if max_degree < 1:
+                raise ValueError("max_degree must be >= 1")
+            deg = deg.filter(F.col("_deg") <= max_degree)
+        # node-sized, broadcastable; inner join doubles as the hub guard
+        e1 = e1.join(deg.select(F.col("a").alias("x"), "_deg"), "x")
+    aggs = [F.count(F.lit(1)).alias("n_common")]
+    if weighted:
+        e1 = e1.withColumn("_w", F.lit(1.0) / F.log(F.col("_deg")))
+        aggs.append(F.round(F.sum("_w"), 4).alias("aa_score"))
     wedges = (
         e1.join(e2, (e1["x"] == e2["x2"]) & (e1["u"] < e2["v"]))
         .groupBy(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.round(F.sum("_w"), 4).alias("aa_score"),
-        )
+        .agg(*aggs)
         .filter(F.col("n_common") >= min_common)
     )
     existing = pairs.select(

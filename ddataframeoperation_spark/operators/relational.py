@@ -1809,7 +1809,9 @@ def rfm_segments(
         F.count(F.lit(1)).cast("long").alias("_freq"),
         F.sum(cents).cast("long").alias("_cents"),
     )
-    maxd = orders.agg(F.max(date_col).alias("_maxd"))
+    # Corpus max date from the per-customer aggregate (max of per-group
+    # maxes) — NOT a second fact-table scan.
+    maxd = per.agg(F.max("_last").alias("_maxd"))
     per = per.crossJoin(F.broadcast(maxd)).withColumn(
         "_rdays", F.datediff(F.col("_maxd"), F.col("_last")).cast("long")
     )
@@ -1912,6 +1914,10 @@ def brier_decomposition(
     brier = F.col("_bsum") / F.col("_N")
     rel = F.col("_rel") / F.col("_N")
     res = F.col("_res") / F.col("_N")
+    # Empty/fully-filtered input: the ungrouped agg still emits one
+    # all-NULL row — drop it so the output is 0 rows, matching any
+    # GROUP-BY-over-empty SQL twin (engine/oracle row-count parity).
+    out = out.filter(F.col("_N").isNotNull())
     return out.select(
         F.col("_N").cast("long").alias("n"),
         F.round(brier, 4).alias("brier"),

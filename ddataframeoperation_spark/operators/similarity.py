@@ -816,9 +816,11 @@ def semantic_join(
     except on exact-tie knife edges, but a hash-exact oracle comparison
     should use ``arrow_kernel=False`` (the left-to-right fold, matching
     any sequential SQL oracle bit-for-bit — what the registered query
-    does). NULL vector ELEMENTS are NaN under the kernel (the candidate
-    loses, same outcome as the fold's NULL via the +inf guard); ragged
-    vectors fail in ``np.stack`` either way.
+    does). NULL vector ELEMENTS score NaN on BOTH paths (the kernel
+    sees them as NaN in the matmul; the fold's NULL dot is coalesced to
+    NaN below) — "no valid score", losing to any real match, with a
+    left row whose every candidate is unscorable emitting cos_sim NaN;
+    ragged vectors fail in ``np.stack`` either way.
 
     Scale shape — the IVF idea applied to a join: both sides get a
     coarse-centroid cell id (Arrow matmul, :func:`ivf_assign`); the left
@@ -946,35 +948,34 @@ def semantic_join(
     # LARGEST under min and therefore lose to any real match — stated.
     # NULL-score guard (ADVICE r11): a NULL _cos would sort FIRST under
     # ascending struct comparison and silently win top-1 (the old
-    # window's _cos.desc() put NULLs last). Unreachable today —
-    # NULL/ragged vectors fail the pandas UDFs upstream — but pinned
-    # here so a future cosine/UDF change can't flip the winner. HOW
-    # matters, twice over: (1) a pre-aggregation .filter(_cos.isNotNull())
-    # is pushed through the projection into the hash join as an
-    # isnotnull(<dot>) JOIN CONDITION; (2) a when(isnotnull(_cos), ...)
-    # wrapper has the projected _cos INLINED into both branches of the
-    # aggregate input (no common-subexpression elimination for
-    # interpreted folds) — each form re-evaluates the fold per candidate
-    # pair (measured 1.1s -> 11.2s resp. 3.2s on the sf0.1 bench).
-    # coalesce(-_cos, +inf) keeps exactly ONE fold evaluation: a NULL
-    # score becomes +inf, which loses to every real score under min
-    # (Spark orders finite < +inf < NaN, so NaN zero-norm scores still
-    # lose to finite ones as stated above). A left row whose EVERY
-    # candidate is NULL-scored surfaces as nc = +inf and is dropped by
-    # the post-aggregate filter (one row per left id — the no-candidate
-    # inner-join contract). A genuine -inf cosine can't occur for
-    # finite inputs (|dot| <= prod of finite norms), so nc = +inf is
-    # unambiguously "all NULL".
+    # window's _cos.desc() put NULLs last) — reachable on the fold path
+    # via a NULL vector ELEMENT (the fold propagates it to a NULL dot).
+    # HOW the guard is written matters, twice over: (1) a
+    # pre-aggregation .filter(_cos.isNotNull()) is pushed through the
+    # projection into the hash join as an isnotnull(<dot>) JOIN
+    # CONDITION; (2) a when(isnotnull(_cos), ...) wrapper has the
+    # projected _cos INLINED into both branches of the aggregate input
+    # (no common-subexpression elimination for interpreted folds) —
+    # each form re-evaluates the fold per candidate pair (measured
+    # 1.1s -> 11.2s resp. 3.2s on the sf0.1 bench).
+    # coalesce(-_cos, NaN) keeps exactly ONE fold evaluation and maps a
+    # NULL score into the SAME "no valid score" class as a zero-norm
+    # NaN: Spark orders finite < +inf < NaN, so such candidates lose to
+    # every real match, and a left row with NO scorable candidate emits
+    # cos_sim NaN — on BOTH paths (the Arrow kernel sees NULL elements
+    # as NaN in the matmul and cannot distinguish them, so aligning the
+    # fold to NaN is what keeps kernel/fold parity; NaN ties break to
+    # the lowest right id under Spark's total order, same as the
+    # kernel's rid-sorted argmax).
     best = F.min(
         F.struct(
-            F.coalesce(-F.col("_cos"), F.lit(float("inf"))).alias("nc"),
+            F.coalesce(-F.col("_cos"), F.lit(float("nan"))).alias("nc"),
             F.col("_rid").alias("r"),
         )
     ).alias("_b")
     return (
         cand.groupBy("_lid")
         .agg(best)
-        .filter(F.col("_b.nc") != F.lit(float("inf")))
         .select(
             F.col("_lid").alias(f"{left_prefix}{id_col}"),
             F.col("_b.r").alias(f"{right_prefix}{id_col}"),

@@ -11687,11 +11687,16 @@ def b32aa(spark: SparkSession, sf: str) -> DataFrame:
              trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
       FROM documents
     ), scored AS (
+      -- lang IS NOT NULL mirrors the engine's NULL-label drop (the
+      -- boolean (lang = 'en') is NULL for NULL lang and
+      -- brier_decomposition excludes it); no fixture has NULL lang
+      -- today, but the oracle must not silently count a future one
+      -- as a negative.
       SELECT round(least(1.0, greatest(0.0,
                  (length(norm) * 1.0 / len(string_split(norm, ' ')) - 4.0)
                  / 3.0)), 4) AS s,
              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-      FROM m WHERE norm <> ''
+      FROM m WHERE norm <> '' AND lang IS NOT NULL
     ), b AS (
       SELECT greatest(0, least(9, CAST(floor(s * 10) AS BIGINT))) AS bin,
              count(*) * 1.0 AS n,
@@ -11795,7 +11800,7 @@ def b01fw(spark: SparkSession, sf: str) -> DataFrame:
             ("o_orderpriority", 38, 15, "string"),
         ],
     )
-    return parsed.groupBy("status").agg(
+    agg = parsed.groupBy("status").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("o_orderkey").cast("long").alias("sum_keys"),
         F.sum(
@@ -11804,6 +11809,16 @@ def b01fw(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("sum_cents"),
     )
+    # The aggregate is |status| rows — materialize it and REMOVE the
+    # serialized scratch copy of the whole fact table immediately (a
+    # lazy return would still read the text dir at collect time, and
+    # pid-keyed scratch dirs would otherwise accumulate across
+    # processes until /tmp fills at sf0.1+).
+    import shutil
+
+    rows = agg.collect()
+    shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, agg.schema)
 
 
 @_q(

@@ -542,3 +542,66 @@ def test_rfm_segments_contract(spark):
     for r in out:
         for c in ("r_bucket", "f_bucket", "m_bucket"):
             assert 1 <= r[c] <= 5
+
+
+# --------------------------------- r12 self-review fixes
+
+
+def test_run_id_validated_against_sweep_pattern(spark):
+    import pytest
+
+    from ddataframeoperation_spark.operators.dedup import (
+        connected_components,
+        hits,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "id_a int, id_b int")
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    w_edges = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    # an arbitrary run_id would write round dirs the sweep regex can
+    # never match — silently unbounded checkpoint growth; must raise
+    for bad in ("nightly-1", "ABCDEF012345", "0123456789abc", ""):
+        with pytest.raises(ValueError, match="12 lowercase hex"):
+            connected_components(edges, run_id=bad)
+        with pytest.raises(ValueError, match="12 lowercase hex"):
+            pagerank(nodes, w_edges, run_id=bad)
+        with pytest.raises(ValueError, match="12 lowercase hex"):
+            hits(nodes, w_edges, run_id=bad)
+
+
+def test_semantic_join_unscorable_group_nan_on_both_paths(spark):
+    import math
+
+    from ddataframeoperation_spark.operators.similarity import semantic_join
+
+    # Every candidate of the left row has a NULL element -> no scorable
+    # match. Kernel (NaN in matmul) and fold (NULL dot -> NaN coalesce)
+    # must AGREE: emit the row with cos_sim NaN, lowest-rid winner.
+    left = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    right = spark.createDataFrame(
+        [(8, [1.0, None]), (9, [None, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for flag in (True, False):
+        out = semantic_join(
+            left, right, centroids=[[1.0, 0.0]], nprobe=1,
+            arrow_kernel=flag,
+        ).collect()
+        assert len(out) == 1, flag
+        row = out[0].asDict()
+        assert row["r_vec_id"] == 8, flag      # lowest-rid NaN tiebreak
+        assert math.isnan(row["cos_sim"]), flag
+
+
+def test_brier_decomposition_empty_input_yields_zero_rows(spark):
+    from ddataframeoperation_spark.operators.relational import (
+        brier_decomposition,
+    )
+
+    df = spark.createDataFrame(
+        [(None, True), (0.5, None)], "score double, label boolean"
+    )
+    assert brier_decomposition(df, "score", "label").count() == 0
