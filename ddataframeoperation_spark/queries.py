@@ -11884,74 +11884,72 @@ def b34pp(spark: SparkSession, sf: str) -> DataFrame:
 
 _DRIVER_PRIORITY = [
     "b10_flagship_q3",            # flagship (TPC-H Q3 shape) — pinned slot 0
-    # ---- round-12 rotation: 49 FIRST-CERTIFICATE slots (VERDICT r11 #1:
-    # 69 never-certified after r11; this is the largest safe batch —
-    # every one of the 49 is green in the r11 full-ladder local gate
-    # INCLUDING the vanilla-session sf0.1 sweep under the driver-parity
-    # checker). Strict _BONUS_SLOTS queue order with three VERDICT
-    # priority pulls: the retrieval-eval six (#2), the graph-centrality
-    # four (#3), and all 9 remaining TPC-H archetypes (#5 → B10 ends
-    # 21/21 ever-certified). Every displaced query is green in
-    # CORRECTNESS_r11 (50/50), so no family loses its cumulative
-    # certificate; per-round family representation intentionally yields
-    # to retiring the certification debt in two rounds. ----
-    # B10 — the 9 never-certified TPC-H archetypes
-    "b10_q2_min_cost_supplier",
-    "b10_q4_priority_late",
-    "b10_q6_forecast_revenue",
-    "b10_q8_market_share",
-    "b10_q11_important_parts",
-    "b10_q13_order_distribution",
-    "b10_q15_top_supplier",
-    "b10_q17_small_qty_revenue",
-    "b10_q20_excess_shippers",
-    # B33 — multi-query top-k + the retrieval-eval six (VERDICT #2)
-    "b33_multi_topk",
-    "b33_hybrid_rrf",
-    "b33_retrieval_metrics",
-    "b33_mmr_rerank",
-    "b33_matryoshka_recall",
-    "b33_index_planner",
-    "b33_binary_hamming_topk",    # short-vector/NULL contract pinned r12
-    # B34 — text-analysis tail + keyword PageRank (VERDICT #3)
-    "b34_curriculum",
-    "b34_bigram_lm",
-    "b34_length_outliers",
-    "b34_lexical_diversity",
-    "b34_corpus_balance",
-    "b34_bpe_train_step",
-    "b34_packing_efficiency",
-    "b34_vocab_overlap",
-    "b34_keyword_pagerank",
-    # B11 — statistical-aggregate tail
-    "b11_approx_percentiles",
-    "b11_corr_stats",
-    "b11_pivot_roundtrip",
-    "b11_equidepth_histogram",
-    "b11_weighted_percentiles",
-    # B22 — reproducible-sampling tail
-    "b22_hash_split",
-    "b22_source_mix",
-    "b22_source_cap",
-    "b22_weighted_sample",
-    "b22_epoch_order",
-    "b22_kfold",
-    "b22_stratified_kfold",
-    # B28 — profiling/eval-suite tail
-    "b28_join_advisor",
-    "b28_join_fanout",
-    "b28_gain_chart",
-    "b28_auc_exact",
-    "b28_pr_auc",
-    "b28_operating_points",
-    # B32 — graph layer (VERDICT #3: pagerank + common_neighbors)
-    "b32_lsh_power_curve",
-    "b32_degree_census",
-    "b32_pagerank",
-    "b32_common_neighbors",
-    # singletons
-    "b01_text_log_parse",
-    "b35_linear_attribution",
+    # ---- round-13 rotation: the CLOSING rotation (VERDICT r12 #1/#2).
+    # After r12's 50/50 green, exactly 26 queries had never held a
+    # certificate: 22 oracle-backed + the 4 rows-only-by-contract hash
+    # families (whose first certificate is the driver's weaker
+    # rows-check — tools/cert_ledger.py::certified_union now counts a
+    # slot row with err=="no_oracle" and spark_rows>0 green, the grade
+    # tests/test_checker.py:76 always promised). All 26 take slots in
+    # strict _BONUS_SLOTS queue order; the 23 remaining slots recover
+    # the head of the displaced queue (all r11-certified, so nothing
+    # loses its cumulative certificate). A green CORRECTNESS_r13 makes
+    # the ledger terminal: 299/299 oracle-backed + 4 rows-only
+    # certified, never==0. ----
+    # -- the 22 oracle-backed never-certified, queue order --
+    "b29_write_audit_publish",
+    "b28_quarantine_split",
+    "b22_poisson_bootstrap",
+    "b34_url_canonicalize",
+    "b31_url_dedup",
+    "b34_perplexity_rank",
+    "b28_gini_concentration",
+    "b28_benford_audit",
+    "b34_token_novelty",
+    "b24_cusum_changepoint",
+    "b29_csv_quoted_roundtrip",
+    "b22_rolling_origin_cv",
+    "b24_seasonal_anomaly",
+    "b12_bloom_planner",
+    "b11_group_mode",
+    "b22_class_balance",
+    # r12 wideners (newest code + newest oracles — VERDICT r12 #4)
+    "b32_adamic_adar",
+    "b28_brier_decomposition",
+    "b01_fixed_width_parse",
+    "b34_preference_pairs",
+    "b32_hits",
+    "b35_rfm_segments",
+    # -- the 4 rows-only-by-contract, slotted ONCE for their weak
+    #    (rows-check) certificate — then the ledger never demands them --
+    "b32_minhash_raw",
+    "b32_simhash_candidates",
+    "b33_lsh_topk",
+    "bmm_binary_ingest",
+    # -- 23 recovery slots: head of the displaced queue, in order --
+    "b01_corrupt_records",
+    "b02_parameterized_sql",
+    "b03_pandas_api",
+    "b04_filter_predicates",
+    "b05_nullsafe_join",
+    "b06_join_left_agg",
+    "b07_join_semi",
+    "b08_star_join_broadcast",
+    "b09_asof_nearest",
+    "b24_seasonal_decompose",
+    "b33_centroid_confusion",
+    "b31_dedup_token_savings",
+    "b19_moving_avg",
+    "b22_hash_sample",
+    "b34_chunking",
+    "b11_percentiles",
+    "bmm_media_neardup",
+    "b12_bloom_rf",
+    "b34_fingerprint_pairs",
+    "b13_rollup",
+    "b14_having",
+    "b15_sort_null_ordering",
+    "b16_skyline_2d",
 ]
 
 _missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
@@ -12138,62 +12136,12 @@ assert len(_DRIVER_PRIORITY) == 50 == len(set(_DRIVER_PRIORITY))
 #: contract entries lead the round-13 queue below (20 total — one more
 #: clean round clears the backlog to 0).
 _BONUS_SLOTS = [
-    # -- still never-certified, in rotation order for round 13
-    #    (oracle-backed first; the 4 rows-only entries close the queue
-    #    since their certificates are rows-checks by contract) --
-    "b29_write_audit_publish",
-    "b28_quarantine_split",
-    "b22_poisson_bootstrap",
-    "b34_url_canonicalize",
-    "b31_url_dedup",
-    "b34_perplexity_rank",
-    "b28_gini_concentration",
-    "b28_benford_audit",
-    "b34_token_novelty",
-    "b24_cusum_changepoint",
-    "b29_csv_quoted_roundtrip",
-    "b22_rolling_origin_cv",
-    "b24_seasonal_anomaly",
-    "b12_bloom_planner",
-    "b11_group_mode",
-    "b22_class_balance",
-    # r12 widening — never-certified by construction, oracle-backed:
-    "b32_adamic_adar",
-    "b28_brier_decomposition",
-    "b01_fixed_width_parse",
-    "b34_preference_pairs",
-    "b32_hits",
-    "b35_rfm_segments",
-    # rows-only by contract (certificates are rows-checks):
-    "b32_minhash_raw",
-    "b32_simhash_candidates",
-    "b33_lsh_topk",
-    "bmm_binary_ingest",
-    # -- displaced by the r12 rotation (all r11-certified, 50/50 green;
-    #    they lead the recovery order after the never-certified queue) --
-    "b01_corrupt_records",
-    "b02_parameterized_sql",
-    "b03_pandas_api",
-    "b04_filter_predicates",
-    "b05_nullsafe_join",
-    "b06_join_left_agg",
-    "b07_join_semi",
-    "b08_star_join_broadcast",
-    "b09_asof_nearest",
-    "b24_seasonal_decompose",
-    "b33_centroid_confusion",
-    "b31_dedup_token_savings",
-    "b19_moving_avg",
-    "b22_hash_sample",
-    "b34_chunking",
-    "b11_percentiles",
-    "bmm_media_neardup",
-    "b12_bloom_rf",
-    "b34_fingerprint_pairs",
-    "b13_rollup",
-    "b14_having",
-    "b15_sort_null_ordering",
-    "b16_skyline_2d",
+    # -- round-13 state: NOTHING is never-certified once CORRECTNESS_r13
+    #    lands green (the 26-entry debt queue above all hold slots).
+    #    This queue is now purely the certified recovery order: the
+    #    r12-displaced remainder first, then the r11/r10-displaced
+    #    blocks, then the 49 r12 slot-holders displaced by the closing
+    #    rotation (all r12-certified, 50/50 green). --
     "b17_rank_movers",
     "b18_scd2_asof",
     "b29_orc_roundtrip",
@@ -12277,6 +12225,56 @@ _BONUS_SLOTS = [
     "b25_winsorize",
     "b37_stream_session",
     "b31_containment_dedup",
+    # -- displaced by the r13 closing rotation (all r12-certified) --
+    "b10_q2_min_cost_supplier",
+    "b10_q4_priority_late",
+    "b10_q6_forecast_revenue",
+    "b10_q8_market_share",
+    "b10_q11_important_parts",
+    "b10_q13_order_distribution",
+    "b10_q15_top_supplier",
+    "b10_q17_small_qty_revenue",
+    "b10_q20_excess_shippers",
+    "b33_multi_topk",
+    "b33_hybrid_rrf",
+    "b33_retrieval_metrics",
+    "b33_mmr_rerank",
+    "b33_matryoshka_recall",
+    "b33_index_planner",
+    "b33_binary_hamming_topk",
+    "b34_curriculum",
+    "b34_bigram_lm",
+    "b34_length_outliers",
+    "b34_lexical_diversity",
+    "b34_corpus_balance",
+    "b34_bpe_train_step",
+    "b34_packing_efficiency",
+    "b34_vocab_overlap",
+    "b34_keyword_pagerank",
+    "b11_approx_percentiles",
+    "b11_corr_stats",
+    "b11_pivot_roundtrip",
+    "b11_equidepth_histogram",
+    "b11_weighted_percentiles",
+    "b22_hash_split",
+    "b22_source_mix",
+    "b22_source_cap",
+    "b22_weighted_sample",
+    "b22_epoch_order",
+    "b22_kfold",
+    "b22_stratified_kfold",
+    "b28_join_advisor",
+    "b28_join_fanout",
+    "b28_gain_chart",
+    "b28_auc_exact",
+    "b28_pr_auc",
+    "b28_operating_points",
+    "b32_lsh_power_curve",
+    "b32_degree_census",
+    "b32_pagerank",
+    "b32_common_neighbors",
+    "b01_text_log_parse",
+    "b35_linear_attribution",
 ]
 
 _rest = [
