@@ -2,6 +2,13 @@
 
 Usage:
     python tools/bench_compare.py BENCH_r05.json BENCH_r06.json [threshold] [--floors]
+    python tools/bench_compare.py BENCH_r13.json [threshold] [--floors]
+
+Single-file form compares against BASELINE_QUERIES.json — the pinned
+honest per-query floors (r12 noop-sink numbers; VERDICT r12 task 3).
+Use this for round-over-round triage instead of an arbitrary earlier
+BENCH_r*.json: r01-r11 per-query numbers predate the COUNT_ONLY
+noop-sink fix and mix phantom (Catalyst-pruned) timings.
 
 Accepts either the driver's wrapper format ({"parsed": {"queries": ...}})
 or bench.py's raw JSON line ({"queries": ...}). Prints queries slower than
@@ -69,6 +76,23 @@ def isolate_floors(queries: list[str]) -> dict[str, float]:
 def main() -> int:
     argv = [x for x in sys.argv[1:] if x != "--floors"]
     floors = "--floors" in sys.argv
+    def _is_num(s: str) -> bool:
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    if len(argv) >= 1 and not _is_num(argv[0]) and (
+        len(argv) == 1 or _is_num(argv[1])
+    ):
+        # Single-file form (optionally + threshold): drift vs the
+        # pinned honest floors.
+        import os
+
+        base = os.path.join(os.path.dirname(__file__), "..",
+                            "BASELINE_QUERIES.json")
+        argv = [base] + argv
     if len(argv) < 2:
         print(__doc__)
         return 2
