@@ -314,7 +314,10 @@ def _resolve_run_id(run_id: "str | None") -> str:
 
     if run_id is None:
         return uuid.uuid4().hex[:12]
-    if not _RUN_ID_RE.match(run_id):
+    # fullmatch, not match: re's '$' also matches before a trailing
+    # newline, so 'abcdef012345\n' would pass and mint round dirs the
+    # sweep regex can never match — the exact growth this guards.
+    if not _RUN_ID_RE.fullmatch(run_id):
         raise ValueError(
             f"run_id must be 12 lowercase hex chars (got {run_id!r}) — "
             "sweep_checkpoint_rounds only matches that form"

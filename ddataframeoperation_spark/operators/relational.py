@@ -1815,10 +1815,24 @@ def rfm_segments(
     per = per.crossJoin(F.broadcast(maxd)).withColumn(
         "_rdays", F.datediff(F.col("_maxd"), F.col("_last")).cast("long")
     )
+    # Cut points are rounded to a fixed 6-decimal grain BEFORE the
+    # strict comparisons below: the metrics are integers, so an
+    # interpolated cut landing within 1 ulp of an integer (e.g.
+    # 12.999999999999998 vs 13.0 from two engines' lower+frac*delta)
+    # would otherwise flip that customer's bucket cross-engine. At 6 dp
+    # the q∈{.2,.4,.6,.8} interpolation of integer inputs can never sit
+    # on a rounding half-boundary, so both engines land on the same
+    # grid point. The oracle applies the identical round.
     cuts = per.agg(
-        F.expr(f"percentile(_rdays, array({qlit}))").alias("_rc"),
-        F.expr(f"percentile(_freq, array({qlit}))").alias("_fc"),
-        F.expr(f"percentile(_cents, array({qlit}))").alias("_mc"),
+        F.expr(
+            f"transform(percentile(_rdays, array({qlit})), x -> round(x, 6))"
+        ).alias("_rc"),
+        F.expr(
+            f"transform(percentile(_freq, array({qlit})), x -> round(x, 6))"
+        ).alias("_fc"),
+        F.expr(
+            f"transform(percentile(_cents, array({qlit})), x -> round(x, 6))"
+        ).alias("_mc"),
     )
 
     def _bucket(metric: str, cuts_col: str, best_is_low: bool) -> Column:

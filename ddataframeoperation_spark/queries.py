@@ -9131,9 +9131,16 @@ def b32h(spark: SparkSession, sf: str) -> DataFrame:
                   AS BIGINT) AS cents
       FROM orders GROUP BY o_custkey
     ), cuts AS (
-      SELECT quantile_cont(rdays, [0.2, 0.4, 0.6, 0.8]) AS rc,
-             quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fc,
-             quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]) AS mc
+      -- 6dp round matches the engine side: integer metrics compared
+      -- strictly against interpolated cuts must see the SAME grid
+      -- point on both engines even when lower+frac*delta differs by
+      -- 1 ulp across implementations.
+      SELECT list_transform(quantile_cont(rdays, [0.2, 0.4, 0.6, 0.8]),
+                            x -> round(x, 6)) AS rc,
+             list_transform(quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]),
+                            x -> round(x, 6)) AS fc,
+             list_transform(quantile_cont(cents, [0.2, 0.4, 0.6, 0.8]),
+                            x -> round(x, 6)) AS mc
       FROM per
     ), b AS (
       SELECT CAST(1 + len(list_filter(cuts.rc, x -> rdays > x)) AS BIGINT)
@@ -11782,42 +11789,45 @@ def b01fw(spark: SparkSession, sf: str) -> DataFrame:
         f"ddfo_fixedwidth_scratch_{os.getpid()}_"
         f"{os.path.basename(os.path.normpath(sf))}",
     )
-    o.select(
-        F.format_string(
-            "%18d%1s%18.2f%-15s",
-            F.col("o_orderkey"),
-            F.col("o_orderstatus"),
-            F.col("o_totalprice"),
-            F.col("o_orderpriority"),
-        ).alias("value")
-    ).write.mode("overwrite").text(out)
-    parsed = parse_fixed_width(
-        spark.read.text(out),
-        [
-            ("o_orderkey", 1, 18, "long"),
-            ("status", 19, 1, "string"),
-            ("o_totalprice", 20, 18, "double"),
-            ("o_orderpriority", 38, 15, "string"),
-        ],
-    )
-    agg = parsed.groupBy("status").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum("o_orderkey").cast("long").alias("sum_keys"),
-        F.sum(
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
-        )
-        .cast("long")
-        .alias("sum_cents"),
-    )
     # The aggregate is |status| rows — materialize it and REMOVE the
     # serialized scratch copy of the whole fact table immediately (a
     # lazy return would still read the text dir at collect time, and
     # pid-keyed scratch dirs would otherwise accumulate across
-    # processes until /tmp fills at sf0.1+).
+    # processes until /tmp fills at sf0.1+). finally, not success-path:
+    # a raise anywhere in write/parse/collect must not leak the dir.
     import shutil
 
-    rows = agg.collect()
-    shutil.rmtree(out, ignore_errors=True)
+    try:
+        o.select(
+            F.format_string(
+                "%18d%1s%18.2f%-15s",
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+                F.col("o_totalprice"),
+                F.col("o_orderpriority"),
+            ).alias("value")
+        ).write.mode("overwrite").text(out)
+        parsed = parse_fixed_width(
+            spark.read.text(out),
+            [
+                ("o_orderkey", 1, 18, "long"),
+                ("status", 19, 1, "string"),
+                ("o_totalprice", 20, 18, "double"),
+                ("o_orderpriority", 38, 15, "string"),
+            ],
+        )
+        agg = parsed.groupBy("status").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_keys"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        rows = agg.collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
     return spark.createDataFrame(rows, agg.schema)
 
 

@@ -48,7 +48,14 @@ def stream_dedup_ingest(
     under ``corpus_path`` (``docs/`` + ``fps/`` parquet). Re-invoking with
     the same checkpoint resumes incrementally — already-committed source
     files are not reprocessed; re-sent duplicates of already-ingested
-    docs are dropped by the index probe."""
+    docs are dropped by the index probe.
+
+    While this call blocks it holds ``bounded_state_partitions``: the
+    session-global ``spark.sql.shuffle.partitions`` is temporarily
+    lowered (never raised), so a concurrent batch query planned on the
+    SAME session from another thread would silently plan with the
+    lowered partition count. Don't share the session across threads for
+    the duration of the run."""
     docs_path = f"{corpus_path}/docs"
     fps_path = f"{corpus_path}/fps"
     spark = stream.sparkSession

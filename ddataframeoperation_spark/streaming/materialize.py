@@ -41,7 +41,14 @@ def materialize_tumbling_rollup(
     """Run an availableNow pass that upserts the per-window rollup into
     ``out_path`` (parquet, partitioned by window start). Re-invoking with
     the same checkpoint resumes incrementally: already-committed files are
-    not reprocessed."""
+    not reprocessed.
+
+    While this call blocks it holds ``bounded_state_partitions``: the
+    session-global ``spark.sql.shuffle.partitions`` is temporarily
+    lowered (never raised), so a concurrent batch query planned on the
+    SAME session from another thread would silently plan with the
+    lowered partition count. Don't share the session across threads for
+    the duration of the run."""
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"))
