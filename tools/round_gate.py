@@ -15,7 +15,8 @@ this box starve each other and die with bogus py4j connection errors):
      data-dependent rounding-tie flips sf0.01 can't reach)
   5. plan audit over every registered batch query (cartesians /
      unbounded windows / non-scalar BNLJ)
-  6. pytest (optional: --with-pytest)
+  6. examples smoke — every examples/*.py main() end-to-end at sf0.001
+  7. pytest (optional: --with-pytest)
 
 Usage:
   python tools/round_gate.py [--fast] [--with-pytest] [--out FILE]
@@ -84,6 +85,10 @@ def main() -> int:
             ("oracles_sf0.1", ["tools/check_oracles.py", "/root/testdata/sf0.1"])
         )
     stages.append(("plan_audit", ["tools/plan_audit.py"]))
+    # The examples are the README's advertised consumer surface — run all
+    # seven end-to-end at sf0.001 so an API change can't rot them
+    # silently (VERDICT r12 task 6).
+    stages.append(("examples", ["tools/examples_smoke.py"]))
     if with_pytest:
         stages.append(("pytest", ["-m", "pytest", "tests/", "-q"]))
     # Regenerate the COVERAGE.md certification ledger from the
