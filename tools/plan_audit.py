@@ -5,10 +5,22 @@ scale red flags and print a census:
 - un-partitioned Window operators (must be the known constant/dimension-
   bounded allowlist, each with a written bound at its definition);
 - BroadcastNestedLoopJoin that is not the Cross/BuildRight 1-row-scalar
-  shape.
+  shape;
+- plan-shape drift vs the committed golden census (VERDICT r12 task 7):
+  per-query operator counts (exchanges, join strategies, windows,
+  aggregates, sorts) must match tools/plan_golden.json exactly, so a
+  future edit can't silently re-introduce a shuffle or swap a broadcast
+  join for a sort-merge — shapes today's category checks only catch
+  when they cross a hard-fail class.
 
-Usage: python tools/plan_audit.py [sf_dir]   (default sf0.001 — plan
-shapes, not timings, so the smallest fixture is enough)
+Usage:
+  python tools/plan_audit.py [sf_dir]             # audit + golden diff
+  python tools/plan_audit.py --write-golden [sf_dir]   # regenerate golden
+
+(default sf_dir sf0.001 — plan shapes, not timings, so the smallest
+fixture is enough; the golden is only compared at that default, since
+AQE/broadcast decisions are statistics-dependent and the census at
+another SF is legitimately different.)
 
 Streaming queries are skipped: their plans only materialize inside a
 running query, and their state/watermark shapes are pinned by
@@ -17,6 +29,7 @@ tests/test_streaming.py instead.
 
 from __future__ import annotations
 
+import json
 import re
 import sys
 from pathlib import Path
@@ -25,6 +38,44 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from ddataframeoperation_spark.queries import QUERIES  # noqa: E402
 from ddataframeoperation_spark.session import get_spark  # noqa: E402
+
+GOLDEN_PATH = Path(__file__).resolve().parent / "plan_golden.json"
+GOLDEN_SF = "/root/testdata/sf0.001"
+
+#: Operator markers counted into the per-query shape census. Substring /
+#: regex over the executed-plan tree text — expression ids (#123) never
+#: appear in these, so the census is stable across runs.
+CENSUS_MARKERS: "list[tuple[str, str]]" = [
+    ("shuffle_hash_exch", r"Exchange hashpartitioning"),
+    ("shuffle_range_exch", r"Exchange rangepartitioning"),
+    ("shuffle_single_exch", r"Exchange SinglePartition"),
+    ("broadcast_exch", r"BroadcastExchange"),
+    ("reused_exch", r"ReusedExchange"),
+    ("sort_merge_join", r"SortMergeJoin"),
+    ("broadcast_hash_join", r"BroadcastHashJoin"),
+    ("shuffled_hash_join", r"ShuffledHashJoin"),
+    ("bnl_join", r"BroadcastNestedLoopJoin"),
+    ("cartesian", r"CartesianProduct"),
+    ("window", r"\bWindow \["),
+    ("window_group_limit", r"WindowGroupLimit"),
+    ("hash_agg", r"\bHashAggregate\("),
+    ("object_hash_agg", r"ObjectHashAggregate\("),
+    ("sort_agg", r"\bSortAggregate\("),
+    ("sort", r"\bSort \["),
+    ("python_map", r"MapInPandas|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas"),
+    ("python_eval", r"ArrowEvalPython|BatchEvalPython"),
+]
+
+
+def plan_census(plan: str) -> dict[str, int]:
+    """Count the drift-relevant operator markers; zero entries dropped so
+    the golden stays readable."""
+    out = {}
+    for key, pat in CENSUS_MARKERS:
+        n = len(re.findall(pat, plan))
+        if n:
+            out[key] = n
+    return out
 
 #: Un-partitioned windows that are allowed because their input is
 #: constant- or pre-limit-bounded (bound documented at the definition).
@@ -65,9 +116,12 @@ BNLJ_ALLOWLIST = {
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = [a for a in sys.argv[1:] if a != "--write-golden"]
+    write_golden = "--write-golden" in sys.argv[1:]
+    sf = args[0] if args else GOLDEN_SF
     spark = get_spark("plan_audit")
     cartesian, bad_bnlj, global_windows, errors = [], [], [], []
+    censuses: dict[str, dict[str, int]] = {}
     n = 0
     for name, fn in QUERIES.items():
         if "stream" in name:
@@ -78,6 +132,7 @@ def main() -> int:
             errors.append((name, f"{type(exc).__name__}: {exc}"[:160]))
             continue
         n += 1
+        censuses[name] = plan_census(plan)
         if "CartesianProduct" in plan:
             cartesian.append(name)
         bnlj = plan.count("BroadcastNestedLoopJoin")
@@ -118,7 +173,38 @@ def main() -> int:
         print("un-partitioned windows outside allowlist: NONE")
     for name, err in errors:
         print(f"  ERROR {name}: {err}")
-    return 1 if (cartesian or global_windows or errors) else 0
+
+    drift = []
+    if write_golden:
+        GOLDEN_PATH.write_text(
+            json.dumps({"sf": sf, "censuses": censuses}, indent=1, sort_keys=True)
+        )
+        print(f"golden plan census written: {GOLDEN_PATH} ({len(censuses)} plans)")
+    elif sf == GOLDEN_SF and GOLDEN_PATH.exists():
+        golden = json.loads(GOLDEN_PATH.read_text())["censuses"]
+        for name, got in censuses.items():
+            want = golden.get(name)
+            if want is None:
+                # New query: not a failure (the golden predates it), but
+                # loudly demand a regeneration so it gets pinned.
+                print(f"warn  golden: NEW query {name} — rerun --write-golden")
+                continue
+            if got != want:
+                drift.append(name)
+                delta = {
+                    k: (want.get(k, 0), got.get(k, 0))
+                    for k in sorted(set(want) | set(got))
+                    if want.get(k, 0) != got.get(k, 0)
+                }
+                print(f"DRIFT {name}: golden->now {delta}")
+        print(
+            f"plan-shape drift vs golden: {drift or 'NONE'} "
+            f"({len(censuses)} plans checked)"
+        )
+    elif sf == GOLDEN_SF:
+        print("warn  no golden plan census — run --write-golden to pin shapes")
+
+    return 1 if (cartesian or global_windows or errors or drift) else 0
 
 
 if __name__ == "__main__":
