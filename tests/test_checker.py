@@ -44,6 +44,85 @@ class TestNormCell:
         assert norm_cell(5.0) == norm_cell(5)
 
 
+class TestCertLedgerGrades:
+    # The two certificate grades (VERDICT r12 "What's wrong" #2): an
+    # oracle-backed green row, and the weaker rows-only certificate for
+    # by-contract no-oracle queries. Everything else is red.
+
+    def test_oracle_backed_green(self):
+        from tools.cert_ledger import is_green_row
+
+        assert is_green_row(
+            {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 4446, "oracle_rows": 4446, "err": None}
+        )
+
+    def test_rows_only_green(self):
+        from tools.cert_ledger import is_green_row
+
+        # Verbatim shape of CORRECTNESS_r01's b12_approx_count_distinct.
+        assert is_green_row(
+            {"rows_match": None, "schema_match": None, "hash_match": None,
+             "spark_rows": 3, "oracle_rows": None, "err": "no_oracle"}
+        )
+
+    def test_red_rows(self):
+        from tools.cert_ledger import is_green_row
+
+        assert not is_green_row(
+            {"rows_match": False, "schema_match": True, "err": None,
+             "spark_rows": 1, "oracle_rows": 2}
+        )
+        assert not is_green_row(
+            {"rows_match": True, "schema_match": False, "err": None,
+             "spark_rows": 1, "oracle_rows": 1}
+        )
+        # A rows-only slot that produced ZERO rows is NOT a certificate —
+        # the driver's weak check is rows > 0.
+        assert not is_green_row(
+            {"rows_match": None, "schema_match": None, "err": "no_oracle",
+             "spark_rows": 0, "oracle_rows": None}
+        )
+        # A genuine error row never certifies.
+        assert not is_green_row(
+            {"rows_match": None, "schema_match": None,
+             "err": "AnalysisException: ...", "spark_rows": None}
+        )
+
+
+class TestPlanCensus:
+    def test_counts_drift_relevant_markers(self):
+        from tools.plan_audit import plan_census
+
+        plan = (
+            "AdaptiveSparkPlan\n"
+            "+- SortMergeJoin [a#1], [b#2], Inner\n"
+            "   :- Sort [a#1 ASC NULLS FIRST]\n"
+            "   :  +- Exchange hashpartitioning(a#1, 32)\n"
+            "   :     +- HashAggregate(keys=[a#1], functions=[sum(x#3)])\n"
+            "   +- Sort [b#2 ASC NULLS FIRST]\n"
+            "      +- Exchange hashpartitioning(b#2, 32)\n"
+            "+- Window [row_number() windowspecdefinition(a#1 ASC)]\n"
+        )
+        c = plan_census(plan)
+        assert c["sort_merge_join"] == 1
+        assert c["shuffle_hash_exch"] == 2
+        assert c["hash_agg"] == 1
+        assert c["window"] == 1
+        assert c["sort"] == 2
+        # zero entries are dropped, windowspecdefinition is not a Window op
+        assert "cartesian" not in c and "broadcast_hash_join" not in c
+
+    def test_broadcast_vs_shuffle_distinct(self):
+        from tools.plan_audit import plan_census
+
+        c = plan_census(
+            "+- BroadcastHashJoin [k#1], [k#2], Inner, BuildRight\n"
+            "   +- BroadcastExchange HashedRelationBroadcastMode\n"
+        )
+        assert c == {"broadcast_hash_join": 1, "broadcast_exch": 1}
+
+
 class TestDriverSlotContract:
     def test_first_50_slots_retire_certification_debt(self):
         # The external gate records correctness rows for EXACTLY the first
