@@ -970,6 +970,108 @@ def main() -> int:
                 e, "user_id", n_bits=1 << 20,
             ),
         )
+
+    # Round-13: the r12 wideners certified this round. HITS shares
+    # pagerank's synthetic degree-4 graph (nodes AND edges scale with
+    # the corpus; per-iteration shuffles are what's probed);
+    # Adamic-Adar mirrors the common_neighbors probe (same wedge
+    # machinery, weighted centers) with the same replica-salted block
+    # so 10x means 10x data, not denser cliques; preference_pairs is
+    # ONE argmin aggregate (groups constant, candidates 10x — the
+    # worst case for the agg); brier is a scan + 1-row scorecard;
+    # cusum/seasonal collapse to a daily aggregate before any window.
+    from ddataframeoperation_spark.operators.timeseries import (
+        cusum_changepoint,
+        seasonal_mad_anomalies,
+    )
+
+    _cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    for tag, d in (("1x", docs1), (f"{factor}x", docs)):
+        probe(
+            f"hits {tag}",
+            lambda d=d: dedup.hits(
+                d.select(F.col("doc_id").alias("id")),
+                d.select(F.col("doc_id").alias("src"))
+                .withColumn("_i", F.explode(F.sequence(F.lit(1), F.lit(4))))
+                .select(
+                    "src",
+                    F.pmod(
+                        F.xxhash64(F.col("src") * F.col("_i")), F.lit(997)
+                    ).alias("dst"),
+                    F.lit(1).alias("w"),
+                ),
+                n_iter=4,
+            ),
+        )
+        probe(
+            f"adamic_adar {tag}",
+            lambda d=d: dedup.adamic_adar_pairs(
+                dedup.jaccard_pairs(
+                    d.withColumn(
+                        "_blk",
+                        F.concat_ws(
+                            "/",
+                            F.col("source"),
+                            (F.col("doc_id") / 10_000_000).cast("long"),
+                        ),
+                    ),
+                    group_col="_blk",
+                    threshold=0.35,
+                ).select("id_a", "id_b"),
+                min_common=2,
+                max_degree=64,
+            ),
+        )
+        probe(
+            f"preference_pairs {tag}",
+            lambda d=d: TX.preference_pairs(
+                d.select(
+                    (F.col("doc_id") % 97).alias("prompt_id"),
+                    "doc_id",
+                    F.col("n_chars").alias("score"),
+                ),
+                group_col="prompt_id",
+                id_col="doc_id",
+                score_col="score",
+            ),
+        )
+        probe(
+            f"brier_decomposition {tag}",
+            lambda d=d: relational.brier_decomposition(
+                d.select(
+                    F.round(
+                        F.least(
+                            F.lit(1.0),
+                            F.greatest(
+                                F.lit(0.0), F.col("n_chars") / 2000.0 - 0.5
+                            ),
+                        ),
+                        4,
+                    ).alias("score"),
+                    (F.col("lang") == "en").alias("label"),
+                ),
+                "score",
+                "label",
+            ),
+        )
+    for tag, e in (("1x", ev1), (f"{factor}x", ev)):
+        probe(
+            f"cusum_changepoint {tag}",
+            lambda e=e: cusum_changepoint(e, "ts", _cents, "event_type"),
+        )
+        probe(
+            f"seasonal_mad_anomalies {tag}",
+            lambda e=e: seasonal_mad_anomalies(e, "ts", _cents, "event_type"),
+        )
+    ord1 = read_fixture_table(spark, SF, "orders")
+    ordx = replicate(
+        ord1, factor, ["o_orderkey", "o_custkey"], 10_000_000
+    ).localCheckpoint()
+    for tag, o in (("1x", ord1), (f"{factor}x", ordx)):
+        probe(
+            f"rfm_segments {tag}",
+            lambda o=o: relational.rfm_segments(o),
+        )
     return 0
 
 
