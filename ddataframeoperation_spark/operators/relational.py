@@ -1822,7 +1822,15 @@ def rfm_segments(
     # would otherwise flip that customer's bucket cross-engine. At 6 dp
     # the q∈{.2,.4,.6,.8} interpolation of integer inputs can never sit
     # on a rounding half-boundary, so both engines land on the same
-    # grid point. The oracle applies the identical round.
+    # grid point. The oracle applies the identical round. NOTE: that
+    # never-on-a-half-boundary argument needs the quantile fractions
+    # i/n_buckets to terminate well inside 6 decimals — true for the
+    # default 5 and any n_buckets of the form 2^a·5^b; for e.g.
+    # n_buckets=3 (repeating 1/3) a cut CAN land near x.xxxxxx5 and a
+    # >1e-7 cross-engine interpolation gap could still flip the grid
+    # point. Engine output is deterministic either way; only the
+    # cross-engine bitwise-parity guarantee narrows to terminating
+    # fractions.
     cuts = per.agg(
         F.expr(
             f"transform(percentile(_rdays, array({qlit})), x -> round(x, 6))"

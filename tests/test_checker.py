@@ -54,7 +54,8 @@ class TestCertLedgerGrades:
 
         assert is_green_row(
             {"rows_match": True, "schema_match": True, "hash_match": True,
-             "spark_rows": 4446, "oracle_rows": 4446, "err": None}
+             "spark_rows": 4446, "oracle_rows": 4446, "err": None},
+            has_oracle=True,
         )
 
     def test_rows_only_green(self):
@@ -63,7 +64,23 @@ class TestCertLedgerGrades:
         # Verbatim shape of CORRECTNESS_r01's b12_approx_count_distinct.
         assert is_green_row(
             {"rows_match": None, "schema_match": None, "hash_match": None,
-             "spark_rows": 3, "oracle_rows": None, "err": "no_oracle"}
+             "spark_rows": 3, "oracle_rows": None, "err": "no_oracle"},
+            has_oracle=False,
+        )
+
+    def test_no_oracle_row_never_certifies_an_oracled_query(self):
+        from tools.cert_ledger import is_green_row
+
+        # A query that HAS an oracle in the current registry must earn
+        # the oracle-backed grade: a historical no_oracle row (recorded
+        # before its oracle existed — CORRECTNESS_r01's
+        # b12_approx_count_distinct is exactly this) or a degraded
+        # driver run must NOT retire it from the `never` queue, or an
+        # oracle mismatch could hide forever.
+        assert not is_green_row(
+            {"rows_match": None, "schema_match": None, "hash_match": None,
+             "spark_rows": 3, "oracle_rows": None, "err": "no_oracle"},
+            has_oracle=True,
         )
 
     def test_red_rows(self):
@@ -71,22 +88,26 @@ class TestCertLedgerGrades:
 
         assert not is_green_row(
             {"rows_match": False, "schema_match": True, "err": None,
-             "spark_rows": 1, "oracle_rows": 2}
+             "spark_rows": 1, "oracle_rows": 2},
+            has_oracle=True,
         )
         assert not is_green_row(
             {"rows_match": True, "schema_match": False, "err": None,
-             "spark_rows": 1, "oracle_rows": 1}
+             "spark_rows": 1, "oracle_rows": 1},
+            has_oracle=True,
         )
         # A rows-only slot that produced ZERO rows is NOT a certificate —
         # the driver's weak check is rows > 0.
         assert not is_green_row(
             {"rows_match": None, "schema_match": None, "err": "no_oracle",
-             "spark_rows": 0, "oracle_rows": None}
+             "spark_rows": 0, "oracle_rows": None},
+            has_oracle=False,
         )
         # A genuine error row never certifies.
         assert not is_green_row(
             {"rows_match": None, "schema_match": None,
-             "err": "AnalysisException: ...", "spark_rows": None}
+             "err": "AnalysisException: ...", "spark_rows": None},
+            has_oracle=False,
         )
 
 
@@ -151,15 +172,24 @@ class TestDriverSlotContract:
         never = [n for n in names if n not in union]
         slotted_never = [n for n in never if n in set(first50)]
         assert len(slotted_never) >= min(len(never), 49)
-        # Slots are oracle-checked except queries that are rows-only BY
-        # CONTRACT — allowed in a slot while awaiting their (weaker,
-        # rows-check) first certificate AND after they hold it (the r13
-        # closing rotation slots the 4 rows-only families once; when the
-        # driver file lands they move from `never` into `union` via
-        # certified_union's no_oracle+spark_rows>0 grade, and the tree
-        # must stay green either way).
+        # Slots are oracle-checked except the PINNED rows-only-by-
+        # contract hash families — allowed in a slot while awaiting
+        # their (weaker, rows-check) first certificate AND after they
+        # hold it (the r13 closing rotation slots them once; when the
+        # driver file lands they move from `never` into `union` and the
+        # tree must stay green either way). The set is pinned BY NAME —
+        # `n in never or n in union` would be a tautology (never is the
+        # complement of union), so a new oracle-less query can't slip
+        # into a slot without consciously extending this list.
+        ROWS_ONLY_BY_CONTRACT = {
+            "b32_minhash_raw",
+            "b32_simhash_candidates",
+            "b33_lsh_topk",
+            "bmm_binary_ingest",
+        }
+        assert set(QUERIES) - set(ORACLES) == ROWS_ONLY_BY_CONTRACT
         for n in first50:
-            assert n in ORACLES or n in never or n in union, n
+            assert n in ORACLES or n in ROWS_ONLY_BY_CONTRACT, n
 
 
 @pytest.mark.usefixtures("spark")

@@ -6,7 +6,11 @@ could rot all seven silently. One process, one shared Spark session
 (get_spark is a singleton, so the per-example cost is the work, not a
 JVM start), each example's ``main()`` called with the smoke SF dir:
 
-* modules with a module-level ``SF_DIR`` constant get it overridden;
+* modules with a module-level ``SF_DIR`` constant get it overridden —
+  AFTER the module body runs, so the override reaches values read at
+  main()-call time only; a module-level derivation (``X = f"{SF_DIR}/
+  docs"``) would silently keep the default, which is why such
+  derivations are rejected below;
 * modules that read ``sys.argv[1]`` get it passed;
 * self-contained demos (media_neardup_phash synthesizes its payloads)
   run as-is.
@@ -21,6 +25,7 @@ Usage: python tools/examples_smoke.py [sf_dir]
 from __future__ import annotations
 
 import importlib.util
+import re
 import sys
 import time
 from pathlib import Path
@@ -36,6 +41,23 @@ def main() -> int:
         name = path.stem
         t0 = time.time()
         try:
+            # The SF_DIR override below lands after the module body has
+            # run, so a module-level value DERIVED from SF_DIR would
+            # keep the default and the smoke would silently test the
+            # wrong fixture — reject that pattern outright.
+            src = path.read_text()
+            derived = [
+                ln.strip()
+                for ln in src.splitlines()
+                if re.match(r"^[A-Za-z_][\w]*\s*=.*\bSF_DIR\b", ln)
+                and not re.match(r"^SF_DIR\s*=", ln)
+            ]
+            if derived:
+                raise RuntimeError(
+                    "module-level value derived from SF_DIR (override "
+                    f"can't reach it): {derived[0]!r} — read SF_DIR "
+                    "inside main() instead"
+                )
             spec = importlib.util.spec_from_file_location(f"example_{name}", path)
             mod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(mod)

@@ -116,9 +116,21 @@ BNLJ_ALLOWLIST = {
 
 
 def main() -> int:
+    import os
+
     args = [a for a in sys.argv[1:] if a != "--write-golden"]
     write_golden = "--write-golden" in sys.argv[1:]
     sf = args[0] if args else GOLDEN_SF
+    at_golden_sf = os.path.normpath(sf) == os.path.normpath(GOLDEN_SF)
+    if write_golden and not at_golden_sf:
+        # A golden pinned at another SF would poison every future gate
+        # run with mass spurious DRIFT (AQE/broadcast decisions are
+        # statistics-dependent) — refuse before burning 287 plan builds.
+        print(
+            f"ERROR --write-golden only at {GOLDEN_SF} (got {sf}); "
+            "plan shapes at other SFs are legitimately different"
+        )
+        return 1
     spark = get_spark("plan_audit")
     cartesian, bad_bnlj, global_windows, errors = [], [], [], []
     censuses: dict[str, dict[str, int]] = {}
@@ -177,11 +189,20 @@ def main() -> int:
     drift = []
     if write_golden:
         GOLDEN_PATH.write_text(
-            json.dumps({"sf": sf, "censuses": censuses}, indent=1, sort_keys=True)
+            json.dumps(
+                {"sf": GOLDEN_SF, "censuses": censuses}, indent=1, sort_keys=True
+            )
         )
         print(f"golden plan census written: {GOLDEN_PATH} ({len(censuses)} plans)")
-    elif sf == GOLDEN_SF and GOLDEN_PATH.exists():
-        golden = json.loads(GOLDEN_PATH.read_text())["censuses"]
+    elif at_golden_sf and GOLDEN_PATH.exists():
+        payload = json.loads(GOLDEN_PATH.read_text())
+        if os.path.normpath(payload.get("sf", "")) != os.path.normpath(GOLDEN_SF):
+            print(
+                f"ERROR golden census was written at sf={payload.get('sf')!r}, "
+                f"not {GOLDEN_SF} — regenerate with --write-golden"
+            )
+            return 1
+        golden = payload["censuses"]
         for name, got in censuses.items():
             want = golden.get(name)
             if want is None:
@@ -197,11 +218,15 @@ def main() -> int:
                     if want.get(k, 0) != got.get(k, 0)
                 }
                 print(f"DRIFT {name}: golden->now {delta}")
+        # Stale golden entries (query removed or renamed): the pinned
+        # shape silently stops protecting anything — demand a regen.
+        for name in sorted(set(golden) - set(censuses)):
+            print(f"warn  golden: STALE entry {name} — rerun --write-golden")
         print(
             f"plan-shape drift vs golden: {drift or 'NONE'} "
             f"({len(censuses)} plans checked)"
         )
-    elif sf == GOLDEN_SF:
+    elif at_golden_sf:
         print("warn  no golden plan census — run --write-golden to pin shapes")
 
     return 1 if (cartesian or global_windows or errors or drift) else 0
