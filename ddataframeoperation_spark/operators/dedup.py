@@ -2071,6 +2071,14 @@ def _wedge_link_pairs(
     """
     if min_common < 1:
         raise ValueError("min_common must be >= 1")
+    # NULL-id edges can never form a wedge (the equi-join on the shared
+    # node skips NULLs) but WOULD count into the degree table, inflating
+    # deg(center) — which both understates 1/ln(deg) AA weights and can
+    # push a legitimate center over max_degree, silently dropping its
+    # candidate pairs. Drop them before symmetrizing.
+    pairs = pairs.filter(
+        F.col("id_a").isNotNull() & F.col("id_b").isNotNull()
+    )
     adj = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .unionAll(

@@ -1713,6 +1713,25 @@ def chi_square_test(
     )
 
 
+def _finite_score(s: Column) -> Column:
+    """Keep only real [0,1]-intended scores: NULLs AND NaNs are dropped.
+    NaN passes isNotNull, floors into bin 0 on Spark, and poisons every
+    downstream sum (brier/reliability/resolution all NaN) while a SQL
+    twin errors or NULLs on the same cast — both wrong-answer and
+    cross-engine divergent."""
+    return s.isNotNull() & ~F.isnan(s)
+
+
+def _clamped_bin(s: Column, n_bins: int) -> Column:
+    """The equal-width bin assignment shared by :func:`calibration_bins`
+    and :func:`brier_decomposition` (one definition so the two can't
+    drift): clamped floor(score·n_bins) into [0, n_bins-1]."""
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.lit(n_bins - 1), F.floor(s * n_bins)).cast("long"),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     score_col: str,
@@ -1745,13 +1764,10 @@ def calibration_bins(
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
-    s = F.col(score_col)
+    s = F.col(score_col).cast("double")
     lbl = F.col(label_col).cast("boolean")
-    base = df.filter(s.isNotNull() & lbl.isNotNull())
-    b = F.greatest(
-        F.lit(0).cast("long"),
-        F.least(F.lit(n_bins - 1), F.floor(s * n_bins)).cast("long"),
-    )
+    base = df.filter(_finite_score(s) & lbl.isNotNull())
+    b = _clamped_bin(s, n_bins)
     g = base.groupBy(b.alias("bin")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.when(lbl, 1).otherwise(0)).cast("long").alias("n_pos"),
@@ -1803,6 +1819,16 @@ def rfm_segments(
         raise ValueError("n_buckets must be >= 2")
     qs = [i / n_buckets for i in range(1, n_buckets)]
     qlit = ", ".join(repr(q) for q in qs)
+    # NULL customer/date/amount rows are dropped up front: a NULL metric
+    # would compare NULL against every cut, F.filter would drop all
+    # cuts, and 1 + size(empty) would file the UNKNOWN-value customer in
+    # bucket 1 — the BEST band on that axis (an all-NULL-dates customer
+    # ranking "most recent"). The registered oracle filters identically.
+    orders = orders.filter(
+        F.col(customer_col).isNotNull()
+        & F.col(date_col).isNotNull()
+        & F.col(amount_col).isNotNull()
+    )
     cents = F.floor(F.col(amount_col) * 100 + F.lit(0.5)).cast("long")
     per = orders.groupBy(F.col(customer_col).alias("_cust")).agg(
         F.max(date_col).alias("_last"),
@@ -1828,9 +1854,12 @@ def rfm_segments(
     # default 5 and any n_buckets of the form 2^a·5^b; for e.g.
     # n_buckets=3 (repeating 1/3) a cut CAN land near x.xxxxxx5 and a
     # >1e-7 cross-engine interpolation gap could still flip the grid
-    # point. Engine output is deterministic either way; only the
+    # point. It also needs cut magnitudes below ~2^33 (~$86M lifetime
+    # cents): above that a double's ulp exceeds the 1e-6 grid, so
+    # round(x, 6) can no longer snap two engines' interpolations to the
+    # same point. Engine output is deterministic either way; only the
     # cross-engine bitwise-parity guarantee narrows to terminating
-    # fractions.
+    # fractions and sub-2^33 cuts.
     cuts = per.agg(
         F.expr(
             f"transform(percentile(_rdays, array({qlit})), x -> round(x, 6))"
@@ -1896,15 +1925,10 @@ def brier_decomposition(
         raise ValueError("n_bins must be >= 2")
     s = F.col(score_col).cast("double")
     lbl = F.col(label_col).cast("boolean")
-    base = df.filter(s.isNotNull() & lbl.isNotNull()).select(
+    base = df.filter(_finite_score(s) & lbl.isNotNull()).select(
         s.alias("_s"), F.when(lbl, 1.0).otherwise(0.0).alias("_y")
     )
-    b = F.greatest(
-        F.lit(0).cast("long"),
-        F.least(F.lit(n_bins - 1), F.floor(F.col("_s") * n_bins)).cast(
-            "long"
-        ),
-    )
+    b = _clamped_bin(F.col("_s"), n_bins)
     # Squares are written as explicit products, NOT pow(x, 2): Spark's
     # Math.pow and an oracle engine's libm pow are not guaranteed
     # bitwise-equal, while IEEE multiplication is.

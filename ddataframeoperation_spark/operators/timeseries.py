@@ -547,6 +547,12 @@ def seasonal_decompose_weekly(
     shuffles once, everything after is |groups × days| sized.
     """
     d = F.to_date(F.col(ts_col)).alias("d")
+    # NULL-ts rows have no day and NULL-value rows contribute nothing to
+    # the sum while still counting a day into the 7-observed-day frame
+    # check (count(lit(1)) vs sum's NULL-skip) — either one silently
+    # presents a 6-day sum as a complete trend frame. Drop them up front
+    # on BOTH engines (the registered oracles filter identically).
+    df = df.filter(F.col(ts_col).isNotNull() & value_cents.isNotNull())
     daily = df.groupBy(F.col(group_col).alias("grp"), d).agg(
         F.sum(value_cents.cast("decimal(38,0)"))
         .cast("long")
@@ -608,6 +614,13 @@ def cusum_changepoint(
     group, one top-1-per-group window — daily tables only.
     """
     d = F.to_date(F.col(ts_col)).alias("d")
+    # Drop NULL-ts (no day) and NULL-value rows BEFORE the daily
+    # aggregate: an all-NULL day would otherwise count into n but
+    # contribute NULL (skipped) to T, breaking the documented S_n == 0
+    # invariant and biasing every deviation — and a NULL day would sort
+    # first on Spark but last on DuckDB, desynchronizing the running
+    # sum. The registered oracle filters identically.
+    df = df.filter(F.col(ts_col).isNotNull() & value_cents.isNotNull())
     daily = df.groupBy(F.col(group_col).alias("grp"), d).agg(
         F.sum(value_cents.cast("decimal(38,0)")).alias("x")
     )

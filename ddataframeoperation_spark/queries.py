@@ -9122,14 +9122,21 @@ def b32h(spark: SparkSession, sf: str) -> DataFrame:
 @_q(
     "b35_rfm_segments",
     """
-    WITH per AS (
+    WITH base AS (
+      -- NULL customer/date/amount rows dropped to mirror the engine: a
+      -- NULL metric would otherwise compare NULL against every cut and
+      -- file an unknown-value customer into bucket 1 (the BEST band).
+      SELECT * FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        AND o_totalprice IS NOT NULL
+    ), per AS (
       SELECT o_custkey,
              date_diff('day', max(o_orderdate),
-                       (SELECT max(o_orderdate) FROM orders)) AS rdays,
+                       (SELECT max(o_orderdate) FROM base)) AS rdays,
              CAST(count(*) AS BIGINT) AS freq,
              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
                   AS BIGINT) AS cents
-      FROM orders GROUP BY o_custkey
+      FROM base GROUP BY o_custkey
     ), cuts AS (
       -- 6dp round matches the engine side: integer metrics compared
       -- strictly against interpolated cuts must see the SAME grid
@@ -9397,9 +9404,12 @@ def b22ro(spark: SparkSession, sf: str) -> DataFrame:
     "b24_cusum_changepoint",
     """
     WITH daily AS (
+      -- NULL ts/value rows dropped to mirror the engine: an all-NULL
+      -- day would count into n but not T, breaking S_n == 0.
       SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
              sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS x
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
     ), g AS (
       SELECT event_type, count(*) AS n, sum(x) AS t FROM daily GROUP BY 1
     ), c AS (
@@ -9559,7 +9569,8 @@ def b17rm(spark: SparkSession, sf: str) -> DataFrame:
       SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS BIGINT)
                  AS daily_cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
     ), t AS (
       SELECT event_type, d, daily_cents,
              CASE WHEN count(*) OVER w = 7
@@ -9719,7 +9730,8 @@ def b26kc(spark: SparkSession, sf: str) -> DataFrame:
       SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS HUGEINT)) AS BIGINT)
                  AS daily_cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
     ), t AS (
       SELECT event_type, d, daily_cents,
              CASE WHEN count(*) OVER w = 7
@@ -10869,10 +10881,13 @@ def b29ps(spark: SparkSession, sf: str) -> DataFrame:
              (lang = 'en') AS label
       FROM m WHERE norm <> ''
     ), g AS (
+      -- NOT isnan mirrors the engine's finite-score filter (a NaN
+      -- score would floor into bin 0 on Spark and poison sums; no
+      -- fixture produces one, but the filters must match by contract).
       SELECT greatest(0, least(9, CAST(floor(score * 10) AS BIGINT))) AS bin,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
-      FROM scored GROUP BY 1
+      FROM scored WHERE NOT isnan(score) GROUP BY 1
     )
     SELECT bin, n, n_pos,
            (n_pos * 10000) // n AS pos_rate_bp,
@@ -11705,12 +11720,13 @@ def b32aa(spark: SparkSession, sf: str) -> DataFrame:
              CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
       FROM m WHERE norm <> '' AND lang IS NOT NULL
     ), b AS (
+      -- NOT isnan mirrors the engine's finite-score filter.
       SELECT greatest(0, least(9, CAST(floor(s * 10) AS BIGINT))) AS bin,
              count(*) * 1.0 AS n,
              sum(y) AS npos,
              sum(s) AS ssum,
              sum((s - y) * (s - y)) AS sqe
-      FROM scored GROUP BY 1
+      FROM scored WHERE NOT isnan(s) GROUP BY 1
     ), t AS (
       SELECT sum(n) AS nn, sum(npos) AS pp, sum(sqe) AS sqet FROM b
     )

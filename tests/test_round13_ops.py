@@ -132,3 +132,126 @@ class TestExamplesSmokeGuard:
         # pass WITH the override visible inside main() -> rc nonzero
         # because exactly one of the two failed.
         assert rc == 1
+
+
+# --------------------------------- r13 review fixes: NULL/NaN contracts
+
+
+@pytest.mark.usefixtures("spark")
+class TestNullContractFixes:
+    def test_cusum_all_null_day_excluded_from_n_and_t(self, spark):
+        # A day whose values are all NULL must not count into n while
+        # being skipped by T — that broke the documented S_n == 0
+        # invariant and biased the argmax (r13 review finding).
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from ddataframeoperation_spark.operators.timeseries import (
+            cusum_changepoint,
+        )
+
+        base = datetime.datetime(2024, 1, 1, 12, 0)
+        rows = [
+            ("g", base, 10.0),
+            ("g", base + datetime.timedelta(days=1), None),  # all-NULL day
+            ("g", base + datetime.timedelta(days=2), 20.0),
+        ]
+        df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+        out = cusum_changepoint(
+            df, "ts", F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long"), "grp"
+        ).collect()
+        assert len(out) == 1
+        # n counts only the 2 observed days; the correct 2-day series is
+        # S(d1) = 2*1000 - 3000 = -1000, S(d3) = 0 -> argmax |S| = d1.
+        assert out[0]["n_days"] == 2
+        assert out[0]["change_day"] == datetime.date(2024, 1, 1)
+        assert out[0]["s_max_abs"] == "1000"
+
+    def test_seasonal_trend_frame_ignores_null_value_days(self, spark):
+        # A NULL-value day must not occupy a slot in the 7-observed-day
+        # trend frame check while contributing nothing to the sum.
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from ddataframeoperation_spark.operators.timeseries import (
+            seasonal_decompose_weekly,
+        )
+
+        base = datetime.datetime(2024, 1, 1, 12, 0)
+        rows = []
+        for i in range(8):
+            # day 3 exists but with a NULL value; 8 days total so the
+            # non-null count is 7 and exactly one complete frame exists
+            rows.append(
+                ("g", base + datetime.timedelta(days=i),
+                 None if i == 3 else 100.0)
+            )
+        df = spark.createDataFrame(rows, "grp string, ts timestamp, v double")
+        out = seasonal_decompose_weekly(
+            df, "ts", F.floor(F.col("v") * 100 + F.lit(0.5)).cast("long"), "grp"
+        ).collect()
+        days = {r["d"]: r for r in out}
+        # the NULL day is gone entirely (not a 6-day sum masquerading)
+        assert datetime.date(2024, 1, 4) not in days
+        assert len(days) == 7
+        framed = [r for r in out if r["trend_x7"] is not None]
+        assert len(framed) == 1 and framed[0]["trend_x7"] == 7 * 10000
+
+    def test_rfm_null_metric_rows_dropped_not_bucket_1(self, spark):
+        import datetime
+
+        from ddataframeoperation_spark.operators.relational import rfm_segments
+
+        base = datetime.date(2024, 1, 1)
+        rows = []
+        for k in range(10):
+            for j in range(k + 1):
+                rows.append(
+                    (k, base + datetime.timedelta(days=3 * k + j), 100.00)
+                )
+        # customer 99: all-NULL dates — must vanish, NOT rank bucket 1
+        rows.append((99, None, 100.00))
+        df = spark.createDataFrame(
+            rows, "o_custkey int, o_orderdate date, o_totalprice double"
+        )
+        out = rfm_segments(df).collect()
+        assert sum(r["n_customers"] for r in out) == 10
+        assert all(1 <= r["r_bucket"] <= 5 for r in out)
+
+    def test_brier_and_calibration_drop_nan_scores(self, spark):
+        from ddataframeoperation_spark.operators.relational import (
+            brier_decomposition,
+            calibration_bins,
+        )
+
+        clean = [(0.1 * i, i % 2 == 0) for i in range(10)]
+        df = spark.createDataFrame(
+            clean + [(float("nan"), True)], "score double, label boolean"
+        )
+        b = brier_decomposition(df, "score", "label").collect()
+        assert len(b) == 1 and b[0]["n"] == 10
+        import math
+
+        assert not math.isnan(b[0]["brier"])
+        c = calibration_bins(df, "score", "label").collect()
+        assert sum(r["n"] for r in c) == 10
+
+    def test_wedge_degree_ignores_null_neighbors(self, spark):
+        from ddataframeoperation_spark.operators.dedup import adamic_adar_pairs
+
+        pairs = spark.createDataFrame(
+            [(100, None), (100, 1), (100, 2)], "id_a long, id_b long"
+        )
+        out = adamic_adar_pairs(pairs, min_common=1).collect()
+        # one wedge (1, 2) through center 100 whose TRUE degree is 2
+        assert len(out) == 1
+        r = out[0]
+        assert (r["id_a"], r["id_b"], r["n_common"]) == (1, 2, 1)
+        import math
+
+        assert r["aa_score"] == round(1.0 / math.log(2.0), 4)
+        # and with max_degree=2 the center must SURVIVE the hub guard
+        guarded = adamic_adar_pairs(pairs, min_common=1, max_degree=2).collect()
+        assert len(guarded) == 1
