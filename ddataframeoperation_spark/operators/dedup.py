@@ -407,6 +407,16 @@ def connected_components(
     # against ``edges``, and without this the full upstream pair
     # computation (e.g. a 2-shuffle jaccard_pairs) re-executes per round —
     # measured 51s -> 8s at sf0.1 for the cluster_dedup pipeline.
+    # NULL-endpoint pairs are dropped WHOLE: a (NULL, x) pair would seed
+    # a spurious (id=NULL, component=NULL) label row that survives to
+    # the output (min-label hooks skip NULL labels, so it never merges
+    # and never converges away). Dropping the pair means x — if it has
+    # no real partner — is absent from the labeling, which every caller
+    # already reads as "singleton" (left_anti keep / coalesce(component,
+    # id)), exactly what a partner-less node is.
+    pairs = pairs.filter(
+        SF.col("id_a").isNotNull() & SF.col("id_b").isNotNull()
+    )
     edges = _truncate(
         pairs.select(SF.col("id_a").alias("src"), SF.col("id_b").alias("dst"))
         .unionByName(
@@ -1282,8 +1292,13 @@ def triangle_count(
     The standard distributed shape: edges are canonicalized to
     ``lo < hi`` and deduplicated; wedges come from the self-join of
     edges on their LOW endpoint (each wedge generated exactly once by
-    ordering the two high endpoints); a final equi-join against the
-    edge set closes the wedge. Cost ∝ Σ_v deg(v)² for the wedge step —
+    ordering the two high endpoints). ``n_wedges`` is therefore the
+    ORIENTED (min-rooted) wedge count — the number of triangle
+    candidates actually tested, of which each triangle closes exactly
+    one — not the classic Σ C(deg, 2) wedge census (a triangle reports
+    1 oriented wedge, not 3; get Σ C(d, 2) from
+    :func:`pair_degree_census` if you want textbook transitivity).
+    A final equi-join against the edge set closes the wedge. Cost ∝ Σ_v deg(v)² for the wedge step —
     the known hot-vertex sensitivity; at corpus scale run it on the
     CLUSTERED pair set (post-LSH candidates, bounded cluster sizes),
     not on a raw similarity matrix. No cartesian anywhere — both steps
@@ -1580,6 +1595,12 @@ def pair_degree_census(
     per node, one count per degree (output bounded by max_degree), a
     1-row totals broadcast. Nothing beyond the pair table's own size.
     """
+    # NULL-endpoint pairs are dropped: a (NULL, x) pair would otherwise
+    # census NULL as a real node (one phantom node, one phantom edge,
+    # and a +1 phantom partner on x) — the census must describe the
+    # graph the downstream components run will actually see, which
+    # skips NULL ids at every equi-join.
+    pairs = pairs.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
     ends = pairs.select(F.col(a_col).alias("node")).unionAll(
         pairs.select(F.col(b_col).alias("node"))
     )
@@ -1772,11 +1793,25 @@ def pagerank(
     # keyword_pagerank's corpus-wide skipgram explode — would otherwise
     # be re-executed n_iter+1 times (measured 6 extra corpus scans at
     # n_iter=6 before this truncate).
-    n = _truncate(nodes.select(F.col(nodes.columns[0]).alias("id")))
+    # NULL-id nodes and NULL-field edges are dropped up front. A NULL-id
+    # node would emit a garbage (NULL, base) rank row, and a NULL-dst
+    # edge is worse than harmless: its weight counts into W(src), so the
+    # src's REAL out-edges each forward rank·w/W with an inflated W —
+    # silently siphoning mass that the dangling-drop contract never
+    # covered (the mass itself then vanishes at the node join).
+    n = _truncate(
+        nodes.select(F.col(nodes.columns[0]).alias("id")).filter(
+            F.col("id").isNotNull()
+        )
+    )
     e = edges.select(
         F.col("src"),
         F.col("dst"),
         F.col("w").cast("decimal(38,0)").alias("w"),
+    ).filter(
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & F.col("w").isNotNull()
     )
     wout = e.groupBy("src").agg(F.sum("w").alias("wt"))
     # Materialize the (static) edge+out-weight relation once; every round
@@ -1921,12 +1956,26 @@ def hits(
         "hits", _resolve_run_id(run_id), checkpoint_dir
     )
 
-    n = _truncate(nodes.select(F.col(nodes.columns[0]).alias("id")))
+    # NULL-id nodes and NULL-field edges are dropped up front. Beyond
+    # the garbage output row a NULL-id node would add, a NULL-dst edge
+    # here is a GLOBAL distortion: its propagated mass lands in a
+    # _t=NULL group that the node join discards — but only AFTER that
+    # mass counted into the L1 total the normalization divides by, so
+    # every real node's score deflates.
+    n = _truncate(
+        nodes.select(F.col(nodes.columns[0]).alias("id")).filter(
+            F.col("id").isNotNull()
+        )
+    )
     ew = _truncate(
         edges.select(
             F.col("src"),
             F.col("dst"),
             F.col("w").cast("decimal(38,0)").alias("w"),
+        ).filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & F.col("w").isNotNull()
         )
     )
 

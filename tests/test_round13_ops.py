@@ -255,3 +255,111 @@ class TestNullContractFixes:
         # and with max_degree=2 the center must SURVIVE the hub guard
         guarded = adamic_adar_pairs(pairs, min_common=1, max_degree=2).collect()
         assert len(guarded) == 1
+
+
+# ----------------------- r13 review fixes, pass 2: graph NULL contracts
+
+
+@pytest.mark.usefixtures("spark")
+class TestGraphNullContracts:
+    """A NULL id in a node/edge/pair table must never distort what the
+    REAL graph computes — equi-joins silently skip NULLs, but degree and
+    normalization aggregates do NOT, which is exactly the asymmetry that
+    produced the wedge-degree inflation fixed above. Pin the same
+    contract on every graph operator."""
+
+    def _pr(self, spark, edges_rows):
+        from ddataframeoperation_spark.operators.dedup import pagerank
+
+        nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+        edges = spark.createDataFrame(edges_rows, "src long, dst long, w long")
+        return sorted(
+            (r["id"], r["rank_units"])
+            for r in pagerank(nodes, edges, n_iter=3).collect()
+        )
+
+    def test_pagerank_null_edges_do_not_dilute_out_weight(self, spark):
+        clean = self._pr(spark, [(1, 2, 1), (2, 3, 1)])
+        # NULL dst used to count its w into W(1), halving 1->2's flow;
+        # NULL src / NULL w edges and a NULL node id are pure garbage.
+        dirty = self._pr(
+            spark,
+            [(1, 2, 1), (2, 3, 1), (1, None, 1), (None, 2, 1), (3, 1, None)],
+        )
+        assert dirty == clean
+        assert all(i is not None for i, _ in dirty)
+
+    def test_pagerank_null_node_id_dropped(self, spark):
+        from ddataframeoperation_spark.operators.dedup import pagerank
+
+        nodes = spark.createDataFrame([(1,), (2,), (None,)], "id long")
+        edges = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+        out = pagerank(nodes, edges, n_iter=2).collect()
+        assert sorted(r["id"] for r in out) == [1, 2]
+
+    def test_hits_null_dst_does_not_deflate_l1_total(self, spark):
+        from ddataframeoperation_spark.operators.dedup import hits
+
+        nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+
+        def run(rows):
+            edges = spark.createDataFrame(rows, "src long, dst long, w long")
+            return sorted(
+                (r["id"], r["hub_units"], r["auth_units"])
+                for r in hits(nodes, edges, n_iter=2).collect()
+            )
+
+        clean = run([(1, 2, 1), (3, 2, 1), (2, 3, 1)])
+        # the NULL-dst edge's propagated mass used to count into the L1
+        # total BEFORE the node join discarded it, deflating every score
+        dirty = run(
+            [(1, 2, 1), (3, 2, 1), (2, 3, 1), (1, None, 5), (None, 3, 2)]
+        )
+        assert dirty == clean
+
+    def test_connected_components_drops_null_pairs_whole(self, spark):
+        from ddataframeoperation_spark.operators.dedup import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (None, 3)], "id_a long, id_b long"
+        )
+        out = sorted(
+            (r["id"], r["component"])
+            for r in connected_components(pairs).collect()
+        )
+        # no (NULL, NULL) garbage row; 3 is absent = singleton, the
+        # reading every caller (left_anti keep, coalesce(component, id))
+        # already applies
+        assert out == [(1, 1), (2, 1)]
+
+    def test_degree_census_ignores_null_endpoint_pairs(self, spark):
+        from ddataframeoperation_spark.operators.dedup import (
+            pair_degree_census,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (None, 4)], "id_a long, id_b long"
+        )
+        rows = pair_degree_census(pairs).collect()
+        hist = {r["degree"]: r["n_nodes"] for r in rows}
+        assert hist == {1: 2, 2: 1}
+        assert rows[0]["n_nodes_total"] == 3
+        assert rows[0]["n_edges_total"] == 2
+        assert rows[0]["max_degree"] == 2
+
+    def test_triangle_count_already_null_safe(self, spark):
+        # triangle_count's lo < hi canonicalization filter drops NULL
+        # endpoints for free (NULL comparisons are NULL) — pin it so a
+        # refactor can't lose the property.
+        from ddataframeoperation_spark.operators.dedup import triangle_count
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (None, 5)], "id_a long, id_b long"
+        )
+        r = triangle_count(pairs).collect()[0]
+        # wedge generation is low-endpoint-rooted (each unordered wedge
+        # counted once from its minimum vertex): the only wedge the
+        # triangle contributes is (2, 3) rooted at 1.
+        assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (3, 1, 1)
