@@ -67,7 +67,20 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity in double. Degenerate inputs score NULL, never
+    crash and never win: a zero-norm vector divides by zero, which under
+    ANSI mode (the Spark 4 default) would KILL the whole job for one
+    corrupt row — ``try_divide`` maps it to NULL; a NaN element would
+    produce a NaN score that Spark's total order ranks ABOVE every real
+    match (NaN > +inf) and that PASSES ``>= threshold`` predicates —
+    ``nanvl`` maps it to NULL too. NULL scores sort last in the callers'
+    descending rankings and fail threshold predicates, so degenerate
+    vectors lose everywhere (count them with :func:`embedding_health`).
+    Both wrappers evaluate the fold ONCE — no when()/filter re-inlining
+    of the interpreted aggregate (the measured 3-10x trap documented in
+    :func:`semantic_join`)."""
+    raw = F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+    return F.nanvl(raw, F.lit(None).cast("double"))
 
 
 def cosine_topk(
@@ -90,7 +103,7 @@ def cosine_topk(
         cosine(F.col(vec_col), q).alias("_cos"),
     )
     return (
-        scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+        scored.orderBy(F.col("_cos").desc_nulls_last(), F.col(id_col).asc())
         .limit(k)
         .select(F.col(id_col), F.round("_cos", 4).alias("cos_sim"))
     )
@@ -134,13 +147,13 @@ def cosine_topk_multi(
     )
     shard = F.pmod(F.hash(F.col(id_col)), F.lit(shards))
     w1 = Window.partitionBy(query_id_col, shard).orderBy(
-        F.col("_cos").desc(), F.col(id_col).asc()
+        F.col("_cos").desc_nulls_last(), F.col(id_col).asc()
     )
     local = scored.withColumn("_rn", F.row_number().over(w1)).filter(
         F.col("_rn") <= k
     )
     w2 = Window.partitionBy(query_id_col).orderBy(
-        F.col("_cos").desc(), F.col(id_col).asc()
+        F.col("_cos").desc_nulls_last(), F.col(id_col).asc()
     )
     return (
         local.withColumn("_rn2", F.row_number().over(w2))
@@ -241,12 +254,17 @@ def cosine_neardup_pairs(
     # JVM fallback: pre-normalize each vector ONCE per row (materialized
     # column — a lambda-referenced norm expression would be re-inlined and
     # recomputed per element) so a candidate pair costs one dot product.
+    # try_divide: a zero-norm vector would otherwise raise DIVIDE_BY_ZERO
+    # under ANSI (Spark 4 default) and kill the job; NULL elements make
+    # its every dot NULL, which fails `>= threshold` below — the same
+    # "degenerate vectors pair with nothing" outcome the Arrow kernel
+    # reaches via cos = 0 (assuming threshold > 0, the only sane range).
     normed = blocked.withColumn("_norm", l2_norm(F.col("v"))).select(
         "id",
         "blk",
-        F.transform(F.col("v"), lambda x: x.cast("double") / F.col("_norm")).alias(
-            "v"
-        ),
+        F.transform(
+            F.col("v"), lambda x: F.try_divide(x.cast("double"), F.col("_norm"))
+        ).alias("v"),
     )
     a, b = normed.alias("a"), normed.alias("b")
     cand = a.join(
@@ -256,7 +274,14 @@ def cosine_neardup_pairs(
     scored = cand.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        dot(F.col("a.v"), F.col("b.v")).alias("_cos"),
+        # nanvl: a NaN element yields a NaN dot, and Spark's total-order
+        # comparison semantics make `NaN >= threshold` TRUE — a corrupt
+        # vector would pair with every block-mate. NULL instead fails
+        # the predicate, matching the Arrow kernel (numpy NaN >= t is
+        # False). One fold evaluation (no when() re-inlining).
+        F.nanvl(
+            dot(F.col("a.v"), F.col("b.v")), F.lit(None).cast("double")
+        ).alias("_cos"),
     )
     return scored.filter(F.col("_cos") >= threshold).select(
         "id_a", "id_b", F.round("_cos", 4).alias("cos_sim")
@@ -308,7 +333,7 @@ def lsh_topk(
     )
     scored = cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("_cos"))
     return (
-        scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+        scored.orderBy(F.col("_cos").desc_nulls_last(), F.col(id_col).asc())
         .limit(k)
         .select(F.col(id_col), F.round("_cos", 4).alias("cos_sim"))
     )
@@ -368,7 +393,18 @@ def centroid_assign(vec_col: Column, centroids: Sequence[Sequence[float]]) -> Co
     norm = l2_norm(vec_col)
     scored = [
         F.struct(
-            (-dot(vec_col, F.array(*[F.lit(float(v)) for v in c])) / norm).alias("d"),
+            # try_divide + NaN-coalesce: a zero-norm vector would raise
+            # DIVIDE_BY_ZERO under ANSI; as NULL it would sort FIRST in
+            # array_min and steal cell 0 by accident rather than by
+            # contract. Coalesced to NaN every cell ties as "no score"
+            # and the index tiebreak assigns cell 0 deterministically.
+            F.coalesce(
+                F.try_divide(
+                    -dot(vec_col, F.array(*[F.lit(float(v)) for v in c])),
+                    norm,
+                ),
+                F.lit(float("nan")),
+            ).alias("d"),
             F.lit(i).alias("i"),
         )
         for i, c in enumerate(centroids)
@@ -440,7 +476,7 @@ def ivf_topk(
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cand.select(F.col(id_col), cosine(F.col(vec_col), qlit).alias("_cos"))
     return (
-        scored.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+        scored.orderBy(F.col("_cos").desc_nulls_last(), F.col(id_col).asc())
         .limit(k)
         .select(F.col(id_col), F.round("_cos", 4).alias("cos_sim"))
     )
@@ -780,7 +816,7 @@ def pq_topk(
         F.col(id_col), cosine(F.col(vec_col), qlit).alias("_cos")
     )
     return (
-        rerank.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+        rerank.orderBy(F.col("_cos").desc_nulls_last(), F.col(id_col).asc())
         .limit(k)
         .select(F.col(id_col), F.round("_cos", 4).alias("cos_sim"))
     )
@@ -927,12 +963,16 @@ def semantic_join(
         rv = ivf_assign(
             rv_base, centroids, vec_col="_rv", cell_col="_cell"
         ).withColumn("_rn", l2_norm(F.col("_rv")))
+        # try_divide, not `/`: under ANSI (Spark 4 default) a zero-norm
+        # vector would raise DIVIDE_BY_ZERO and kill the job instead of
+        # reaching the documented NaN loser class below — try_divide's
+        # NULL feeds the same coalesce(-_cos, NaN).
         cand = lv.join(rv, on="_cell").select(
             "_lid",
             "_rid",
-            (
-                dot(F.col("_lv"), F.col("_rv"))
-                / (F.col("_ln") * F.col("_rn"))
+            F.try_divide(
+                dot(F.col("_lv"), F.col("_rv")),
+                F.col("_ln") * F.col("_rn"),
             ).alias("_cos"),
         )
     # Top-1 per left row as min(struct(-cos, rid)) rather than a
@@ -1091,13 +1131,13 @@ def matryoshka_recall(
         )
         shard = F.pmod(F.hash(F.col(id_col)), F.lit(shards))
         w1 = Window.partitionBy(query_id_col, shard).orderBy(
-            F.col("_cos").desc(), F.col(id_col).asc()
+            F.col("_cos").desc_nulls_last(), F.col(id_col).asc()
         )
         local = scored.withColumn("_rn", F.row_number().over(w1)).filter(
             F.col("_rn") <= k
         )
         w2 = Window.partitionBy(query_id_col).orderBy(
-            F.col("_cos").desc(), F.col(id_col).asc()
+            F.col("_cos").desc_nulls_last(), F.col(id_col).asc()
         )
         return (
             local.withColumn("_rn2", F.row_number().over(w2))

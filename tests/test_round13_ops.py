@@ -363,3 +363,129 @@ class TestGraphNullContracts:
         # counted once from its minimum vertex): the only wedge the
         # triangle contributes is (2, 3) rooted at 1.
         assert (r["n_edges"], r["n_wedges"], r["n_triangles"]) == (3, 1, 1)
+
+
+# ------------------- r13 review fixes, pass 3: degenerate embeddings
+
+
+@pytest.mark.usefixtures("spark")
+class TestDegenerateEmbeddingContracts:
+    """Corrupt embeddings (zero-norm, NaN element, NULL element) must
+    lose every ranking and match no threshold — and must never kill the
+    job. Under ANSI mode (the Spark 4 default) a zero-norm vector used
+    to raise DIVIDE_BY_ZERO through cosine()'s plain division, and a
+    NaN score used to rank ABOVE every real match (Spark's total order
+    puts NaN > +inf) and to PASS `>= threshold` predicates."""
+
+    def _emb(self, spark):
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 0.0, 0.0]),        # zero-norm: cosine undefined
+            (4, [float("nan"), 1.0, 0.0]),  # corrupt: NaN element
+            (5, [None, 1.0, 0.0]),       # corrupt: NULL element
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_cosine_topk_degenerates_lose_and_never_crash(self, spark):
+        from ddataframeoperation_spark.operators.similarity import (
+            cosine_topk,
+        )
+
+        out = cosine_topk(self._emb(spark), [1.0, 0.0, 0.0], k=3).collect()
+        # ids 1 and 2 are the only scorable rows; the three degenerate
+        # rows rank BELOW them (NULL score) rather than hijacking top-1
+        assert [r["vec_id"] for r in out[:2]] == [1, 2]
+        assert out[0]["cos_sim"] == 1.0
+        assert all(
+            r["cos_sim"] is None for r in out if r["vec_id"] in (3, 4, 5)
+        )
+
+    def test_cosine_topk_multi_degenerates_lose(self, spark):
+        from ddataframeoperation_spark.operators.similarity import (
+            cosine_topk_multi,
+        )
+
+        queries = spark.createDataFrame(
+            [(10, [1.0, 0.0, 0.0])], "query_id long, query_vec array<double>"
+        )
+        out = cosine_topk_multi(self._emb(spark), queries, k=2).collect()
+        assert sorted(r["vec_id"] for r in out) == [1, 2]
+
+    def test_neardup_pairs_degenerates_match_nothing_both_kernels(
+        self, spark
+    ):
+        from pyspark.sql import functions as F
+
+        from ddataframeoperation_spark.operators.similarity import (
+            cosine_neardup_pairs,
+        )
+
+        df = self._emb(spark).withColumn(
+            "blk", F.lit(0)
+        )
+        for kernel in (True, False):
+            got = sorted(
+                (r["id_a"], r["id_b"])
+                for r in cosine_neardup_pairs(
+                    df,
+                    threshold=0.9,
+                    block_col="blk",
+                    arrow_kernel=kernel,
+                ).collect()
+            )
+            # only the (1, 2) pair clears 0.9; rows 3/4/5 pair with
+            # nothing on BOTH scoring paths
+            assert got == [(1, 2)], f"arrow_kernel={kernel}: {got}"
+
+    def test_semantic_join_zero_norm_left_emits_nan_not_crash(self, spark):
+        import math
+
+        from ddataframeoperation_spark.operators.similarity import (
+            semantic_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        right = spark.createDataFrame(
+            [(7, [1.0, 0.0]), (8, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        for kernel in (True, False):
+            rows = {
+                r["l_vec_id"]: r
+                for r in semantic_join(
+                    left, right, cents, nprobe=2, arrow_kernel=kernel
+                ).collect()
+            }
+            assert rows[1]["r_vec_id"] == 7 and rows[1]["cos_sim"] == 1.0
+            # the zero-norm left row emits the documented NaN "no
+            # scorable candidate" marker — it must NOT raise
+            assert math.isnan(rows[2]["cos_sim"]), f"kernel={kernel}"
+
+    def test_centroid_assign_degenerate_lands_cell0(self, spark):
+        from pyspark.sql import functions as F
+
+        from ddataframeoperation_spark.operators.similarity import (
+            centroid_assign,
+        )
+
+        df = self._emb(spark)
+        out = {
+            r["vec_id"]: r["cell"]
+            for r in df.select(
+                "vec_id",
+                centroid_assign(
+                    F.col("embedding"), [[0.0, 1.0, 0.0], [1.0, 0.0, 0.0]]
+                ).alias("cell"),
+            ).collect()
+        }
+        assert out[1] == 1 and out[2] == 1
+        # zero-norm / NaN / NULL-element vectors: every cell ties as
+        # "no score", index tiebreak -> deterministic cell 0
+        assert out[3] == 0 and out[4] == 0 and out[5] == 0
