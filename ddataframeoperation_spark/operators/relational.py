@@ -1020,8 +1020,17 @@ def _psi_terms(j: DataFrame, key_col: str, eps: float) -> DataFrame:
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
     tot = j.agg(F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc"))
-    p_ref = F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(float(eps)))
-    p_cur = F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(float(eps)))
+    # try_divide: an EMPTY side makes its grand total 0, and under ANSI
+    # (Spark 4 default) plain division would kill the job; the NULL
+    # proportion then floors to eps via greatest (which skips NULLs) —
+    # every key on the empty side reads "eps vs observed", the same
+    # convention as a present-but-zero count.
+    p_ref = F.greatest(
+        F.try_divide(F.col("n_ref"), F.col("_tr")), F.lit(float(eps))
+    )
+    p_cur = F.greatest(
+        F.try_divide(F.col("n_cur"), F.col("_tc")), F.lit(float(eps))
+    )
     return j.crossJoin(F.broadcast(tot)).select(
         key_col,
         "n_ref",
@@ -1545,9 +1554,18 @@ def rank_sum_test(
     n = F.col("_n").cast("double")
     r_a = F.col("_r2a").cast("double") / F.lit(2.0)
     u_a = r_a - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
+    # try_divide: with a single observation n·(n−1) = 0, and this
+    # division runs while EVALUATING the `var > 0.0` guard condition
+    # below — under ANSI (Spark 4 default) plain division would kill
+    # the job before the guard could return its NULL z-score.
     var = (
         n1 * n2 / F.lit(12.0)
-        * ((n + F.lit(1.0)) - F.col("_ties").cast("double") / (n * (n - F.lit(1.0))))
+        * (
+            (n + F.lit(1.0))
+            - F.try_divide(
+                F.col("_ties").cast("double"), n * (n - F.lit(1.0))
+            )
+        )
     )
     z = F.when(
         (F.col("_n1") > 0) & (F.col("_n") > F.col("_n1")) & (var > 0.0),
@@ -1637,9 +1655,14 @@ def ks_test(
         F.sum((F.col("_g") != group_a).cast("long")).alias("_n2"),
     )
     j = cum.crossJoin(F.broadcast(tot))
+    # try_divide: if EVERY row belongs to one side, the other side's
+    # total is 0 and this per-row expression evaluates BEFORE the
+    # (_n1 > 0) & (_n2 > 0) guard in the final aggregate — under ANSI
+    # (Spark 4 default) plain division would kill the job instead of
+    # reaching that guard's NULL ks_d.
     d = F.abs(
-        F.col("_cuma").cast("double") / F.col("_n1").cast("double")
-        - F.col("_cumb").cast("double") / F.col("_n2").cast("double")
+        F.try_divide(F.col("_cuma").cast("double"), F.col("_n1").cast("double"))
+        - F.try_divide(F.col("_cumb").cast("double"), F.col("_n2").cast("double"))
     )
     return j.groupBy().agg(
         F.first("_n1").alias("n_a"),

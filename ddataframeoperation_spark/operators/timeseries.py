@@ -296,11 +296,15 @@ def twap(
     ).cast("double")
     v = F.col(value_col).cast("double")
     weighted = df.withColumn("_dt", dt).filter(F.col("_dt").isNotNull())
+    # try_divide: a key whose events all share ONE timestamp has only
+    # zero-length intervals, so Σdt = 0 — under ANSI (Spark 4 default)
+    # plain division would kill the job; NULL twap ("no time elapsed,
+    # no time-weighted average") is the honest answer for that key.
     return weighted.groupBy(key_col).agg(
         F.count("*").cast("long").alias("n_intervals"),
-        F.round(F.sum(v * F.col("_dt")) / F.sum("_dt"), round_to).alias(
-            "twap"
-        ),
+        F.round(
+            F.try_divide(F.sum(v * F.col("_dt")), F.sum("_dt")), round_to
+        ).alias("twap"),
     )
 
 

@@ -489,3 +489,78 @@ class TestDegenerateEmbeddingContracts:
         # zero-norm / NaN / NULL-element vectors: every cell ties as
         # "no score", index tiebreak -> deterministic cell 0
         assert out[3] == 0 and out[4] == 0 and out[5] == 0
+
+
+# ---------------- r13 review fixes, pass 4: ANSI division-by-zero edges
+
+
+@pytest.mark.usefixtures("spark")
+class TestAnsiDivisionEdges:
+    """Under ANSI mode (the Spark 4 default) a data-derived zero divisor
+    raises DIVIDE_BY_ZERO and kills the whole job. Each case here is a
+    legal-if-degenerate input that used to crash: the guard must answer
+    NULL (or the documented convention), never raise."""
+
+    def test_ks_test_one_sided_input_yields_null_d(self, spark):
+        from ddataframeoperation_spark.operators.relational import ks_test
+
+        df = spark.createDataFrame(
+            [("a", float(i)) for i in range(5)], "g string, v double"
+        )
+        out = ks_test(df, "g", "v", group_a="a").collect()
+        assert len(out) == 1
+        r = out[0]
+        # all mass on one side: per-row |cumA/n1 - cumB/n2| must not
+        # raise on n2 = 0; the aggregate guard then reports NULL D
+        assert (r["n_a"], r["n_b"]) == (5, 0)
+        assert r["ks_d"] is None
+
+    def test_rank_sum_single_observation_yields_null_z(self, spark):
+        from ddataframeoperation_spark.operators.relational import (
+            rank_sum_test,
+        )
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        out = rank_sum_test(df, "g", "v", group_a="a").collect()
+        assert len(out) == 1
+        # n = 1 makes the tie-correction divisor n*(n-1) = 0 while the
+        # `var > 0` guard CONDITION evaluates it — must not raise
+        assert out[0]["z"] is None
+
+    def test_psi_categorical_empty_reference_side(self, spark):
+        from ddataframeoperation_spark.operators.relational import (
+            psi_drift_categorical,
+        )
+
+        ref = spark.createDataFrame([], "src string")
+        cur = spark.createDataFrame(
+            [("web",), ("web",), ("pdf",)], "src string"
+        )
+        rows = psi_drift_categorical(ref, cur, "src").collect()
+        # empty side => its grand total is 0; proportions floor to eps
+        # instead of raising, and every current category still reports
+        assert {r["category"] for r in rows} == {"web", "pdf"}
+
+    def test_twap_same_timestamp_key_yields_null(self, spark):
+        import datetime
+
+        from ddataframeoperation_spark.operators.timeseries import twap
+
+        t0 = datetime.datetime(2024, 1, 1, 12, 0)
+        df = spark.createDataFrame(
+            [
+                ("flat", t0, 1.0, 1),
+                ("flat", t0, 3.0, 2),   # same microsecond: dt = 0
+                ("live", t0, 10.0, 1),
+                ("live", t0 + datetime.timedelta(seconds=60), 20.0, 2),
+            ],
+            "k string, ts timestamp, v double, seq int",
+        )
+        out = {
+            r["k"]: r
+            for r in twap(df, "k", "ts", "v", tiebreak_col="seq").collect()
+        }
+        # zero elapsed time has no time-weighted average — NULL, not a
+        # job-killing DIVIDE_BY_ZERO
+        assert out["flat"]["twap"] is None
+        assert out["live"]["twap"] == 10.0
