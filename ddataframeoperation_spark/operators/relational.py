@@ -1847,10 +1847,14 @@ def rfm_segments(
     # cuts, and 1 + size(empty) would file the UNKNOWN-value customer in
     # bucket 1 — the BEST band on that axis (an all-NULL-dates customer
     # ranking "most recent"). The registered oracle filters identically.
+    # ~isnan as well as isNotNull: floor(NaN·100 + 0.5) is NaN, and
+    # casting NaN to long RAISES under ANSI (the Spark 4 default) — one
+    # corrupt amount would kill the whole job instead of dropping.
     orders = orders.filter(
         F.col(customer_col).isNotNull()
         & F.col(date_col).isNotNull()
         & F.col(amount_col).isNotNull()
+        & ~F.isnan(F.col(amount_col).cast("double"))
     )
     cents = F.floor(F.col(amount_col) * 100 + F.lit(0.5)).cast("long")
     per = orders.groupBy(F.col(customer_col).alias("_cust")).agg(

@@ -9126,9 +9126,12 @@ def b32h(spark: SparkSession, sf: str) -> DataFrame:
       -- NULL customer/date/amount rows dropped to mirror the engine: a
       -- NULL metric would otherwise compare NULL against every cut and
       -- file an unknown-value customer into bucket 1 (the BEST band).
+      -- NOT isnan too: the engine drops NaN amounts (whose cents cast
+      -- would raise under ANSI); no fixture produces one, but the
+      -- filters must match by contract.
       SELECT * FROM orders
       WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
-        AND o_totalprice IS NOT NULL
+        AND o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
     ), per AS (
       SELECT o_custkey,
              date_diff('day', max(o_orderdate),

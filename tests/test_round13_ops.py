@@ -564,3 +564,27 @@ class TestAnsiDivisionEdges:
         # job-killing DIVIDE_BY_ZERO
         assert out["flat"]["twap"] is None
         assert out["live"]["twap"] == 10.0
+
+
+@pytest.mark.usefixtures("spark")
+class TestRfmNanAmount:
+    def test_nan_amount_rows_dropped_not_crash(self, spark):
+        # floor(NaN*100+0.5) is NaN and casting NaN to long RAISES under
+        # ANSI — a single corrupt amount used to kill the whole job.
+        import datetime
+
+        from ddataframeoperation_spark.operators.relational import rfm_segments
+
+        base = datetime.date(2024, 1, 1)
+        rows = []
+        for k in range(8):
+            for j in range(k + 1):
+                rows.append(
+                    (k, base + datetime.timedelta(days=3 * k + j), 50.00)
+                )
+        rows.append((99, base, float("nan")))
+        df = spark.createDataFrame(
+            rows, "o_custkey int, o_orderdate date, o_totalprice double"
+        )
+        out = rfm_segments(df).collect()
+        assert sum(r["n_customers"] for r in out) == 8
