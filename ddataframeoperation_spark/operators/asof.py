@@ -63,7 +63,12 @@ def asof_join(
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
         F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
     )
-    r_tagged = right.select(
+    # NULL-ts right rows can never be a legitimate "as of" match, but in
+    # the union-scan they sort BEFORE all time (Spark asc = NULLS FIRST)
+    # and last(ignorenulls) would hand their VALUES to every left row
+    # preceding the first real right row (while skipping their NULL
+    # _r_ts — value set, match-ts unset: pure garbage). Drop them.
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
@@ -106,7 +111,18 @@ def asof_join(
         )
         value_cols = [F.col(f"_t_{c}").alias(f"{c}_asof") for c in right_cols]
     else:
-        value_cols = [F.col(f"_f_{c}").alias(f"{c}_asof") for c in right_cols]
+        # Left-ts guard: a NULL-ts left row has no position on the time
+        # line — in the FORWARD scan (desc = NULLS LAST) it would sort
+        # after everything and "see" the earliest right row as its
+        # match. It keeps NULLs instead, per the no-qualifying-row
+        # contract. (The tolerance path above reaches the same NULL via
+        # its NULL gap.)
+        value_cols = [
+            F.when(F.col("_ts").isNotNull(), F.col(f"_f_{c}")).alias(
+                f"{c}_asof"
+            )
+            for c in right_cols
+        ]
     return out.select(*[F.col(f"_l.{c}").alias(c) for c in lcols], *value_cols)
 
 
@@ -236,7 +252,10 @@ def asof_join_nearest(
         ],
         F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
     )
-    r_tagged = right.select(
+    # NULL-ts right rows dropped — same union-scan garbage mode as
+    # :func:`asof_join` (values handed to early left rows with no
+    # match-ts to show for it).
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
@@ -287,7 +306,16 @@ def asof_join_nearest(
         if tolerance_seconds is None
         else F.abs(signed_gap) <= F.lit(int(round(tolerance_seconds * 1e6)))
     )
-    matched = (F.col("_b_ts").isNotNull() | F.col("_f_ts").isNotNull()) & within
+    # _ts guard: a NULL-ts left row sorts LAST in the forward scan
+    # (desc = NULLS LAST) and would otherwise "see" the earliest right
+    # row and match it (use_b is NULL-false there, so the forward
+    # branch wins) with a NULL gap_us — value without a distance. No
+    # position on the time line means no nearest match.
+    matched = (
+        F.col("_ts").isNotNull()
+        & (F.col("_b_ts").isNotNull() | F.col("_f_ts").isNotNull())
+        & within
+    )
     vals = [
         F.when(
             matched, F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}"))

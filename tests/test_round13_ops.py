@@ -588,3 +588,81 @@ class TestRfmNanAmount:
         )
         out = rfm_segments(df).collect()
         assert sum(r["n_customers"] for r in out) == 8
+
+
+# -------------- r13 review fixes, pass 5: asof-join NULL-ts contracts
+
+
+@pytest.mark.usefixtures("spark")
+class TestAsofNullTimestamps:
+    """The asof family is a union-scan: rows sort on the time line and
+    last(ignorenulls) carries the right side forward. A NULL timestamp
+    has no position on that line — Spark sorts it BEFORE all time (asc)
+    or AFTER all time (desc), so a NULL-ts right row used to donate its
+    values to every left row before the first real quote, and a NULL-ts
+    left row used to 'match' the earliest right row in forward/nearest
+    scans. Both must yield NULL matches instead."""
+
+    def _dfs(self, spark):
+        import datetime
+
+        t = lambda m: datetime.datetime(2024, 1, 1, 12, m)  # noqa: E731
+        left = spark.createDataFrame(
+            [(1, t(0), "early"), (1, t(30), "late"), (1, None, "lost")],
+            "k long, lts timestamp, tag string",
+        )
+        right = spark.createDataFrame(
+            [(1, None, 999.0), (1, t(10), 10.0)],
+            "k long, rts timestamp, px double",
+        )
+        return left, right
+
+    def test_backward_null_right_ts_never_matches(self, spark):
+        from ddataframeoperation_spark.operators.asof import asof_join
+
+        left, right = self._dfs(spark)
+        out = {
+            r["tag"]: r["px_asof"]
+            for r in asof_join(
+                left, right, "k", "lts", "rts", ["px"]
+            ).collect()
+        }
+        # 'early' (12:00) precedes the only real quote (12:10): it used
+        # to pick up the NULL-ts row's 999.0 — must be NULL
+        assert out["early"] is None
+        assert out["late"] == 10.0
+        assert out["lost"] is None
+
+    def test_forward_null_left_ts_keeps_null(self, spark):
+        from ddataframeoperation_spark.operators.asof import asof_join
+
+        left, right = self._dfs(spark)
+        out = {
+            r["tag"]: r["px_asof"]
+            for r in asof_join(
+                left, right, "k", "lts", "rts", ["px"],
+                direction="forward",
+            ).collect()
+        }
+        assert out["early"] == 10.0
+        assert out["late"] is None       # nothing at-or-after 12:30
+        assert out["lost"] is None       # NULL-ts left: no position
+
+    def test_nearest_null_ts_rows_yield_null_match(self, spark):
+        from ddataframeoperation_spark.operators.asof import (
+            asof_join_nearest,
+        )
+
+        left, right = self._dfs(spark)
+        rows = {
+            r["tag"]: r
+            for r in asof_join_nearest(
+                left, right, "k", "lts", "rts", ["px"]
+            ).collect()
+        }
+        assert rows["early"]["px_asof"] == 10.0
+        assert rows["early"]["gap_us"] == -600 * 1_000_000
+        assert rows["late"]["px_asof"] == 10.0
+        assert rows["late"]["gap_us"] == 1200 * 1_000_000
+        assert rows["lost"]["px_asof"] is None
+        assert rows["lost"]["gap_us"] is None
