@@ -549,6 +549,10 @@ def seasonal_decompose_weekly(
     Plan: one (group, day) hash-aggregate, one windowed pass partitioned
     by group, one weekday aggregate joined back broadcast — the raw table
     shuffles once, everything after is |groups × days| sized.
+
+    ``value_cents`` NaN caveat: same caller contract as
+    :func:`cusum_changepoint` — make the expression NaN-safe if the raw
+    measure can contain NaN (a bare cents floor/cast raises under ANSI).
     """
     d = F.to_date(F.col(ts_col)).alias("d")
     # NULL-ts rows have no day and NULL-value rows contribute nothing to
@@ -610,6 +614,13 @@ def cusum_changepoint(
     exactly n× the usual CUSUM, S_n ≡ 0, and the argmax is unchanged.
     All products in DECIMAL(38,0); the changepoint is argmax |S_t| with
     the EARLIEST-day tiebreak — every engine returns the identical day.
+
+    ``value_cents`` is a caller-provided Column; if the underlying
+    measure can contain NaN, make the expression NaN-safe (e.g. wrap the
+    raw value in ``nanvl(v, NULL)`` before the cents floor/cast) — a
+    bare ``floor(v*100+0.5).cast('long')`` RAISES on NaN under ANSI
+    (the Spark 4 default), including inside this operator's own
+    NULL-drop filter, on BOTH engines symmetrically.
 
     Returns one row per group: (group, change_day, n_days,
     s_max_abs STRING — canonical DECIMAL digits; n·Σ|dev| passes 2^53
