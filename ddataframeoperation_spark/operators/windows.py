@@ -306,6 +306,11 @@ def retention_cohorts(
     period_days = {"week": 7, "day": 1}.get(granularity)
     if period_days is None:
         raise ValueError("granularity must be 'week' or 'day'")
+    # NULL-ts events have no period: they would compute a NULL offset
+    # and accrete into phantom (cohort, NULL) triangle rows — and a
+    # user whose events are ALL untimed would form a NULL cohort. Drop
+    # them; a user with no timed activity has no cohort by definition.
+    df = df.filter(F.col(ts_col).isNotNull())
     first = df.groupBy(user_col).agg(F.min(ts_col).alias("_first_ts"))
     joined = df.select(user_col, ts_col).join(first, on=user_col)
     # DATE-typed cohort key: engines disagree on whether date_trunc of a
@@ -344,6 +349,15 @@ def transition_counts(
 
     Returns (from_type, to_type, n) with to_type NULL for sequence ends.
     """
+    # Drop unlabeled and untimed events up front. A NULL type_col event
+    # mid-sequence would make its PREDECESSOR emit to_type NULL — the
+    # exact encoding this operator reserves for "sequence end", so
+    # terminal counts would silently inflate (and the (NULL, x) rows it
+    # emits are transitions from a state that does not exist). A NULL
+    # ts event sorts BEFORE all time (Spark asc = NULLS FIRST) and
+    # would fabricate the sequence's first transition from an event
+    # with no position on the time line.
+    df = df.filter(F.col(type_col).isNotNull() & F.col(ts_col).isNotNull())
     order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
     w = Window.partitionBy(user_col).orderBy(*order)
     nxt = df.withColumn("_next", F.lead(type_col).over(w))
@@ -599,7 +613,10 @@ def top_paths(
         raise ValueError("path_len must be >= 2")
     if top_n < 1:
         raise ValueError("top_n must be >= 1")
-    df = df.filter(F.col(type_col).isNotNull())
+    # NULL ts dropped too: an untimed event sorts BEFORE all time
+    # (Spark asc = NULLS FIRST) and would fabricate every affected
+    # user's path PREFIX out of an event with no sequence position.
+    df = df.filter(F.col(type_col).isNotNull() & F.col(ts_col).isNotNull())
     order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
     w = Window.partitionBy(user_col).orderBy(*order)
     steps = [F.col(type_col)] + [

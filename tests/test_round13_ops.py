@@ -666,3 +666,65 @@ class TestAsofNullTimestamps:
         assert rows["late"]["gap_us"] == 1200 * 1_000_000
         assert rows["lost"]["px_asof"] is None
         assert rows["lost"]["gap_us"] is None
+
+
+# --------- r13 review fixes, pass 6: event-sequence NULL contracts
+
+
+@pytest.mark.usefixtures("spark")
+class TestEventSequenceNullContracts:
+    def _events(self, spark):
+        import datetime
+
+        t = lambda m: datetime.datetime(2024, 1, 1, 12, m)  # noqa: E731
+        rows = [
+            (1, t(0), "a"),
+            (1, t(1), "b"),
+            (1, t(2), None),     # unlabeled mid-sequence event
+            (1, t(3), "c"),
+            (1, None, "z"),      # untimed event: would sort FIRST
+            (2, t(0), "a"),
+            (2, t(1), "b"),
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+
+    def test_transition_counts_null_label_is_not_a_terminal(self, spark):
+        from ddataframeoperation_spark.operators.windows import (
+            transition_counts,
+        )
+
+        got = {
+            (r["from_type"], r["to_type"]): r["n"]
+            for r in transition_counts(self._events(spark)).collect()
+        }
+        # user 1's clean sequence is a->b->c; the unlabeled event must
+        # NOT make b a terminal, and 'z' (untimed) must not lead 'a'
+        assert got == {
+            ("a", "b"): 2,
+            ("b", "c"): 1,
+            ("c", None): 1,   # the ONLY terminal for user 1
+            ("b", None): 1,   # user 2's genuine terminal
+        }
+
+    def test_top_paths_untimed_event_fabricates_no_prefix(self, spark):
+        from ddataframeoperation_spark.operators.windows import top_paths
+
+        got = {
+            r["path"]: r["n"]
+            for r in top_paths(self._events(spark), path_len=2).collect()
+        }
+        assert got == {"a > b": 2, "b > c": 1}
+
+    def test_retention_cohorts_drops_untimed_events(self, spark):
+        from ddataframeoperation_spark.operators.windows import (
+            retention_cohorts,
+        )
+
+        out = retention_cohorts(
+            self._events(spark), granularity="day"
+        ).collect()
+        # no phantom NULL-offset rows, no NULL cohort
+        assert all(r["period_offset"] is not None for r in out)
+        assert all(r["cohort"] is not None for r in out)
