@@ -433,6 +433,13 @@ def next_event_examples(
     """
     if context < 1:
         raise ValueError("context must be >= 1")
+    # Same drop-unlabeled/untimed contract as top_paths /
+    # transition_counts: a NULL label would be silently SKIPPED by
+    # collect_list, shortening the context while still occupying a
+    # frame slot (a malformed training example), and a NULL ts sorts
+    # before all time, fabricating every affected key's context prefix
+    # from an event with no sequence position.
+    df = df.filter(F.col(label_col).isNotNull() & F.col(ts_col).isNotNull())
     order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
     w = (
         Window.partitionBy(key_col)

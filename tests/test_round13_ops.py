@@ -728,3 +728,19 @@ class TestEventSequenceNullContracts:
         # no phantom NULL-offset rows, no NULL cohort
         assert all(r["period_offset"] is not None for r in out)
         assert all(r["cohort"] is not None for r in out)
+
+
+    def test_next_event_examples_drops_unlabeled_and_untimed(self, spark):
+        from ddataframeoperation_spark.operators.windows import (
+            next_event_examples,
+        )
+
+        got = {
+            (r["context"], r["target"])
+            for r in next_event_examples(
+                self._events(spark), context=2
+            ).collect()
+        }
+        # user 1: a->b->c after drops; user 2: a->b. The unlabeled event
+        # must not occupy a frame slot and 'z' must not prefix anything.
+        assert got == {("a", "b"), ("a b", "c")}
