@@ -1,0 +1,91 @@
+"""Round-13 optimization parity tests: every kernel/path swap the
+optimization round makes must be provably result-identical to the path
+it replaces — on adversarial synthetic inputs, not just the fixtures
+(the oracle sweep covers those)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from ddataframeoperation_spark.operators import dedup
+
+
+def _random_blocked_graph(seed: int, n_blocks: int = 4, nodes_per_block: int = 40):
+    """Random blocked edge list with duplicates and self-loops mixed in —
+    node ids are globally unique, each node lives in exactly one block
+    (the block_col contract)."""
+    rng = random.Random(seed)
+    rows = []
+    for blk in range(n_blocks):
+        base = blk * 1000
+        ids = [base + i for i in range(nodes_per_block)]
+        for _ in range(nodes_per_block * 4):
+            a, b = rng.choice(ids), rng.choice(ids)
+            rows.append((a, b, f"s{blk}"))  # self-loops when a == b
+        rows.extend(rows[-3:])  # duplicate edges
+    return rows
+
+
+@pytest.mark.parametrize("max_degree", [None, 5, 12])
+def test_common_neighbor_block_kernel_matches_wedge_join(spark, max_degree):
+    rows = _random_blocked_graph(seed=13)
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long, src string")
+    join_path = dedup.common_neighbor_pairs(
+        pairs.select("id_a", "id_b"), min_common=2, max_degree=max_degree
+    )
+    kernel_path = dedup.common_neighbor_pairs(
+        pairs, min_common=2, max_degree=max_degree, block_col="src"
+    )
+    assert join_path.columns == kernel_path.columns
+    assert join_path.dtypes == kernel_path.dtypes
+    j = sorted(map(tuple, join_path.collect()))
+    k = sorted(map(tuple, kernel_path.collect()))
+    assert j == k
+    assert len(j) > 0  # the comparison must not be vacuous
+
+
+def test_common_neighbor_block_kernel_drops_null_endpoints(spark):
+    rows = [(1, 2, "a"), (2, 3, "a"), (3, 4, "a"), (None, 9, "a"), (9, None, "a")]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long, src string")
+    out = dedup.common_neighbor_pairs(pairs, min_common=1, block_col="src")
+    got = sorted(map(tuple, out.collect()))
+    # wedges: 1-2-3 and 2-3-4; NULL edges contribute nothing
+    assert got == [(1, 3, 1), (2, 4, 1)]
+
+
+def test_jaccard_keep_group_both_paths(spark):
+    rows = [
+        (1, "alpha beta gamma", "s1"),
+        (2, "alpha beta gamma delta", "s1"),
+        (3, "alpha beta", "s1"),
+        (10, "red green blue", "s2"),
+        (11, "red green blue", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    for arrow_kernel in (True, False):
+        out = dedup.jaccard_pairs(
+            docs, group_col="source", threshold=0.5,
+            arrow_kernel=arrow_kernel, keep_group=True,
+        )
+        assert out.columns == ["id_a", "id_b", "jacc", "source"]
+        got = sorted(map(tuple, out.collect()))
+        base = sorted(
+            map(
+                tuple,
+                dedup.jaccard_pairs(
+                    docs, group_col="source", threshold=0.5,
+                    arrow_kernel=arrow_kernel,
+                ).collect(),
+            )
+        )
+        # same pairs/scores as without keep_group, block value appended
+        assert [(a, b, j) for a, b, j, _ in got] == base
+        assert all(g == ("s1" if a < 10 else "s2") for a, b, j, g in got)
+
+
+def test_jaccard_keep_group_requires_group_col(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="keep_group requires group_col"):
+        dedup.jaccard_pairs(docs, keep_group=True)
