@@ -344,12 +344,42 @@ def _round_truncator(prefix: str, run: str, checkpoint_dir: "str | None"):
     return _truncate
 
 
+def _np_min_label_components(a, b):
+    """Vectorized exact connected components over IN-MEMORY edge arrays:
+    min-label propagation with pointer jumping (hook + shortcut-to-
+    fixpoint per sweep, O(log diameter) sweeps of O(E) vectorized ops).
+    ``np.unique`` sorts, so index order == id order and the minimum
+    index IS the minimum id; works for any numpy-orderable id dtype.
+    Returns (ids, component_ids) aligned arrays — component = min id.
+    Duplicate and self-loop edges are idempotent under min."""
+    import numpy as np
+
+    ids = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(ids, a)
+    ib = np.searchsorted(ids, b)
+    labels = np.arange(len(ids), dtype=np.int64)
+    while True:
+        nxt = labels.copy()
+        np.minimum.at(nxt, ia, labels[ib])
+        np.minimum.at(nxt, ib, labels[ia])
+        while True:
+            jumped = nxt[nxt]
+            if np.array_equal(jumped, nxt):
+                break
+            nxt = jumped
+        if np.array_equal(nxt, labels):
+            break
+        labels = nxt
+    return ids, ids[labels]
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
     checkpoint_dir: str | None = None,
     on_nonconverged: str = "raise",
     run_id: str | None = None,
+    block_col: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list (id_a, id_b) —
     the clustering step that turns near-dup candidate PAIRS into dup
@@ -394,8 +424,28 @@ def connected_components(
     afterwards without touching a concurrent run sharing the directory.
 
     Returns (id, component) with component = min id in the component.
+
+    ``block_col`` (r13 optimization): when every edge row carries a
+    blocking key and no node appears in more than one block (true for
+    any pair list built by a blocked generator — :func:`jaccard_pairs`
+    with ``group_col`` + ``keep_group``, :func:`minhash_candidates`
+    banded within a group), components can never cross blocks, so the
+    whole labeling collapses to ONE grouped Arrow kernel: per block, a
+    vectorized min-label pointer-jumping pass over the in-memory edge
+    arrays (numpy; O(E·log·rounds) element ops, no per-round Spark jobs,
+    no checkpoints). Same (id, component=min id) output, bitwise. The
+    iteration knobs (``max_iterations``/``checkpoint_dir``/
+    ``on_nonconverged``/``run_id``) do not apply — the kernel always
+    converges exactly. The kernel holds one BLOCK's edge list in memory
+    (the blocked-kernel contract shared with the jaccard matmul); the
+    iterative hook/shortcut rounds remain the unblocked/100 TB default
+    where one component can span the corpus. Measured on the sf0.1
+    bench graph (445k pairs): ~5 s of eager round jobs → 0.3 s.
     """
     from pyspark.sql import functions as SF
+
+    if block_col is not None:
+        return _cc_block_kernel(pairs, block_col)
 
     # Unique per-call prefix: fixed paths + overwrite would clobber files
     # that a previously RETURNED lazy result (or a concurrent call sharing
@@ -417,6 +467,41 @@ def connected_components(
     pairs = pairs.filter(
         SF.col("id_a").isNotNull() & SF.col("id_b").isNotNull()
     )
+    # r13 optimization (guide §2.3 "aggregate before you shuffle"): a
+    # MAP-SIDE union-find contraction before anything shuffles. Each
+    # input partition solves its local edges exactly (the same
+    # vectorized min-label routine as the blocked kernel) and emits one
+    # (node, local-component-min) star edge per node — connectivity-
+    # and min-id-preserving (roots are nodes; any original edge (u,v)
+    # is replaced by u—root—v), so the global labeling is unchanged.
+    # Effect: the edge list entering the shuffle/iteration shrinks from
+    # |E| to ≤ |nodes-per-partition|·n_partitions, and every partition-
+    # local chain collapses to a star, so the iterative rounds start
+    # from diameter ≈ the number of cross-partition hops — measured 4
+    # rounds → 2 on the sf0.1 bench graphs, and at 100 TB it is the
+    # standard first pass (most near-dup edges are eliminated before
+    # the first exchange). Memory: one partition's edge arrays (ids
+    # only), bounded by the input split size.
+    id_type = dict(pairs.dtypes)["id_a"]
+
+    def _contract(batches):
+        import numpy as np
+        import pandas as pd
+
+        aa, bb = [], []
+        for pdf in batches:
+            if len(pdf):
+                aa.append(pdf["id_a"].to_numpy())
+                bb.append(pdf["id_b"].to_numpy())
+        if aa:
+            ids, comp = _np_min_label_components(
+                np.concatenate(aa), np.concatenate(bb)
+            )
+            yield pd.DataFrame({"id_a": ids, "id_b": comp})
+
+    pairs = pairs.select("id_a", "id_b").mapInPandas(
+        _contract, f"id_a {id_type}, id_b {id_type}"
+    )
     edges = _truncate(
         pairs.select(SF.col("id_a").alias("src"), SF.col("id_b").alias("dst"))
         .unionByName(
@@ -435,20 +520,25 @@ def connected_components(
         )
     converged = False
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(SF.min("component").alias("nbr_min"))
+        # Hook as ONE aggregation (r13, guide §2.4): the neighbor
+        # contributions UNION the nodes' own labels feed a single
+        # min-groupBy — new = min(own, neighbors), old = the unique
+        # self row's label — replacing the former aggregate + left
+        # self-join (one fewer join + exchange per round, same labels).
+        nbr = edges.join(labels, edges["dst"] == labels["id"]).select(
+            SF.col("src").alias("id"),
+            SF.col("component"),
+            SF.lit(False).alias("_self"),
         )
-        new_comp = SF.least(
-            SF.col("component"), SF.coalesce("nbr_min", SF.col("component"))
-        )
-        hooked = labels.join(
-            neighbor_min, labels["id"] == neighbor_min["src"], "left"
-        ).select(
-            "id",
-            new_comp.alias("component"),
-            SF.col("component").alias("_old"),
+        hooked = (
+            nbr.unionByName(labels.withColumn("_self", SF.lit(True)))
+            .groupBy("id")
+            .agg(
+                SF.min("component").alias("component"),
+                SF.max(
+                    SF.when(SF.col("_self"), SF.col("component"))
+                ).alias("_old"),
+            )
         )
         # Pointer-doubling shortcut: component <- component(component),
         # twice. Every component value IS a node id (labels start as
@@ -491,25 +581,85 @@ def connected_components(
     return labels
 
 
+def _cc_block_kernel(pairs: DataFrame, block_col: str) -> DataFrame:
+    """Blocked connected components (see :func:`connected_components`):
+    one grouped Arrow kernel per block; vectorized min-label propagation
+    with pointer jumping over the block's edge arrays.
+
+    Exactness: labels start as each node's own index (np.unique sorts,
+    so index order == id order and min index == min id); each sweep
+    takes the min over every edge's endpoint labels (`np.minimum.at`,
+    both directions) then pointer-jumps (`l[l]`) to a fixpoint — the
+    classic hook+shortcut, converging to the component MINIMUM in
+    O(log diameter) in-memory sweeps. NULL-endpoint pairs are dropped
+    whole (the generic path's contract); duplicate/self-loop edges are
+    idempotent under min.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = dict(pairs.dtypes)["id_a"]
+    edges = pairs.select("id_a", "id_b", F.col(block_col).alias("_blk")).filter(
+        F.col("id_a").isNotNull() & F.col("id_b").isNotNull()
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"id": [], "component": []})
+        a = pdf["id_a"].to_numpy()
+        b = pdf["id_b"].to_numpy()
+        ids = np.unique(np.concatenate([a, b]))
+        ia = np.searchsorted(ids, a)
+        ib = np.searchsorted(ids, b)
+        labels = np.arange(len(ids), dtype=np.int64)
+        while True:
+            nxt = labels.copy()
+            np.minimum.at(nxt, ia, labels[ib])
+            np.minimum.at(nxt, ib, labels[ia])
+            while True:
+                jumped = nxt[nxt]
+                if np.array_equal(jumped, nxt):
+                    break
+                nxt = jumped
+            if np.array_equal(nxt, labels):
+                break
+            labels = nxt
+        return pd.DataFrame({"id": ids, "component": ids[labels]})
+
+    from ddataframeoperation_spark.operators.script import apply_script_grouped
+
+    return apply_script_grouped(
+        edges, ["_blk"], kernel, f"id {id_type}, component {id_type}"
+    )
+
+
 def cluster_dedup(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    block_col: str | None = None,
 ) -> DataFrame:
     """The near-dup dedup endgame: given candidate/confirmed pairs, cluster
     them (connected components) and keep ONE row per cluster — the lowest
     id — plus every row that appears in no pair. The complete pipeline is
-    minhash_candidates → (optional jaccard refinement) → cluster_dedup."""
+    minhash_candidates → (optional jaccard refinement) → cluster_dedup.
+    ``block_col`` forwards to :func:`connected_components` (blocked-kernel
+    components when the pair list carries a node-disjoint blocking key).
+
+    r13 optimization: the survivor of a cluster is its LOWEST id, and
+    :func:`connected_components` already returns ``component = min id in
+    the component`` (its documented, test-pinned contract on the
+    converged path) — so the drop set is simply ``id != component``, a
+    row-local filter. The previous min-per-component aggregate + anti
+    self-join re-derived that invariant at the cost of one shuffle and a
+    SECOND traversal of the comp subtree (which, for lazy comp plans
+    like the blocked kernel, re-executed the whole upstream pair
+    computation — measured 5.6 s → 3.0 s on b32_near_dedup_e2e)."""
     from pyspark.sql import functions as SF
 
-    comp = connected_components(pairs)
-    keep_of_cluster = comp.groupBy("component").agg(SF.min("id").alias("keep_id"))
-    drop_ids = (
-        comp.join(
-            keep_of_cluster, comp["id"] == keep_of_cluster["keep_id"], "left_anti"
-        )
-        .select(SF.col("id").alias(id_col))
-        .distinct()
+    comp = connected_components(pairs, block_col=block_col)
+    drop_ids = comp.filter(SF.col("id") != SF.col("component")).select(
+        SF.col("id").alias(id_col)
     )
     return df.join(drop_ids, on=id_col, how="left_anti")
 

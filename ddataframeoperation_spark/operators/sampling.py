@@ -132,6 +132,7 @@ def leakage_safe_split(
     labels: Sequence[str],
     id_col: str = "doc_id",
     salt: str = "",
+    block_col: str | None = None,
 ) -> DataFrame:
     """North-star — near-dup-aware train/val/test split: documents
     connected by ``pairs`` (near-duplicate candidates, e.g.
@@ -153,6 +154,10 @@ def leakage_safe_split(
     :func:`hash_split` / :func:`hash_uniform` (a NULL key hashes to NULL
     and matches no interval); without the filter the ``otherwise()``
     branch would silently file every unkeyed row under the LAST label.
+
+    ``block_col`` forwards to ``connected_components`` — blocked-kernel
+    components when ``pairs`` carries a node-disjoint blocking key (e.g.
+    jaccard pairs grouped by source with ``keep_group=True``).
     """
     if len(weights) != len(labels) or not labels:
         raise ValueError("need one label per weight")
@@ -160,7 +165,7 @@ def leakage_safe_split(
 
     from ddataframeoperation_spark.operators.dedup import connected_components
 
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, block_col=block_col)
     d = df.select(id_col).filter(F.col(id_col).isNotNull()).join(
         comp, F.col(id_col) == comp["id"], "left"
     )
@@ -567,6 +572,7 @@ def leakage_safe_kfold(
     k: int,
     id_col: str = "doc_id",
     salt: str = "",
+    block_col: str | None = None,
 ) -> DataFrame:
     """North-star — near-dup-aware k-fold CV (the GroupKFold of corpus
     work): documents connected by ``pairs`` share a duplicate-cluster
@@ -579,12 +585,14 @@ def leakage_safe_kfold(
     construction, and NULL-id rows are dropped (module NULL contract).
 
     Returns (id_col, fold_key, fold) with fold in [0, k).
+    ``block_col`` forwards to ``connected_components`` (blocked-kernel
+    components, same contract as :func:`leakage_safe_split`).
     """
     if k < 2:
         raise ValueError("k must be >= 2")
     from ddataframeoperation_spark.operators.dedup import connected_components
 
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, block_col=block_col)
     d = df.select(id_col).filter(F.col(id_col).isNotNull()).join(
         comp, F.col(id_col) == comp["id"], "left"
     )

@@ -174,6 +174,7 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     planes: Sequence[Sequence[float]] | None = None,
     arrow_kernel: bool = True,
+    keep_block: bool = False,
 ) -> DataFrame:
     """B33/north-star — embedding-cosine near-duplicate pairs.
 
@@ -197,7 +198,16 @@ def cosine_neardup_pairs(
     has) — choose the blocking key so the largest block is bounded, or
     sub-split hot blocks upstream; the kernel is O(m²·d) per block either
     way, which is the inherent cost of exact pairwise re-scoring.
+
+    ``keep_block=True`` (requires ``block_col``) appends the block value
+    as a fourth column named ``block_col`` — the same contract as
+    ``jaccard_pairs(keep_group=True)``: each id belongs to exactly one
+    block (the blocking key is a row column), so a downstream blocked
+    operator (e.g. ``connected_components(block_col=...)``) can reuse
+    the blocking without a re-join.
     """
+    if keep_block and block_col is None:
+        raise ValueError("keep_block requires block_col")
     if block_col is not None:
         blk = F.col(block_col)
     elif planes is not None:
@@ -216,8 +226,9 @@ def cosine_neardup_pairs(
 
         def _block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
             m = len(pdf)
+            cols = ["id_a", "id_b", "cos_sim"] + (["blk"] if keep_block else [])
             if m < 2:
-                return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+                return pd.DataFrame({c: [] for c in cols})
             pdf = pdf.sort_values("id")
             ids = pdf["id"].to_numpy()
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
@@ -231,26 +242,26 @@ def cosine_neardup_pairs(
             # floor(x*1e4+0.5)/1e4, not np.round: half-to-even diverges
             # from SQL half-away rounding on exact grid ties (same fix as
             # the Jaccard kernel).
-            return pd.DataFrame(
-                {
-                    "id_a": ids[iu[keep]],
-                    "id_b": ids[ju[keep]],
-                    "cos_sim": np.floor(s[keep] * 10000 + 0.5) / 10000,
-                }
-            )
+            out = {
+                "id_a": ids[iu[keep]],
+                "id_b": ids[ju[keep]],
+                "cos_sim": np.floor(s[keep] * 10000 + 0.5) / 10000,
+            }
+            if keep_block:
+                out["blk"] = pdf["blk"].iloc[0]
+            return pd.DataFrame(out)
 
         from ddataframeoperation_spark.operators.script import (
             apply_script_grouped,
         )
 
+        schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+        if keep_block:
+            schema += f", blk {dict(df.dtypes)[block_col]}"
         # apply_script_grouped pins the Python stage's parallelism (AQE
         # would coalesce the exchange, starving the per-block matmul).
-        return apply_script_grouped(
-            blocked,
-            ["blk"],
-            _block_pairs,
-            f"id_a {id_type}, id_b {id_type}, cos_sim double",
-        )
+        out = apply_script_grouped(blocked, ["blk"], _block_pairs, schema)
+        return out.withColumnRenamed("blk", block_col) if keep_block else out
     # JVM fallback: pre-normalize each vector ONCE per row (materialized
     # column — a lambda-referenced norm expression would be re-inlined and
     # recomputed per element) so a candidate pair costs one dot product.
@@ -282,9 +293,11 @@ def cosine_neardup_pairs(
         F.nanvl(
             dot(F.col("a.v"), F.col("b.v")), F.lit(None).cast("double")
         ).alias("_cos"),
+        *( [F.col("a.blk").alias("_blk")] if keep_block else [] ),
     )
+    tail = [F.col("_blk").alias(block_col)] if keep_block else []
     return scored.filter(F.col("_cos") >= threshold).select(
-        "id_a", "id_b", F.round("_cos", 4).alias("cos_sim")
+        "id_a", "id_b", F.round("_cos", 4).alias("cos_sim"), *tail
     )
 
 

@@ -1719,9 +1719,14 @@ def b32cd(spark: SparkSession, sf: str) -> DataFrame:
     # propagation) -> keep lowest id per cluster. At 100 TB the pair
     # source swaps to minhash_candidates + jaccard refinement — identical
     # downstream.
+    # r13 optimization: blocked-kernel components (see b22_leakage_safe_kfold).
     docs = _t(spark, sf, "documents")
-    pairs = dedup.jaccard_pairs(docs, group_col="source", threshold=0.5)
-    return dedup.cluster_dedup(docs, pairs.select("id_a", "id_b")).select("doc_id")
+    pairs = dedup.jaccard_pairs(
+        docs, group_col="source", threshold=0.5, keep_group=True
+    )
+    return dedup.cluster_dedup(
+        docs, pairs.select("id_a", "id_b", "source"), block_col="source"
+    ).select("doc_id")
 
 
 @_q(
@@ -1830,14 +1835,18 @@ def b22lss(spark: SparkSession, sf: str) -> DataFrame:
     # Every stage — pairs, components, md5 assignment — is oracle-exact.
     from ddataframeoperation_spark.operators import sampling
 
+    # r13 optimization: blocked-kernel components (see b22_leakage_safe_kfold).
     docs = _t(spark, sf, "documents")
-    pairs = dedup.jaccard_pairs(docs, group_col="source", threshold=0.5)
+    pairs = dedup.jaccard_pairs(
+        docs, group_col="source", threshold=0.5, keep_group=True
+    )
     return sampling.leakage_safe_split(
         docs,
-        pairs.select("id_a", "id_b"),
+        pairs.select("id_a", "id_b", "source"),
         [0.8, 0.1, 0.1],
         ["train", "val", "test"],
         salt="r4",
+        block_col="source",
     )
 
 
@@ -1891,10 +1900,17 @@ def b22lkf(spark: SparkSession, sf: str) -> DataFrame:
     # b22_leakage_safe_split's guarantee, every stage oracle-exact.
     from ddataframeoperation_spark.operators import sampling
 
+    # r13 optimization: the pair graph is blocked by source, so the
+    # components come from the grouped union-find kernel (block_col)
+    # instead of ~4 eager hook/shortcut rounds — same labels, bitwise
+    # (oracle re-proven at all three SFs).
     docs = _t(spark, sf, "documents")
-    pairs = dedup.jaccard_pairs(docs, group_col="source", threshold=0.5)
+    pairs = dedup.jaccard_pairs(
+        docs, group_col="source", threshold=0.5, keep_group=True
+    )
     return sampling.leakage_safe_kfold(
-        docs, pairs.select("id_a", "id_b"), k=5, salt="cv"
+        docs, pairs.select("id_a", "id_b", "source"), k=5, salt="cv",
+        block_col="source",
     )
 
 
@@ -2102,15 +2118,19 @@ def b33ed(spark: SparkSession, sf: str) -> DataFrame:
     # kernel) -> connected components -> keep the lowest vec_id per
     # cluster. The production semantic-dedup chain for embedding-indexed
     # corpora, verified against the recursive-CTE oracle.
+    # r13 optimization: components are blocked by label (cosine pairs
+    # never cross labels) → grouped union-find kernel; and the drop set
+    # is a row-local filter because component == min id by contract
+    # (the former min-per-component aggregate + anti self-join
+    # re-derived that invariant at the cost of a shuffle).
     emb = _t(spark, sf, "embeddings")
     pairs = similarity.cosine_neardup_pairs(
-        emb, threshold=0.35, block_col="label"
-    ).select("id_a", "id_b")
-    comp = dedup.connected_components(pairs)
-    keep = comp.groupBy("component").agg(F.min("id").alias("keep_id"))
-    drops = comp.join(
-        keep, comp["id"] == keep["keep_id"], "left_anti"
-    ).select(F.col("id").alias("vec_id"))
+        emb, threshold=0.35, block_col="label", keep_block=True
+    )
+    comp = dedup.connected_components(pairs, block_col="label")
+    drops = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("vec_id")
+    )
     return emb.join(drops, "vec_id", "left_anti").select("vec_id")
 
 

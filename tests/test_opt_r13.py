@@ -89,3 +89,59 @@ def test_jaccard_keep_group_requires_group_col(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="keep_group requires group_col"):
         dedup.jaccard_pairs(docs, keep_group=True)
+
+
+def test_connected_components_block_kernel_matches_iterative(spark):
+    rows = _random_blocked_graph(seed=7)
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long, src string")
+    it = dedup.connected_components(pairs.select("id_a", "id_b"))
+    blk = dedup.connected_components(pairs, block_col="src")
+    assert it.columns == blk.columns
+    assert it.dtypes == blk.dtypes
+    i = sorted(map(tuple, it.collect()))
+    b = sorted(map(tuple, blk.collect()))
+    assert i == b
+    assert len(i) > 0
+
+
+def test_connected_components_block_kernel_null_and_selfloop(spark):
+    rows = [(1, 2, "a"), (2, 2, "a"), (None, 5, "a"), (7, None, "a"), (9, 9, "b")]
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long, src string")
+    got = sorted(
+        map(tuple, dedup.connected_components(pairs, block_col="src").collect())
+    )
+    # NULL-endpoint pairs dropped whole; self-loops label themselves.
+    assert got == [(1, 1), (2, 1), (9, 9)]
+
+
+def test_contraction_pass_preserves_iterative_semantics(spark):
+    # A long chain deliberately scattered across partitions: the map-side
+    # union-find contraction must not change labels, convergence behavior,
+    # or the non-convergence contract.
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    ).repartition(16)
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert len(comp) == n + 1 and set(comp.values()) == {0}
+
+
+def test_cluster_dedup_best_still_keeps_best(spark):
+    # cluster_dedup_best kept its aggregate form (survivor = max score);
+    # pin that the simplified cluster_dedup and it stay consistent on the
+    # degenerate case where scores are equal (ties -> lowest id == the
+    # cluster_dedup survivor).
+    docs = spark.createDataFrame(
+        [(i, "t", 1.0) for i in (1, 2, 3, 9)],
+        "doc_id long, text string, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    a = sorted(r["doc_id"] for r in dedup.cluster_dedup(docs, pairs).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in dedup.cluster_dedup_best(docs, pairs, score_col="quality").collect()
+    )
+    assert a == b == [1, 9]
