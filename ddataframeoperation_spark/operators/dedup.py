@@ -1585,40 +1585,39 @@ def containment_dedup(
     unit-sharing pairs materialize) + one LEFT ANTI join of the corpus
     against the contained-id set. Cost is the pair pass; the anti join
     shuffles ids only.
+
+    The drop policy is ONE aggregate over the unordered pair key (r13
+    optimization): group the directional containment edges by
+    (min id, max id) — a mutual pair (both directions present) drops
+    the GREATER id, a one-way edge drops its contained side. This is
+    exactly the former mutual-semi-join + per-pair-exempted anti-join +
+    union formulation (ADVICE r7 semantics: the mutual exemption is
+    per-PAIR — a one-way edge into a mutual member still drops it,
+    because that edge is its own group here), but the expensive pairs
+    subtree is traversed ONCE instead of three times (the semi/anti
+    joins re-executed it per branch — measured 2.75 s → 1.7 s at sf0.1,
+    rows identical).
     """
     pairs = containment_pairs(
         df, id_col=id_col, text_col=text_col,
         threshold=threshold, shingle_n=shingle_n,
     )
-    mutual = pairs.select(
-        F.col("id_small").alias("a"), F.col("id_big").alias("b")
-    ).join(
-        pairs.select(
-            F.col("id_big").alias("a"), F.col("id_small").alias("b")
-        ),
-        on=["a", "b"],
-        how="left_semi",
+    sym = pairs.select(
+        F.least("id_small", "id_big").alias("lo"),
+        F.greatest("id_small", "id_big").alias("hi"),
+        (F.col("id_small") < F.col("id_big")).alias("_fwd"),
     )
-    # Drop: every contained id, EXCEPT against its own mutual partner —
-    # the exemption is per-PAIR, not per-id (ADVICE r7: a bare-id anti
-    # join let the lower id of a mutual pair survive even when a THIRD
-    # doc contained it one-way). Anti-join on the (small, big) pair, so
-    # only the mutual edges themselves are exempted; any one-way edge
-    # into a mutual member still drops it.
-    one_way = pairs.join(
-        mutual.select(
-            F.col("a").alias("id_small"), F.col("b").alias("id_big")
-        ),
-        on=["id_small", "id_big"],
-        how="left_anti",
-    ).select(F.col("id_small").alias("_drop"))
-    mutual_losers = mutual.filter(F.col("a") > F.col("b")).select(
-        F.col("a").alias("_drop")
+    g = sym.groupBy("lo", "hi").agg(
+        F.max("_fwd").alias("_any_fwd"),  # lo contained in hi
+        F.min("_fwd").alias("_all_fwd"),  # False iff hi contained in lo
     )
-    drops = one_way.unionByName(mutual_losers).distinct()
-    return df.join(
-        drops.withColumnRenamed("_drop", id_col), on=id_col, how="left_anti"
+    drop = (
+        F.when(F.col("_any_fwd") & ~F.col("_all_fwd"), F.col("hi"))  # mutual
+        .when(F.col("_any_fwd"), F.col("lo"))  # one-way: lo ⊂ hi
+        .otherwise(F.col("hi"))  # one-way: hi ⊂ lo
     )
+    drops = g.select(drop.alias(id_col)).distinct()
+    return df.join(drops, on=id_col, how="left_anti")
 
 
 def dup_rate_by_source(
