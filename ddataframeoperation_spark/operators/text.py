@@ -1868,6 +1868,7 @@ def keyword_pagerank(
     n_iter: int = 6,
     k: int = 15,
     checkpoint_dir: str | None = None,
+    arrow_kernel: bool = False,
 ) -> DataFrame:
     """B34 — TextRank-style corpus keywords: PageRank over the token
     co-occurrence graph (edges = :func:`skipgram_pairs` within
@@ -1942,9 +1943,12 @@ def keyword_pagerank(
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
+    # arrow_kernel: the min_count-pruned vocabulary graph is bounded by
+    # construction, so the caller may run all rounds in pagerank's
+    # single exact-integer kernel (bit-identical; see dedup.pagerank).
     ranks = pagerank(
         nodes, edges, n_iter=n_iter, checkpoint_dir=checkpoint_dir,
-        run_id=run,
+        run_id=run, arrow_kernel=arrow_kernel,
     )
     out = (
         ranks.orderBy(F.col("rank_units").desc(), F.col("id").asc())

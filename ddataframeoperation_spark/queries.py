@@ -9233,7 +9233,13 @@ def b32pr(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.sum(_rev_cents4().cast("decimal(38,0)")).alias("w"))
     )
-    ranks = dedup.pagerank(n, edges, n_iter=8, damping_bp=8500, unit=10**9)
+    # r13 optimization: the aggregated nation graph is 25 nodes — all 8
+    # fixed-point rounds run in pagerank's single exact-integer kernel
+    # (bit-identical recurrence; oracle re-proven at all three SFs)
+    # instead of 8 join+agg+checkpoint rounds.
+    ranks = dedup.pagerank(
+        n, edges, n_iter=8, damping_bp=8500, unit=10**9, arrow_kernel=True
+    )
     return ranks.select(F.col("id").alias("nation_id"), "rank_units")
 
 
@@ -9276,8 +9282,11 @@ def b34kw(spark: SparkSession, sf: str) -> DataFrame:
     # skipgram graph — two already-exact operators composed, so even the
     # iterative centrality ranking hash-matches the oracle. Centrality
     # over frequency: boilerplate phrases repeat but don't CONNECT.
+    # r13 optimization: min_count=3 bounds the vocabulary graph, so the 6
+    # fixed-point rounds run in the single exact-integer kernel.
     return TX.keyword_pagerank(
-        _t(spark, sf, "documents"), window=2, min_count=3, n_iter=6, k=15
+        _t(spark, sf, "documents"), window=2, min_count=3, n_iter=6, k=15,
+        arrow_kernel=True,
     )
 
 

@@ -129,6 +129,43 @@ def test_contraction_pass_preserves_iterative_semantics(spark):
     assert len(comp) == n + 1 and set(comp.values()) == {0}
 
 
+def test_pagerank_kernel_matches_iterative(spark):
+    rng = random.Random(42)
+    node_ids = list(range(30))
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    # random weighted digraph + dangling nodes + an edge to an OFF-LIST
+    # dst (999) and from an off-list src (998): every stated contract.
+    edge_rows = [
+        (rng.choice(node_ids), rng.choice(node_ids), rng.randint(1, 50))
+        for _ in range(120)
+    ] + [(3, 999, 7), (998, 4, 9)]
+    edges = spark.createDataFrame(edge_rows, "src long, dst long, w long")
+    it = dedup.pagerank(nodes, edges, n_iter=5, damping_bp=8500)
+    kn = dedup.pagerank(nodes, edges, n_iter=5, damping_bp=8500,
+                        arrow_kernel=True)
+    assert it.columns == kn.columns and it.dtypes == kn.dtypes
+    i = sorted(map(tuple, it.collect()))
+    k = sorted(map(tuple, kn.collect()))
+    assert i == k
+    assert len(i) == 30
+
+
+def test_pagerank_kernel_string_ids(spark):
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, w long",
+    )
+    it = sorted(map(tuple, dedup.pagerank(nodes, edges, n_iter=4).collect()))
+    kn = sorted(
+        map(
+            tuple,
+            dedup.pagerank(nodes, edges, n_iter=4, arrow_kernel=True).collect(),
+        )
+    )
+    assert it == kn
+
+
 def test_cluster_dedup_best_still_keeps_best(spark):
     # cluster_dedup_best kept its aggregate form (survivor = max score);
     # pin that the simplified cluster_dedup and it stay consistent on the
