@@ -437,11 +437,19 @@ def ngram_contamination(
     n-gram; production would first xxhash64 the n-gram to 8 bytes to
     shrink the exchange.) Documents shorter than ``n`` words surface with
     ``n_ngrams = 0`` and ratio 0.0 rather than vanishing.
+
+    r13 optimization (guide §2.4): per-document n-gram distinctness is
+    ROW-LOCAL — ``array_distinct`` before the explode replaces the old
+    post-explode ``.distinct()``, whose exchange shuffled every n-gram
+    STRING in the corpus (the only data-sized shuffle in the plan; the
+    per-doc aggregate after the broadcast join map-side combines).
+    Measured 1.27 s → 0.85 s at sf0.1, rows identical.
     """
-    tgt = (
-        df.withColumn("_toks", tokens(text_col))
-        .select(F.col(id_col), F.explode_outer(word_ngrams(F.col("_toks"), n)).alias("ng"))
-        .distinct()
+    tgt = df.withColumn("_toks", tokens(text_col)).select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(word_ngrams(F.col("_toks"), n))
+        ).alias("ng"),
     )
     bench = (
         benchmark.withColumn("_toks", tokens(text_col))
@@ -535,7 +543,7 @@ def bigram_lm_scores(
     t = df.withColumn("_toks", tokens(text_col))
     big = t.select(
         F.col(id_col), F.explode(word_ngrams(F.col("_toks"), 2)).alias("bg")
-    ).withColumn("w1", F.split(F.col("bg"), " ")[0])
+    )
     if materialize_bigrams:
         big = big.localCheckpoint(eager=True)
     uni = t.select(F.explode(F.col("_toks")).alias("w"))
@@ -544,17 +552,28 @@ def bigram_lm_scores(
         eager=True
     )
     v = c1.count()
-    scored = (
-        big.join(F.broadcast(c2), "bg")
-        .join(F.broadcast(c1), big["w1"] == c1["w"])
-        .withColumn(
-            "lp",
+    # r13 optimization (guide §2.3): the smoothed log-prob is a function
+    # of the BIGRAM alone, so fold the (vocabulary-sized) unigram join
+    # and the log into the model table and broadcast ONE (bg, lp)
+    # relation — the corpus stream crosses a single broadcast join and
+    # no longer carries a per-occurrence w1 split column (the former
+    # plan split every occurrence and ran two broadcast joins over the
+    # corpus). lp is the identical expression per distinct bigram, so
+    # scores are bit-identical. Measured ~10% at sf0.1 (1.97 → 1.79 s
+    # same-window isolated A/B) — the structural point is the corpus
+    # stream narrowing (no w1 column, one join), which grows with scale.
+    model = (
+        c2.withColumn("w1", F.split(F.col("bg"), " ")[0])
+        .join(c1, F.col("w1") == c1["w"])
+        .select(
+            "bg",
             F.log(
                 (F.col("c2") + F.lit(float(alpha)))
                 / (F.col("c1") + F.lit(float(alpha) * v))
-            ),
+            ).alias("lp"),
         )
     )
+    scored = big.join(F.broadcast(model), "bg")
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_bigrams"),
         F.round(F.avg("lp"), 4).alias("avg_logprob"),
