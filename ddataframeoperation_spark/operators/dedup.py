@@ -807,6 +807,68 @@ def jaccard_pairs(
     )
 
 
+def jaccard_refine(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """B32 — exact-Jaccard REFINEMENT of a candidate pair list (r13
+    optimization): score ONLY the given ``candidates`` (id_a, id_b) and
+    keep those with jacc >= ``threshold``. This is the second half of
+    the LSH contract — :func:`minhash_candidates` generates, this
+    verifies — and its cost is ∝ |candidates|, not ∝ the corpus's
+    token-sharing pair count: each candidate row fetches the two
+    documents' distinct unit sets (two id equi-joins against a
+    row-local set table) and intersects them ROW-LOCALLY.
+
+    Result-identical to ``jaccard_pairs(df, threshold=t, ...)
+    .join(candidates, ["id_a","id_b"], "leftsemi")`` (same normalized
+    units, same unpruned sizes, same unrounded threshold comparison,
+    same 4dp rounding) — but the corpus-wide inverted-index self-join
+    never runs. Candidate rows whose ids are absent from ``df`` drop
+    (inner joins), duplicates collapse, and NULL-id rows drop — the
+    semi-join form's behavior.
+
+    Returns (id_a, id_b, jacc).
+    """
+    pre = df.withColumn("_toks", F.split(normalized_text(text_col), " "))
+    units = (
+        ngram_shingles(F.col("_toks"), shingle_n) if shingle_n else F.col("_toks")
+    )
+    sets = pre.select(
+        F.col(id_col).alias("_id"), F.array_distinct(units).alias("_set")
+    )
+    cand = (
+        candidates.select("id_a", "id_b")
+        .filter(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
+        .distinct()
+    )
+    sa = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
+    sb = sets.select(F.col("_id").alias("id_b"), F.col("_set").alias("_sb"))
+    scored = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
+        # try_divide: two sub-shingle-length docs have EMPTY unit sets →
+        # 0/0, which ANSI division would raise on; NULL fails the
+        # threshold filter, matching the inverted-index form (such docs
+        # never reach its join).
+        .withColumn(
+            "jacc",
+            F.try_divide(
+                F.col("_i"),
+                F.size("_sa") + F.size("_sb") - F.col("_i"),
+            ),
+        )
+    )
+    return scored.filter(F.col("jacc") >= threshold).select(
+        "id_a", "id_b", F.round("jacc", 4).alias("jacc")
+    )
+
+
 def _jaccard_pairs_block_kernel(
     df: DataFrame,
     id_col: str,

@@ -2058,11 +2058,16 @@ def b32e2e(spark: SparkSession, sf: str) -> DataFrame:
     # chain, so a hash match additionally re-proves 100% LSH recall at
     # this threshold — if the band join dropped a true pair, a doc that
     # should be deduped would survive and the row sets would diverge.
+    # r13 optimization: refinement now scores ONLY the LSH candidates
+    # (jaccard_refine — two id joins + row-local set intersection) in
+    # place of the corpus-wide inverted-index jaccard that was then
+    # semi-joined down to the candidates. Same pair set by construction
+    # (identical units/sizes/threshold math; parity test + oracle at all
+    # three SFs) — and the refine cost is ∝ |candidates|, the actual
+    # LSH contract at 100 TB.
     docs = _t(spark, sf, "documents")
     cands = dedup.minhash_candidates(docs)
-    refined = dedup.jaccard_pairs(docs, threshold=0.9, shingle_n=3).join(
-        cands, ["id_a", "id_b"], "leftsemi"
-    )
+    refined = dedup.jaccard_refine(docs, cands, threshold=0.9, shingle_n=3)
     return dedup.cluster_dedup(docs, refined.select("id_a", "id_b")).select(
         "doc_id"
     )

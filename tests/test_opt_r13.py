@@ -129,6 +129,30 @@ def test_contraction_pass_preserves_iterative_semantics(spark):
     assert len(comp) == n + 1 and set(comp.values()) == {0}
 
 
+def test_jaccard_refine_matches_semijoined_pairs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today!"),
+        (3, "the quick brown fox leaps over the lazy dog today"),
+        (4, "an entirely different document about query engines"),
+        (5, "xy"),  # shorter than the shingle window: empty unit set
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (4, 5), (1, 2), (None, 2)],
+        "id_a long, id_b long",
+    )
+    for thr, sn in [(0.5, 3), (0.9, 3), (0.5, None)]:
+        old = dedup.jaccard_pairs(docs, threshold=thr, shingle_n=sn).join(
+            cands, ["id_a", "id_b"], "leftsemi"
+        )
+        new = dedup.jaccard_refine(docs, cands, threshold=thr, shingle_n=sn)
+        o = sorted(map(tuple, old.collect()))
+        n = sorted(map(tuple, new.collect()))
+        assert o == n, f"thr={thr} shingle_n={sn}: {o} != {n}"
+    assert len(n) > 0
+
+
 def test_pagerank_kernel_matches_iterative(spark):
     rng = random.Random(42)
     node_ids = list(range(30))
