@@ -331,8 +331,12 @@ def main() -> int:
     # harness captures a bounded TAIL of stdout — in round 9 the line's
     # HEAD (metric/value) fell outside the capture and the artifact
     # recorded "parsed": null. Emit a compact suite-total line LAST and
-    # ALONE so the tail always ends with a complete, parseable record;
-    # the per-query detail stays on the (earlier) full line.
+    # ALONE so the tail always ends with a complete, parseable record.
+    # VERDICT r13 #2: the driver's round-over-round PERF comparator reads
+    # ONLY this final line, so the per-query map must live INSIDE it —
+    # `detail.per_query` (the map alone is ~2.5 KB, well within the tail
+    # capture; metric/value/n_queries/n_errors keys unchanged, so the
+    # parse contract is additions-only).
     compact = {
         "metric": "bench_suite_total_time",
         "value": total,
@@ -340,7 +344,7 @@ def main() -> int:
         "sf": sf_dir,
         "n_queries": len(timings),
         "n_errors": len(errors),
-        "detail": "per-query timings on the preceding JSON line",
+        "detail": {"per_query": timings},
     }
     print(json.dumps(compact))
     return 0

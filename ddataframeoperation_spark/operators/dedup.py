@@ -174,6 +174,54 @@ def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
     )
 
 
+#: Spark XXH64 primes (org.apache.spark.sql.catalyst.expressions.XXH64) —
+#: the pinned hash family of the MinHash signature plane. The numpy
+#: reimplementation below is bit-for-bit equal to Spark's ``xxhash64``
+#: long/int paths (parity-tested in tests/test_opt_r14.py); Spark
+#: guarantees hash stability across releases, so the two can never drift.
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _np_xxh64_long(v, seed):
+    """Vectorized Spark ``XXH64.hashLong`` over a uint64 ndarray (or
+    scalar) ``v`` with uint64 ``seed``. All arithmetic wraps mod 2^64."""
+    import numpy as np
+
+    u = np.uint64
+    h = seed + u(_XXH_P5) + u(8)
+    k1 = v * u(_XXH_P2)
+    k1 = ((k1 << u(31)) | (k1 >> u(33))) * u(_XXH_P1)
+    h = h ^ k1
+    h = ((h << u(27)) | (h >> u(37))) * u(_XXH_P1) + u(_XXH_P4)
+    h ^= h >> u(33)
+    h *= u(_XXH_P2)
+    h ^= h >> u(29)
+    h *= u(_XXH_P3)
+    h ^= h >> u(32)
+    return h
+
+
+def _np_xxh64_int(v, seed):
+    """Vectorized Spark ``XXH64.hashInt`` (4-byte input, zero-extended)
+    over uint64 ``seed`` array/scalar; ``v`` is a plain Python int."""
+    import numpy as np
+
+    u = np.uint64
+    h = seed + u(_XXH_P5) + u(4)
+    h = h ^ (u(v & 0xFFFFFFFF) * u(_XXH_P1))
+    h = ((h << u(23)) | (h >> u(41))) * u(_XXH_P2) + u(_XXH_P3)
+    h ^= h >> u(33)
+    h *= u(_XXH_P2)
+    h ^= h >> u(29)
+    h *= u(_XXH_P3)
+    h ^= h >> u(32)
+    return h
+
+
 def minhash_band_table(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -181,19 +229,34 @@ def minhash_band_table(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    arrow_signature: bool = True,
 ) -> DataFrame:
     """(id, band, bucket) banded-MinHash table — the LSH index itself.
 
-    Explode shingles, then one hash-aggregate with k min() columns — a
-    map-side-combining shuffle on id, every hash inside whole-stage
+    Explode shingles (JVM: tokenization, shingling and the one
+    variable-length string hash stay codegen'd), then build the k-seed
+    signature. The variable-length shingle hashes to a long ONCE; the k
+    hash family re-hashes the 8-byte long per seed (cheaper than k string
+    hashes when shingles are long). At 100 TB this table is what you
+    PERSIST, partitioned by (band, bucket) — new data then joins the
+    stored index without recomputing corpus signatures
+    (minhash_candidates_incremental).
+
+    ``arrow_signature`` (r14, guide §4.2): the per-seed hashing + min
+    aggregation runs as a streaming Arrow kernel — per record batch,
+    ``xxhash64(h0, seed)`` for all k seeds is ~10 vectorized uint64 ops
+    each (the common inner ``hashLong(h0, 42)`` computed ONCE instead of
+    per seed, which the JVM expression form cannot share because the
+    seed is baked into each xxhash64 call), then a per-batch partial
+    min per id; the JVM merges partials with the same map-side-combining
+    groupBy as before. Bit-identical output (the numpy XXH64 is
+    parity-pinned against Spark's), bounded memory (one Arrow batch per
+    step — no blocked-kernel boundedness contract needed), same shuffle
+    shape (partials are ≤ ids-per-batch rows). ``False`` keeps the pure
+    JVM aggregate: k ``min(xxhash64(h0, s))`` columns in whole-stage
     codegen. (The closed-form alternative — one giant nested
     transform/array_min expression per row — falls out of codegen and
     re-evaluates the shingle expression per hash: ~100× slower measured.)
-    The variable-length shingle hashes to a long ONCE; the k hash family
-    re-hashes the 8-byte long per seed (cheaper than k string hashes when
-    shingles are long). At 100 TB this table is what you PERSIST,
-    partitioned by (band, bucket) — new data then joins the stored index
-    without recomputing corpus signatures (minhash_candidates_incremental).
     """
     rows_per_band = num_hashes // bands
     exploded = (
@@ -204,12 +267,52 @@ def minhash_band_table(
         )
         .select("id", F.xxhash64("sh").alias("h0"))
     )
-    sig = exploded.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64("h0", F.lit(s))).alias(f"h{s}")
-            for s in range(num_hashes)
-        ]
-    )
+    hcols = [f"h{s}" for s in range(num_hashes)]
+    if arrow_signature:
+        id_type = dict(exploded.dtypes)["id"]
+        k = num_hashes
+
+        def _partial_sig(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            aggs = [(h, "min") for h in hcols]
+            with np.errstate(over="ignore"):
+                for b in batches:
+                    if b.num_rows == 0:
+                        continue
+                    h0 = b.column("h0").to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64).view(np.uint64)
+                    base = _np_xxh64_long(h0, np.uint64(42))
+                    cols = {"id": b.column("id")}
+                    for s in range(k):
+                        cols[hcols[s]] = pa.array(
+                            _np_xxh64_int(s, base).view(np.int64)
+                        )
+                    g = (
+                        pa.table(cols)
+                        .group_by("id", use_threads=False)
+                        .aggregate(aggs)
+                    )
+                    yield from g.select(
+                        ["id"] + [f"{h}_min" for h in hcols]
+                    ).rename_columns(["id"] + hcols).to_batches()
+
+        partial = exploded.mapInArrow(
+            _partial_sig,
+            f"id {id_type}, " + ", ".join(f"{h} long" for h in hcols),
+        )
+        sig = partial.groupBy("id").agg(
+            *[F.min(h).alias(h) for h in hcols]
+        )
+    else:
+        sig = exploded.groupBy("id").agg(
+            *[
+                F.min(F.xxhash64("h0", F.lit(s))).alias(f"h{s}")
+                for s in range(num_hashes)
+            ]
+        )
     return sig.select(
         "id",
         F.explode(
@@ -380,6 +483,7 @@ def connected_components(
     on_nonconverged: str = "raise",
     run_id: str | None = None,
     block_col: str | None = None,
+    small_graph_rows: int = 4_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list (id_a, id_b) —
     the clustering step that turns near-dup candidate PAIRS into dup
@@ -441,6 +545,25 @@ def connected_components(
     iterative hook/shortcut rounds remain the unblocked/100 TB default
     where one component can span the corpus. Measured on the sf0.1
     bench graph (445k pairs): ~5 s of eager round jobs → 0.3 s.
+
+    ``small_graph_rows`` (r14 optimization — the standard distributed-CC
+    ENDGAME): after the map-side contraction + symmetrize/distinct
+    materialize, the edge count is known for free (the table is already
+    checkpointed — counting it is a metadata-cheap job, and the loop
+    would run a count per round anyway). When it is ≤ this bound, the
+    whole graph is solved EXACTLY in one single-task vectorized pass
+    (the same min-label kernel the blocked path uses) instead of
+    entering the round loop: one job replaces per-round [hook join +
+    2 pointer self-joins + checkpoint + changed-count] × O(log diameter)
+    rounds. Same (id, component = min id) output, bitwise — the kernel
+    converges exactly, so ``max_iterations``/``on_nonconverged`` never
+    trigger on this path (nothing to raise: it IS converged). Memory
+    contract: one task holds the contracted edge arrays — 4M edge rows
+    ≈ 64 MB of int64 pairs (string ids cost ~8× more; lower the bound
+    for string-keyed graphs if partitions are memory-tight). At 100 TB
+    the contracted candidate graph of a near-dup pass usually exceeds
+    the bound and the iterative rounds run as before; pass ``0`` to
+    force the loop (the convergence contract tests do).
     """
     from pyspark.sql import functions as SF
 
@@ -509,6 +632,27 @@ def connected_components(
         )
         .distinct()
     )
+    if small_graph_rows and edges.count() <= small_graph_rows:
+        # Single-task exact endgame (see docstring): the contracted edge
+        # set fits one task, so solve it in one vectorized pass.
+        def _solve(batches):
+            import numpy as np
+            import pandas as pd
+
+            aa, bb = [], []
+            for pdf in batches:
+                if len(pdf):
+                    aa.append(pdf["src"].to_numpy())
+                    bb.append(pdf["dst"].to_numpy())
+            if aa:
+                ids, comp = _np_min_label_components(
+                    np.concatenate(aa), np.concatenate(bb)
+                )
+                yield pd.DataFrame({"id": ids, "component": comp})
+
+        return edges.coalesce(1).mapInPandas(
+            _solve, f"id {id_type}, component {id_type}"
+        )
     labels = (
         edges.select(SF.col("src").alias("id"))
         .distinct()

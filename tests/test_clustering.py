@@ -24,9 +24,14 @@ def test_connected_components_deep_chain_converges_logarithmically(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
+    # small_graph_rows=0 forces the iterative loop — the r14 single-task
+    # endgame would otherwise solve this tiny graph exactly in one pass
+    # and this test exists to pin the LOOP's log-convergence contract.
     comp = {
         r["id"]: r["component"]
-        for r in dedup.connected_components(pairs, max_iterations=7).collect()
+        for r in dedup.connected_components(
+            pairs, max_iterations=7, small_graph_rows=0
+        ).collect()
     }
     assert len(comp) == n + 1
     assert set(comp.values()) == {0}
@@ -42,13 +47,17 @@ def test_connected_components_nonconvergence_raises_and_warns(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "id_a long, id_b long"
     )
+    # small_graph_rows=0 forces the loop (the r14 endgame converges any
+    # small graph exactly, so nothing would raise) — this test pins the
+    # LOOP's refuse-partial-labels contract.
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(pairs, max_iterations=1)
+        dedup.connected_components(pairs, max_iterations=1, small_graph_rows=0)
     # ...and warn-mode must return the partial (still valid-per-id) labels.
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         labels = dedup.connected_components(
-            pairs, max_iterations=1, on_nonconverged="warn"
+            pairs, max_iterations=1, on_nonconverged="warn",
+            small_graph_rows=0,
         ).collect()
     assert any("did not converge" in str(x.message) for x in w)
     assert len(labels) == 65
