@@ -1456,6 +1456,63 @@ def cohens_kappa(
     )
 
 
+def _bucket_by_cuts(
+    per: DataFrame,
+    cuts: DataFrame,
+    v_col: str,
+    cuts_col: str,
+    n_cuts: int,
+    out_col: str,
+) -> DataFrame:
+    """Bucket id for the rank machinery: the count of broadcast cut
+    points strictly below ``v_col`` — as a BINARY SEARCH over the sorted
+    fixed-length cut array (r14, guide §4): one ⌈log2(n_cuts+1)⌉-step
+    ``aggregate`` fold with O(1) ``try_element_at`` probes instead of the
+    O(n_cuts) ``size(filter(cuts, x -> v > x))`` lambda — 9 interpreted
+    steps per value instead of 511 at the default 512 buckets. (An
+    unrolled when/element_at chain was tried first: codegen-friendly but
+    the optimizer inlines the chained projections into a 3^depth
+    expression tree — measured ~4.5 s of Catalyst time PER PLAN, re-paid
+    on every AQE re-optimization. The single small fold plans in
+    milliseconds; both forms beat the 511-step lambda at execution.)
+
+    Result-identical to the filter-count for every input: the cut array
+    is pre-sanitized ONCE on the 1-row ``cuts`` table — NaN cuts dropped
+    (the old lambda's ``v > NaN`` was never true, so NaN cuts never
+    counted) and ``array_sort``-ed (guarantees the monotone-prefix
+    property binary search needs even where percentile_approx's NaN/edge
+    placement is unspecified; for NaN-free input the array is already
+    sorted and this is a no-op) — after which the predicate
+    cuts[i] < v is monotone in i and the largest satisfying position IS
+    the strict-less count (duplicates all sit left of the first >= v;
+    NaN values compare greatest on both forms, landing in the last
+    bucket). Probes past the (possibly shortened) array fail via
+    try_element_at's NULL, preserving the prefix property.
+    """
+    vt = dict(per.dtypes)[v_col]
+    if vt in ("double", "float"):
+        cuts = cuts.select(
+            F.array_sort(
+                F.filter(F.col(cuts_col), lambda x: ~F.isnan(x))
+            ).alias(cuts_col)
+        )
+    depth = int(n_cuts).bit_length()
+    fold = F.expr(
+        f"""aggregate(
+          sequence({depth - 1}, 0, -1),
+          0,
+          (pos, i) -> IF(pos + shiftleft(1, i) <= {n_cuts}
+                         AND try_element_at({cuts_col},
+                                            pos + shiftleft(1, i)) < {v_col},
+                         pos + shiftleft(1, i), pos))"""
+    )
+    return (
+        per.crossJoin(F.broadcast(cuts))
+        .withColumn(out_col, fold)
+        .drop(cuts_col)
+    )
+
+
 def rank_sum_test(
     df: DataFrame,
     group_col: str | Column,
@@ -1514,9 +1571,8 @@ def rank_sum_test(
         cuts = per.agg(
             F.percentile_approx("_v", probs, 10_000).alias("_cuts")
         )
-        bucketed = per.crossJoin(F.broadcast(cuts)).withColumn(
-            "_bkt",
-            F.size(F.filter(F.col("_cuts"), lambda x: F.col("_v") > x)),
+        bucketed = _bucket_by_cuts(
+            per, cuts, "_v", "_cuts", buckets - 1, "_bkt"
         )
     # Cross-bucket offsets: a window over the <=buckets-row totals table
     # (bounded by construction — the plan-audit allowlist class).
@@ -1623,9 +1679,8 @@ def ks_test(
         cuts = per.agg(
             F.percentile_approx("_v", probs, 10_000).alias("_cuts")
         )
-        bucketed = per.crossJoin(F.broadcast(cuts)).withColumn(
-            "_bkt",
-            F.size(F.filter(F.col("_cuts"), lambda x: F.col("_v") > x)),
+        bucketed = _bucket_by_cuts(
+            per, cuts, "_v", "_cuts", buckets - 1, "_bkt"
         )
     btot = bucketed.groupBy("_bkt").agg(
         F.sum("_ca").alias("_ba"), F.sum("_cb").alias("_bb")
@@ -2169,9 +2224,8 @@ def auc_exact(
         cuts = per.agg(
             F.percentile_approx("_v", probs, 10_000).alias("_cuts")
         )
-        bucketed = per.crossJoin(F.broadcast(cuts)).withColumn(
-            "_bkt",
-            F.size(F.filter(F.col("_cuts"), lambda x: F.col("_v") > x)),
+        bucketed = _bucket_by_cuts(
+            per, cuts, "_v", "_cuts", buckets - 1, "_bkt"
         )
     btot = bucketed.groupBy("_bkt").agg(F.sum("_c").alias("_bc"))
     wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -2281,9 +2335,8 @@ def pr_auc_exact(
         cuts = per.agg(
             F.percentile_approx("_v", probs, 10_000).alias("_cuts")
         )
-        bucketed = per.crossJoin(F.broadcast(cuts)).withColumn(
-            "_bkt",
-            F.size(F.filter(F.col("_cuts"), lambda x: F.col("_v") > x)),
+        bucketed = _bucket_by_cuts(
+            per, cuts, "_v", "_cuts", buckets - 1, "_bkt"
         )
     btot = bucketed.groupBy("_bkt").agg(
         F.sum("_c").alias("_bc"), F.sum("_ca").alias("_bca")
@@ -2485,9 +2538,8 @@ def weighted_percentiles(
         cuts = per.agg(
             F.percentile_approx("_v", pr, 10_000).alias("_cuts")
         )
-        bucketed = per.crossJoin(F.broadcast(cuts)).withColumn(
-            "_bkt",
-            F.size(F.filter(F.col("_cuts"), lambda x: F.col("_v") > x)),
+        bucketed = _bucket_by_cuts(
+            per, cuts, "_v", "_cuts", buckets - 1, "_bkt"
         )
     btot = bucketed.groupBy("_bkt").agg(F.sum("_pw").alias("_bw"))
     wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)

@@ -11,7 +11,7 @@ import random
 
 from pyspark.sql import functions as F
 
-from ddataframeoperation_spark.operators import dedup
+from ddataframeoperation_spark.operators import dedup, relational
 
 
 # --- numpy XXH64 reimplementation vs Spark's xxhash64 -------------------
@@ -118,3 +118,71 @@ def test_cc_endgame_matches_loop_string_ids_and_nulls(spark):
     assert fast == loop
     # NULL-endpoint pairs drop whole on both paths
     assert {i for i, _ in fast} == {"a", "b", "c", "x", "y"}
+
+
+# --- binary-search bucket assign vs the filter-count lambda --------------
+
+
+def test_bucket_by_cuts_matches_filter_count(spark):
+    """The rank machinery's O(log cuts) binary-search bucket assign must
+    equal the old size(filter(cuts, x -> v > x)) count for every value —
+    including duplicates, values equal to cuts, NaN and ±inf."""
+    import math
+
+    random.seed(21)
+    vals = [float(random.randint(-8, 8)) for _ in range(1500)]
+    vals += [random.uniform(-50, 50) for _ in range(1500)]
+    vals += [float("nan")] * 7 + [float("inf"), float("-inf")] * 3
+    df = spark.createDataFrame([(v,) for v in vals], "_v double")
+    for buckets in (2, 7, 64, 512):
+        probs = [i / buckets for i in range(1, buckets)]
+        cuts = df.agg(
+            F.percentile_approx("_v", probs, 10_000).alias("_cuts")
+        )
+        old_rows = (
+            df.crossJoin(F.broadcast(cuts))
+            .withColumn(
+                "_bkt",
+                F.size(F.filter(F.col("_cuts"), lambda x: F.col("_v") > x)),
+            )
+            .groupBy("_v", "_bkt").count().collect()
+        )
+        new_rows = (
+            relational._bucket_by_cuts(
+                df, cuts, "_v", "_cuts", buckets - 1, "_bkt"
+            )
+            .groupBy("_v", "_bkt").count().collect()
+        )
+
+        def key(rows):  # NaN-safe set encoding
+            return sorted(
+                (math.isnan(r["_v"]),
+                 0.0 if math.isnan(r["_v"]) else r["_v"],
+                 r["_bkt"], r["count"])
+                for r in rows
+            )
+
+        assert key(new_rows) == key(old_rows), f"buckets={buckets}"
+
+
+def test_bucket_by_cuts_integer_values(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in [1, 1, 2, 3, 5, 8, 13, 21, 34, 55, 89]], "_v long"
+    )
+    buckets = 4
+    probs = [i / buckets for i in range(1, buckets)]
+    cuts = df.agg(F.percentile_approx("_v", probs, 10_000).alias("_cuts"))
+    old = {
+        (r["_v"], r["_bkt"])
+        for r in df.crossJoin(F.broadcast(cuts)).withColumn(
+            "_bkt",
+            F.size(F.filter(F.col("_cuts"), lambda x: F.col("_v") > x)),
+        ).collect()
+    }
+    new = {
+        (r["_v"], r["_bkt"])
+        for r in relational._bucket_by_cuts(
+            df, cuts, "_v", "_cuts", buckets - 1, "_bkt"
+        ).collect()
+    }
+    assert new == old
