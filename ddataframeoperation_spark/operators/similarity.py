@@ -1114,13 +1114,23 @@ def matryoshka_recall(
     proven cosine_topk contract); set intersection and the recall ratio
     are integer arithmetic, so the row is bit-identical cross-engine.
 
-    Plan shape: the corpus is scanned once per evaluated dimension
-    (the honest eval cost — each scan computes a different slice), each
-    scan feeding the two-level per-(query, shard) top-k of
-    :func:`cosine_topk_multi` (no data-sized single-task sort); the
-    truncated winners LEFT SEMI join the broadcast-sized full-dim
-    winners (≤ n_queries·k rows) and collapse to a |dims|-row report.
-    ``queries`` is a small broadcast table, as in cosine_topk_multi.
+    Plan shape (r14, guide §6/§2.4 — single-scan multi-dim scoring): the
+    corpus is scanned ONCE; each (query, vector) pair emits one scored
+    row per evaluated slice via an explode over (dim, cosine) structs
+    (marker dim 0 = the full-dimension reference — dims are >= 1, so the
+    marker can't collide), and ONE two-level per-(dim, query, shard)
+    top-k covers every dimension in a single pair of window exchanges —
+    where the former shape re-scanned the corpus and re-ran both windows
+    once per dimension, plus once per dimension for the broadcast
+    full-dim reference (2·|dims| scans at |dims| evaluated prefixes).
+    The cosine work is unchanged (each pair still scores |dims|+1
+    slices); the truncated winners LEFT SEMI join the full-dim winners
+    on (query, id) — both sides of that tiny join hang off the SAME
+    window subtree, so the heavy exchange is planned once and reused —
+    and collapse to a |dims|-row report (dims with zero hits keep their
+    row via the left join against the literal dim list, as the old
+    per-dim count aggregate did). ``queries`` is a small broadcast
+    table, as in cosine_topk_multi.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -1134,51 +1144,74 @@ def matryoshka_recall(
         )
     )
 
-    def _topk_ids(slice_dim: int | None) -> DataFrame:
+    def _cos(slice_dim: int | None):
         v, qv = F.col(vec_col), F.col("_qv")
         if slice_dim is not None:
             v = F.slice(v, 1, int(slice_dim))
             qv = F.slice(qv, 1, int(slice_dim))
-        scored = df.crossJoin(qb).select(
-            query_id_col, F.col(id_col), cosine(v, qv).alias("_cos")
-        )
-        shard = F.pmod(F.hash(F.col(id_col)), F.lit(shards))
-        w1 = Window.partitionBy(query_id_col, shard).orderBy(
-            F.col("_cos").desc_nulls_last(), F.col(id_col).asc()
-        )
-        local = scored.withColumn("_rn", F.row_number().over(w1)).filter(
-            F.col("_rn") <= k
-        )
-        w2 = Window.partitionBy(query_id_col).orderBy(
-            F.col("_cos").desc_nulls_last(), F.col(id_col).asc()
-        )
-        return (
-            local.withColumn("_rn2", F.row_number().over(w2))
-            .filter(F.col("_rn2") <= k)
-            .select(query_id_col, id_col)
-        )
+        return cosine(v, qv)
 
-    full = _topk_ids(None)
+    entries = [F.struct(F.lit(0).alias("_d"), _cos(None).alias("_cos"))] + [
+        F.struct(F.lit(int(d)).alias("_d"), _cos(int(d)).alias("_cos"))
+        for d in dims
+    ]
+    scored = (
+        df.crossJoin(qb)
+        .select(
+            query_id_col,
+            F.col(id_col),
+            F.explode(F.array(*entries)).alias("_e"),
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.col("_e._d").alias("_d"),
+            F.col("_e._cos").alias("_cos"),
+        )
+    )
+    shard = F.pmod(F.hash(F.col(id_col)), F.lit(shards))
+    w1 = Window.partitionBy("_d", query_id_col, shard).orderBy(
+        F.col("_cos").desc_nulls_last(), F.col(id_col).asc()
+    )
+    local = scored.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= k
+    )
+    w2 = Window.partitionBy("_d", query_id_col).orderBy(
+        F.col("_cos").desc_nulls_last(), F.col(id_col).asc()
+    )
+    topk = (
+        local.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= k)
+        .select("_d", query_id_col, id_col)
+    )
+    full = topk.filter(F.col("_d") == 0).select(query_id_col, id_col)
+    hits = (
+        topk.filter(F.col("_d") != 0)
+        .join(full, [query_id_col, id_col], "left_semi")
+        .groupBy(F.col("_d").cast("long").alias("dim"))
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
     n_q = F.broadcast(
         queries.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
     )
-    per_dim = None
-    for d in dims:
-        hits = (
-            _topk_ids(d)
-            .join(F.broadcast(full), [query_id_col, id_col], "left_semi")
-            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
-            .select(F.lit(int(d)).cast("long").alias("dim"), "hits")
-        )
-        per_dim = hits if per_dim is None else per_dim.unionByName(hits)
-    return per_dim.crossJoin(n_q).select(
-        "dim",
+    dim_rows = n_q.select(
+        F.explode(
+            F.array(*[F.lit(int(d)).cast("long") for d in dims])
+        ).alias("dim"),
         "n_queries",
-        F.lit(int(k)).cast("long").alias("k"),
-        "hits",
-        F.expr(f"(hits * 10000) div (n_queries * {int(k)})").alias(
-            "recall_bp"
-        ),
+    )
+    return (
+        dim_rows.join(hits, on="dim", how="left")
+        .withColumn("hits", F.coalesce("hits", F.lit(0).cast("long")))
+        .select(
+            "dim",
+            "n_queries",
+            F.lit(int(k)).cast("long").alias("k"),
+            "hits",
+            F.expr(f"(hits * 10000) div (n_queries * {int(k)})").alias(
+                "recall_bp"
+            ),
+        )
     )
 
 
