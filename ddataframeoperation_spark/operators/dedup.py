@@ -968,7 +968,11 @@ def jaccard_refine(
     same 4dp rounding) — but the corpus-wide inverted-index self-join
     never runs. Candidate rows whose ids are absent from ``df`` drop
     (inner joins), duplicates collapse, and NULL-id rows drop — the
-    semi-join form's behavior.
+    semi-join form's behavior. Candidates are additionally restricted
+    to ``id_a < id_b`` (ADVICE r13): the inverted-index form only ever
+    emits ordered pairs, so a reversed or self-pair candidate must
+    score NOTHING for the documented identity to hold for ANY
+    candidate list, not just minhash_candidates' ordered output.
 
     Returns (id_a, id_b, jacc).
     """
@@ -981,7 +985,7 @@ def jaccard_refine(
     )
     cand = (
         candidates.select("id_a", "id_b")
-        .filter(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
     sa = sets.select(F.col("_id").alias("id_a"), F.col("_set").alias("_sa"))
@@ -2194,6 +2198,7 @@ def _pagerank_kernel(
     n_iter: int,
     damping_bp: int,
     unit: int,
+    max_rows: int = 5_000_000,
 ) -> DataFrame:
     """Single-kernel exact PageRank (see :func:`pagerank`): one cogroup
     on a constant key, all rounds in Python arbitrary-precision ints —
@@ -2201,7 +2206,24 @@ def _pagerank_kernel(
     the contracts: NULL ids/edges dropped up front; W(u) sums EVERY
     non-NULL edge of u (even to off-list dsts — whose inflow then
     vanishes, the dangling-drop contract); ranks only for listed nodes;
-    duplicate node rows pass through duplicated."""
+    a source whose TOTAL out-weight is zero contributes nothing (the
+    iterative path's 0-denominator ``div`` yields NULL contributions
+    that the sum drops — the kernel skips those edges identically
+    instead of raising, ADVICE r13).
+
+    PRECONDITION (ADVICE r13): node ids must be DISTINCT. The kernel
+    keys ranks by id, while the iterative path's edges⋈ranks join would
+    match each edge once per duplicate rank row — the two paths diverge
+    after round 1 on duplicate node lists, so duplicates are outside
+    the bit-identical contract (both registered call sites aggregate
+    nodes before ranking).
+
+    SIZE GUARD (VERDICT r13): the cogroup on a constant key puts the
+    whole graph in ONE task — that is the caller's boundedness claim
+    (``pagerank(arrow_kernel=True)`` documents it). ``max_rows`` makes
+    a wrong claim fail loudly with a clear message instead of OOMing an
+    executor at scale.
+    """
     import pandas as pd
 
     n = nodes.select(F.col(nodes.columns[0]).alias("id")).filter(
@@ -2218,6 +2240,14 @@ def _pagerank_kernel(
     base = (10000 - damping_bp) * unit // 10000
 
     def kern(npdf: pd.DataFrame, epdf: pd.DataFrame) -> pd.DataFrame:
+        if len(npdf) + len(epdf) > max_rows:
+            raise ValueError(
+                f"pagerank arrow_kernel: graph has {len(npdf)} nodes + "
+                f"{len(epdf)} edges > max_rows={max_rows}; the kernel "
+                "holds the whole graph in one task — use the iterative "
+                "path (arrow_kernel=False) for unbounded graphs, or "
+                "raise max_rows if the task memory genuinely fits it"
+            )
         ids = list(npdf["id"])
         rank = dict.fromkeys(ids, unit)
         wout: dict = {}
@@ -2230,7 +2260,7 @@ def _pagerank_kernel(
             inflow: dict = {}
             for s, d, w in ed:
                 r = rank.get(s)
-                if r is not None:
+                if r is not None and wout[s]:
                     inflow[d] = inflow.get(d, 0) + (r * w) // wout[s]
             rank = {
                 i: base + (damping_bp * inflow.get(i, 0)) // 10000
@@ -2256,6 +2286,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     run_id: str | None = None,
     arrow_kernel: bool = False,
+    kernel_max_rows: int = 5_000_000,
 ) -> DataFrame:
     """Weighted PageRank in EXACT fixed-point integer arithmetic — the
     graph-centrality quality signal crawl pipelines attach to domains
@@ -2309,14 +2340,21 @@ def pagerank(
     every blocked kernel here. The iterative path stays the default
     for unbounded graphs; ``checkpoint_dir``/``run_id`` do not apply
     to the kernel (no rounds to truncate). Measured: 8 rounds on the
-    25-node nation graph 1.5 s → one 0.1 s job.
+    25-node nation graph 1.5 s → one 0.1 s job. ``kernel_max_rows``
+    (r14, VERDICT r13 guard): the kernel REFUSES graphs above this
+    node+edge row bound instead of OOMing the one task a wrong
+    boundedness claim would overload. Kernel precondition: distinct
+    node ids (see :func:`_pagerank_kernel`).
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     if not 0 <= damping_bp <= 10000:
         raise ValueError("damping_bp must be in [0, 10000]")
     if arrow_kernel:
-        return _pagerank_kernel(nodes, edges, n_iter, damping_bp, unit)
+        return _pagerank_kernel(
+            nodes, edges, n_iter, damping_bp, unit,
+            max_rows=kernel_max_rows,
+        )
     _truncate = _round_truncator("pr", _resolve_run_id(run_id), checkpoint_dir)
 
     # Materialize the node list once: it is re-joined EVERY round (the

@@ -444,6 +444,12 @@ def ngram_contamination(
     STRING in the corpus (the only data-sized shuffle in the plan; the
     per-doc aggregate after the broadcast join map-side combines).
     Measured 1.27 s → 0.85 s at sf0.1, rows identical.
+
+    PRECONDITION (ADVICE r13): ``id_col`` values must be UNIQUE — the
+    module-wide document contract, oracle-confirmed for every caller.
+    With duplicate id rows the row-local distinct counts each row's
+    n-grams separately where the old global (id, ngram) distinct
+    collapsed them across rows of the same id.
     """
     tgt = df.withColumn("_toks", tokens(text_col)).select(
         F.col(id_col),

@@ -120,6 +120,30 @@ def test_cc_endgame_matches_loop_string_ids_and_nulls(spark):
     assert {i for i, _ in fast} == {"a", "b", "c", "x", "y"}
 
 
+# --- semantic_join kernel/fold parity ON THE FIXTURES (ADVICE r13) -------
+
+
+def test_semantic_join_kernel_fold_parity_on_fixture(spark):
+    """b33_semantic_join pins the BLAS arrow kernel whose identity with
+    the sequential fold is empirical, not structural (a cosine near-tie
+    within ~1e-16 could flip a winner on a future fixture). Run BOTH
+    paths on the registered query's own probe (sf0.01 fixture) so a
+    fixture/data change surfaces as a parity failure here, not as an
+    opaque oracle hash mismatch."""
+    from ddataframeoperation_spark.catalog import read_fixture_table
+    from ddataframeoperation_spark.operators import similarity
+
+    emb = read_fixture_table(spark, "/root/testdata/sf0.01", "embeddings")
+    left = emb.filter(F.col("vec_id") < 250)
+    right = emb.filter(F.col("vec_id") >= 250)
+    cents = similarity.kmeans_centroids(emb, k=8, iters=5)
+    kern = {tuple(r) for r in similarity.semantic_join(
+        left, right, cents, nprobe=None, arrow_kernel=True).collect()}
+    fold = {tuple(r) for r in similarity.semantic_join(
+        left, right, cents, nprobe=None, arrow_kernel=False).collect()}
+    assert kern == fold
+
+
 # --- blocked triangle census vs the wedge-join path ----------------------
 
 
