@@ -1705,9 +1705,14 @@ def ks_test(
             (F.col("_offb") + F.col("_pb")).alias("_cumb"),
         )
     )
-    tot = base.agg(
-        F.sum((F.col("_g") == group_a).cast("long")).alias("_n1"),
-        F.sum((F.col("_g") != group_a).cast("long")).alias("_n2"),
+    # Cohort totals from the per-distinct-value table, NOT a base
+    # re-scan (r14, guide §2.4 — the weighted_percentiles W fix): the
+    # sums of per-value counts ARE n1/n2 exactly (integer addition,
+    # order-free), and `per`'s exchange is already computed for the
+    # bucketing — the third full scan of the input disappears.
+    tot = per.agg(
+        F.sum("_ca").cast("long").alias("_n1"),
+        F.sum("_cb").cast("long").alias("_n2"),
     )
     j = cum.crossJoin(F.broadcast(tot))
     # try_divide: if EVERY row belongs to one side, the other side's
@@ -2134,9 +2139,14 @@ def gain_chart(
         F.sum("_n").cast("long").alias("cum_n"),
         F.sum("_np").cast("long").alias("cum_pos"),
     )
-    totals = base.agg(
-        F.count(F.lit(1)).cast("long").alias("_tn"),
-        F.sum("_y").cast("long").alias("_tp"),
+    # Totals from the <=n_bins-row per-bucket table, NOT a base re-scan
+    # (r14, guide §2.4): every surviving row lands in exactly one
+    # bucket, so Σ_n/Σ_np are the exact global counts. (Empty input:
+    # `cum` is empty too, so the totals row never surfaces — the old
+    # 0-vs-NULL distinction on _tn is unobservable.)
+    totals = per.agg(
+        F.sum("_n").cast("long").alias("_tn"),
+        F.sum("_np").cast("long").alias("_tp"),
     )
     out = cum.crossJoin(F.broadcast(totals))
     gain, lift = _gain_lift_columns()
